@@ -1,0 +1,221 @@
+package graft.ops
+
+import graft.{QueryDef, T}
+import graft.expr.LenientJson
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Tier A ingest chain (SURVEY §2): the reference's extract→transform
+  * surface re-expressed as declarative DataFrame plans. Filters and
+  * projections sit directly on the parquet scan so Catalyst pushes them
+  * down (the reference fetches everything and discards in Python,
+  * /root/reference/main.py:106-141 — we deliberately do the opposite).
+  */
+object IngestOps {
+
+  /** All six event columns, with ts normalized to µs on the DuckDB side. */
+  private val EventCols =
+    "event_id, CAST(ts AS TIMESTAMP) AS ts, user_id, event_type, value, props"
+
+  /** q_src_scan — bounded source scan (main.py:103-125). */
+  private def srcScan(s: SparkSession, d: String): DataFrame =
+    T(s, d, "events").orderBy("event_id")
+
+  /** q_window_7d — rolling 7-day extraction window (DAYS_BACK=7,
+    * main.py:25,104-111): [as-of+1d − 7d, ∞) on event time.
+    */
+  private def window7d(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    T(s, d, "events")
+      .filter($"ts" >= to_timestamp(lit("2024-01-24 00:00:00")))
+      .orderBy("event_id")
+  }
+
+  /** q_parse — lenient semi-structured parse (main.py:94-101,135-136):
+    * from_json fast path + Python-literal UDF fallback, never throws.
+    */
+  private def parse(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val m = LenientJson.parsed(coalesce($"props", lit("{}")))
+    T(s, d, "events")
+      .select(
+        $"event_id",
+        concat_ws(",", array_sort(map_keys(m))).as("keys"),
+        element_at(m, "k").as("k_val"))
+      .orderBy("event_id")
+  }
+
+  /** q_extract_nested — named-field extraction out of the JSON blob
+    * (main.py:137-139), typed on the way out.
+    */
+  private def extractNested(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    T(s, d, "events")
+      .select(
+        $"event_id",
+        get_json_object($"props", "$.k").as("k_str"),
+        get_json_object($"props", "$.k").cast("bigint").as("k_num"))
+      .orderBy("event_id")
+  }
+
+  /** q_project_rename — fixed-shape projection + rename
+    * (main.py:134-141,164-172).
+    */
+  private def projectRename(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    T(s, d, "events")
+      .select(
+        $"event_id",
+        $"user_id".as("account_id"),
+        $"ts".as("event_timestamp"),
+        $"event_type".as("attempt_type"),
+        $"props".as("passback_params"))
+      .orderBy("event_id")
+  }
+
+  /** q_cast_bool — null-preserving truthiness cast (main.py:142-145):
+    * NULL→NULL, else bool(x).
+    */
+  private def castBool(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    T(s, d, "events")
+      .select(
+        $"event_id",
+        when($"value".isNotNull, $"value" =!= lit(0d)).as("is_correct"))
+      .orderBy("event_id")
+  }
+
+  /** Validation ladder predicate (main.py:146-163): required keys present,
+    * categorical domain respected, payload parseable-shaped.
+    */
+  private def validCond(s: SparkSession) = {
+    import s.implicits._
+    $"user_id".isNotNull && $"ts".isNotNull &&
+    $"event_type".isNotNull && length($"event_type") > 0 &&
+    $"event_type".isin("click", "error", "purchase", "signup", "view") &&
+    $"value".isNotNull && $"value" >= 0d && $"props".isNotNull
+  }
+
+  private val ValidSql =
+    "user_id IS NOT NULL AND ts IS NOT NULL AND event_type IS NOT NULL " +
+      "AND length(event_type) > 0 AND event_type IN " +
+      "('click','error','purchase','signup','view') " +
+      "AND value IS NOT NULL AND value >= 0 AND props IS NOT NULL"
+
+  /** q_filter_valid — rows passing the ladder (main.py:146-163). */
+  private def filterValid(s: SparkSession, d: String): DataFrame =
+    T(s, d, "events").filter(validCond(s)).orderBy("event_id")
+
+  /** q_filter_rejects — the observable reject side-channel: complement of
+    * q_filter_valid (the reference logs each reject, main.py:147-162).
+    */
+  private def filterRejects(s: SparkSession, d: String): DataFrame =
+    T(s, d, "events").filter(!coalesce(validCond(s), lit(false))).orderBy("event_id")
+
+  /** q_dedup_key — first-writer-wins key dedup, the reference's idempotent
+    * upsert (ON CONFLICT DO NOTHING, main.py:192-202). row_number (not
+    * dropDuplicates) so the survivor is deterministic; at scale this is one
+    * hash-partitioned shuffle on the key.
+    */
+  private def dedupKey(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val w = Window.partitionBy($"user_id", $"ts").orderBy($"event_id")
+    T(s, d, "events")
+      .withColumn("rn", row_number().over(w))
+      .filter($"rn" === 1)
+      .drop("rn")
+      .orderBy("event_id")
+  }
+
+  /** q_sheet_export — the raw-data grid sink (main.py:254-264): header row
+    * from the column names + stringified data rows, stable order. The
+    * engine-side semantics of the sheet overwrite; the actual write is
+    * `df.write.mode("overwrite").option("header", true).csv`.
+    */
+  private def sheetExport(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val grid = T(s, d, "events").select(
+      ($"event_id" + 1).as("rn"),
+      $"event_id".cast("string").as("c_event_id"),
+      $"user_id".cast("string").as("c_user_id"),
+      $"event_type".as("c_event_type"))
+    val header = s
+      .range(1)
+      .select(
+        lit(0L).as("rn"),
+        lit("event_id").as("c_event_id"),
+        lit("user_id").as("c_user_id"),
+        lit("event_type").as("c_event_type"))
+    header.unionByName(grid).orderBy("rn")
+  }
+
+  val defs: Seq[QueryDef] = Seq(
+    QueryDef(
+      "q_src_scan",
+      srcScan,
+      Some(s"SELECT $EventCols FROM events ORDER BY event_id")),
+    QueryDef(
+      "q_window_7d",
+      window7d,
+      Some(
+        s"SELECT $EventCols FROM events " +
+          "WHERE ts >= TIMESTAMP '2024-01-24 00:00:00' ORDER BY event_id")),
+    QueryDef(
+      "q_parse",
+      parse,
+      Some(
+        "SELECT event_id, " +
+          "array_to_string(list_sort(json_keys(props)), ',') AS keys, " +
+          "json_extract_string(props, '$.k') AS k_val " +
+          "FROM events ORDER BY event_id")),
+    QueryDef(
+      "q_extract_nested",
+      extractNested,
+      Some(
+        "SELECT event_id, json_extract_string(props, '$.k') AS k_str, " +
+          "CAST(json_extract_string(props, '$.k') AS BIGINT) AS k_num " +
+          "FROM events ORDER BY event_id")),
+    QueryDef(
+      "q_project_rename",
+      projectRename,
+      Some(
+        "SELECT event_id, user_id AS account_id, " +
+          "CAST(ts AS TIMESTAMP) AS event_timestamp, " +
+          "event_type AS attempt_type, props AS passback_params " +
+          "FROM events ORDER BY event_id")),
+    QueryDef(
+      "q_cast_bool",
+      castBool,
+      Some(
+        "SELECT event_id, " +
+          "CASE WHEN value IS NOT NULL THEN value <> 0 END AS is_correct " +
+          "FROM events ORDER BY event_id")),
+    QueryDef(
+      "q_filter_valid",
+      filterValid,
+      Some(
+        s"SELECT $EventCols FROM events WHERE $ValidSql ORDER BY event_id")),
+    QueryDef(
+      "q_filter_rejects",
+      filterRejects,
+      Some(
+        s"SELECT $EventCols FROM events " +
+          s"WHERE NOT COALESCE($ValidSql, false) ORDER BY event_id")),
+    QueryDef(
+      "q_dedup_key",
+      dedupKey,
+      Some(
+        s"SELECT $EventCols FROM events " +
+          "QUALIFY row_number() OVER (PARTITION BY user_id, CAST(ts AS TIMESTAMP) " +
+          "ORDER BY event_id) = 1 ORDER BY event_id")),
+    QueryDef(
+      "q_sheet_export",
+      sheetExport,
+      Some(
+        "SELECT 0 AS rn, 'event_id' AS c_event_id, 'user_id' AS c_user_id, " +
+          "'event_type' AS c_event_type " +
+          "UNION ALL SELECT event_id + 1, CAST(event_id AS VARCHAR), " +
+          "CAST(user_id AS VARCHAR), event_type FROM events ORDER BY rn"))
+  )
+}
