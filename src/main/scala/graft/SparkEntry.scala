@@ -10,7 +10,8 @@ import graft.ops._
 object SparkEntry {
 
   private lazy val all: Seq[QueryDef] =
-    IngestOps.defs ++ ReportOps.defs
+    IngestOps.defs ++ ReportOps.defs ++ RelationalOps.defs ++
+      ScalarOps.defs ++ StreamOps.defs
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

@@ -1,0 +1,449 @@
+package graft.ops
+
+import graft.{QueryDef, T}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Tier B — the delegated SQL surface (SURVEY §2): the reference stores and
+  * aggregates in Postgres (/root/reference/main.py:192-211,278-288), so
+  * engine parity means the full relational operator set. Everything here is
+  * Catalyst built-ins; the value added is scale-conscious plan shape:
+  * broadcast hints for dims, equi-keys extracted from range joins so the
+  * join itself hash-partitions, decimal-exact money arithmetic.
+  */
+object RelationalOps {
+
+  /** Exact revenue expression: decimal per-row, order-independent sum,
+    * DOUBLE out (see [[graft.X]] rationale).
+    */
+  private val RevSql =
+    "CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * " +
+      "CAST(1 - l_discount AS DECIMAL(18,2))) AS DOUBLE)"
+
+  /** q_join_inner — shuffled hash/sort-merge equi-join: revenue per
+    * customer. At scale this hash-partitions both sides on the key; AQE
+    * picks broadcast if one side turns out small.
+    */
+  private def joinInner(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    T(s, d, "orders")
+      .join(T(s, d, "customer"), $"o_custkey" === $"c_custkey", "inner")
+      .groupBy($"c_custkey", $"c_name")
+      .agg(
+        count(lit(1)).as("n_orders"),
+        sum($"o_totalprice".cast("decimal(18,2)")).cast("double").as("revenue"))
+      .orderBy("c_custkey")
+  }
+
+  /** q_join_broadcast — explicit broadcast of the 25-row dim: no shuffle of
+    * the fact side at all (the plan must show BroadcastHashJoin).
+    */
+  private def joinBroadcast(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    T(s, d, "customer")
+      .join(broadcast(T(s, d, "nation")), $"c_nationkey" === $"n_nationkey")
+      .groupBy($"n_name")
+      .agg(
+        count(lit(1)).as("n_customers"),
+        sum($"c_acctbal".cast("decimal(18,2)")).cast("double").as("total_acctbal"))
+      .orderBy("n_name")
+  }
+
+  /** q_join_left — left outer + null-tolerant aggregation: customers
+    * including those with no orders.
+    */
+  private def joinLeft(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    T(s, d, "customer")
+      .join(T(s, d, "orders"), $"o_custkey" === $"c_custkey", "left")
+      .groupBy($"c_custkey")
+      .agg(
+        count($"o_orderkey").as("n_orders"),
+        sum(coalesce($"o_totalprice", lit(0d)).cast("decimal(18,2)"))
+          .cast("double")
+          .as("total_spend"))
+      .orderBy("c_custkey")
+  }
+
+  /** q_join_semi — EXISTS as a left-semi join (no right-side columns ever
+    * materialize, so no dedup needed after).
+    */
+  private def joinSemi(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    T(s, d, "customer")
+      .join(T(s, d, "orders"), $"c_custkey" === $"o_custkey", "left_semi")
+      .select($"c_custkey", $"c_name")
+      .orderBy("c_custkey")
+  }
+
+  /** q_join_anti — NOT EXISTS as a left-anti join: the incremental-ingest /
+    * idempotence primitive (cf. ON CONFLICT DO NOTHING, main.py:202).
+    */
+  private def joinAnti(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    T(s, d, "customer")
+      .join(T(s, d, "orders"), $"c_custkey" === $"o_custkey", "left_anti")
+      .select($"c_custkey", $"c_name")
+      .orderBy("c_custkey")
+  }
+
+  /** q_join_range — theta join with an extracted equi-key: event pairs
+    * within 1 hour per user. The user_id equi-condition is what lets Spark
+    * hash-partition instead of doing a broadcast-nested-loop over
+    * everything; the range predicate applies post-match.
+    */
+  private def joinRange(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val e = T(s, d, "events").select($"event_id", $"user_id", $"ts")
+    e.as("a")
+      .join(
+        e.as("b"),
+        $"a.user_id" === $"b.user_id" &&
+          $"a.event_id" < $"b.event_id" &&
+          $"b.ts" >= $"a.ts" &&
+          $"b.ts" <= $"a.ts" + expr("INTERVAL 1 HOUR"))
+      .select(
+        $"a.event_id".as("a_id"),
+        $"b.event_id".as("b_id"),
+        $"a.user_id".as("user_id"))
+      .orderBy("a_id", "b_id")
+  }
+
+  /** q_multi_join — 4-table TPC-H-style chain: revenue by nation. Join
+    * order left to Catalyst/CBO; nation is broadcast.
+    */
+  private def multiJoin(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    T(s, d, "lineitem")
+      .join(T(s, d, "orders"), $"l_orderkey" === $"o_orderkey")
+      .join(T(s, d, "customer"), $"o_custkey" === $"c_custkey")
+      .join(broadcast(T(s, d, "nation")), $"c_nationkey" === $"n_nationkey")
+      .groupBy($"n_name")
+      .agg(
+        sum(
+          $"l_extendedprice".cast("decimal(18,2)") *
+            (lit(1) - $"l_discount").cast("decimal(18,2)"))
+          .cast("double")
+          .as("revenue"),
+        count(lit(1)).as("n_lines"))
+      .orderBy("n_name")
+  }
+
+  /** q_agg_group — hash aggregate with full stats per group. avg is
+    * decimal-sum / count in doubles so both engines divide the same exact
+    * values.
+    */
+  private def aggGroup(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    T(s, d, "events")
+      .groupBy($"event_type")
+      .agg(
+        count(lit(1)).as("n"),
+        sum($"value".cast("decimal(18,2)")).cast("double").as("sum_v"),
+        min($"value").as("min_v"),
+        max($"value").as("max_v"))
+      .withColumn("avg_v", $"sum_v" / $"n".cast("double"))
+      .orderBy("event_type")
+  }
+
+  /** q_agg_rollup — day × type rollup with grouping_id to disambiguate
+    * subtotal rows.
+    */
+  private def aggRollup(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    T(s, d, "events")
+      .select(to_date($"ts").as("d"), $"event_type")
+      .rollup($"d", $"event_type")
+      .agg(count(lit(1)).as("n"), grouping_id().cast("int").as("gid"))
+      .orderBy($"d".asc_nulls_first, $"event_type".asc_nulls_first)
+  }
+
+  /** q_agg_cube — status × priority cube over orders. */
+  private def aggCube(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    T(s, d, "orders")
+      .cube($"o_orderstatus", $"o_orderpriority")
+      .agg(
+        count(lit(1)).as("n"),
+        sum($"o_totalprice".cast("decimal(18,2)")).cast("double").as("total"),
+        grouping_id().cast("int").as("gid"))
+      .orderBy($"o_orderstatus".asc_nulls_first, $"o_orderpriority".asc_nulls_first)
+  }
+
+  /** q_win_rank — ranking windows; row_number ordered by a unique composite
+    * for determinism, rank/dense_rank over a coarser key where ties are
+    * real but rank values are still order-independent.
+    */
+  private def winRank(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val wSeq = Window.partitionBy($"user_id").orderBy($"ts", $"event_id")
+    val wDay = Window.partitionBy($"user_id").orderBy(to_date($"ts"))
+    T(s, d, "events")
+      .select(
+        $"event_id",
+        $"user_id",
+        row_number().over(wSeq).as("attempt_no"),
+        rank().over(wDay).as("day_rank"),
+        dense_rank().over(wDay).as("day_dense_rank"))
+      .orderBy("event_id")
+  }
+
+  /** q_win_lag — lag + running aggregates over an ordered per-user window
+    * (the inter-attempt-gap analysis the reference's data model implies,
+    * SURVEY §1.1).
+    */
+  private def winLag(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val w = Window.partitionBy($"user_id").orderBy($"ts", $"event_id")
+    T(s, d, "events")
+      .select(
+        $"event_id",
+        $"user_id",
+        $"ts",
+        lag($"ts", 1).over(w).as("prev_ts"),
+        sum($"value".cast("decimal(18,2)"))
+          .over(w.rowsBetween(Window.unboundedPreceding, 0))
+          .cast("double")
+          .as("running_value"),
+        count(lit(1))
+          .over(w.rowsBetween(Window.unboundedPreceding, 0))
+          .as("running_n"))
+      .withColumn(
+        "gap_us",
+        unix_micros($"ts") - unix_micros($"prev_ts"))
+      .orderBy("event_id")
+  }
+
+  /** q_win_frame — explicit 3-row moving frame. The moving average is
+    * decimal-sum-over-frame / count-over-frame: exact regardless of how
+    * either engine combines frame members.
+    */
+  private def winFrame(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val w =
+      Window.partitionBy($"user_id").orderBy($"ts", $"event_id").rowsBetween(-2, 0)
+    T(s, d, "events")
+      .select(
+        $"event_id",
+        $"user_id",
+        sum($"value".cast("decimal(18,2)")).over(w).cast("double").as("mov_sum"),
+        count(lit(1)).over(w).as("mov_n"))
+      .withColumn("mov_avg", $"mov_sum" / $"mov_n".cast("double"))
+      .orderBy("event_id")
+  }
+
+  /** q_sort_limit — global top-k: per-partition top-k then merge (Spark's
+    * TakeOrderedAndProject), never a full global sort at scale.
+    */
+  private def sortLimit(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    T(s, d, "events")
+      .groupBy($"user_id")
+      .agg(count(lit(1)).as("n"))
+      .orderBy($"n".desc, $"user_id")
+      .limit(10)
+  }
+
+  /** q_set_union — union-distinct of two day-level activity sets. */
+  private def setUnion(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val e = T(s, d, "events")
+    val purchases =
+      e.filter($"event_type" === "purchase").select($"user_id", to_date($"ts").as("d"))
+    val signups =
+      e.filter($"event_type" === "signup").select($"user_id", to_date($"ts").as("d"))
+    purchases.unionByName(signups).distinct().orderBy("user_id", "d")
+  }
+
+  /** q_set_intersect — users with both purchase and error activity. */
+  private def setIntersect(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val e = T(s, d, "events")
+    e.filter($"event_type" === "purchase")
+      .select($"user_id")
+      .intersect(e.filter($"event_type" === "error").select($"user_id"))
+      .orderBy("user_id")
+  }
+
+  /** q_set_except — users with views but no purchases. */
+  private def setExcept(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val e = T(s, d, "events")
+    e.filter($"event_type" === "view")
+      .select($"user_id")
+      .except(e.filter($"event_type" === "purchase").select($"user_id"))
+      .orderBy("user_id")
+  }
+
+  /** q_case_when — CASE WHEN categorization (main.py:282,285-286). */
+  private def caseWhen(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    T(s, d, "events")
+      .select(
+        $"event_id",
+        $"event_type",
+        when($"event_type".isin("purchase", "signup"), "conversion")
+          .when($"event_type" === "error", "problem")
+          .otherwise("engagement")
+          .as("category"))
+      .orderBy("event_id")
+  }
+
+  val defs: Seq[QueryDef] = Seq(
+    QueryDef(
+      "q_join_inner",
+      joinInner,
+      Some(
+        "SELECT c_custkey, c_name, COUNT(*) AS n_orders, " +
+          "CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue " +
+          "FROM orders JOIN customer ON o_custkey = c_custkey " +
+          "GROUP BY c_custkey, c_name ORDER BY c_custkey")),
+    QueryDef(
+      "q_join_broadcast",
+      joinBroadcast,
+      Some(
+        "SELECT n_name, COUNT(*) AS n_customers, " +
+          "CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS total_acctbal " +
+          "FROM customer JOIN nation ON c_nationkey = n_nationkey " +
+          "GROUP BY n_name ORDER BY n_name")),
+    QueryDef(
+      "q_join_left",
+      joinLeft,
+      Some(
+        "SELECT c_custkey, COUNT(o_orderkey) AS n_orders, " +
+          "CAST(SUM(CAST(COALESCE(o_totalprice, 0) AS DECIMAL(18,2))) AS DOUBLE) AS total_spend " +
+          "FROM customer LEFT JOIN orders ON o_custkey = c_custkey " +
+          "GROUP BY c_custkey ORDER BY c_custkey")),
+    QueryDef(
+      "q_join_semi",
+      joinSemi,
+      Some(
+        "SELECT c_custkey, c_name FROM customer c " +
+          "WHERE EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey) " +
+          "ORDER BY c_custkey")),
+    QueryDef(
+      "q_join_anti",
+      joinAnti,
+      Some(
+        "SELECT c_custkey, c_name FROM customer c " +
+          "WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey) " +
+          "ORDER BY c_custkey")),
+    QueryDef(
+      "q_join_range",
+      joinRange,
+      Some(
+        "SELECT a.event_id AS a_id, b.event_id AS b_id, a.user_id " +
+          "FROM events a JOIN events b ON a.user_id = b.user_id " +
+          "AND a.event_id < b.event_id " +
+          "AND CAST(b.ts AS TIMESTAMP) >= CAST(a.ts AS TIMESTAMP) " +
+          "AND CAST(b.ts AS TIMESTAMP) <= CAST(a.ts AS TIMESTAMP) + INTERVAL 1 HOUR " +
+          "ORDER BY a_id, b_id")),
+    QueryDef(
+      "q_multi_join",
+      multiJoin,
+      Some(
+        s"SELECT n_name, $RevSql AS revenue, COUNT(*) AS n_lines " +
+          "FROM lineitem JOIN orders ON l_orderkey = o_orderkey " +
+          "JOIN customer ON o_custkey = c_custkey " +
+          "JOIN nation ON c_nationkey = n_nationkey " +
+          "GROUP BY n_name ORDER BY n_name")),
+    QueryDef(
+      "q_agg_group",
+      aggGroup,
+      Some(
+        "SELECT event_type, COUNT(*) AS n, " +
+          "CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_v, " +
+          "MIN(value) AS min_v, MAX(value) AS max_v, " +
+          "CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*) AS avg_v " +
+          "FROM events GROUP BY event_type ORDER BY event_type")),
+    QueryDef(
+      "q_agg_rollup",
+      aggRollup,
+      Some(
+        "SELECT CAST(ts AS DATE) AS d, event_type, COUNT(*) AS n, " +
+          "CAST(GROUPING(CAST(ts AS DATE), event_type) AS INTEGER) AS gid " +
+          "FROM events GROUP BY ROLLUP(CAST(ts AS DATE), event_type) " +
+          "ORDER BY d NULLS FIRST, event_type NULLS FIRST")),
+    QueryDef(
+      "q_agg_cube",
+      aggCube,
+      Some(
+        "SELECT o_orderstatus, o_orderpriority, COUNT(*) AS n, " +
+          "CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total, " +
+          "CAST(GROUPING(o_orderstatus, o_orderpriority) AS INTEGER) AS gid " +
+          "FROM orders GROUP BY CUBE(o_orderstatus, o_orderpriority) " +
+          "ORDER BY o_orderstatus NULLS FIRST, o_orderpriority NULLS FIRST")),
+    QueryDef(
+      "q_win_rank",
+      winRank,
+      Some(
+        "SELECT event_id, user_id, " +
+          "row_number() OVER (PARTITION BY user_id ORDER BY CAST(ts AS TIMESTAMP), event_id) AS attempt_no, " +
+          "rank() OVER (PARTITION BY user_id ORDER BY CAST(ts AS DATE)) AS day_rank, " +
+          "dense_rank() OVER (PARTITION BY user_id ORDER BY CAST(ts AS DATE)) AS day_dense_rank " +
+          "FROM events ORDER BY event_id")),
+    QueryDef(
+      "q_win_lag",
+      winLag,
+      Some(
+        "SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS ts, " +
+          "lag(CAST(ts AS TIMESTAMP), 1) OVER w AS prev_ts, " +
+          "CAST(SUM(CAST(value AS DECIMAL(18,2))) OVER " +
+          "(PARTITION BY user_id ORDER BY CAST(ts AS TIMESTAMP), event_id " +
+          "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) AS running_value, " +
+          "COUNT(*) OVER (PARTITION BY user_id ORDER BY CAST(ts AS TIMESTAMP), event_id " +
+          "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS running_n, " +
+          "epoch_us(CAST(ts AS TIMESTAMP)) - epoch_us(lag(CAST(ts AS TIMESTAMP), 1) OVER w) AS gap_us " +
+          "FROM events WINDOW w AS (PARTITION BY user_id ORDER BY CAST(ts AS TIMESTAMP), event_id) " +
+          "ORDER BY event_id")),
+    QueryDef(
+      "q_win_frame",
+      winFrame,
+      Some(
+        "SELECT event_id, user_id, " +
+          "CAST(SUM(CAST(value AS DECIMAL(18,2))) OVER w AS DOUBLE) AS mov_sum, " +
+          "COUNT(*) OVER w AS mov_n, " +
+          "CAST(SUM(CAST(value AS DECIMAL(18,2))) OVER w AS DOUBLE) / (COUNT(*) OVER w) AS mov_avg " +
+          "FROM events WINDOW w AS (PARTITION BY user_id " +
+          "ORDER BY CAST(ts AS TIMESTAMP), event_id ROWS BETWEEN 2 PRECEDING AND CURRENT ROW) " +
+          "ORDER BY event_id")),
+    QueryDef(
+      "q_sort_limit",
+      sortLimit,
+      Some(
+        "SELECT user_id, COUNT(*) AS n FROM events GROUP BY user_id " +
+          "ORDER BY n DESC, user_id LIMIT 10")),
+    QueryDef(
+      "q_set_union",
+      setUnion,
+      Some(
+        "SELECT user_id, CAST(ts AS DATE) AS d FROM events WHERE event_type = 'purchase' " +
+          "UNION " +
+          "SELECT user_id, CAST(ts AS DATE) FROM events WHERE event_type = 'signup' " +
+          "ORDER BY user_id, d")),
+    QueryDef(
+      "q_set_intersect",
+      setIntersect,
+      Some(
+        "SELECT user_id FROM events WHERE event_type = 'purchase' " +
+          "INTERSECT SELECT user_id FROM events WHERE event_type = 'error' " +
+          "ORDER BY user_id")),
+    QueryDef(
+      "q_set_except",
+      setExcept,
+      Some(
+        "SELECT user_id FROM events WHERE event_type = 'view' " +
+          "EXCEPT SELECT user_id FROM events WHERE event_type = 'purchase' " +
+          "ORDER BY user_id")),
+    QueryDef(
+      "q_case_when",
+      caseWhen,
+      Some(
+        "SELECT event_id, event_type, " +
+          "CASE WHEN event_type IN ('purchase','signup') THEN 'conversion' " +
+          "WHEN event_type = 'error' THEN 'problem' " +
+          "ELSE 'engagement' END AS category " +
+          "FROM events ORDER BY event_id"))
+  )
+}

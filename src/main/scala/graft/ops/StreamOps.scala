@@ -1,0 +1,144 @@
+package graft.ops
+
+import graft.{QueryDef, T, X}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Tier B-STREAM (SURVEY §2): the reference's run loop is a micro-batch
+  * stream in disguise — a daily job re-extracting a 7-day overlapping
+  * window with key-dedup at the sink (/root/reference/main.py:25,104-105,
+  * 202) ≡ Structured Streaming's watermark + dropDuplicates + idempotent
+  * sink. Queries here are the batch forms the harness verifies; the same
+  * plans lift to readStream via [[lift]] (exercised in StreamingLiftSpec).
+  */
+object StreamOps {
+
+  /** q_stream_tumble — tumbling 1-day event-time window (the daily report
+    * cadence, main.py:288). window() is epoch-aligned so day windows equal
+    * date_trunc in UTC.
+    */
+  private def streamTumble(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    T(s, d, "events")
+      .groupBy(window($"ts", "1 day"), $"event_type")
+      .agg(count(lit(1)).as("n"), X.dsum2($"value").as("sum_value"))
+      .select($"window.start".as("win_start"), $"event_type", $"n", $"sum_value")
+      .orderBy("win_start", "event_type")
+  }
+
+  /** q_stream_slide — 7-day window sliding by 1 day (the rolling re-extract,
+    * main.py:104-105): each event lands in 7 windows.
+    */
+  private def streamSlide(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    T(s, d, "events")
+      .groupBy(window($"ts", "7 days", "1 day"))
+      .agg(count(lit(1)).as("n"), countDistinct($"user_id").as("users"))
+      .select($"window.start".as("win_start"), $"n", $"users")
+      .orderBy("win_start")
+  }
+
+  /** q_stream_session — 30-minute-gap sessionization via lag + cumulative
+    * sum (batch form of session_window, SURVEY §2 B-STREAM).
+    */
+  private def streamSession(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val w = Window.partitionBy($"user_id").orderBy($"ts", $"event_id")
+    val gapUs = unix_micros($"ts") - unix_micros(lag($"ts", 1).over(w))
+    T(s, d, "events")
+      .withColumn(
+        "new_session",
+        when(gapUs.isNull || gapUs > lit(1800000000L), 1).otherwise(0))
+      .withColumn(
+        "session_no",
+        sum($"new_session").over(w.rowsBetween(Window.unboundedPreceding, 0)))
+      .groupBy($"user_id", $"session_no")
+      .agg(
+        count(lit(1)).as("n_events"),
+        min($"ts").as("session_start"),
+        max($"ts").as("session_end"))
+      .orderBy("user_id", "session_no")
+  }
+
+  /** q_stream_dedup — streaming-style dedup on a business key keeping the
+    * earliest arrival (dropDuplicates semantics made deterministic,
+    * cf. main.py:202).
+    */
+  private def streamDedup(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val w =
+      Window.partitionBy($"user_id", $"event_type").orderBy($"ts", $"event_id")
+    T(s, d, "events")
+      .withColumn("rn", row_number().over(w))
+      .filter($"rn" === 1)
+      .drop("rn")
+      .orderBy("event_id")
+  }
+
+  /** Streaming lift of the tumbling-window report: identical logic on a
+    * readStream source with the reference's 7-day late-data contract
+    * (withWatermark ≡ DAYS_BACK, SURVEY §0). Used by the streaming spec;
+    * not part of the batch harness.
+    */
+  def liftTumble(s: SparkSession, sourceDir: String): DataFrame = {
+    import s.implicits._
+    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val batchSchema = T(s, sourceDir.stripSuffix("/events.parquet"), "events").schema
+    s.readStream
+      .schema(
+        org.apache.spark.sql.types.StructType(
+          batchSchema.map(f => if (f.name == "ts") f.copy(dataType = org.apache.spark.sql.types.LongType) else f)))
+      .parquet(sourceDir)
+      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      .withWatermark("ts", "7 days")
+      .groupBy(window($"ts", "1 day"), $"event_type")
+      .agg(count(lit(1)).as("n"))
+      .select($"window.start".as("win_start"), $"event_type", $"n")
+  }
+
+  private val SessionSql =
+    "SELECT user_id, session_no, COUNT(*) AS n_events, " +
+      "MIN(ts) AS session_start, MAX(ts) AS session_end FROM (" +
+      "SELECT user_id, event_id, ts, " +
+      "SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id " +
+      "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_no FROM (" +
+      "SELECT user_id, event_id, CAST(ts AS TIMESTAMP) AS ts, " +
+      "CASE WHEN epoch_us(CAST(ts AS TIMESTAMP)) - " +
+      "epoch_us(lag(CAST(ts AS TIMESTAMP), 1) OVER " +
+      "(PARTITION BY user_id ORDER BY CAST(ts AS TIMESTAMP), event_id)) > 1800000000 " +
+      "THEN 1 " +
+      "WHEN lag(CAST(ts AS TIMESTAMP), 1) OVER " +
+      "(PARTITION BY user_id ORDER BY CAST(ts AS TIMESTAMP), event_id) IS NULL THEN 1 " +
+      "ELSE 0 END AS new_session FROM events)) " +
+      "GROUP BY user_id, session_no ORDER BY user_id, session_no"
+
+  val defs: Seq[QueryDef] = Seq(
+    QueryDef(
+      "q_stream_tumble",
+      streamTumble,
+      Some(
+        "SELECT date_trunc('day', CAST(ts AS TIMESTAMP)) AS win_start, " +
+          "event_type, COUNT(*) AS n, " +
+          "CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value " +
+          "FROM events GROUP BY 1, 2 ORDER BY win_start, event_type")),
+    QueryDef(
+      "q_stream_slide",
+      streamSlide,
+      Some(
+        "SELECT ws AS win_start, COUNT(*) AS n, COUNT(DISTINCT user_id) AS users " +
+          "FROM (SELECT user_id, " +
+          "unnest(generate_series(CAST(CAST(ts AS DATE) AS TIMESTAMP) - INTERVAL 6 DAY, " +
+          "CAST(CAST(ts AS DATE) AS TIMESTAMP), INTERVAL 1 DAY)) AS ws " +
+          "FROM events) GROUP BY ws ORDER BY ws")),
+    QueryDef("q_stream_session", streamSession, Some(SessionSql)),
+    QueryDef(
+      "q_stream_dedup",
+      streamDedup,
+      Some(
+        "SELECT event_id, CAST(ts AS TIMESTAMP) AS ts, user_id, event_type, " +
+          "value, props FROM events " +
+          "QUALIFY row_number() OVER (PARTITION BY user_id, event_type " +
+          "ORDER BY CAST(ts AS TIMESTAMP), event_id) = 1 ORDER BY event_id"))
+  )
+}
