@@ -1,0 +1,153 @@
+package graft.ops
+
+import graft.{QueryDef, T, X}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Tier C similarity search over the embeddings table (SURVEY §2 Tier C):
+  * pairwise cosine, brute-force top-k (the correctness baseline), and a
+  * sign-LSH-bucketed ANN variant (the scale path: candidate set shrinks
+  * ~2^bits-fold before any distance math). All vector math is higher-order
+  * built-ins — no UDFs — and bit-identical to the DuckDB oracle.
+  */
+object SimilarityOps {
+
+  private def emb(s: SparkSession, d: String) =
+    T(s, d, "embeddings")
+
+  /** q_sim_cosine — all same-label pairwise cosines (label as the blocking
+    * key; at scale the block is whatever coarse clustering exists).
+    */
+  private def simCosine(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val e = emb(s, d)
+      .select($"vec_id", $"label", $"embedding", Vec.norm2($"embedding").as("n2"))
+    e.as("a")
+      .join(e.as("b"), $"a.label" === $"b.label" && $"a.vec_id" < $"b.vec_id")
+      .select(
+        $"a.vec_id".as("a_id"),
+        $"b.vec_id".as("b_id"),
+        X.r6(
+          Vec.cosine(Vec.dot($"a.embedding", $"b.embedding"), $"a.n2", $"b.n2"))
+          .as("cos"))
+      .orderBy("a_id", "b_id")
+  }
+
+  private val CosineSql =
+    s"WITH e AS (SELECT vec_id, label, embedding, ${Vec.norm2Sql("embedding")} AS n2 " +
+      "FROM embeddings) " +
+      "SELECT a.vec_id AS a_id, b.vec_id AS b_id, " +
+      s"floor((${Vec.dotSql("a.embedding", "b.embedding")} / (sqrt(a.n2) * sqrt(b.n2))) " +
+      "* 1000000 + 0.5) / 1000000 AS cos " +
+      "FROM e a JOIN e b ON a.label = b.label AND a.vec_id < b.vec_id " +
+      "ORDER BY a_id, b_id"
+
+  /** q_sim_topk — brute-force cosine top-k for a probe vector (vec_id 0):
+    * one broadcast of the probe, a map-side dot product per row, then
+    * TakeOrderedAndProject — no shuffle of the corpus at all.
+    */
+  private def simTopk(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val e = emb(s, d).select($"vec_id", $"embedding", Vec.norm2($"embedding").as("n2"))
+    val probe = e
+      .filter($"vec_id" === 0)
+      .select($"embedding".as("p"), $"n2".as("pn2"))
+    e.filter($"vec_id" =!= 0)
+      .crossJoin(broadcast(probe))
+      .select(
+        $"vec_id",
+        X.r6(Vec.cosine(Vec.dot($"embedding", $"p"), $"n2", $"pn2")).as("cos"))
+      .orderBy($"cos".desc, $"vec_id")
+      .limit(10)
+  }
+
+  private val TopkSql =
+    s"WITH e AS (SELECT vec_id, embedding, ${Vec.norm2Sql("embedding")} AS n2 " +
+      "FROM embeddings), " +
+      "probe AS (SELECT embedding AS p, n2 AS pn2 FROM e WHERE vec_id = 0) " +
+      "SELECT vec_id, " +
+      s"floor((${Vec.dotSql("embedding", "p")} / (sqrt(n2) * sqrt(pn2))) " +
+      "* 1000000 + 0.5) / 1000000 AS cos " +
+      "FROM e, probe WHERE vec_id <> 0 ORDER BY cos DESC, vec_id LIMIT 10"
+
+  /** Sign-LSH bucket: 8 leading-dimension sign bits. Deterministic (no
+    * random hyperplanes) so the oracle can replicate it; real deployments
+    * would draw the hyperplanes once and broadcast them.
+    */
+  private val SignBits = 8
+  private def bucketCol = {
+    (0 until SignBits)
+      .map(j =>
+        when(element_at(col("embedding"), j + 1) > 0f, lit(1L << j)).otherwise(lit(0L)))
+      .reduce(_ + _)
+  }
+
+  private val BucketSql = (0 until SignBits)
+    .map(j => s"CASE WHEN embedding[${j + 1}] > 0 THEN ${1L << j} ELSE 0 END")
+    .mkString(" + ")
+
+  /** q_sim_ann — LSH-bucketed ANN: candidates restricted to the probe's
+    * sign bucket before any distance computation. The bucket column is the
+    * partition key at scale (IVF-style: one shuffle to bucket, probe reads
+    * one partition).
+    */
+  private def simAnn(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val e = emb(s, d).select(
+      $"vec_id",
+      $"embedding",
+      Vec.norm2($"embedding").as("n2"),
+      bucketCol.as("bucket"))
+    val probe = e
+      .filter($"vec_id" === 0)
+      .select($"embedding".as("p"), $"n2".as("pn2"), $"bucket".as("pbucket"))
+    e.join(broadcast(probe), $"bucket" === $"pbucket")
+      .filter($"vec_id" =!= 0)
+      .select(
+        $"vec_id",
+        $"bucket",
+        X.r6(Vec.cosine(Vec.dot($"embedding", $"p"), $"n2", $"pn2")).as("cos"))
+      .orderBy($"cos".desc, $"vec_id")
+      .limit(10)
+  }
+
+  private val AnnSql =
+    s"WITH e AS (SELECT vec_id, embedding, ${Vec.norm2Sql("embedding")} AS n2, " +
+      s"$BucketSql AS bucket FROM embeddings), " +
+      "probe AS (SELECT embedding AS p, n2 AS pn2, bucket AS pbucket FROM e WHERE vec_id = 0) " +
+      "SELECT vec_id, bucket, " +
+      s"floor((${Vec.dotSql("embedding", "p")} / (sqrt(n2) * sqrt(pn2))) " +
+      "* 1000000 + 0.5) / 1000000 AS cos " +
+      "FROM e JOIN probe ON bucket = pbucket WHERE vec_id <> 0 " +
+      "ORDER BY cos DESC, vec_id LIMIT 10"
+
+  /** q_multimodal — heterogeneous-column join: text metadata × vector
+    * table, predicates on both sides (SURVEY §2 Tier C).
+    */
+  private def multimodal(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    T(s, d, "documents")
+      .join(emb(s, d), $"doc_id" === $"vec_id")
+      .filter($"n_chars" > 200 && element_at($"embedding", 1) > 0f)
+      .select(
+        $"doc_id",
+        $"lang",
+        $"label",
+        $"n_chars",
+        element_at($"embedding", 1).cast("double").as("e1"))
+      .orderBy("doc_id")
+  }
+
+  val defs: Seq[QueryDef] = Seq(
+    QueryDef("q_sim_cosine", simCosine, Some(CosineSql)),
+    QueryDef("q_sim_topk", simTopk, Some(TopkSql)),
+    QueryDef("q_sim_ann", simAnn, Some(AnnSql)),
+    QueryDef(
+      "q_multimodal",
+      multimodal,
+      Some(
+        "SELECT doc_id, lang, label, n_chars, CAST(embedding[1] AS DOUBLE) AS e1 " +
+          "FROM documents JOIN embeddings ON doc_id = vec_id " +
+          "WHERE n_chars > 200 AND embedding[1] > 0 ORDER BY doc_id"))
+  )
+}

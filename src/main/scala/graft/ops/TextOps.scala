@@ -1,0 +1,197 @@
+package graft.ops
+
+import graft.{QueryDef, T}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Tier C text analysis (charter): token statistics, corpus stats,
+  * heuristic language ID, quality scoring, rolling-hash fingerprinting,
+  * token counting — the scoring/filtering stages of an LLM data pipeline,
+  * all as map-side expressions (no shuffle except the final aggregates).
+  *
+  * No transcendentals anywhere: cross-libm log/exp are not bit-stable, so
+  * quality scores are rational functions only (graft.X rationale).
+  */
+object TextOps {
+
+  private def docs(s: SparkSession, d: String) = T(s, d, "documents")
+
+  /** q_text_tokens — corpus token frequency, top-100. explode → two-phase
+    * hash aggregate; at 100 TB this is the classic word-count shuffle with
+    * map-side partial aggregation.
+    */
+  private def textTokens(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    docs(s, d)
+      .select(explode(split($"text", " ")).as("token"))
+      .groupBy($"token")
+      .agg(count(lit(1)).as("n"))
+      .orderBy($"n".desc, $"token")
+      .limit(100)
+  }
+
+  /** q_text_stats — per-language corpus stats (reference report shape,
+    * main.py:307-315 analog). All-integer aggregation: exact.
+    */
+  private def textStats(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    docs(s, d)
+      .groupBy($"lang")
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum($"n_chars").as("total_chars"),
+        min($"n_chars").as("min_chars"),
+        max($"n_chars").as("max_chars"),
+        countDistinct($"source").as("n_sources"))
+      .withColumn("avg_chars", $"total_chars".cast("double") / $"n_docs".cast("double"))
+      .orderBy("lang")
+  }
+
+  /** Per-language stopword lists for the n-gram/stopword language-ID
+    * heuristic. The testdata vocabulary is synthetic (31 shared tokens), so
+    * the interesting property is the deterministic scoring pipeline, not
+    * linguistic accuracy.
+    */
+  private val Stopwords: Seq[(String, Seq[String])] = Seq(
+    "en" -> Seq("the", "a", "table", "row", "value"),
+    "de" -> Seq("der", "die", "das", "und", "ist"),
+    "es" -> Seq("el", "la", "los", "y", "es"),
+    "fr" -> Seq("le", "les", "et", "est", "une"),
+    "zh" -> Seq("de", "shi", "zai", "he", "bu"))
+
+  /** q_text_langid — stopword-hit scoring + deterministic argmax. */
+  private def textLangid(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val toks = array_distinct(split($"text", " "))
+    val scored = docs(s, d).select(
+      $"doc_id" +: $"lang" +:
+        Stopwords.map { case (l, words) =>
+          size(array_intersect(toks, lit(words.toArray))).as(s"s_$l")
+        }: _*)
+    // priority-ordered argmax: first language with a maximal score wins
+    val langs = Stopwords.map(_._1)
+    val pred = langs
+      .foldRight(lit(langs.last): Column) { case (l, rest) =>
+        when(
+          langs.filter(_ != l).map(o => col(s"s_$l") >= col(s"s_$o")).reduce(_ && _),
+          lit(l)).otherwise(rest)
+      }
+    scored.withColumn("pred_lang", pred).orderBy("doc_id")
+  }
+
+  private val LangidSql = {
+    val scores = Stopwords
+      .map { case (l, words) =>
+        s"len(list_intersect(t, [${words.map(w => s"'$w'").mkString(", ")}])) AS s_$l"
+      }
+      .mkString(", ")
+    val langs = Stopwords.map(_._1)
+    val pred = langs.foldRight(s"'${langs.last}'") { case (l, rest) =>
+      val cond = langs.filter(_ != l).map(o => s"s_$l >= s_$o").mkString(" AND ")
+      s"CASE WHEN $cond THEN '$l' ELSE $rest END"
+    }
+    "SELECT doc_id, lang, " + langs.map(l => s"s_$l").mkString(", ") +
+      s", $pred AS pred_lang FROM (" +
+      s"SELECT doc_id, lang, $scores FROM " +
+      "(SELECT doc_id, lang, list_distinct(string_split(text, ' ')) AS t " +
+      "FROM documents)) ORDER BY doc_id"
+  }
+
+  /** q_text_quality — rational quality features per document: token counts,
+    * lexical diversity, chars/token, short-doc flag.
+    */
+  private def textQuality(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    docs(s, d)
+      .select(
+        $"doc_id",
+        $"n_chars",
+        size(split($"text", " ")).as("n_tokens"),
+        size(array_distinct(split($"text", " "))).as("n_distinct"))
+      .withColumn(
+        "distinct_ratio",
+        $"n_distinct".cast("double") / $"n_tokens".cast("double"))
+      .withColumn(
+        "chars_per_token",
+        $"n_chars".cast("double") / $"n_tokens".cast("double"))
+      .withColumn("is_short", $"n_chars" < 100)
+      .orderBy("doc_id")
+  }
+
+  private val QualitySql =
+    "SELECT doc_id, n_chars, n_tokens, n_distinct, " +
+      "CAST(n_distinct AS DOUBLE) / CAST(n_tokens AS DOUBLE) AS distinct_ratio, " +
+      "CAST(n_chars AS DOUBLE) / CAST(n_tokens AS DOUBLE) AS chars_per_token, " +
+      "n_chars < 100 AS is_short FROM (" +
+      "SELECT doc_id, n_chars, " +
+      "CAST(len(string_split(text, ' ')) AS INTEGER) AS n_tokens, " +
+      "CAST(len(list_distinct(string_split(text, ' '))) AS INTEGER) AS n_distinct " +
+      "FROM documents) ORDER BY doc_id"
+
+  /** q_text_fingerprint — order-sensitive rolling polynomial hash over the
+    * token stream (document fingerprinting; integer-exact and portable,
+    * unlike engine-native hashes).
+    */
+  private def textFingerprint(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    docs(s, d)
+      .select(
+        $"doc_id",
+        aggregate(
+          split($"text", " "),
+          lit(0L),
+          (acc, t) =>
+            pmod(
+              acc * 131L + (ascii(t) * 131 + length(t)).cast("bigint"),
+              lit(Hashing.P))).as("fingerprint"))
+      .orderBy("doc_id")
+  }
+
+  private val FingerprintSql =
+    "SELECT doc_id, list_reduce(list_prepend(CAST(0 AS BIGINT), " +
+      "list_transform(string_split(text, ' '), " +
+      "t -> CAST(ascii(t) * 131 + length(t) AS BIGINT))), " +
+      s"(acc, v) -> (acc * 131 + v) % ${Hashing.P}) AS fingerprint " +
+      "FROM documents ORDER BY doc_id"
+
+  /** q_text_count_tokens — whitespace token count + a bytes/4 BPE-style
+    * estimate (the standard subword-count heuristic).
+    */
+  private def textCountTokens(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    docs(s, d)
+      .select(
+        $"doc_id",
+        size(split($"text", " ")).as("n_ws_tokens"),
+        ceil($"n_chars" / 4d).as("est_bpe_tokens"))
+      .orderBy("doc_id")
+  }
+
+  private val CountTokensSql =
+    "SELECT doc_id, CAST(len(string_split(text, ' ')) AS INTEGER) AS n_ws_tokens, " +
+      "CAST(ceil(n_chars / 4) AS BIGINT) AS est_bpe_tokens " +
+      "FROM documents ORDER BY doc_id"
+
+  val defs: Seq[QueryDef] = Seq(
+    QueryDef(
+      "q_text_tokens",
+      textTokens,
+      Some(
+        "SELECT token, COUNT(*) AS n FROM " +
+          "(SELECT unnest(string_split(text, ' ')) AS token FROM documents) " +
+          "GROUP BY token ORDER BY n DESC, token LIMIT 100")),
+    QueryDef(
+      "q_text_stats",
+      textStats,
+      Some(
+        "SELECT lang, COUNT(*) AS n_docs, SUM(n_chars) AS total_chars, " +
+          "MIN(n_chars) AS min_chars, MAX(n_chars) AS max_chars, " +
+          "COUNT(DISTINCT source) AS n_sources, " +
+          "CAST(SUM(n_chars) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) AS avg_chars " +
+          "FROM documents GROUP BY lang ORDER BY lang")),
+    QueryDef("q_text_langid", textLangid, Some(LangidSql)),
+    QueryDef("q_text_quality", textQuality, Some(QualitySql)),
+    QueryDef("q_text_fingerprint", textFingerprint, Some(FingerprintSql)),
+    QueryDef("q_text_count_tokens", textCountTokens, Some(CountTokensSql))
+  )
+}
