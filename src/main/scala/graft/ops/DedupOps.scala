@@ -32,21 +32,50 @@ object DedupOps {
   }
 
   /** q_dedup_near — exact token-set Jaccard over lang-blocked candidate
-    * pairs (the verification step LSH candidates feed at scale; blocking
-    * bounds the quadratic term).
+    * pairs (the verification step LSH candidates feed at scale).
+    *
+    * Two scale measures, both semantics-preserving:
+    *   - the block key is salted: the a-side is replicated k ways and joined
+    *     on (lang, salt = b.doc_id mod k), turning one task per language
+    *     (raw skew: one language can be most of the corpus) into k balanced
+    *     tasks per language;
+    *   - a size filter prunes before the intersection: J(A,B) ≥ 0.9 requires
+    *     10·|A| ≥ 9·|B| and 10·|B| ≥ 9·|A| (integer-exact in both engines).
+    */
+  private val SaltK = 8
+
+  /** Token sets pre-hashed (md5-derived 64-bit-safe values) and pre-sorted
+    * ONCE per document, so the per-pair intersection is the codegen'd
+    * merge walk in [[graft.expr.SortedIntersectCount]] instead of a
+    * hash-set build per pair. Cardinalities equal the string-set
+    * intersection unless h32 collides (probability ~n²/2^32 per doc pair's
+    * shared-token check — zero in practice), so the DuckDB oracle keeps the
+    * direct token-set formulation.
     */
   private def dedupNear(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
     val toks = docs(s, d)
       .select($"doc_id", $"lang", array_distinct(split($"text", " ")).as("t"))
-      .withColumn("n", size($"t"))
-    toks
+      .select(
+        $"doc_id",
+        $"lang",
+        array_sort(transform($"t", tk => h32(tk))).as("th"),
+        size($"t").as("n"))
+    val salted = toks.withColumn("salt", pmod($"doc_id", lit(SaltK)).cast("int"))
+    val replicated = toks.withColumn(
+      "salt",
+      explode(lit((0 until SaltK).toArray)))
+    replicated
       .as("a")
-      .join(toks.as("b"), $"a.lang" === $"b.lang" && $"a.doc_id" < $"b.doc_id")
+      .join(
+        salted.as("b"),
+        $"a.lang" === $"b.lang" && $"a.salt" === $"b.salt" &&
+          $"a.doc_id" < $"b.doc_id" &&
+          $"a.n" * 10 >= $"b.n" * 9 && $"b.n" * 10 >= $"a.n" * 9)
       .select(
         $"a.doc_id".as("a_id"),
         $"b.doc_id".as("b_id"),
-        size(array_intersect($"a.t", $"b.t")).as("i"),
+        graft.expr.SortedIntersectCount($"a.th", $"b.th").as("i"),
         ($"a.n" + $"b.n").as("sz"))
       .withColumn("jaccard", $"i".cast("double") / ($"sz" - $"i").cast("double"))
       .filter($"jaccard" >= 0.9)
@@ -61,7 +90,8 @@ object DedupOps {
       "SELECT a.doc_id AS a_id, b.doc_id AS b_id, " +
       "CAST(len(list_intersect(a.t, b.t)) AS DOUBLE) / " +
       "(len(a.t) + len(b.t) - len(list_intersect(a.t, b.t))) AS jaccard " +
-      "FROM tok a JOIN tok b ON a.lang = b.lang AND a.doc_id < b.doc_id) " +
+      "FROM tok a JOIN tok b ON a.lang = b.lang AND a.doc_id < b.doc_id " +
+      "AND len(a.t) * 10 >= len(b.t) * 9 AND len(b.t) * 10 >= len(a.t) * 9) " +
       "WHERE jaccard >= 0.9 ORDER BY a_id, b_id"
 
   /** Distinct-token column shared by the signature ops. */
@@ -103,10 +133,15 @@ object DedupOps {
   private def bandSql(j: Int): String =
     s"(mh${2 * j} * 131 + mh${2 * j + 1}) % $P"
 
-  /** q_dedup_lsh — banded-LSH candidate pairs: documents sharing any band
-    * bucket. The band value is the join key, so candidate generation is an
-    * equi-join shuffle, never an all-pairs comparison — the property that
-    * makes near-dup feasible at 100 TB.
+  /** q_dedup_lsh — banded-LSH dedup as cluster assignment: every document
+    * gets canonical_id = min(doc_id) over all band buckets it lands in, and
+    * is a duplicate iff canonical_id ≠ doc_id.
+    *
+    * Deliberately NOT materialized as candidate pairs: bucket contents are
+    * quadratic in bucket size (a hot bucket of 10^4 docs is 5·10^7 pairs —
+    * on a self-similar corpus at 100 TB that join never finishes). Bucket
+    * min + per-doc min is two window/aggregate passes, O(n·bands) total,
+    * and is the assignment an actual dedup sink consumes.
     */
   private def dedupLsh(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
@@ -114,16 +149,15 @@ object DedupOps {
       $"doc_id" +: (0 until NumHashes).map(j => minhash(j).as(s"mh$j")): _*)
     val bands = sig.select(
       $"doc_id",
-      posexplode(array((0 until NumBands).map(bandCol): _*)).as(Seq("band_idx", "band_val")))
+      posexplode(array((0 until NumBands).map(bandCol): _*))
+        .as(Seq("band_idx", "band_val")))
+    val w = Window.partitionBy($"band_idx", $"band_val")
     bands
-      .as("a")
-      .join(
-        bands.as("b"),
-        $"a.band_idx" === $"b.band_idx" && $"a.band_val" === $"b.band_val" &&
-          $"a.doc_id" < $"b.doc_id")
-      .select($"a.doc_id".as("a_id"), $"b.doc_id".as("b_id"))
-      .distinct()
-      .orderBy("a_id", "b_id")
+      .withColumn("bucket_min", min($"doc_id").over(w))
+      .groupBy($"doc_id")
+      .agg(min($"bucket_min").as("canonical_id"))
+      .withColumn("is_dup", $"doc_id" =!= $"canonical_id")
+      .orderBy("doc_id")
   }
 
   private val LshSql = {
@@ -135,10 +169,10 @@ object DedupOps {
       .map(j => s"SELECT doc_id, $j AS band_idx, ${bandSql(j)} AS band_val FROM sig")
       .mkString(" UNION ALL ")
     s"WITH sig AS ($sigSelect), bands AS ($bandUnion) " +
-      "SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id " +
-      "FROM bands a JOIN bands b ON a.band_idx = b.band_idx " +
-      "AND a.band_val = b.band_val AND a.doc_id < b.doc_id " +
-      "ORDER BY a_id, b_id"
+      "SELECT doc_id, canonical_id, doc_id <> canonical_id AS is_dup FROM (" +
+      "SELECT doc_id, MIN(bucket_min) AS canonical_id FROM (" +
+      "SELECT doc_id, MIN(doc_id) OVER (PARTITION BY band_idx, band_val) AS bucket_min " +
+      "FROM bands) GROUP BY doc_id) ORDER BY doc_id"
   }
 
   /** q_dedup_simhash — 16-bit SimHash signature: per-bit ±1 vote over token

@@ -79,11 +79,15 @@ object RelationalOps {
 
   /** q_join_anti — NOT EXISTS as a left-anti join: the incremental-ingest /
     * idempotence primitive (cf. ON CONFLICT DO NOTHING, main.py:202).
+    * Predicated on high-value orders so both branches are populated.
     */
   private def joinAnti(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
     T(s, d, "customer")
-      .join(T(s, d, "orders"), $"c_custkey" === $"o_custkey", "left_anti")
+      .join(
+        T(s, d, "orders").filter($"o_totalprice" > 300000d),
+        $"c_custkey" === $"o_custkey",
+        "left_anti")
       .select($"c_custkey", $"c_name")
       .orderBy("c_custkey")
   }
@@ -266,14 +270,17 @@ object RelationalOps {
       .orderBy("user_id")
   }
 
-  /** q_set_except — users with views but no purchases. */
+  /** q_set_except — user-days with views but no purchases (day granularity
+    * so both branches are populated).
+    */
   private def setExcept(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
     val e = T(s, d, "events")
     e.filter($"event_type" === "view")
-      .select($"user_id")
-      .except(e.filter($"event_type" === "purchase").select($"user_id"))
-      .orderBy("user_id")
+      .select($"user_id", to_date($"ts").as("d"))
+      .except(
+        e.filter($"event_type" === "purchase").select($"user_id", to_date($"ts").as("d")))
+      .orderBy("user_id", "d")
   }
 
   /** q_case_when — CASE WHEN categorization (main.py:282,285-286). */
@@ -327,8 +334,8 @@ object RelationalOps {
       joinAnti,
       Some(
         "SELECT c_custkey, c_name FROM customer c " +
-          "WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey) " +
-          "ORDER BY c_custkey")),
+          "WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey " +
+          "AND o.o_totalprice > 300000) ORDER BY c_custkey")),
     QueryDef(
       "q_join_range",
       joinRange,
@@ -433,9 +440,9 @@ object RelationalOps {
       "q_set_except",
       setExcept,
       Some(
-        "SELECT user_id FROM events WHERE event_type = 'view' " +
-          "EXCEPT SELECT user_id FROM events WHERE event_type = 'purchase' " +
-          "ORDER BY user_id")),
+        "SELECT user_id, CAST(ts AS DATE) AS d FROM events WHERE event_type = 'view' " +
+          "EXCEPT SELECT user_id, CAST(ts AS DATE) FROM events WHERE event_type = 'purchase' " +
+          "ORDER BY user_id, d")),
     QueryDef(
       "q_case_when",
       caseWhen,

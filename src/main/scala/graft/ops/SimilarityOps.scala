@@ -74,7 +74,7 @@ object SimilarityOps {
     * random hyperplanes) so the oracle can replicate it; real deployments
     * would draw the hyperplanes once and broadcast them.
     */
-  private val SignBits = 8
+  private val SignBits = 4
   private def bucketCol = {
     (0 until SignBits)
       .map(j =>
