@@ -30,6 +30,10 @@ object T {
   /** Every testdata table is a single parquet file (TESTDATA.md). */
   def apply(spark: SparkSession, sfDir: String, name: String): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    // predicate pushdown through the nano→µs projection (see NanoTsPushdown)
+    if (!spark.experimental.extraOptimizations.contains(plans.NanoTsPushdown))
+      spark.experimental.extraOptimizations =
+        spark.experimental.extraOptimizations :+ plans.NanoTsPushdown
     val df = spark.read.parquet(s"$sfDir/$name.parquet")
     NanoTsCols.getOrElse(name, Nil).foldLeft(df) { (acc, c) =>
       if (acc.schema(c).dataType == LongType)

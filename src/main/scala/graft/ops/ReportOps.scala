@@ -13,6 +13,15 @@ object ReportOps {
 
   private def events(s: SparkSession, d: String) = T(s, d, "events")
 
+  /** Day slice as a half-open timestamp range: unlike to_date(ts) = d, a
+    * raw range on ts is pushed down to the parquet scan (row-group
+    * min/max skipping — the difference between reading one day and reading
+    * 100 TB). Semantics identical in UTC.
+    */
+  private def dayRange(day: String): Column =
+    col("ts") >= to_timestamp(lit(day)) &&
+      col("ts") < to_timestamp(date_add(lit(day).cast("date"), 1))
+
   private def pct(num: Column, den: Column): Column =
     X.r2(num.cast("double") * lit(100d) /
       when(den === 0, lit(null)).otherwise(den).cast("double"))
@@ -29,7 +38,7 @@ object ReportOps {
   private[ops] def dailyAgg(s: SparkSession, d: String, day: String): DataFrame = {
     import s.implicits._
     events(s, d)
-      .filter(to_date($"ts") === lit(day).cast("date"))
+      .filter(dayRange(day))
       .agg(
         count(lit(1)).as("total_attempts"),
         count(when($"event_type" === "purchase", 1)).as("successful_attempts"),
@@ -107,7 +116,7 @@ object ReportOps {
   private def filterDateEq(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
     events(s, d)
-      .filter(to_date($"ts") === lit(T.AsOf).cast("date"))
+      .filter(dayRange(T.AsOf))
       .orderBy("event_id")
   }
 

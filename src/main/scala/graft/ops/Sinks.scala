@@ -1,0 +1,59 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame, SaveMode}
+import org.apache.spark.sql.functions._
+
+/** Engine-side sink semantics of the reference (SURVEY §2 Tier A sinks).
+  * Actual delivery targets (Postgres, Google Sheets, SMTP — main.py:180-268,
+  * 374-419) are environment plumbing; what the engine owns is the write
+  * *semantics*: idempotent keyed append, full-overwrite snapshot with a
+  * header, and a rendered text report. Exercised by SinksSpec.
+  */
+object Sinks {
+
+  /** The reference's INSERT … ON CONFLICT DO NOTHING (main.py:192-202) as
+    * distributed staging: drop staged rows whose key already exists
+    * (left-anti), then append. First-writer-wins across reruns — the
+    * exactly-once contract of the 7-day overlapping re-extract
+    * (SURVEY §0). At scale both sides hash-partition on the key; no
+    * driver-side state.
+    */
+  def idempotentAppend(
+      existing: DataFrame,
+      staged: DataFrame,
+      keys: Seq[String]): DataFrame =
+    staged.join(existing.select(keys.map(col): _*), keys, "left_anti")
+
+  /** The destructive sheet snapshot (clear + update, main.py:254-264):
+    * header row + stable column order + full overwrite. coalesce(1) matches
+    * the single-grid sink; a real table sink would keep partitioning.
+    */
+  def overwriteCsvSnapshot(df: DataFrame, path: String): Unit =
+    df.coalesce(1)
+      .write
+      .mode(SaveMode.Overwrite)
+      .option("header", "true")
+      .csv(path)
+
+  /** The email text report (main.py:388-406): the 7 report fields rendered
+    * into one text blob, as a single-row DataFrame (delivery is out of
+    * engine scope).
+    */
+  def renderTextReport(daily: DataFrame): DataFrame =
+    daily.select(
+      format_string(
+        "Daily report for %s\n" +
+          "Total attempts: %d\n" +
+          "Successful attempts: %d\n" +
+          "Success rate: %.2f%%\n" +
+          "Unique users: %d\n" +
+          "Run attempts: %d\n" +
+          "Check attempts: %d",
+        col("report_date").cast("string"),
+        col("total_attempts"),
+        col("successful_attempts"),
+        coalesce(col("success_percentage"), lit(0d)),
+        col("unique_users"),
+        col("run_attempts"),
+        col("check_attempts")).as("report_text"))
+}

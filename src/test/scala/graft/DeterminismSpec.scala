@@ -1,0 +1,44 @@
+package graft
+
+/** Determinism gate (SURVEY §5.2-4): every query must produce identical
+  * rows under different shuffle-partition settings — partition count is the
+  * one thing guaranteed to differ between local[32] and a 1000-executor
+  * cluster, so order- or partition-dependent results would fail both the
+  * oracle and production.
+  */
+class DeterminismSpec extends SparkSpec {
+
+  // representative cross-section: shuffles, windows, folds, topk, floats
+  private val names = Seq(
+    "q_agg_daily",
+    "q_join_inner",
+    "q_win_lag",
+    "q_sort_limit",
+    "q_stream_session",
+    "q_dedup_near",
+    "q_dedup_lsh",
+    "q_sim_topk",
+    "q_text_fingerprint",
+    "q_agg_rollup")
+
+  test("identical results at shuffle.partitions = 4 vs 13") {
+    for (n <- names) {
+      val fn = SparkEntry.queries(n)
+      spark.conf.set("spark.sql.shuffle.partitions", "4")
+      val a = fn(spark, sf).collect().map(_.toString).toSeq
+      spark.conf.set("spark.sql.shuffle.partitions", "13")
+      val b = fn(spark, sf).collect().map(_.toString).toSeq
+      spark.conf.set("spark.sql.shuffle.partitions", "4")
+      assert(a == b, s"$n differs across shuffle settings")
+    }
+  }
+
+  test("repeated execution is bytewise stable") {
+    for (n <- Seq("q_agg_daily", "q_sim_cosine", "q_dedup_minhash")) {
+      val fn = SparkEntry.queries(n)
+      val a = fn(spark, sf).collect().map(_.toString).toSeq
+      val b = fn(spark, sf).collect().map(_.toString).toSeq
+      assert(a == b, s"$n unstable across runs")
+    }
+  }
+}

@@ -1,0 +1,106 @@
+package graft
+
+import org.apache.spark.sql.Row
+import org.apache.spark.sql.functions._
+
+/** Row-level semantics of the Tier A operators, mirroring the reference's
+  * behavior on hand-checkable data (SURVEY §5.2-2), plus cross-query
+  * invariants on sf0.001.
+  */
+class OperatorSemanticsSpec extends SparkSpec {
+
+  private def q(name: String) = SparkEntry.queries(name)(spark, sf)
+
+  test("q_cast_bool is tri-state like main.py:142-145") {
+    import spark.implicits._
+    val df = Seq[(Long, Option[Double])](
+      (1L, None),
+      (2L, Some(0d)),
+      (3L, Some(2.5d))).toDF("event_id", "value")
+    val out = df
+      .select(when($"value".isNotNull, $"value" =!= lit(0d)).as("is_correct"))
+      .collect()
+    assert(out(0).isNullAt(0)) // None → NULL, not false
+    assert(out(1).getBoolean(0) == false)
+    assert(out(2).getBoolean(0) == true)
+  }
+
+  test("q_filter_valid + q_filter_rejects partition the input exactly") {
+    val total = q("q_src_scan").count()
+    assert(q("q_filter_valid").count() + q("q_filter_rejects").count() == total)
+  }
+
+  test("q_dedup_key keeps the first writer per (user_id, ts)") {
+    val out = q("q_dedup_key")
+    // no key appears twice afterwards
+    assert(out.groupBy("user_id", "ts").count().filter(col("count") > 1).count() == 0)
+    // survivor is the minimal event_id of its key group
+    val src = q("q_src_scan")
+    val mins = src.groupBy("user_id", "ts").agg(min("event_id").as("event_id"))
+    assert(out.select("event_id").except(mins.select("event_id")).count() == 0)
+  }
+
+  test("q_agg_daily percentage is consistent with its own counts") {
+    val r = q("q_agg_daily").collect().head
+    val total = r.getAs[Long]("total_attempts")
+    val succ = r.getAs[Long]("successful_attempts")
+    val pct = r.getAs[Double]("success_percentage")
+    assert(total > 0)
+    assert(math.abs(pct - succ * 100.0 / total) < 0.01)
+  }
+
+  test("q_zero_fallback emits the zero-day report (main.py:293-315)") {
+    val r = q("q_zero_fallback").collect().head
+    assert(r.getAs[Long]("total_attempts") == 0L)
+    assert(r.getAs[String]("success_percentage") == "0.00%")
+    assert(r.getAs[Long]("unique_users") == 0L)
+  }
+
+  test("q_report_unpivot is the 7-metric grid, stringified (main.py:324-333)") {
+    val rows = q("q_report_unpivot").collect()
+    assert(rows.length == 7)
+    assert(rows.forall(_.schema.fieldNames.sameElements(Array("metric", "value"))))
+    val m = rows.map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(m("report_date") == T.AsOf)
+    assert(m("success_percentage").endsWith("%"))
+  }
+
+  test("q_window_7d spans exactly the trailing window") {
+    val out = SparkEntry.queries("q_window_7d")(spark, sf)
+    val bounds = out.agg(min(to_date(col("ts"))), max(to_date(col("ts")))).collect().head
+    assert(bounds.getDate(0).toString == "2024-01-24")
+    assert(bounds.getDate(1).toString == "2024-01-30")
+  }
+
+  test("entry returns the flagship row on sf0.001 (driver t1 contract)") {
+    assert(SparkEntry.entry(spark).count() == 1)
+  }
+
+  test("every declared oracle key exists in queries") {
+    assert(SparkEntry.oracleSql.keySet.subsetOf(SparkEntry.queries.keySet))
+  }
+
+  test("dedup cluster assignment: canonical is within group and minimal") {
+    val lsh = q("q_dedup_lsh")
+    assert(lsh.filter(col("canonical_id") > col("doc_id")).count() == 0)
+    val nDocs = q("q_dedup_exact").count() // unique texts ≤ docs
+    assert(lsh.count() >= nDocs)
+  }
+
+  test("q_sim_topk returns k rows with cosine in [-1, 1] descending") {
+    val rows = SparkEntry.queries("q_sim_topk")(spark, sf).collect()
+    assert(rows.length == 10)
+    val cs = rows.map(_.getAs[Double]("cos"))
+    assert(cs.forall(c => c >= -1.0001 && c <= 1.0001))
+    assert(cs.sameElements(cs.sorted.reverse))
+  }
+
+  test("jaccard near-dup pairs are symmetric-free and above threshold") {
+    val rows = SparkEntry.queries("q_dedup_near")(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(r.getAs[Long]("a_id") < r.getAs[Long]("b_id"))
+      assert(r.getAs[Double]("jaccard") >= 0.9)
+    }
+  }
+}

@@ -1,0 +1,52 @@
+package graft
+
+/** Plan-shape assertions (the 100 TB posture, SURVEY §7.4.7): broadcasts
+  * where intended, pushdown reaching the parquet scan, no cartesian
+  * products where an equi-key exists.
+  */
+class PlanShapeSpec extends SparkSpec {
+
+  private def plan(name: String): String =
+    SparkEntry.queries(name)(spark, sf).queryExecution.executedPlan.toString
+
+  test("q_join_broadcast actually broadcasts the dim") {
+    assert(plan("q_join_broadcast").contains("BroadcastHashJoin"))
+  }
+
+  test("q_multi_join broadcasts nation") {
+    assert(plan("q_multi_join").contains("BroadcastHashJoin"))
+  }
+
+  test("q_window_7d pushes the ts range into the parquet scan") {
+    val p = plan("q_window_7d")
+    // nanos are read as longs, so the pushed filter is on the raw int64
+    assert(p.contains("PushedFilters: [IsNotNull(ts), GreaterThanOrEqual(ts,"), p)
+  }
+
+  test("q_agg_daily pushes the day range into the parquet scan") {
+    val p = plan("q_agg_daily")
+    assert(
+      p.contains("GreaterThanOrEqual(ts,") && p.contains("LessThan(ts,"),
+      p)
+  }
+
+  test("column pruning: q_sort_limit reads only user_id") {
+    val p = plan("q_sort_limit")
+    assert(p.contains("ReadSchema: struct<user_id:bigint>"), p)
+  }
+
+  test("q_sort_limit is a TakeOrderedAndProject, not a global sort") {
+    assert(plan("q_sort_limit").contains("TakeOrderedAndProject"))
+  }
+
+  test("q_join_range is an equi-join on user_id, not a nested loop") {
+    val p = plan("q_join_range")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"), p)
+  }
+
+  test("q_dedup_near salted join is an equi-join, not a nested loop") {
+    val p = plan("q_dedup_near")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"), p)
+    assert(p.contains("sorted_intersect_count"), p)
+  }
+}

@@ -1,0 +1,56 @@
+package graft
+
+import java.nio.file.Files
+import graft.ops.{ReportOps, Sinks}
+import org.apache.spark.sql.functions._
+
+/** Engine-side sink semantics (SURVEY §2 sinks): idempotent keyed append
+  * (ON CONFLICT analog), overwrite CSV snapshot with header, text report
+  * rendering.
+  */
+class SinksSpec extends SparkSpec {
+
+  test("idempotentAppend drops already-present keys (main.py:192-202)") {
+    import spark.implicits._
+    val existing = Seq(("u1", 1L), ("u2", 2L)).toDF("user_id", "ts")
+    val staged = Seq(("u1", 1L), ("u3", 3L), ("u3", 3L)).toDF("user_id", "ts")
+    val out = Sinks.idempotentAppend(existing, staged, Seq("user_id", "ts"))
+    // u1 already exists → dropped; u3 staged twice → both survive the anti
+    // join (in-batch dedup is q_dedup_key's job, applied before staging)
+    assert(out.collect().map(_.getString(0)).toSeq == Seq("u3", "u3"))
+  }
+
+  test("re-running the append after commit adds nothing (exactly-once)") {
+    import spark.implicits._
+    val existing = Seq(("u1", 1L)).toDF("user_id", "ts")
+    val staged = Seq(("u1", 1L), ("u2", 2L)).toDF("user_id", "ts")
+    val firstRun = Sinks.idempotentAppend(existing, staged, Seq("user_id", "ts"))
+    val afterCommit = existing.unionByName(firstRun)
+    val rerun = Sinks.idempotentAppend(afterCommit, staged, Seq("user_id", "ts"))
+    assert(rerun.count() == 0)
+  }
+
+  test("overwriteCsvSnapshot writes a single headered file, twice-runnable") {
+    val dir = Files.createTempDirectory("graft_csv").toFile
+    val path = dir.getAbsolutePath + "/snap"
+    val df = SparkEntry.queries("q_sheet_export")(spark, sf).limit(5)
+    Sinks.overwriteCsvSnapshot(df, path)
+    Sinks.overwriteCsvSnapshot(df, path) // overwrite must be idempotent
+    val files = new java.io.File(path).listFiles().filter(_.getName.endsWith(".csv"))
+    assert(files.length == 1)
+    val lines = scala.io.Source.fromFile(files.head).getLines().toSeq
+    assert(lines.head == "rn,c_event_id,c_user_id,c_event_type")
+    assert(lines.tail.head.startsWith("0,event_id,user_id,event_type"))
+  }
+
+  test("renderTextReport renders the 7 fields (main.py:388-406)") {
+    val txt = Sinks
+      .renderTextReport(ReportOps.aggDaily(spark, sf))
+      .collect()
+      .head
+      .getString(0)
+    assert(txt.contains(s"Daily report for ${T.AsOf}"))
+    assert(txt.contains("Success rate: "))
+    assert(txt.split("\n").length == 7)
+  }
+}
