@@ -6,11 +6,18 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Tier C deduplication family (SURVEY §2 Tier C + charter): exact,
-  * near-dup by exact Jaccard, MinHash signatures, LSH banding, SimHash —
-  * the operators a 100 TB training-data pipeline runs first. Design
-  * posture: everything is a shuffle on a derived key column (hash, band,
-  * block) — never driver-side state — so each op scales out by
-  * partitioning alone.
+  * near-dup by exact Jaccard over LSH candidates, MinHash signatures, LSH
+  * banding, SimHash, embedding-cosine — the operators a 100 TB
+  * training-data pipeline runs first. Design posture: everything is a
+  * shuffle on a derived key column (hash, band, block) — never driver-side
+  * state, never an all-pairs join on a low-cardinality key — so each op
+  * scales out by partitioning alone.
+  *
+  * Token hashes are materialized ONCE per document in a dedicated
+  * projection ([[hashedToks]]) that every signature expression consumes;
+  * Catalyst keeps the projection (an expensive alias referenced many times
+  * is not collapsed), so the md5 work is 1× per token instead of once per
+  * signature lane.
   */
 object DedupOps {
 
@@ -31,92 +38,138 @@ object DedupOps {
       .orderBy("doc_id")
   }
 
-  /** q_dedup_near — exact token-set Jaccard over lang-blocked candidate
-    * pairs (the verification step LSH candidates feed at scale).
-    *
-    * Two scale measures, both semantics-preserving:
-    *   - the block key is salted: the a-side is replicated k ways and joined
-    *     on (lang, salt = b.doc_id mod k), turning one task per language
-    *     (raw skew: one language can be most of the corpus) into k balanced
-    *     tasks per language;
-    *   - a size filter prunes before the intersection: J(A,B) ≥ 0.9 requires
-    *     10·|A| ≥ 9·|B| and 10·|B| ≥ 9·|A| (integer-exact in both engines).
+  /** (doc_id, lang, th = sorted hashed distinct tokens, n = |tokens|): the
+    * one tokenize+hash pass all signature ops build on. Sorted so the
+    * near-dup verification is the codegen'd merge walk in
+    * [[graft.expr.SortedIntersectCount]]; sorting is irrelevant to MinHash
+    * (min over a set) and SimHash (±1 votes are commutative integer adds).
     */
-  private val SaltK = 8
-
-  /** Token sets pre-hashed (md5-derived 64-bit-safe values) and pre-sorted
-    * ONCE per document, so the per-pair intersection is the codegen'd
-    * merge walk in [[graft.expr.SortedIntersectCount]] instead of a
-    * hash-set build per pair. Cardinalities equal the string-set
-    * intersection unless h32 collides (probability ~n²/2^32 per doc pair's
-    * shared-token check — zero in practice), so the DuckDB oracle keeps the
-    * direct token-set formulation.
-    */
-  private def dedupNear(s: SparkSession, d: String): DataFrame = {
+  private def hashedToks(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
-    val toks = docs(s, d)
+    docs(s, d)
       .select($"doc_id", $"lang", array_distinct(split($"text", " ")).as("t"))
       .select(
         $"doc_id",
         $"lang",
         array_sort(transform($"t", tk => h32(tk))).as("th"),
         size($"t").as("n"))
-    val salted = toks.withColumn("salt", pmod($"doc_id", lit(SaltK)).cast("int"))
-    val replicated = toks.withColumn(
-      "salt",
-      explode(lit((0 until SaltK).toArray)))
-    replicated
+  }
+
+  /** One MinHash value over the pre-hashed token column:
+    * min over th of (a_j*h + b_j) mod P.
+    */
+  private def minhash(j: Int): Column =
+    array_min(transform(col("th"), h => pmod(lit(mhA(j)) * h + lit(mhB(j)), lit(P))))
+
+  private def minhashSql(j: Int): String =
+    s"list_min(list_transform(t, tk -> (${mhA(j)} * ${h32Sql("tk")} + ${mhB(j)}) % $P))"
+
+  /** Signature frame: (doc_id, lang, n, mh0..mh7). th is referenced by all
+    * NumHashes lanes, so the hashedToks projection survives optimization and
+    * tokens are hashed once.
+    */
+  private def sigFrame(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    hashedToks(s, d).select(
+      Seq($"doc_id", $"lang", $"n") ++
+        (0 until NumHashes).map(j => minhash(j).as(s"mh$j")): _*)
+  }
+
+  /** q_dedup_near — exact token-set Jaccard (J ≥ 0.9) verification over
+    * MinHash-banded LSH candidates: the bucket-then-verify shape that holds
+    * at 100 TB. Candidate pairs come from 2 bands of 4 MinHash rows each —
+    * P(candidate | J) = 1-(1-J⁴)², i.e. ≥ 88% recall at exactly J = 0.9 and
+    * → 1 as J → 1 — instead of any all-pairs join; the band bucket is the
+    * shuffle key, so no block is ever quadratic in a language's share of the
+    * corpus. Documented approximation: pairs whose signatures miss both
+    * bands are not reported (the oracle applies the identical candidate
+    * rule, so the check is still exact).
+    *
+    * Verification keeps two lossless prunes inside the candidate join
+    * (same-language, and the J ≥ 0.9 size bound 10·|A| ≥ 9·|B| ∧ 10·|B| ≥
+    * 9·|A|), then computes exact Jaccard with the codegen'd sorted-merge
+    * intersection. Candidates travel as slim (a_id, b_id) pairs and token
+    * arrays are re-fetched by key — at scale, shuffling two id columns beats
+    * dragging every token array through the band explode.
+    */
+  private val NearBandRows = 4 // MinHash rows per band → 2 bands from 8 hashes
+  private val NearBands = NumHashes / NearBandRows
+
+  private def nearBandCol(j: Int): Column =
+    (1 until NearBandRows).foldLeft(col(s"mh${NearBandRows * j}")) { (acc, k) =>
+      pmod(acc * lit(131L) + col(s"mh${NearBandRows * j + k}"), lit(P))
+    }
+
+  private def nearBandSql(j: Int): String =
+    (1 until NearBandRows).foldLeft(s"mh${NearBandRows * j}") { (acc, k) =>
+      s"(($acc) * 131 + mh${NearBandRows * j + k}) % $P"
+    }
+
+  private def dedupNear(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val toks = hashedToks(s, d)
+    val bands = sigFrame(s, d).select(
+      $"doc_id",
+      $"lang",
+      $"n",
+      posexplode(array((0 until NearBands).map(nearBandCol): _*))
+        .as(Seq("band_idx", "band_val")))
+    val cand = bands
       .as("a")
       .join(
-        salted.as("b"),
-        $"a.lang" === $"b.lang" && $"a.salt" === $"b.salt" &&
-          $"a.doc_id" < $"b.doc_id" &&
+        bands.as("b"),
+        $"a.band_idx" === $"b.band_idx" && $"a.band_val" === $"b.band_val" &&
+          $"a.doc_id" < $"b.doc_id" && $"a.lang" === $"b.lang" &&
           $"a.n" * 10 >= $"b.n" * 9 && $"b.n" * 10 >= $"a.n" * 9)
+      .select($"a.doc_id".as("a_id"), $"b.doc_id".as("b_id"))
+      .distinct()
+    cand
+      .join(toks.select($"doc_id".as("a_id"), $"th".as("tha"), $"n".as("na")), "a_id")
+      .join(toks.select($"doc_id".as("b_id"), $"th".as("thb"), $"n".as("nb")), "b_id")
       .select(
-        $"a.doc_id".as("a_id"),
-        $"b.doc_id".as("b_id"),
-        graft.expr.SortedIntersectCount($"a.th", $"b.th").as("i"),
-        ($"a.n" + $"b.n").as("sz"))
+        $"a_id",
+        $"b_id",
+        graft.expr.SortedIntersectCount($"tha", $"thb").as("i"),
+        ($"na" + $"nb").as("sz"))
       .withColumn("jaccard", $"i".cast("double") / ($"sz" - $"i").cast("double"))
       .filter($"jaccard" >= 0.9)
       .select($"a_id", $"b_id", $"jaccard")
       .orderBy("a_id", "b_id")
   }
 
-  private val NearSql =
+  private val NearSql = {
+    val sigSelect =
+      "SELECT doc_id, lang, len(t) AS n, " +
+        (0 until NumHashes).map(j => s"${minhashSql(j)} AS mh$j").mkString(", ") +
+        " FROM tok"
+    val bandUnion = (0 until NearBands)
+      .map(j => s"SELECT doc_id, lang, n, $j AS band_idx, ${nearBandSql(j)} AS band_val FROM sig")
+      .mkString(" UNION ALL ")
     "WITH tok AS (SELECT doc_id, lang, list_distinct(string_split(text, ' ')) AS t " +
-      "FROM documents) " +
+      "FROM documents), " +
+      s"sig AS ($sigSelect), bands AS ($bandUnion), " +
+      "cand AS (SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id " +
+      "FROM bands a JOIN bands b ON a.band_idx = b.band_idx AND a.band_val = b.band_val " +
+      "AND a.doc_id < b.doc_id AND a.lang = b.lang " +
+      "AND a.n * 10 >= b.n * 9 AND b.n * 10 >= a.n * 9) " +
       "SELECT a_id, b_id, jaccard FROM (" +
-      "SELECT a.doc_id AS a_id, b.doc_id AS b_id, " +
-      "CAST(len(list_intersect(a.t, b.t)) AS DOUBLE) / " +
-      "(len(a.t) + len(b.t) - len(list_intersect(a.t, b.t))) AS jaccard " +
-      "FROM tok a JOIN tok b ON a.lang = b.lang AND a.doc_id < b.doc_id " +
-      "AND len(a.t) * 10 >= len(b.t) * 9 AND len(b.t) * 10 >= len(a.t) * 9) " +
+      "SELECT c.a_id, c.b_id, " +
+      "CAST(len(list_intersect(ta.t, tb.t)) AS DOUBLE) / " +
+      "(len(ta.t) + len(tb.t) - len(list_intersect(ta.t, tb.t))) AS jaccard " +
+      "FROM cand c JOIN tok ta ON ta.doc_id = c.a_id JOIN tok tb ON tb.doc_id = c.b_id) " +
       "WHERE jaccard >= 0.9 ORDER BY a_id, b_id"
-
-  /** Distinct-token column shared by the signature ops. */
-  private def toksCol: Column = array_distinct(split(col("text"), " "))
-
-  /** One MinHash value: min over tokens of (a_j*h32(t)+b_j) mod P. */
-  private def minhash(j: Int): Column =
-    array_min(
-      transform(
-        toksCol,
-        t => pmod(lit(mhA(j)) * h32(t) + lit(mhB(j)), lit(P))))
-
-  private def minhashSql(j: Int): String =
-    s"list_min(list_transform(t, tk -> (${mhA(j)} * ${h32Sql("tk")} + ${mhB(j)}) % $P))"
+  }
 
   /** q_dedup_minhash — 8-permutation MinHash signature per document.
     * Portable md5-derived hashes make the whole signature oracle-checked
     * (engine-native hashes would not be); at scale the signature is a
-    * narrow map-only projection.
+    * narrow map-only projection, with the token hashing done once in
+    * [[hashedToks]].
     */
   private def dedupMinhash(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
-    docs(s, d)
-      .select(
-        $"doc_id" +: (0 until NumHashes).map(j => minhash(j).as(s"mh$j")): _*)
+    hashedToks(s, d)
+      .select($"doc_id" +: (0 until NumHashes).map(j => minhash(j).as(s"mh$j")): _*)
       .orderBy("doc_id")
   }
 
@@ -126,7 +179,9 @@ object DedupOps {
       (0 until NumHashes).map(j => s"${minhashSql(j)} AS mh$j").mkString(", ") +
       " FROM tok ORDER BY doc_id"
 
-  /** Band keys over the signature: 4 bands × 2 rows. */
+  /** Band keys over the signature: 4 bands × 2 rows (cluster assignment
+    * wants high recall: P(candidate | J) = 1-(1-J²)⁴).
+    */
   private val NumBands = 4
   private def bandCol(j: Int): Column =
     pmod(col(s"mh${2 * j}") * lit(131L) + col(s"mh${2 * j + 1}"), lit(P))
@@ -145,9 +200,7 @@ object DedupOps {
     */
   private def dedupLsh(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
-    val sig = docs(s, d).select(
-      $"doc_id" +: (0 until NumHashes).map(j => minhash(j).as(s"mh$j")): _*)
-    val bands = sig.select(
+    val bands = sigFrame(s, d).select(
       $"doc_id",
       posexplode(array((0 until NumBands).map(bandCol): _*))
         .as(Seq("band_idx", "band_val")))
@@ -175,21 +228,22 @@ object DedupOps {
       "FROM bands) GROUP BY doc_id) ORDER BY doc_id"
   }
 
-  /** q_dedup_simhash — 16-bit SimHash signature: per-bit ±1 vote over token
-    * hashes. Integer-exact, so order-independent and oracle-checked.
+  /** q_dedup_simhash — 16-bit SimHash signature: per-bit ±1 vote over the
+    * pre-hashed tokens. Integer-exact, so order-independent and
+    * oracle-checked; the 16 folds are cheap shift/add passes over th, the
+    * md5 cost having been paid once in [[hashedToks]].
     */
   private val SimBits = 16
   private def dedupSimhash(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
-    val hs = transform(toksCol, t => h32(t))
     def bit(b: Int): Column =
       when(
         aggregate(
-          hs,
+          $"th",
           lit(0L),
           (acc, x) => acc + (shiftright(x, b) % 2L) * 2L - 1L) > 0,
         lit(1L << b)).otherwise(lit(0L))
-    docs(s, d)
+    hashedToks(s, d)
       .select(
         $"doc_id",
         (0 until SimBits).map(bit).reduce(_ + _).as("simhash"))
@@ -206,33 +260,74 @@ object DedupOps {
       "FROM documents) ORDER BY doc_id"
   }
 
-  /** q_dedup_embed — embedding-cosine near-dup pairs, label-blocked: the
-    * semantic-dedup step of an LLM data pipeline. Norms are precomputed per
-    * row so the pairwise step is one dot product.
+  /** q_dedup_embed — embedding-cosine near-dup pairs over sign-LSH banded
+    * candidates: the semantic-dedup step of an LLM data pipeline, in the
+    * same bucket-then-verify shape as [[dedupNear]]. Candidates = pairs
+    * sharing any of 4 bands of 8 sign bits (dims 1..32); verification is
+    * the exact cosine (codegen'd [[graft.expr.DotProduct]], norms
+    * precomputed). No all-pairs join on any low-cardinality key — band
+    * buckets number 4·2⁸ here and grow with bits-per-band at larger scale.
+    * Documented approximation: a pair whose signs differ in all 4 bands is
+    * not reported; the oracle applies the identical candidate rule.
     */
+  private val EmbBandBits = 8
+  private val EmbBands = 4
+
+  private def embBandCol(j: Int): Column =
+    (0 until EmbBandBits)
+      .map(k =>
+        when(element_at(col("embedding"), EmbBandBits * j + k + 1) > 0f, lit(1L << k))
+          .otherwise(lit(0L)))
+      .reduce(_ + _)
+
+  private def embBandSql(j: Int): String =
+    (0 until EmbBandBits)
+      .map(k => s"CASE WHEN embedding[${EmbBandBits * j + k + 1}] > 0 THEN ${1L << k} ELSE 0 END")
+      .mkString(" + ")
+
   private def dedupEmbed(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
     val e = T(s, d, "embeddings")
-      .select($"vec_id", $"label", $"embedding", Vec.norm2($"embedding").as("n2"))
-    e.as("a")
-      .join(e.as("b"), $"a.label" === $"b.label" && $"a.vec_id" < $"b.vec_id")
+      .select($"vec_id", $"embedding", Vec.norm2($"embedding").as("n2"))
+    val bands = T(s, d, "embeddings").select(
+      $"vec_id",
+      posexplode(array((0 until EmbBands).map(embBandCol): _*))
+        .as(Seq("band_idx", "band_val")))
+    val cand = bands
+      .as("a")
+      .join(
+        bands.as("b"),
+        $"a.band_idx" === $"b.band_idx" && $"a.band_val" === $"b.band_val" &&
+          $"a.vec_id" < $"b.vec_id")
+      .select($"a.vec_id".as("a_id"), $"b.vec_id".as("b_id"))
+      .distinct()
+    cand
+      .join(e.select($"vec_id".as("a_id"), $"embedding".as("ea"), $"n2".as("n2a")), "a_id")
+      .join(e.select($"vec_id".as("b_id"), $"embedding".as("eb"), $"n2".as("n2b")), "b_id")
       .select(
-        $"a.vec_id".as("a_id"),
-        $"b.vec_id".as("b_id"),
-        Vec.cosine(Vec.dot($"a.embedding", $"b.embedding"), $"a.n2", $"b.n2")
-          .as("cos"))
+        $"a_id",
+        $"b_id",
+        Vec.cosine(Vec.dot($"ea", $"eb"), $"n2a", $"n2b").as("cos"))
       .filter($"cos" >= 0.4)
       .orderBy("a_id", "b_id")
   }
 
-  private val EmbedSql =
-    s"WITH e AS (SELECT vec_id, label, embedding, ${Vec.norm2Sql("embedding")} AS n2 " +
-      "FROM embeddings) " +
+  private val EmbedSql = {
+    val bandUnion = (0 until EmbBands)
+      .map(j => s"SELECT vec_id, $j AS band_idx, ${embBandSql(j)} AS band_val FROM embeddings")
+      .mkString(" UNION ALL ")
+    s"WITH e AS (SELECT vec_id, embedding, ${Vec.norm2Sql("embedding")} AS n2 " +
+      "FROM embeddings), " +
+      s"bands AS ($bandUnion), " +
+      "cand AS (SELECT DISTINCT a.vec_id AS a_id, b.vec_id AS b_id " +
+      "FROM bands a JOIN bands b ON a.band_idx = b.band_idx AND a.band_val = b.band_val " +
+      "AND a.vec_id < b.vec_id) " +
       "SELECT a_id, b_id, cos FROM (" +
-      "SELECT a.vec_id AS a_id, b.vec_id AS b_id, " +
-      s"${Vec.dotSql("a.embedding", "b.embedding")} / (sqrt(a.n2) * sqrt(b.n2)) AS cos " +
-      "FROM e a JOIN e b ON a.label = b.label AND a.vec_id < b.vec_id) " +
+      "SELECT c.a_id, c.b_id, " +
+      s"${Vec.dotSql("ea.embedding", "eb.embedding")} / (sqrt(ea.n2) * sqrt(eb.n2)) AS cos " +
+      "FROM cand c JOIN e ea ON ea.vec_id = c.a_id JOIN e eb ON eb.vec_id = c.b_id) " +
       "WHERE cos >= 0.4 ORDER BY a_id, b_id"
+  }
 
   val defs: Seq[QueryDef] = Seq(
     QueryDef(

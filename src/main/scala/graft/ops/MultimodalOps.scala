@@ -31,7 +31,9 @@ object MultimodalOps {
       .select(
         $"doc_id",
         length(payload).as("n_bytes"),
-        substring(lower(hex(payload)), 1, 16).as("fp_hex"))
+        // slice the first 8 bytes BEFORE hex: equivalent output, but avoids
+        // hex-encoding the entire payload to keep 16 chars
+        lower(hex(substring(payload, 1, 8))).as("fp_hex"))
       .orderBy("doc_id")
   }
 

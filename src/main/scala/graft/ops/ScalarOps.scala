@@ -163,7 +163,7 @@ object ScalarOps {
       scalarJson,
       Some(
         "SELECT event_type, " +
-          "SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS sum_k, " +
+          "CAST(SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k, " +
           "MIN(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS min_k, " +
           "MAX(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS max_k, " +
           "COUNT(*) AS n FROM events GROUP BY event_type ORDER BY event_type")),

@@ -5,25 +5,55 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** Tier C similarity search over the embeddings table (SURVEY §2 Tier C):
-  * pairwise cosine, brute-force top-k (the correctness baseline), and a
-  * sign-LSH-bucketed ANN variant (the scale path: candidate set shrinks
-  * ~2^bits-fold before any distance math). All vector math is higher-order
-  * built-ins — no UDFs — and bit-identical to the DuckDB oracle.
+  * blocked pairwise cosine, brute-force top-k (the correctness baseline),
+  * and a sign-LSH-bucketed multi-probe ANN variant (the scale path:
+  * candidate set shrinks ~2^bits-fold before any distance math). The dot
+  * product is the codegen'd [[graft.expr.DotProduct]] kernel — no UDFs —
+  * and every float op is bit-identical to the DuckDB oracle.
   */
 object SimilarityOps {
 
   private def emb(s: SparkSession, d: String) =
     T(s, d, "embeddings")
 
-  /** q_sim_cosine — all same-label pairwise cosines (label as the blocking
-    * key; at scale the block is whatever coarse clustering exists).
+  /** Sign-LSH bucket: 8 leading-dimension sign bits → 256 buckets.
+    * Deterministic (no random hyperplanes) so the oracle can replicate it;
+    * real deployments would draw the hyperplanes once and broadcast them,
+    * and scale bits with log(corpus) so bucket occupancy stays bounded.
+    */
+  private val SignBits = 8
+  private def bucketCol = {
+    (0 until SignBits)
+      .map(j =>
+        when(element_at(col("embedding"), j + 1) > 0f, lit(1L << j)).otherwise(lit(0L)))
+      .reduce(_ + _)
+  }
+
+  private val BucketSql = (0 until SignBits)
+    .map(j => s"CASE WHEN embedding[${j + 1}] > 0 THEN ${1L << j} ELSE 0 END")
+    .mkString(" + ")
+
+  /** q_sim_cosine — exact pairwise cosine within (label × sign-bucket)
+    * blocks: the blocked verify primitive of a similarity pipeline. The
+    * join key has |labels|·2^SignBits values (2560 here, growing with
+    * SignBits at scale), so no block is ever a constant fraction of the
+    * corpus — the all-pairs-within-label shape this replaces is quadratic
+    * on a ≤16-value key and unrunnable at 100 TB.
     */
   private def simCosine(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
     val e = emb(s, d)
-      .select($"vec_id", $"label", $"embedding", Vec.norm2($"embedding").as("n2"))
+      .select(
+        $"vec_id",
+        $"label",
+        $"embedding",
+        Vec.norm2($"embedding").as("n2"),
+        bucketCol.as("bucket"))
     e.as("a")
-      .join(e.as("b"), $"a.label" === $"b.label" && $"a.vec_id" < $"b.vec_id")
+      .join(
+        e.as("b"),
+        $"a.label" === $"b.label" && $"a.bucket" === $"b.bucket" &&
+          $"a.vec_id" < $"b.vec_id")
       .select(
         $"a.vec_id".as("a_id"),
         $"b.vec_id".as("b_id"),
@@ -34,13 +64,13 @@ object SimilarityOps {
   }
 
   private val CosineSql =
-    s"WITH e AS (SELECT vec_id, label, embedding, ${Vec.norm2Sql("embedding")} AS n2 " +
-      "FROM embeddings) " +
+    s"WITH e AS (SELECT vec_id, label, embedding, ${Vec.norm2Sql("embedding")} AS n2, " +
+      s"$BucketSql AS bucket FROM embeddings) " +
       "SELECT a.vec_id AS a_id, b.vec_id AS b_id, " +
       s"floor((${Vec.dotSql("a.embedding", "b.embedding")} / (sqrt(a.n2) * sqrt(b.n2))) " +
       "* 1000000 + 0.5) / 1000000 AS cos " +
-      "FROM e a JOIN e b ON a.label = b.label AND a.vec_id < b.vec_id " +
-      "ORDER BY a_id, b_id"
+      "FROM e a JOIN e b ON a.label = b.label AND a.bucket = b.bucket " +
+      "AND a.vec_id < b.vec_id ORDER BY a_id, b_id"
 
   /** q_sim_topk — brute-force cosine top-k for a probe vector (vec_id 0):
     * one broadcast of the probe, a map-side dot product per row, then
@@ -70,26 +100,12 @@ object SimilarityOps {
       "* 1000000 + 0.5) / 1000000 AS cos " +
       "FROM e, probe WHERE vec_id <> 0 ORDER BY cos DESC, vec_id LIMIT 10"
 
-  /** Sign-LSH bucket: 8 leading-dimension sign bits. Deterministic (no
-    * random hyperplanes) so the oracle can replicate it; real deployments
-    * would draw the hyperplanes once and broadcast them.
-    */
-  private val SignBits = 4
-  private def bucketCol = {
-    (0 until SignBits)
-      .map(j =>
-        when(element_at(col("embedding"), j + 1) > 0f, lit(1L << j)).otherwise(lit(0L)))
-      .reduce(_ + _)
-  }
-
-  private val BucketSql = (0 until SignBits)
-    .map(j => s"CASE WHEN embedding[${j + 1}] > 0 THEN ${1L << j} ELSE 0 END")
-    .mkString(" + ")
-
-  /** q_sim_ann — LSH-bucketed ANN: candidates restricted to the probe's
-    * sign bucket before any distance computation. The bucket column is the
-    * partition key at scale (IVF-style: one shuffle to bucket, probe reads
-    * one partition).
+  /** q_sim_ann — LSH-bucketed multi-probe ANN: candidates restricted to the
+    * probe's sign bucket plus its 8 Hamming-distance-1 neighbor buckets
+    * before any distance computation (single-probe loses every neighbor
+    * that flips one boundary sign; multi-probe is the standard recall
+    * repair). The bucket column is the partition key at scale (IVF-style:
+    * one shuffle to bucket, the probe set reads 9 of 256 partitions).
     */
   private def simAnn(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
@@ -98,10 +114,17 @@ object SimilarityOps {
       $"embedding",
       Vec.norm2($"embedding").as("n2"),
       bucketCol.as("bucket"))
-    val probe = e
+    val probes = e
       .filter($"vec_id" === 0)
-      .select($"embedding".as("p"), $"n2".as("pn2"), $"bucket".as("pbucket"))
-    e.join(broadcast(probe), $"bucket" === $"pbucket")
+      .select(
+        $"embedding".as("p"),
+        $"n2".as("pn2"),
+        explode(
+          array(
+            $"bucket" +:
+              (0 until SignBits).map(j => $"bucket".bitwiseXOR(lit(1L << j))): _*))
+          .as("pbucket"))
+    e.join(broadcast(probes), $"bucket" === $"pbucket")
       .filter($"vec_id" =!= 0)
       .select(
         $"vec_id",
@@ -111,15 +134,19 @@ object SimilarityOps {
       .limit(10)
   }
 
-  private val AnnSql =
+  private val AnnSql = {
+    val probeList =
+      ("bucket" +: (0 until SignBits).map(j => s"xor(bucket, ${1L << j})")).mkString(", ")
     s"WITH e AS (SELECT vec_id, embedding, ${Vec.norm2Sql("embedding")} AS n2, " +
       s"$BucketSql AS bucket FROM embeddings), " +
-      "probe AS (SELECT embedding AS p, n2 AS pn2, bucket AS pbucket FROM e WHERE vec_id = 0) " +
+      "probe AS (SELECT embedding AS p, n2 AS pn2, " +
+      s"unnest([$probeList]) AS pbucket FROM e WHERE vec_id = 0) " +
       "SELECT vec_id, bucket, " +
       s"floor((${Vec.dotSql("embedding", "p")} / (sqrt(n2) * sqrt(pn2))) " +
       "* 1000000 + 0.5) / 1000000 AS cos " +
       "FROM e JOIN probe ON bucket = pbucket WHERE vec_id <> 0 " +
       "ORDER BY cos DESC, vec_id LIMIT 10"
+  }
 
   /** q_multimodal — heterogeneous-column join: text metadata × vector
     * table, predicates on both sides (SURVEY §2 Tier C).

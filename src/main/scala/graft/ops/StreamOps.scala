@@ -101,8 +101,8 @@ object StreamOps {
     "SELECT user_id, session_no, COUNT(*) AS n_events, " +
       "MIN(ts) AS session_start, MAX(ts) AS session_end FROM (" +
       "SELECT user_id, event_id, ts, " +
-      "SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id " +
-      "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_no FROM (" +
+      "CAST(SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id " +
+      "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_no FROM (" +
       "SELECT user_id, event_id, CAST(ts AS TIMESTAMP) AS ts, " +
       "CASE WHEN epoch_us(CAST(ts AS TIMESTAMP)) - " +
       "epoch_us(lag(CAST(ts AS TIMESTAMP), 1) OVER " +

@@ -184,7 +184,7 @@ object TextOps {
       "q_text_stats",
       textStats,
       Some(
-        "SELECT lang, COUNT(*) AS n_docs, SUM(n_chars) AS total_chars, " +
+        "SELECT lang, COUNT(*) AS n_docs, CAST(SUM(n_chars) AS BIGINT) AS total_chars, " +
           "MIN(n_chars) AS min_chars, MAX(n_chars) AS max_chars, " +
           "COUNT(DISTINCT source) AS n_sources, " +
           "CAST(SUM(n_chars) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) AS avg_chars " +

@@ -37,7 +37,15 @@ object Hashing {
   * Tier C).
   */
 object Vec {
-  def dot(a: Column, b: Column): Column =
+  /** Codegen'd fused kernel (see [[graft.expr.DotProduct]]): bit-identical
+    * to [[dotHof]] but one zero-allocation loop per row.
+    */
+  def dot(a: Column, b: Column): Column = graft.expr.DotProduct(a, b)
+
+  /** Higher-order-function formulation of the same left fold; kept as the
+    * reference implementation for the interpreted-vs-codegen agreement spec.
+    */
+  def dotHof(a: Column, b: Column): Column =
     aggregate(
       zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
       lit(0d),
