@@ -134,6 +134,39 @@ object RelationalOps {
       .orderBy("n_name")
   }
 
+  /** q_multi_join2 — 6-table TPC-H Q9-style chain: revenue by supplier
+    * nation × order year for a part-name slice of two regions. Exercises
+    * every dimension table (part/supplier/nation/region). nation and region
+    * are unconditionally tiny → explicit broadcast; part and supplier grow
+    * with scale, so their join strategy is left to Catalyst/AQE (the
+    * p_name filter is pushed to the part scan and typically makes the
+    * filtered part side broadcast-able at runtime).
+    */
+  private def multiJoin2(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val part = T(s, d, "part")
+      .filter($"p_name".contains("red"))
+      .select($"p_partkey")
+    val supNation = T(s, d, "supplier")
+      .join(broadcast(T(s, d, "nation")), $"s_nationkey" === $"n_nationkey")
+      .join(broadcast(T(s, d, "region")), $"n_regionkey" === $"r_regionkey")
+      .filter($"r_name".isin("ASIA", "EUROPE"))
+      .select($"s_suppkey", $"n_name")
+    T(s, d, "lineitem")
+      .join(T(s, d, "orders"), $"l_orderkey" === $"o_orderkey")
+      .join(part, $"l_partkey" === $"p_partkey")
+      .join(supNation, $"l_suppkey" === $"s_suppkey")
+      .groupBy($"n_name", year($"o_orderdate").as("o_year"))
+      .agg(
+        sum(
+          $"l_extendedprice".cast("decimal(18,2)") *
+            (lit(1) - $"l_discount").cast("decimal(18,2)"))
+          .cast("double")
+          .as("revenue"),
+        count(lit(1)).as("n_lines"))
+      .orderBy("n_name", "o_year")
+  }
+
   /** q_agg_group — hash aggregate with full stats per group. avg is
     * decimal-sum / count in doubles so both engines divide the same exact
     * values.
@@ -355,6 +388,19 @@ object RelationalOps {
           "JOIN customer ON o_custkey = c_custkey " +
           "JOIN nation ON c_nationkey = n_nationkey " +
           "GROUP BY n_name ORDER BY n_name")),
+    QueryDef(
+      "q_multi_join2",
+      multiJoin2,
+      Some(
+        "SELECT n_name, CAST(EXTRACT(year FROM o_orderdate) AS INTEGER) AS o_year, " +
+          s"$RevSql AS revenue, COUNT(*) AS n_lines " +
+          "FROM lineitem JOIN orders ON l_orderkey = o_orderkey " +
+          "JOIN part ON l_partkey = p_partkey " +
+          "JOIN supplier ON l_suppkey = s_suppkey " +
+          "JOIN nation ON s_nationkey = n_nationkey " +
+          "JOIN region ON n_regionkey = r_regionkey " +
+          "WHERE p_name LIKE '%red%' AND r_name IN ('ASIA', 'EUROPE') " +
+          "GROUP BY 1, 2 ORDER BY n_name, o_year")),
     QueryDef(
       "q_agg_group",
       aggGroup,

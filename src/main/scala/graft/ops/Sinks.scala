@@ -24,6 +24,35 @@ object Sinks {
       keys: Seq[String]): DataFrame =
     staged.join(existing.select(keys.map(col): _*), keys, "left_anti")
 
+  /** The reference's full Postgres sink path (main.py:180-228): staged
+    * rows → idempotent keyed append → `INSERT` over JDBC. The target table
+    * is read back as the anti-join's "existing" side (absent table ≡ empty,
+    * mirroring CREATE TABLE IF NOT EXISTS at main.py:184-190), then the
+    * surviving rows are appended with the standard distributed JDBC writer
+    * (one connection per partition — at scale, `staged.repartition(n)`
+    * bounds the connection count). The anti-join is against a snapshot;
+    * a production deployment keeps the reference's unique index on the key
+    * so concurrent writers degrade to the DB constraint, not duplicates.
+    */
+  def idempotentAppendJdbc(
+      staged: DataFrame,
+      url: String,
+      table: String,
+      keys: Seq[String],
+      props: java.util.Properties = new java.util.Properties): Unit = {
+    val spark = staged.sparkSession
+    val existing =
+      try {
+        val df = spark.read.jdbc(url, table, props)
+        df.schema // force resolution: absent table throws here
+        Some(df)
+      } catch { case _: Exception => None }
+    val toWrite = existing
+      .map(e => idempotentAppend(e, staged, keys))
+      .getOrElse(staged)
+    toWrite.write.mode(SaveMode.Append).jdbc(url, table, props)
+  }
+
   /** The destructive sheet snapshot (clear + update, main.py:254-264):
     * header row + stable column order + full overwrite. coalesce(1) matches
     * the single-grid sink; a real table sink would keep partitioning.

@@ -76,26 +76,79 @@ object StreamOps {
       .orderBy("event_id")
   }
 
-  /** Streaming lift of the tumbling-window report: identical logic on a
-    * readStream source with the reference's 7-day late-data contract
-    * (withWatermark ≡ DAYS_BACK, SURVEY §0). Used by the streaming spec;
-    * not part of the batch harness.
+  /** readStream over an events-parquet directory with the ns→µs conversion
+    * and the reference's 7-day late-data contract (withWatermark ≡
+    * DAYS_BACK, SURVEY §0). Shared source for every streaming lift.
     */
-  def liftTumble(s: SparkSession, sourceDir: String): DataFrame = {
-    import s.implicits._
+  def eventsStream(
+      s: SparkSession,
+      sourceDir: String,
+      options: Map[String, String] = Map.empty): DataFrame = {
     s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val batchSchema = T(s, sourceDir.stripSuffix("/events.parquet"), "events").schema
     s.readStream
+      .options(options)
       .schema(
         org.apache.spark.sql.types.StructType(
-          batchSchema.map(f => if (f.name == "ts") f.copy(dataType = org.apache.spark.sql.types.LongType) else f)))
+          batchSchema.map(f =>
+            if (f.name == "ts")
+              f.copy(dataType = org.apache.spark.sql.types.LongType)
+            else f)))
       .parquet(sourceDir)
       .withColumn("ts", timestamp_micros(expr("ts div 1000")))
       .withWatermark("ts", "7 days")
+  }
+
+  /** Streaming lift of the tumbling-window report: identical logic on a
+    * readStream source. Used by the streaming spec; not part of the batch
+    * harness.
+    */
+  def liftTumble(s: SparkSession, sourceDir: String): DataFrame = {
+    import s.implicits._
+    eventsStream(s, sourceDir)
       .groupBy(window($"ts", "1 day"), $"event_type")
       .agg(count(lit(1)).as("n"))
       .select($"window.start".as("win_start"), $"event_type", $"n")
   }
+
+  /** Streaming lift of q_stream_dedup — the reference's exact sink
+    * contract (dedup on business key under a 7-day late-data bound,
+    * main.py:25,104-105,202): withWatermark + dropDuplicates. State =
+    * one key per (user_id, event_type) inside the watermark horizon,
+    * evicted as the watermark passes — bounded memory at 100 TB/day.
+    * Which physical row represents a key depends on arrival order (same
+    * as the reference's first-writer-wins INSERT), so the lift contract
+    * is key-set equality, not row equality.
+    */
+  def liftDedup(s: SparkSession, sourceDir: String): DataFrame =
+    eventsStream(s, sourceDir).dropDuplicates("user_id", "event_type")
+
+  /** The session_window aggregation shape shared by the batch and stream
+    * forms of the session lift: 30-minute-gap sessions per user. Spark's
+    * native gap-based session operator — at scale this is state-store
+    * sessionization with watermark eviction instead of a full-corpus
+    * window sort.
+    */
+  def sessionWindowAgg(df: DataFrame): DataFrame = {
+    import df.sparkSession.implicits._
+    df.groupBy(session_window($"ts", "30 minutes"), $"user_id")
+      .agg(count(lit(1)).as("n_events"))
+      .select(
+        $"user_id",
+        $"session_window.start".as("session_start"),
+        $"session_window.end".as("session_end"),
+        $"n_events")
+  }
+
+  /** Streaming lift of sessionization via session_window (the stream form
+    * of q_stream_session; append mode emits a session once the watermark
+    * passes its close).
+    */
+  def liftSession(
+      s: SparkSession,
+      sourceDir: String,
+      options: Map[String, String] = Map.empty): DataFrame =
+    sessionWindowAgg(eventsStream(s, sourceDir, options))
 
   private val SessionSql =
     "SELECT user_id, session_no, COUNT(*) AS n_events, " +

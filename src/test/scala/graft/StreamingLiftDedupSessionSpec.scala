@@ -1,0 +1,104 @@
+package graft
+
+import java.nio.file.{Files, Paths, StandardCopyOption}
+import graft.ops.StreamOps
+import org.apache.spark.sql.functions._
+
+/** Streaming lifts of the dedup and session operators (VERDICT r1 item 6):
+  * each readStream plan must agree with its batch form on the same events.
+  */
+class StreamingLiftDedupSessionSpec extends SparkSpec {
+
+  private def stageEvents(): java.nio.file.Path = {
+    val dir = Files.createTempDirectory("graft_stream")
+    Files.copy(
+      Paths.get(s"$sf/events.parquet"),
+      dir.resolve("events.parquet"),
+      StandardCopyOption.REPLACE_EXISTING)
+    dir
+  }
+
+  test("readStream dedup keeps exactly the batch key set, one row per key") {
+    val dir = stageEvents()
+    val q = StreamOps
+      .liftDedup(spark, dir.toString)
+      .writeStream
+      .outputMode("append")
+      .format("memory")
+      .queryName("graft_dedup_out")
+      .start()
+    try {
+      q.processAllAvailable()
+      val streamed = spark.table("graft_dedup_out")
+      // one surviving row per key…
+      assert(
+        streamed.count() ==
+          streamed.select("user_id", "event_type").distinct().count())
+      // …and the key set equals the batch operator's key set (which row
+      // wins is arrival-order-dependent in both the stream and the
+      // reference sink, so keys are the contract)
+      val streamKeys = streamed
+        .select("user_id", "event_type")
+        .collect()
+        .map(_.toString)
+        .sorted
+        .toSeq
+      val batchKeys = SparkEntry
+        .queries("q_stream_dedup")(spark, sf)
+        .select("user_id", "event_type")
+        .collect()
+        .map(_.toString)
+        .sorted
+        .toSeq
+      assert(streamKeys == batchKeys)
+    } finally q.stop()
+  }
+
+  test("readStream session_window equals the batch session_window result") {
+    import spark.implicits._
+    val dir = stageEvents()
+    // Sentinel event far past the data (plus the 7-day watermark delay) in
+    // a SECOND file: with maxFilesPerTrigger=1 it arrives in a later
+    // micro-batch, pushes the watermark past every real session's close,
+    // and append mode then emits them all.
+    val maxTs = graft.T(spark, sf, "events")
+      .agg(max($"ts"))
+      .head()
+      .getTimestamp(0)
+    val sentinelNanos = (maxTs.getTime + 40L * 24 * 3600 * 1000) * 1000000L
+    val schema = spark.read.parquet(s"$dir/events.parquet").schema
+    val sentinel = spark
+      .createDataFrame(
+        java.util.List.of(
+          org.apache.spark.sql.Row(-1L, sentinelNanos, -1L, "sentinel", 0.0d, "{}")),
+        schema)
+    Thread.sleep(5) // distinct mtime so the sentinel file sorts later
+    sentinel.coalesce(1).write.mode("append").parquet(dir.toString)
+
+    val q = StreamOps
+      .liftSession(spark, dir.toString, Map("maxFilesPerTrigger" -> "1"))
+      .writeStream
+      .outputMode("append")
+      .format("memory")
+      .queryName("graft_session_out")
+      .option("checkpointLocation", Files.createTempDirectory("graft_ckpt").toString)
+      .start()
+    try {
+      q.processAllAvailable()
+      val streamed = spark
+        .table("graft_session_out")
+        .filter($"user_id" =!= -1L)
+        .collect()
+        .map(_.toString)
+        .sorted
+        .toSeq
+      val batch = StreamOps
+        .sessionWindowAgg(graft.T(spark, sf, "events"))
+        .collect()
+        .map(_.toString)
+        .sorted
+        .toSeq
+      assert(streamed.nonEmpty && streamed == batch)
+    } finally q.stop()
+  }
+}
