@@ -105,10 +105,21 @@ object DedupOps {
       s"(($acc) * 131 + mh${NearBandRows * j + k}) % $P"
     }
 
-  private def dedupNear(s: SparkSession, d: String): DataFrame = {
+  /** The shared banded-Jaccard pipeline: `sets` must carry
+    * (doc_id, lang, th = sorted distinct element hashes, n = |th|).
+    * Threshold θ = num/den, with the lossless size bound den·|A| ≥ num·|B|
+    * (∧ symmetric) applied inside the candidate join.
+    */
+  private def bandedJaccardPairs(
+      s: SparkSession,
+      sets: DataFrame,
+      num: Int,
+      den: Int): DataFrame = {
     import s.implicits._
-    val toks = hashedToks(s, d)
-    val bands = sigFrame(s, d).select(
+    val sig = sets.select(
+      Seq($"doc_id", $"lang", $"n") ++
+        (0 until NumHashes).map(j => minhash(j).as(s"mh$j")): _*)
+    val bands = sig.select(
       $"doc_id",
       $"lang",
       $"n",
@@ -120,22 +131,25 @@ object DedupOps {
         bands.as("b"),
         $"a.band_idx" === $"b.band_idx" && $"a.band_val" === $"b.band_val" &&
           $"a.doc_id" < $"b.doc_id" && $"a.lang" === $"b.lang" &&
-          $"a.n" * 10 >= $"b.n" * 9 && $"b.n" * 10 >= $"a.n" * 9)
+          $"a.n" * den >= $"b.n" * num && $"b.n" * den >= $"a.n" * num)
       .select($"a.doc_id".as("a_id"), $"b.doc_id".as("b_id"))
       .distinct()
     cand
-      .join(toks.select($"doc_id".as("a_id"), $"th".as("tha"), $"n".as("na")), "a_id")
-      .join(toks.select($"doc_id".as("b_id"), $"th".as("thb"), $"n".as("nb")), "b_id")
+      .join(sets.select($"doc_id".as("a_id"), $"th".as("tha"), $"n".as("na")), "a_id")
+      .join(sets.select($"doc_id".as("b_id"), $"th".as("thb"), $"n".as("nb")), "b_id")
       .select(
         $"a_id",
         $"b_id",
         graft.expr.SortedIntersectCount($"tha", $"thb").as("i"),
         ($"na" + $"nb").as("sz"))
       .withColumn("jaccard", $"i".cast("double") / ($"sz" - $"i").cast("double"))
-      .filter($"jaccard" >= 0.9)
+      .filter($"jaccard" >= lit(num.toDouble) / lit(den.toDouble))
       .select($"a_id", $"b_id", $"jaccard")
       .orderBy("a_id", "b_id")
   }
+
+  private def dedupNear(s: SparkSession, d: String): DataFrame =
+    bandedJaccardPairs(s, hashedToks(s, d), 9, 10)
 
   private val NearSql = {
     val sigSelect =
@@ -158,6 +172,70 @@ object DedupOps {
       "(len(ta.t) + len(tb.t) - len(list_intersect(ta.t, tb.t))) AS jaccard " +
       "FROM cand c JOIN tok ta ON ta.doc_id = c.a_id JOIN tok tb ON tb.doc_id = c.b_id) " +
       "WHERE jaccard >= 0.9 ORDER BY a_id, b_id"
+  }
+
+  /** q_dedup_ngram — n-gram (3-token shingle) Jaccard near-dup: the
+    * order-sensitive dedup variant (unigram sets can't tell a permuted
+    * rewrite from a copy; shingles can). Same banded-LSH candidate →
+    * exact-verify shape as [[dedupNear]], over the shingle-hash sets, at
+    * θ = 0.8. Documents with fewer than 3 tokens degrade to a single
+    * whole-text shingle. Shingle hashing is one pass; the signature/band
+    * lanes reuse the hashed shingle array.
+    */
+  private def shingleSets(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    docs(s, d)
+      .select($"doc_id", $"lang", $"text", split($"text", " ").as("t"))
+      .select(
+        $"doc_id",
+        $"lang",
+        when(
+          size($"t") >= 3,
+          array_sort(
+            array_distinct(
+              transform(
+                sequence(lit(1), size($"t") - 2),
+                i =>
+                  h32(
+                    concat_ws(
+                      " ",
+                      element_at($"t", i),
+                      element_at($"t", i + 1),
+                      element_at($"t", i + 2)))))))
+          .otherwise(array(h32($"text")))
+          .as("th"))
+      .withColumn("n", size($"th"))
+  }
+
+  private def dedupNgram(s: SparkSession, d: String): DataFrame =
+    bandedJaccardPairs(s, shingleSets(s, d), 4, 5)
+
+  private val NgramSql = {
+    val shingle = h32Sql("concat_ws(' ', t[i], t[i+1], t[i+2])")
+    val sigSelect =
+      "SELECT doc_id, lang, len(s) AS n, " +
+        (0 until NumHashes)
+          .map(j => s"list_min(list_transform(s, hv -> (${mhA(j)} * hv + ${mhB(j)}) % $P)) AS mh$j")
+          .mkString(", ") +
+        " FROM sh"
+    val bandUnion = (0 until NearBands)
+      .map(j => s"SELECT doc_id, lang, n, $j AS band_idx, ${nearBandSql(j)} AS band_val FROM sig")
+      .mkString(" UNION ALL ")
+    "WITH tok AS (SELECT doc_id, lang, text, string_split(text, ' ') AS t FROM documents), " +
+      "sh AS (SELECT doc_id, lang, CASE WHEN len(t) >= 3 THEN " +
+      s"list_distinct(list_transform(generate_series(1, len(t)-2), i -> $shingle)) " +
+      s"ELSE [${h32Sql("text")}] END AS s FROM tok), " +
+      s"sig AS ($sigSelect), bands AS ($bandUnion), " +
+      "cand AS (SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id " +
+      "FROM bands a JOIN bands b ON a.band_idx = b.band_idx AND a.band_val = b.band_val " +
+      "AND a.doc_id < b.doc_id AND a.lang = b.lang " +
+      "AND a.n * 5 >= b.n * 4 AND b.n * 5 >= a.n * 4) " +
+      "SELECT a_id, b_id, jaccard FROM (" +
+      "SELECT c.a_id, c.b_id, " +
+      "CAST(len(list_intersect(sa.s, sb.s)) AS DOUBLE) / " +
+      "(len(sa.s) + len(sb.s) - len(list_intersect(sa.s, sb.s))) AS jaccard " +
+      "FROM cand c JOIN sh sa ON sa.doc_id = c.a_id JOIN sh sb ON sb.doc_id = c.b_id) " +
+      "WHERE jaccard >= 0.8 ORDER BY a_id, b_id"
   }
 
   /** q_dedup_minhash — 8-permutation MinHash signature per document.
@@ -338,6 +416,7 @@ object DedupOps {
           "QUALIFY row_number() OVER (PARTITION BY md5(text) ORDER BY doc_id) = 1 " +
           "ORDER BY doc_id")),
     QueryDef("q_dedup_near", dedupNear, Some(NearSql)),
+    QueryDef("q_dedup_ngram", dedupNgram, Some(NgramSql)),
     QueryDef("q_dedup_minhash", dedupMinhash, Some(MinhashSql)),
     QueryDef("q_dedup_lsh", dedupLsh, Some(LshSql)),
     QueryDef("q_dedup_simhash", dedupSimhash, Some(SimhashSql)),

@@ -44,9 +44,29 @@ class PlanShapeSpec extends SparkSpec {
     assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"), p)
   }
 
-  test("q_dedup_near salted join is an equi-join, not a nested loop") {
+  test("q_dedup_near banded join is an equi-join, not a nested loop") {
     val p = plan("q_dedup_near")
     assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"), p)
     assert(p.contains("sorted_intersect_count"), p)
+  }
+
+  test("q_dedup_embed and q_sim_cosine use the codegen'd dot kernel, no nested loop") {
+    Seq("q_dedup_embed", "q_sim_cosine").foreach { q =>
+      val p = plan(q)
+      assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"), q)
+      assert(p.contains("dot_product"), q)
+    }
+  }
+
+  test("q_multi_join2 broadcasts dims and pushes the p_name filter to the part scan") {
+    val p = plan("q_multi_join2")
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(p.contains("StringContains(p_name,red)"), p)
+  }
+
+  test("q_sim_topk broadcasts the probe (no corpus shuffle)") {
+    val p = plan("q_sim_topk")
+    assert(p.contains("TakeOrderedAndProject"), p)
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastHashJoin"), p)
   }
 }
