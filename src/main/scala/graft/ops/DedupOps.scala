@@ -46,8 +46,12 @@ object DedupOps {
     */
   private def hashedToks(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
+    // coalesce makes the token array non-nullable, so downstream join-key
+    // IsNotNull inference cannot push isnotnull(<whole hash expression>)
+    // into the scan as a DataFilter (which would evaluate the tokenize+hash
+    // pass twice per row)
     docs(s, d)
-      .select($"doc_id", $"lang", array_distinct(split($"text", " ")).as("t"))
+      .select($"doc_id", $"lang", array_distinct(split(coalesce($"text", lit("")), " ")).as("t"))
       .select(
         $"doc_id",
         $"lang",
@@ -109,6 +113,17 @@ object DedupOps {
     * (doc_id, lang, th = sorted distinct element hashes, n = |th|).
     * Threshold θ = num/den, with the lossless size bound den·|A| ≥ num·|B|
     * (∧ symmetric) applied inside the candidate join.
+    *
+    * Plan economics: the hash arrays ride along through the band explode
+    * and the self-join is pinned to SHUFFLE_HASH, so both sides share ONE
+    * shuffle of the hashed corpus (ReusedExchange — the expensive
+    * tokenize+hash lineage runs once, asserted in PlanShapeSpec). The
+    * alternative — slim (id, band) candidates plus fetch-back joins —
+    * shuffles less data but re-reads and re-hashes the corpus once per
+    * join under AQE's broadcasts, which is the wrong trade at every scale
+    * factor measured. A pair sharing both bands is verified per band and
+    * collapsed by the final distinct (identical i/sz both times); being a
+    * shuffle join, a hot band bucket splits under AQE skew handling.
     */
   private def bandedJaccardPairs(
       s: SparkSession,
@@ -117,31 +132,28 @@ object DedupOps {
       den: Int): DataFrame = {
     import s.implicits._
     val sig = sets.select(
-      Seq($"doc_id", $"lang", $"n") ++
+      Seq($"doc_id", $"lang", $"n", $"th") ++
         (0 until NumHashes).map(j => minhash(j).as(s"mh$j")): _*)
     val bands = sig.select(
       $"doc_id",
       $"lang",
       $"n",
+      $"th",
       posexplode(array((0 until NearBands).map(nearBandCol): _*))
         .as(Seq("band_idx", "band_val")))
-    val cand = bands
+    bands
       .as("a")
       .join(
-        bands.as("b"),
+        bands.as("b").hint("shuffle_hash"),
         $"a.band_idx" === $"b.band_idx" && $"a.band_val" === $"b.band_val" &&
           $"a.doc_id" < $"b.doc_id" && $"a.lang" === $"b.lang" &&
           $"a.n" * den >= $"b.n" * num && $"b.n" * den >= $"a.n" * num)
-      .select($"a.doc_id".as("a_id"), $"b.doc_id".as("b_id"))
-      .distinct()
-    cand
-      .join(sets.select($"doc_id".as("a_id"), $"th".as("tha"), $"n".as("na")), "a_id")
-      .join(sets.select($"doc_id".as("b_id"), $"th".as("thb"), $"n".as("nb")), "b_id")
       .select(
-        $"a_id",
-        $"b_id",
-        graft.expr.SortedIntersectCount($"tha", $"thb").as("i"),
-        ($"na" + $"nb").as("sz"))
+        $"a.doc_id".as("a_id"),
+        $"b.doc_id".as("b_id"),
+        graft.expr.SortedIntersectCount($"a.th", $"b.th").as("i"),
+        ($"a.n" + $"b.n").as("sz"))
+      .distinct()
       .withColumn("jaccard", $"i".cast("double") / ($"sz" - $"i").cast("double"))
       .filter($"jaccard" >= lit(num.toDouble) / lit(den.toDouble))
       .select($"a_id", $"b_id", $"jaccard")
@@ -159,7 +171,7 @@ object DedupOps {
     val bandUnion = (0 until NearBands)
       .map(j => s"SELECT doc_id, lang, n, $j AS band_idx, ${nearBandSql(j)} AS band_val FROM sig")
       .mkString(" UNION ALL ")
-    "WITH tok AS (SELECT doc_id, lang, list_distinct(string_split(text, ' ')) AS t " +
+    "WITH tok AS (SELECT doc_id, lang, list_distinct(string_split(coalesce(text, ''), ' ')) AS t " +
       "FROM documents), " +
       s"sig AS ($sigSelect), bands AS ($bandUnion), " +
       "cand AS (SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id " +
@@ -182,27 +194,33 @@ object DedupOps {
     * whole-text shingle. Shingle hashing is one pass; the signature/band
     * lanes reuse the hashed shingle array.
     */
+  /** Shingle hash = polynomial combine of the three member TOKEN hashes
+    * ((h_i·131 + h_{i+1}) mod P · 131 + h_{i+2}) mod P — one md5 per token
+    * (computed once in the ht projection) instead of one md5 per shingle
+    * over a concatenated string; the combine is pure integer arithmetic in
+    * both engines. Documents with fewer than 3 tokens degrade to a single
+    * whole-document fold of the same form.
+    */
   private def shingleSets(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
+    def combine(a: Column, b: Column): Column = pmod(a * lit(131L) + b, lit(P))
     docs(s, d)
-      .select($"doc_id", $"lang", $"text", split($"text", " ").as("t"))
+      .select($"doc_id", $"lang", split(coalesce($"text", lit("")), " ").as("t"))
+      .select($"doc_id", $"lang", transform($"t", tk => h32(tk)).as("ht"))
       .select(
         $"doc_id",
         $"lang",
         when(
-          size($"t") >= 3,
+          size($"ht") >= 3,
           array_sort(
             array_distinct(
               transform(
-                sequence(lit(1), size($"t") - 2),
+                sequence(lit(1), size($"ht") - 2),
                 i =>
-                  h32(
-                    concat_ws(
-                      " ",
-                      element_at($"t", i),
-                      element_at($"t", i + 1),
-                      element_at($"t", i + 2)))))))
-          .otherwise(array(h32($"text")))
+                  combine(
+                    combine(element_at($"ht", i), element_at($"ht", i + 1)),
+                    element_at($"ht", i + 2))))))
+          .otherwise(array(aggregate($"ht", lit(0L), (acc, h) => combine(acc, h))))
           .as("th"))
       .withColumn("n", size($"th"))
   }
@@ -211,7 +229,7 @@ object DedupOps {
     bandedJaccardPairs(s, shingleSets(s, d), 4, 5)
 
   private val NgramSql = {
-    val shingle = h32Sql("concat_ws(' ', t[i], t[i+1], t[i+2])")
+    val shingle = s"(((ht[i] * 131 + ht[i+1]) % $P) * 131 + ht[i+2]) % $P"
     val sigSelect =
       "SELECT doc_id, lang, len(s) AS n, " +
         (0 until NumHashes)
@@ -221,10 +239,13 @@ object DedupOps {
     val bandUnion = (0 until NearBands)
       .map(j => s"SELECT doc_id, lang, n, $j AS band_idx, ${nearBandSql(j)} AS band_val FROM sig")
       .mkString(" UNION ALL ")
-    "WITH tok AS (SELECT doc_id, lang, text, string_split(text, ' ') AS t FROM documents), " +
-      "sh AS (SELECT doc_id, lang, CASE WHEN len(t) >= 3 THEN " +
-      s"list_distinct(list_transform(generate_series(1, len(t)-2), i -> $shingle)) " +
-      s"ELSE [${h32Sql("text")}] END AS s FROM tok), " +
+    "WITH tok AS (SELECT doc_id, lang, " +
+      s"list_transform(string_split(coalesce(text, ''), ' '), tk -> ${h32Sql("tk")}) AS ht " +
+      "FROM documents), " +
+      "sh AS (SELECT doc_id, lang, CASE WHEN len(ht) >= 3 THEN " +
+      s"list_distinct(list_transform(generate_series(1, len(ht)-2), i -> $shingle)) " +
+      "ELSE [list_reduce(list_prepend(CAST(0 AS BIGINT), ht), " +
+      s"(acc, h) -> (acc * 131 + h) % $P)] END AS s FROM tok), " +
       s"sig AS ($sigSelect), bands AS ($bandUnion), " +
       "cand AS (SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id " +
       "FROM bands a JOIN bands b ON a.band_idx = b.band_idx AND a.band_val = b.band_val " +

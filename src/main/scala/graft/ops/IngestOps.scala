@@ -37,12 +37,17 @@ object IngestOps {
     */
   private def parse(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
-    val m = LenientJson.parsed(coalesce($"props", lit("{}")))
+    // parse once into a map column, then consume it twice — the expensive
+    // alias is referenced by both outputs, so Catalyst keeps the projection
+    // and the row is parsed once, not per consumer
     T(s, d, "events")
       .select(
         $"event_id",
-        concat_ws(",", array_sort(map_keys(m))).as("keys"),
-        element_at(m, "k").as("k_val"))
+        LenientJson.parsed(coalesce($"props", lit("{}"))).as("m"))
+      .select(
+        $"event_id",
+        concat_ws(",", array_sort(map_keys($"m"))).as("keys"),
+        element_at($"m", "k").as("k_val"))
       .orderBy("event_id")
   }
 

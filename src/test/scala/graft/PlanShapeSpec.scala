@@ -69,4 +69,16 @@ class PlanShapeSpec extends SparkSpec {
     assert(p.contains("TakeOrderedAndProject"), p)
     assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastHashJoin"), p)
   }
+
+  test("banded dedup self-join reuses one exchange: the hash pass runs once") {
+    Seq("q_dedup_near", "q_dedup_ngram").foreach { q =>
+      val df = SparkEntry.queries(q)(spark, sf)
+      df.collect() // AQE reuse only shows in the final adaptive plan
+      val p = df.queryExecution.executedPlan.toString
+      assert(p.contains("ReusedExchange"), s"$q: no ReusedExchange")
+      // and the inferred join-key null checks must NOT drag the tokenize+
+      // hash expression into the parquet scan as a duplicated DataFilter
+      assert(!p.contains("DataFilters: [isnotnull(size("), q)
+    }
+  }
 }
