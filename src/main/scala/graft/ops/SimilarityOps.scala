@@ -2,6 +2,7 @@ package graft.ops
 
 import graft.{QueryDef, T, X}
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Tier C similarity search over the embeddings table (SURVEY §2 Tier C):
@@ -148,6 +149,74 @@ object SimilarityOps {
       "ORDER BY cos DESC, vec_id LIMIT 10"
   }
 
+  /** q_sim_ivf — IVF-style ANN: a broadcast coarse quantizer (16 cells)
+    * assigns every vector to its nearest centroid; the probe searches only
+    * its nprobe=2 nearest cells. The cell column is the partition key at
+    * scale — one shuffle to build the inverted file, the probe reads 2 of
+    * 16 cell partitions, and cells grow with √corpus in a real deployment.
+    * Centroids here are a deterministic stand-in (the first 16 vectors) so
+    * the oracle can replicate assignment exactly; production trains
+    * k-means off-line and broadcasts the codebook — the plumbing
+    * (broadcast quantizer → argmin assignment → cell-bucketed probe) is
+    * identical. Assignment ranks with row_number over (cos desc, c_id)
+    * for engine-identical tie-breaks.
+    */
+  private val IvfCells = 16
+  private val NProbe = 2
+
+  private def simIvf(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val e = emb(s, d).select($"vec_id", $"embedding", Vec.norm2($"embedding").as("n2"))
+    val cents = e
+      .filter($"vec_id" < IvfCells)
+      .select($"vec_id".as("c_id"), $"embedding".as("c"), $"n2".as("cn2"))
+    val scored = e
+      .crossJoin(broadcast(cents))
+      .select(
+        $"vec_id",
+        $"embedding",
+        $"n2",
+        $"c_id",
+        Vec.cosine(Vec.dot($"embedding", $"c"), $"n2", $"cn2").as("ccos"))
+    val w = Window.partitionBy($"vec_id").orderBy($"ccos".desc, $"c_id")
+    val ranked = scored.withColumn("rn", row_number().over(w))
+    val cells = ranked
+      .filter($"rn" === 1)
+      .select($"vec_id", $"embedding", $"n2", $"c_id".as("cell"))
+    val probeCells = ranked
+      .filter($"vec_id" === 0 && $"rn" <= NProbe)
+      .select($"c_id".as("pcell"))
+    val probe = e.filter($"vec_id" === 0).select($"embedding".as("p"), $"n2".as("pn2"))
+    cells
+      .join(broadcast(probeCells), $"cell" === $"pcell")
+      .filter($"vec_id" =!= 0)
+      .crossJoin(broadcast(probe))
+      .select(
+        $"vec_id",
+        $"cell",
+        X.r6(Vec.cosine(Vec.dot($"embedding", $"p"), $"n2", $"pn2")).as("cos"))
+      .orderBy($"cos".desc, $"vec_id")
+      .limit(10)
+  }
+
+  private val IvfSql =
+    s"WITH e AS (SELECT vec_id, embedding, ${Vec.norm2Sql("embedding")} AS n2 " +
+      "FROM embeddings), " +
+      s"cents AS (SELECT vec_id AS c_id, embedding AS c, n2 AS cn2 FROM e WHERE vec_id < $IvfCells), " +
+      "scored AS (SELECT e.vec_id, e.embedding, e.n2, cents.c_id, " +
+      s"${Vec.dotSql("e.embedding", "cents.c")} / (sqrt(e.n2) * sqrt(cents.cn2)) AS ccos " +
+      "FROM e, cents), " +
+      "ranked AS (SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY ccos DESC, c_id) AS rn " +
+      "FROM scored), " +
+      "cells AS (SELECT vec_id, embedding, n2, c_id AS cell FROM ranked WHERE rn = 1), " +
+      s"pcells AS (SELECT c_id AS pcell FROM ranked WHERE vec_id = 0 AND rn <= $NProbe), " +
+      "probe AS (SELECT embedding AS p, n2 AS pn2 FROM e WHERE vec_id = 0) " +
+      "SELECT vec_id, cell, " +
+      s"floor((${Vec.dotSql("embedding", "p")} / (sqrt(n2) * sqrt(pn2))) " +
+      "* 1000000 + 0.5) / 1000000 AS cos " +
+      "FROM cells JOIN pcells ON cell = pcell, probe WHERE vec_id <> 0 " +
+      "ORDER BY cos DESC, vec_id LIMIT 10"
+
   /** q_multimodal — heterogeneous-column join: text metadata × vector
     * table, predicates on both sides (SURVEY §2 Tier C).
     */
@@ -169,6 +238,7 @@ object SimilarityOps {
     QueryDef("q_sim_cosine", simCosine, Some(CosineSql)),
     QueryDef("q_sim_topk", simTopk, Some(TopkSql)),
     QueryDef("q_sim_ann", simAnn, Some(AnnSql)),
+    QueryDef("q_sim_ivf", simIvf, Some(IvfSql)),
     QueryDef(
       "q_multimodal",
       multimodal,
