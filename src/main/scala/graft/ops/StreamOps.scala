@@ -111,6 +111,18 @@ object StreamOps {
       .select($"window.start".as("win_start"), $"event_type", $"n")
   }
 
+  /** Streaming lift of the 7-day sliding window (the rolling re-extract,
+    * main.py:104-105): each event contributes to 7 windows; watermark
+    * bounds the open-window state to 14 days of windows.
+    */
+  def liftSlide(s: SparkSession, sourceDir: String): DataFrame = {
+    import s.implicits._
+    eventsStream(s, sourceDir)
+      .groupBy(window($"ts", "7 days", "1 day"))
+      .agg(count(lit(1)).as("n"))
+      .select($"window.start".as("win_start"), $"n")
+  }
+
   /** Streaming lift of q_stream_dedup — the reference's exact sink
     * contract (dedup on business key under a 7-day late-data bound,
     * main.py:25,104-105,202): withWatermark + dropDuplicates. State =

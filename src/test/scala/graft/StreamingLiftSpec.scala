@@ -10,16 +10,19 @@ import org.apache.spark.sql.functions._
   */
 class StreamingLiftSpec extends SparkSpec {
 
-  test("readStream tumbling-window report equals the batch result") {
+  private def stage(): java.nio.file.Path = {
     // file streaming source wants a directory
     val dir = Files.createTempDirectory("graft_stream")
     Files.copy(
       Paths.get(s"$sf/events.parquet"),
       dir.resolve("events.parquet"),
       StandardCopyOption.REPLACE_EXISTING)
+    dir
+  }
 
+  test("readStream tumbling-window report equals the batch result") {
     val q = StreamOps
-      .liftTumble(spark, dir.toString)
+      .liftTumble(spark, stage().toString)
       .writeStream
       .outputMode("complete")
       .format("memory")
@@ -37,6 +40,34 @@ class StreamingLiftSpec extends SparkSpec {
       val batch = SparkEntry
         .queries("q_stream_tumble")(spark, sf)
         .select("win_start", "event_type", "n")
+        .collect()
+        .map(_.toString)
+        .sorted
+        .toSeq
+      assert(streamed == batch)
+    } finally q.stop()
+  }
+
+  test("readStream sliding-window counts equal the batch q_stream_slide counts") {
+    val q = StreamOps
+      .liftSlide(spark, stage().toString)
+      .writeStream
+      .outputMode("complete")
+      .format("memory")
+      .queryName("graft_slide_out")
+      .start()
+    try {
+      q.processAllAvailable()
+      val streamed = spark
+        .table("graft_slide_out")
+        .select("win_start", "n")
+        .collect()
+        .map(_.toString)
+        .sorted
+        .toSeq
+      val batch = SparkEntry
+        .queries("q_stream_slide")(spark, sf)
+        .select("win_start", "n")
         .collect()
         .map(_.toString)
         .sorted
