@@ -103,4 +103,53 @@ class OperatorSemanticsSpec extends SparkSpec {
       assert(r.getAs[Double]("jaccard") >= 0.9)
     }
   }
+
+  test("banding never misses an exact duplicate (J=1 ⇒ identical signature)") {
+    // identical texts hash to identical MinHash signatures, hence identical
+    // band values — an exact-dup pair is ALWAYS a candidate, so every
+    // same-text pair within a language must appear in q_dedup_near's output
+    import spark.implicits._
+    val docs = T(spark, sf, "documents")
+    val exactDupPairs = docs
+      .as("a")
+      .join(
+        docs.as("b"),
+        col("a.text") === col("b.text") && col("a.lang") === col("b.lang") &&
+          col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("a_id"), col("b.doc_id").as("b_id"))
+    val near = SparkEntry
+      .queries("q_dedup_near")(spark, sf)
+      .select("a_id", "b_id")
+    assert(exactDupPairs.except(near).count() == 0)
+  }
+
+  test("q_dedup_ngram handles sub-3-token documents via the whole-doc fold") {
+    // a 2-token and 1-token doc get single-element shingle sets; identical
+    // short docs must pair with jaccard 1.0
+    import spark.implicits._
+    val tiny = Seq(
+      (1L, "en", "hi there"),
+      (2L, "en", "hi there"),
+      (3L, "en", "solo")).toDF("doc_id", "lang", "text")
+    tiny.createOrReplaceTempView("graft_tiny_docs")
+    // run the shingle pipeline on a substituted source by rebuilding it here
+    // with the same public shape: reuse the operator on a temp dir instead
+    val dir = java.nio.file.Files.createTempDirectory("graft_tiny").toString
+    tiny
+      .withColumn("source", lit("t"))
+      .withColumn("n_chars", length(col("text")))
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val out = SparkEntry.queries("q_dedup_ngram")(spark, dir).collect()
+    assert(out.length == 1)
+    assert(out.head.getAs[Long]("a_id") == 1L && out.head.getAs[Long]("b_id") == 2L)
+    assert(out.head.getAs[Double]("jaccard") == 1.0d)
+  }
+
+  test("q_sim_ivf probes a strict subset: its hits are within brute-force top-k cosine range") {
+    val ivf = SparkEntry.queries("q_sim_ivf")(spark, sf).collect()
+    val brute = SparkEntry.queries("q_sim_topk")(spark, sf).collect()
+    assert(ivf.nonEmpty)
+    // ANN cannot beat exact search: best IVF cosine ≤ best brute-force cosine
+    assert(ivf.head.getAs[Double]("cos") <= brute.head.getAs[Double]("cos") + 1e-9)
+  }
 }
