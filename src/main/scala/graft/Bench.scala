@@ -12,14 +12,27 @@ object Bench {
     spark.sparkContext.setLogLevel("WARN")
     // Untimed warmup: absorb JVM/codegen/file-listing startup cost so the
     // first measured query isn't charged ~4s of one-time initialization.
-    // Full untimed scan of every table (noop sink reads all column pages),
-    // so no measured query is charged the first-touch I/O of its inputs.
+    // Untimed warmup, two parts:
+    //  1. full scan of every table (noop sink reads all column pages), so
+    //     no measured query is charged the first-touch I/O of its inputs;
+    //  2. every query once at the smallest scale factor — the schemas are
+    //     identical, so the generated whole-stage-codegen classes are the
+    //     same ones the measured run needs: compilation and JIT happen
+    //     here instead of inside the first measured query.
     try {
       graft.T(spark, sfDir, "events").limit(1000).groupBy("event_type").count().count()
       Seq("region", "nation", "customer", "supplier", "part", "orders",
         "lineitem", "events", "documents", "embeddings")
         .foreach(t =>
           graft.T(spark, sfDir, t).write.mode("overwrite").format("noop").save())
+      val warmDir = new java.io.File(new java.io.File(sfDir).getParent, "sf0.001")
+      if (warmDir.isDirectory) {
+        val wd = warmDir.getAbsolutePath
+        SparkEntry.queries.foreach { case (_, fn) =>
+          try fn(spark, wd).write.mode("overwrite").format("noop").save()
+          catch { case _: Throwable => () }
+        }
+      }
     } catch { case _: Throwable => () }
     val results = SparkEntry.queries.map { case (name, fn) =>
       val t0 = System.nanoTime()
