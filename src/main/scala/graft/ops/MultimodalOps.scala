@@ -77,6 +77,50 @@ object MultimodalOps {
       "(a, v) -> a + v) % 9973 AS checksum " +
       "FROM documents ORDER BY doc_id"
 
+  /** STUB of a real media resize — deterministic byte-stride downsample to
+    * ≤ 64 bytes. A real deployment swaps the body for an image resampler
+    * (bilinear/Lanczos over decoded pixels); the signature (bytes + target
+    * size in, bytes out) and the Spark plumbing are the real design.
+    */
+  private val ResizeTarget = 64
+  def resizeStub(bytes: Array[Byte], target: Int): Array[Byte] = {
+    val step = (bytes.length + target - 1) / target // ceil — step ≥ 1 for n ≥ 1
+    if (bytes.length <= target) bytes
+    else Array.range(0, bytes.length, step).map(bytes(_))
+  }
+
+  private val resizeUdf = udf(resizeStub _)
+
+  /** q_mm_resize — resize step of an image pipeline over the binary
+    * column: per-row kernel bytes→bytes with a size contract, metadata
+    * (original size, stride, new size) carried alongside. Map-side only.
+    */
+  private def mmResize(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    docs(s, d)
+      .select($"doc_id", resizeUdf(payload, lit(ResizeTarget)).as("r"), length(payload).as("orig_bytes"))
+      .select(
+        $"doc_id",
+        $"orig_bytes",
+        length($"r").as("new_bytes"),
+        lower(hex($"r")).as("preview_hex"))
+      .orderBy("doc_id")
+  }
+
+  /** Oracle recomputes the stride on the character stream (ASCII text ⇒
+    * bytes ≡ chars).
+    */
+  private val ResizeSql = {
+    val step = s"CAST(ceil(len(text) / ${ResizeTarget}.0) AS BIGINT)"
+    "SELECT doc_id, orig_bytes, CAST(octet_length(encode(r)) AS INTEGER) AS new_bytes, " +
+      "lower(hex(encode(r))) AS preview_hex FROM (" +
+      "SELECT doc_id, CAST(octet_length(encode(text)) AS INTEGER) AS orig_bytes, " +
+      s"CASE WHEN len(text) <= $ResizeTarget THEN text ELSE " +
+      s"list_reduce(list_transform(generate_series(1, len(text), $step), i -> text[i]), " +
+      "(a, b) -> a || b) END AS r " +
+      "FROM documents) ORDER BY doc_id"
+  }
+
   /** q_mm_sample — frame-sampling analog: every 10th token of the payload
     * stream (for video this is the keyframe stride; the indexing pattern is
     * identical).
@@ -109,6 +153,7 @@ object MultimodalOps {
           "lower(substring(hex(encode(text)), 1, 16)) AS fp_hex " +
           "FROM documents ORDER BY doc_id")),
     QueryDef("q_mm_features", mmFeatures, Some(FeaturesSql)),
+    QueryDef("q_mm_resize", mmResize, Some(ResizeSql)),
     QueryDef("q_mm_sample", mmSample, Some(SampleSql))
   )
 }
