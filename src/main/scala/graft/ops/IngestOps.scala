@@ -22,6 +22,24 @@ object IngestOps {
   private def srcScan(s: SparkSession, d: String): DataFrame =
     T(s, d, "events").orderBy("event_id")
 
+  /** The reference's actual source format — JSON attempt records fetched
+    * from the API (main.py:113-125) — as a schema-enforced distributed
+    * scan. PERMISSIVE mode is the per-record analog of the reference's
+    * response-level accept-or-empty: a malformed record nulls its row
+    * instead of failing the job, and the reject side-channel
+    * (q_filter_rejects) picks it up downstream. Exercised by
+    * JsonSourceSpec against the parquet analog.
+    */
+  def readJsonEvents(s: SparkSession, path: String): DataFrame =
+    s.read
+      .schema(
+        "event_id BIGINT, ts TIMESTAMP, user_id BIGINT, event_type STRING, " +
+          "value DOUBLE, props STRING")
+      .option("mode", "PERMISSIVE")
+      // µs-precision wire format: the writer default truncates to ms
+      .option("timestampFormat", "yyyy-MM-dd'T'HH:mm:ss.SSSSSSXXX")
+      .json(path)
+
   /** q_window_7d — rolling 7-day extraction window (DAYS_BACK=7,
     * main.py:25,104-111): [as-of+1d − 7d, ∞) on event time.
     */
