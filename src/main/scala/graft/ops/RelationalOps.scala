@@ -167,6 +167,27 @@ object RelationalOps {
       .orderBy("n_name", "o_year")
   }
 
+  /** q_agg_sketch — the approximate aggregates a 100 TB report actually
+    * runs: HyperLogLog++ distinct users and approximate quantiles of value
+    * per event type. Both are mergeable sketches, so the aggregation stays
+    * two-phase (map-side partials + one shuffle of constant-size state) no
+    * matter the row count — the property exact distinct/percentile lack.
+    * Sketch internals are engine-specific, so there is no DuckDB hash
+    * oracle (the driver's rows-only check applies); SketchSpec bounds the
+    * error against the exact answers instead.
+    */
+  private def aggSketch(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    T(s, d, "events")
+      .groupBy($"event_type")
+      .agg(
+        approx_count_distinct($"user_id", 0.02).as("approx_users"),
+        percentile_approx($"value", lit(0.5), lit(1000)).as("p50_value"),
+        percentile_approx($"value", lit(0.95), lit(1000)).as("p95_value"),
+        count(lit(1)).as("n"))
+      .orderBy("event_type")
+  }
+
   /** q_agg_group — hash aggregate with full stats per group. avg is
     * decimal-sum / count in doubles so both engines divide the same exact
     * values.
@@ -401,6 +422,7 @@ object RelationalOps {
           "JOIN region ON n_regionkey = r_regionkey " +
           "WHERE p_name LIKE '%red%' AND r_name IN ('ASIA', 'EUROPE') " +
           "GROUP BY 1, 2 ORDER BY n_name, o_year")),
+    QueryDef("q_agg_sketch", aggSketch, None),
     QueryDef(
       "q_agg_group",
       aggGroup,
