@@ -150,6 +150,31 @@ object ReportOps {
       "UNION ALL SELECT 'check_attempts', CAST(check_attempts AS VARCHAR) FROM daily" +
       ") ORDER BY metric"
 
+  /** q_pivot — the inverse reshape of [[reportUnpivot]]: long → wide on a
+    * FIXED pivot-value list (an unbounded pivot needs a driver-side
+    * distinct pass — the fixed list keeps the plan one shuffle and is what
+    * a production report schema declares anyway). Each cell is a
+    * conditional count, which is also how the oracle expresses it.
+    */
+  private val PivotTypes = Seq("click", "error", "purchase", "signup", "view")
+  private def pivot(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    T(s, d, "events")
+      .select(to_date($"ts").as("d"), $"event_type")
+      .groupBy($"d")
+      .pivot("event_type", PivotTypes)
+      .agg(count(lit(1)))
+      .na.fill(0L, PivotTypes)
+      .orderBy("d")
+  }
+
+  private val PivotSql =
+    "SELECT CAST(ts AS DATE) AS d, " +
+      PivotTypes
+        .map(t => s"COUNT(*) FILTER (WHERE event_type = '$t') AS \"$t\"")
+        .mkString(", ") +
+      " FROM events GROUP BY 1 ORDER BY d"
+
   /** q_zero_fallback — empty-day default report (main.py:293-315): all
     * zeros and '0.00%' instead of the Postgres division-by-zero error path.
     */
@@ -248,6 +273,7 @@ object ReportOps {
           s"value, props FROM events WHERE CAST(ts AS DATE) = DATE '${T.AsOf}' " +
           "ORDER BY event_id")),
     QueryDef("q_report_unpivot", reportUnpivot, Some(ReportUnpivotSql)),
+    QueryDef("q_pivot", pivot, Some(PivotSql)),
     QueryDef("q_zero_fallback", zeroFallback, Some(ZeroFallbackSql)),
     QueryDef("q_fmt_pct", fmtPct, Some(FmtPctSql)),
     QueryDef("q_date_parse", dateParse, Some(DateParseSql))
