@@ -368,6 +368,13 @@ object DedupOps {
     * buckets number 4·2⁸ here and grow with bits-per-band at larger scale.
     * Documented approximation: a pair whose signs differ in all 4 bands is
     * not reported; the oracle applies the identical candidate rule.
+    *
+    * Unlike [[bandedJaccardPairs]], candidates here stay slim (id pairs)
+    * with vectors fetched back by key: the embed lineage is a cheap
+    * fixed-width parquet read + one fused dot (no tokenize/md5 pass worth
+    * deduplicating), while carrying 64-float vectors through a 4-way band
+    * explode would quadruple the shuffled bytes — the opposite trade from
+    * the token case, on purpose.
     */
   private val EmbBandBits = 8
   private val EmbBands = 4
