@@ -188,6 +188,30 @@ object RelationalOps {
       .orderBy("event_type")
   }
 
+  /** q_agg_topk — per-group top-k via the custom mergeable
+    * [[graft.expr.TopKAgg]] aggregator (TypedColumn path): bounded k-pair
+    * state with map-side partial aggregation, instead of the window form
+    * that sorts and shuffles every row of every group. The (value desc,
+    * id asc) ordering is total, so the result is a pure function of the
+    * input set — oracle-checked against the window formulation.
+    */
+  private def aggTopk(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val topk = udaf(
+      new graft.expr.TopKAgg(3),
+      org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[(Double, Long)]())
+    T(s, d, "events")
+      .groupBy($"event_type")
+      .agg(topk($"value", $"event_id").as("top"))
+      .select($"event_type", posexplode($"top").as(Seq("pos", "p")))
+      .select(
+        $"event_type",
+        ($"pos" + 1).cast("bigint").as("rank"),
+        $"p._1".as("value"),
+        $"p._2".as("event_id"))
+      .orderBy("event_type", "rank")
+  }
+
   /** q_agg_group — hash aggregate with full stats per group. avg is
     * decimal-sum / count in doubles so both engines divide the same exact
     * values.
@@ -423,6 +447,14 @@ object RelationalOps {
           "WHERE p_name LIKE '%red%' AND r_name IN ('ASIA', 'EUROPE') " +
           "GROUP BY 1, 2 ORDER BY n_name, o_year")),
     QueryDef("q_agg_sketch", aggSketch, None),
+    QueryDef(
+      "q_agg_topk",
+      aggTopk,
+      Some(
+        "SELECT event_type, rn AS rank, value, event_id FROM (" +
+          "SELECT event_type, value, event_id, " +
+          "row_number() OVER (PARTITION BY event_type ORDER BY value DESC, event_id) AS rn " +
+          "FROM events) WHERE rn <= 3 ORDER BY event_type, rank")),
     QueryDef(
       "q_agg_group",
       aggGroup,
