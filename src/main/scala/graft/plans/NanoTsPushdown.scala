@@ -23,7 +23,8 @@ import org.apache.spark.sql.types.{LongType, TimestampType}
   *   conv <  L  ⇔  c <  L·1000          conv <= L  ⇔  c <  (L+1)·1000
   *   conv =  L  ⇔  L·1000 <= c < L·1000 + 1000
   *
-  * Registered via `spark.experimental.extraOptimizations` (runs after
+  * Registered via [[graft.GraftExtensions]] (`spark.sql.extensions`) or
+  * `spark.experimental.extraOptimizations` (runs after
   * constant folding, before physical planning, so the rewritten predicate
   * is a plain column-vs-literal comparison FileSourceStrategy pushes down).
   */

@@ -11,4 +11,12 @@ import org.apache.spark.sql.classic.ExpressionUtils
 object GraftBridge {
   def column(e: Expression): Column = ExpressionUtils.column(e)
   def expression(c: Column): Expression = ExpressionUtils.expression(c)
+
+  /** Test-visible accessor for the optimizer rules an extensions object
+    * would inject (buildOptimizerRules is private[sql]).
+    */
+  def optimizerRules(
+      ext: SparkSessionExtensions,
+      session: SparkSession): Seq[catalyst.rules.Rule[catalyst.plans.logical.LogicalPlan]] =
+    ext.buildOptimizerRules(session)
 }
