@@ -69,6 +69,34 @@ object IngestOps {
       .orderBy("event_id")
   }
 
+  /** q_parse_literal — the Python-dict-literal dialect of the reference's
+    * lenient parser (main.py:94-101, the `ast.literal_eval` branch) under
+    * the oracle. Both engines derive the same dict from `props`: Spark
+    * renders it single-quoted with bare True/None keywords — a form the
+    * codegen'd from_json fast path rejects (allowSingleQuotes covers the
+    * quotes, but `True`/`None` are not JSON tokens), so every row is forced
+    * through the LenientJson UDF fallback; DuckDB renders the equivalent
+    * strict-JSON object. A break in normalizePyLiteral turns the Spark side
+    * into {} rows and fails the hash.
+    */
+  private def parseLiteral(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    T(s, d, "events")
+      .select(
+        $"event_id",
+        concat(
+          lit("{'k': "),
+          coalesce(get_json_object($"props", "$.k"), lit("0")),
+          lit(", 'flag': True, 'note': None}")).as("py"))
+      .select($"event_id", LenientJson.parsed($"py").as("m"))
+      .select(
+        $"event_id",
+        concat_ws(",", array_sort(map_keys($"m"))).as("keys"),
+        element_at($"m", "k").as("k_val"),
+        element_at($"m", "flag").as("flag_val"))
+      .orderBy("event_id")
+  }
+
   /** q_extract_nested — named-field extraction out of the JSON blob
     * (main.py:137-139), typed on the way out.
     */
@@ -192,6 +220,18 @@ object IngestOps {
           "array_to_string(list_sort(json_keys(props)), ',') AS keys, " +
           "json_extract_string(props, '$.k') AS k_val " +
           "FROM events ORDER BY event_id")),
+    QueryDef(
+      "q_parse_literal",
+      parseLiteral,
+      Some(
+        "SELECT event_id, " +
+          "array_to_string(list_sort(json_keys(j)), ',') AS keys, " +
+          "json_extract_string(j, '$.k') AS k_val, " +
+          "json_extract_string(j, '$.flag') AS flag_val FROM (" +
+          "SELECT event_id, concat('{\"k\": ', " +
+          "COALESCE(json_extract_string(props, '$.k'), '0'), " +
+          "', \"flag\": true, \"note\": null}') AS j FROM events) " +
+          "ORDER BY event_id")),
     QueryDef(
       "q_extract_nested",
       extractNested,

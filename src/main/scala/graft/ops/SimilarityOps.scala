@@ -2,7 +2,6 @@ package graft.ops
 
 import graft.{QueryDef, T, X}
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Tier C similarity search over the embeddings table (SURVEY §2 Tier C):
@@ -155,38 +154,72 @@ object SimilarityOps {
     * scale — one shuffle to build the inverted file, the probe reads 2 of
     * 16 cell partitions, and cells grow with √corpus in a real deployment.
     * Centroids here are a deterministic stand-in (the first 16 vectors) so
-    * the oracle can replicate assignment exactly; production trains
-    * k-means off-line and broadcasts the codebook — the plumbing
-    * (broadcast quantizer → argmin assignment → cell-bucketed probe) is
-    * identical. Assignment ranks with row_number over (cos desc, c_id)
-    * for engine-identical tie-breaks.
+    * the oracle can replicate assignment exactly; [[trainCodebook]] is the
+    * production path (Lloyd k-means, validated by recall agreement in
+    * IvfTrainSpec rather than an oracle hash) and q_sim_ivf_trained runs
+    * it end-to-end. Assignment is a map-side argmin over the broadcast
+    * codebook — no Exchange touches the embeddings between scan and cell
+    * assignment (the old crossJoin×k + row_number formulation pushed a
+    * k×-expanded corpus through a shuffle just to rank it).
     */
   private val IvfCells = 16
   private val NProbe = 2
 
-  private def simIvf(s: SparkSession, d: String): DataFrame = {
-    import s.implicits._
-    val e = emb(s, d).select($"vec_id", $"embedding", Vec.norm2($"embedding").as("n2"))
-    val cents = e
-      .filter($"vec_id" < IvfCells)
-      .select($"vec_id".as("c_id"), $"embedding".as("c"), $"n2".as("cn2"))
-    val scored = e
-      .crossJoin(broadcast(cents))
+  /** One-row codebook: the k centroids as a c_id-sorted array of structs.
+    * Broadcast of this row is the "ship the quantizer to every executor"
+    * step of a real IVF build (sort_array pins the order — collect_list
+    * alone is partition-order-dependent).
+    */
+  private def codebookRow(cents: DataFrame): DataFrame = {
+    import cents.sparkSession.implicits._
+    cents.groupBy().agg(
+      sort_array(collect_list(struct($"c_id", $"c", $"cn2"))).as("cb"))
+  }
+
+  /** Per-row scores against every codebook entry, as a flat (codegen-able,
+    * no higher-order-function fallback) array of struct(ccos, -c_id):
+    * `array_max` over it is the argmin assignment with the same
+    * (cos desc, c_id asc) tie-break the previous row_number formulation
+    * used, and `reverse(array_sort(_))` ranks cells for the probe — all
+    * map-side, no Exchange between the embeddings scan and assignment.
+    */
+  private def cellScores(k: Int) = {
+    (1 to k).map { i =>
+      val ct = element_at(col("cb"), i)
+      struct(
+        Vec.cosine(
+          Vec.dot(col("embedding"), ct.getField("c")),
+          col("n2"),
+          ct.getField("cn2")).as("ccos"),
+        (-ct.getField("c_id")).as("nid"))
+    }
+  }
+
+  /** IVF probe: assign every vector to its best cell, search the probe
+    * vector's top-nprobe cells only. Shared by the stand-in-codebook oracle
+    * variant and the k-means-trained variant.
+    */
+  private def ivfSearch(e: DataFrame, cents: DataFrame, nprobe: Int): DataFrame = {
+    import e.sparkSession.implicits._
+    val k = IvfCells
+    val assigned = e
+      .crossJoin(broadcast(codebookRow(cents)))
       .select(
         $"vec_id",
         $"embedding",
         $"n2",
-        $"c_id",
-        Vec.cosine(Vec.dot($"embedding", $"c"), $"n2", $"cn2").as("ccos"))
-    val w = Window.partitionBy($"vec_id").orderBy($"ccos".desc, $"c_id")
-    val ranked = scored.withColumn("rn", row_number().over(w))
-    val cells = ranked
-      .filter($"rn" === 1)
-      .select($"vec_id", $"embedding", $"n2", $"c_id".as("cell"))
-    val probeCells = ranked
-      .filter($"vec_id" === 0 && $"rn" <= NProbe)
-      .select($"c_id".as("pcell"))
-    val probe = e.filter($"vec_id" === 0).select($"embedding".as("p"), $"n2".as("pn2"))
+        array(cellScores(k): _*).as("scored"))
+    val cells = assigned.select(
+      $"vec_id",
+      $"embedding",
+      $"n2",
+      (-array_max($"scored").getField("nid")).as("cell"))
+    val probeCells = assigned
+      .filter($"vec_id" === 0)
+      .select(explode(slice(reverse(array_sort($"scored")), 1, nprobe)).as("sc"))
+      .select((-$"sc.nid").as("pcell"))
+    val probe =
+      e.filter($"vec_id" === 0).select($"embedding".as("p"), $"n2".as("pn2"))
     cells
       .join(broadcast(probeCells), $"cell" === $"pcell")
       .filter($"vec_id" =!= 0)
@@ -197,6 +230,84 @@ object SimilarityOps {
         X.r6(Vec.cosine(Vec.dot($"embedding", $"p"), $"n2", $"pn2")).as("cos"))
       .orderBy($"cos".desc, $"vec_id")
       .limit(10)
+  }
+
+  private def simIvf(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val e = emb(s, d).select($"vec_id", $"embedding", Vec.norm2($"embedding").as("n2"))
+    val cents = e
+      .filter($"vec_id" < IvfCells)
+      .select($"vec_id".as("c_id"), $"embedding".as("c"), $"n2".as("cn2"))
+    ivfSearch(e, cents, NProbe)
+  }
+
+  /** Deterministic Lloyd k-means for the IVF coarse quantizer: init = the k
+    * lowest vec_ids (fixed seed rows, no RNG), a fixed iteration count,
+    * cosine assignment with the same (cos desc, c_id asc) tie-break as the
+    * probe path, and exact-decimal elementwise means so the trained
+    * centroids do not depend on partition order (a double `avg` would).
+    * The k×dim codebook is model state: it is collected to the driver
+    * between passes — the same shape MLlib's KMeans uses — while every
+    * pass over the data stays distributed, so this trains unchanged on a
+    * 1000-executor corpus.
+    */
+  private[graft] def trainCodebook(
+      e: DataFrame,
+      k: Int,
+      iters: Int): Seq[(Long, Seq[Float])] = {
+    val s = e.sparkSession
+    import s.implicits._
+    var cb: Seq[(Long, Seq[Float])] = e
+      .filter($"vec_id" < k)
+      .orderBy($"vec_id")
+      .select($"vec_id", $"embedding")
+      .as[(Long, Seq[Float])]
+      .collect()
+      .toSeq
+      .zipWithIndex
+      .map { case ((_, v), i) => (i.toLong, v) }
+    for (_ <- 1 to iters) {
+      val cents =
+        cb.toDF("c_id", "c").select($"c_id", $"c", Vec.norm2($"c").as("cn2"))
+      val assigned = e
+        .crossJoin(broadcast(codebookRow(cents)))
+        .select(
+          $"embedding",
+          (-array_max(array(cellScores(k): _*)).getField("nid")).as("cell"))
+      val means = assigned
+        .select($"cell", posexplode($"embedding").as(Seq("pos", "x")))
+        .groupBy($"cell", $"pos")
+        .agg((sum($"x".cast("decimal(27,10)")) / count(lit(1)))
+          .cast("float")
+          .as("m"))
+        .groupBy($"cell")
+        .agg(
+          transform(sort_array(collect_list(struct($"pos", $"m"))), p =>
+            p.getField("m")).as("c"))
+        .as[(Long, Seq[Float])]
+        .collect()
+        .toMap
+      // a cell that captured no vectors keeps its previous centroid
+      cb = cb.map { case (id, old) => (id, means.getOrElse(id, old)) }
+    }
+    cb
+  }
+
+  /** q_sim_ivf_trained — the production IVF path end-to-end: train the
+    * coarse quantizer with [[trainCodebook]], then the same map-side
+    * broadcast-codebook probe as q_sim_ivf. No SQL oracle (Lloyd k-means
+    * is not oracle-expressible for the driver's hash compare); validated
+    * by IvfTrainSpec (determinism + recall agreement vs the brute-force
+    * top-k) plus the driver's rows-only check.
+    */
+  private[graft] def simIvfTrained(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val e = emb(s, d)
+      .select($"vec_id", $"embedding", Vec.norm2($"embedding").as("n2"))
+    val cb = trainCodebook(e, IvfCells, iters = 4)
+    val cents =
+      cb.toDF("c_id", "c").select($"c_id", $"c", Vec.norm2($"c").as("cn2"))
+    ivfSearch(e, cents, NProbe)
   }
 
   private val IvfSql =
@@ -239,6 +350,7 @@ object SimilarityOps {
     QueryDef("q_sim_topk", simTopk, Some(TopkSql)),
     QueryDef("q_sim_ann", simAnn, Some(AnnSql)),
     QueryDef("q_sim_ivf", simIvf, Some(IvfSql)),
+    QueryDef("q_sim_ivf_trained", simIvfTrained, None),
     QueryDef(
       "q_multimodal",
       multimodal,

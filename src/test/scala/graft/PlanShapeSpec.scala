@@ -70,6 +70,17 @@ class PlanShapeSpec extends SparkSpec {
     assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastHashJoin"), p)
   }
 
+  test("q_sim_ivf cell assignment is map-side: no row-expanding shuffle") {
+    val p = plan("q_sim_ivf")
+    // the only shuffle allowed is the single-partition collect of the
+    // 16-row codebook; the corpus itself must go scan → broadcast-join →
+    // argmin projection with no Exchange (the old crossJoin+row_number
+    // shape pushed a 16×-expanded corpus through hashpartitioning)
+    assert(!p.contains("Exchange hashpartitioning"), p)
+    assert(!p.contains("Window"), p)
+    assert(p.contains("TakeOrderedAndProject"), p)
+  }
+
   test("banded dedup self-join reuses one exchange: the hash pass runs once") {
     Seq("q_dedup_near", "q_dedup_ngram").foreach { q =>
       val df = SparkEntry.queries(q)(spark, sf)
