@@ -125,7 +125,7 @@ object DedupOps {
     * collapsed by the final distinct (identical i/sz both times); being a
     * shuffle join, a hot band bucket splits under AQE skew handling.
     */
-  private def bandedJaccardPairs(
+  private[graft] def bandedJaccardPairs(
       s: SparkSession,
       sets: DataFrame,
       num: Int,
@@ -362,7 +362,11 @@ object DedupOps {
   /** q_dedup_embed — embedding-cosine near-dup pairs over sign-LSH banded
     * candidates: the semantic-dedup step of an LLM data pipeline, in the
     * same bucket-then-verify shape as [[dedupNear]]. Candidates = pairs
-    * sharing any of 4 bands of 8 sign bits (dims 1..32); verification is
+    * sharing any of 4 bands of 8 sign bits, strided across ALL 64 dims
+    * (band j bit k reads dim 2·(8j+k)+1, so the 32 sampled signs span the
+    * whole vector instead of its first half — full signal at identical
+    * cost, and a pair that is only similar in the upper dims is still
+    * discoverable, see EmbedBandSpec); verification is
     * the exact cosine (codegen'd [[graft.expr.DotProduct]], norms
     * precomputed). No all-pairs join on any low-cardinality key — band
     * buckets number 4·2⁸ here and grow with bits-per-band at larger scale.
@@ -379,27 +383,34 @@ object DedupOps {
   private val EmbBandBits = 8
   private val EmbBands = 4
 
+  /** Stride-2 dim index: spreads the 4×8 sampled sign bits over all 64
+    * dims (2·(8j+k)+1 = the odd dims, band j owning one contiguous
+    * quarter) instead of burning the whole bit budget on dims 1..32.
+    */
+  private def embDim(j: Int, k: Int): Int = 2 * (EmbBandBits * j + k) + 1
+
   private def embBandCol(j: Int): Column =
     (0 until EmbBandBits)
       .map(k =>
-        when(element_at(col("embedding"), EmbBandBits * j + k + 1) > 0f, lit(1L << k))
+        when(element_at(col("embedding"), embDim(j, k)) > 0f, lit(1L << k))
           .otherwise(lit(0L)))
       .reduce(_ + _)
 
   private def embBandSql(j: Int): String =
     (0 until EmbBandBits)
-      .map(k => s"CASE WHEN embedding[${EmbBandBits * j + k + 1}] > 0 THEN ${1L << k} ELSE 0 END")
+      .map(k => s"CASE WHEN embedding[${embDim(j, k)}] > 0 THEN ${1L << k} ELSE 0 END")
       .mkString(" + ")
 
-  private def dedupEmbed(s: SparkSession, d: String): DataFrame = {
-    import s.implicits._
-    val e = T(s, d, "embeddings")
-      .select($"vec_id", $"embedding", Vec.norm2($"embedding").as("n2"))
-    val bands = T(s, d, "embeddings").select(
+  /** Sign-LSH banded candidate pairs for any (vec_id, embedding) relation;
+    * the candidate half of [[dedupEmbed]], exposed for the recall spec.
+    */
+  private[graft] def embBandedCandidates(emb: DataFrame): DataFrame = {
+    import emb.sparkSession.implicits._
+    val bands = emb.select(
       $"vec_id",
       posexplode(array((0 until EmbBands).map(embBandCol): _*))
         .as(Seq("band_idx", "band_val")))
-    val cand = bands
+    bands
       .as("a")
       .join(
         bands.as("b"),
@@ -407,7 +418,13 @@ object DedupOps {
           $"a.vec_id" < $"b.vec_id")
       .select($"a.vec_id".as("a_id"), $"b.vec_id".as("b_id"))
       .distinct()
-    cand
+  }
+
+  private def dedupEmbed(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val e = T(s, d, "embeddings")
+      .select($"vec_id", $"embedding", Vec.norm2($"embedding").as("n2"))
+    embBandedCandidates(T(s, d, "embeddings").select($"vec_id", $"embedding"))
       .join(e.select($"vec_id".as("a_id"), $"embedding".as("ea"), $"n2".as("n2a")), "a_id")
       .join(e.select($"vec_id".as("b_id"), $"embedding".as("eb"), $"n2".as("n2b")), "b_id")
       .select(

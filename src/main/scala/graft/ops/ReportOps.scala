@@ -175,6 +175,26 @@ object ReportOps {
         .mkString(", ") +
       " FROM events GROUP BY 1 ORDER BY d"
 
+  /** q_pivot_auto — [[pivot]] with DISCOVERED pivot values: the unbounded
+    * `pivot(col)` form Spark resolves by running a driver-side distinct
+    * over the pivot column before planning (values come back sorted, so
+    * the wide schema is deterministic). That extra scan is the price of an
+    * unknown report schema — two jobs instead of one — which is why
+    * [[pivot]]'s fixed-list form stays the scale default; this variant is
+    * the discovery story for schemas no one declared. Same oracle as
+    * q_pivot: on this data the discovered values ARE the declared list, so
+    * the two must agree cell for cell.
+    */
+  private def pivotAuto(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val wide = T(s, d, "events")
+      .select(to_date($"ts").as("d"), $"event_type")
+      .groupBy($"d")
+      .pivot("event_type")
+      .agg(count(lit(1)))
+    wide.na.fill(0L, wide.columns.filter(_ != "d").toSeq).orderBy("d")
+  }
+
   /** q_zero_fallback — empty-day default report (main.py:293-315): all
     * zeros and '0.00%' instead of the Postgres division-by-zero error path.
     */
@@ -274,6 +294,7 @@ object ReportOps {
           "ORDER BY event_id")),
     QueryDef("q_report_unpivot", reportUnpivot, Some(ReportUnpivotSql)),
     QueryDef("q_pivot", pivot, Some(PivotSql)),
+    QueryDef("q_pivot_auto", pivotAuto, Some(PivotSql)),
     QueryDef("q_zero_fallback", zeroFallback, Some(ZeroFallbackSql)),
     QueryDef("q_fmt_pct", fmtPct, Some(FmtPctSql)),
     QueryDef("q_date_parse", dateParse, Some(DateParseSql))
