@@ -179,6 +179,38 @@ object IngestOps {
       .orderBy("event_id")
   }
 
+  /** Deterministic 0..99 bucket from the md5-derived 32-bit key hash: the
+    * sampling/split primitive of a training-data pipeline. Unlike
+    * rand()-based sampling this is reproducible across engines, task
+    * retries, and reruns — membership is a pure function of the key — and
+    * it needs no RNG state in tasks.
+    */
+  private def hashBucket = pmod(Hashing.h32(col("event_id").cast("string")), lit(100L))
+
+  private val HashBucketSql =
+    s"${Hashing.h32Sql("CAST(event_id AS VARCHAR)")} % 100"
+
+  /** q_sample_hash — reproducible 5% downsample by key hash. */
+  private def sampleHash(s: SparkSession, d: String): DataFrame =
+    T(s, d, "events").filter(hashBucket < 5).orderBy("event_id")
+
+  /** q_split_assign — the train/valid/test split (80/10/10 by key hash),
+    * reported as per-split counts. The split column is what a pipeline
+    * writes (or partitions by); the counts keep the oracle output compact.
+    */
+  private def splitAssign(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    T(s, d, "events")
+      .select(
+        when(hashBucket < 80, "train")
+          .when(hashBucket < 90, "valid")
+          .otherwise("test")
+          .as("split"))
+      .groupBy($"split")
+      .agg(count(lit(1)).as("n"))
+      .orderBy("split")
+  }
+
   /** q_sheet_export — the raw-data grid sink (main.py:254-264): header row
     * from the column names + stringified data rows, stable order. The
     * engine-side semantics of the sheet overwrite; the actual write is
@@ -272,6 +304,19 @@ object IngestOps {
         s"SELECT $EventCols FROM events " +
           "QUALIFY row_number() OVER (PARTITION BY user_id, CAST(ts AS TIMESTAMP) " +
           "ORDER BY event_id) = 1 ORDER BY event_id")),
+    QueryDef(
+      "q_sample_hash",
+      sampleHash,
+      Some(
+        s"SELECT $EventCols FROM events " +
+          s"WHERE $HashBucketSql < 5 ORDER BY event_id")),
+    QueryDef(
+      "q_split_assign",
+      splitAssign,
+      Some(
+        s"SELECT CASE WHEN $HashBucketSql < 80 THEN 'train' " +
+          s"WHEN $HashBucketSql < 90 THEN 'valid' ELSE 'test' END AS split, " +
+          "CAST(COUNT(*) AS BIGINT) AS n FROM events GROUP BY 1 ORDER BY split")),
     QueryDef(
       "q_sheet_export",
       sheetExport,

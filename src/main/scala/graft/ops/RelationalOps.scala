@@ -361,6 +361,70 @@ object RelationalOps {
       .orderBy("user_id", "d")
   }
 
+  /** q_join_asof — as-of join (for each purchase, the latest view at or
+    * before it, per user): the point-in-time attribution primitive Spark
+    * has no native operator for. Composed as ONE event-time window pass
+    * instead of a join: both event kinds share a single user_id shuffle,
+    * views sort before purchases at equal ts (realizing "at or before"),
+    * and last(ignoreNulls) carries the most recent view time forward. At
+    * scale that is strictly better than the sort-merge-with-inequality a
+    * dedicated as-of operator would run — same shuffle, no join state —
+    * so composition wins over a custom SparkPlan here (charter order (a)).
+    * Oracle: DuckDB's native ASOF LEFT JOIN over the same µs-cast inputs.
+    */
+  private def joinAsof(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val ev = T(s, d, "events")
+      .filter($"event_type".isin("view", "purchase"))
+      .select($"event_id", $"user_id", $"ts", $"event_type")
+    val w = Window
+      .partitionBy($"user_id")
+      .orderBy(
+        $"ts",
+        when($"event_type" === "view", 0).otherwise(1),
+        $"event_id")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    ev.withColumn(
+        "last_view_ts",
+        last(when($"event_type" === "view", $"ts"), ignoreNulls = true).over(w))
+      .filter($"event_type" === "purchase")
+      .select($"event_id", $"user_id", $"ts", $"last_view_ts")
+      .orderBy("event_id")
+  }
+
+  private val AsofSql =
+    "WITH p AS (SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS ts " +
+      "FROM events WHERE event_type = 'purchase'), " +
+      "v AS (SELECT DISTINCT user_id, CAST(ts AS TIMESTAMP) AS ts " +
+      "FROM events WHERE event_type = 'view') " +
+      "SELECT p.event_id, p.user_id, p.ts, v.ts AS last_view_ts " +
+      "FROM p ASOF LEFT JOIN v ON p.user_id = v.user_id AND v.ts <= p.ts " +
+      "ORDER BY event_id"
+
+  /** q_agg_quantile — exact discrete percentiles per group
+    * (percentile_disc): p50/p95/p99 of event value, the latency/size
+    * distribution report of a data pipeline. DISC (an actual element of
+    * the set, no interpolation arithmetic) keeps the result bit-identical
+    * cross-engine where CONT's IEEE interpolation would not be. At scale
+    * exact percentiles are a sort-based aggregate per group; the
+    * approximate path for wide cardinalities is q_agg_sketch.
+    */
+  private def aggQuantile(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    T(s, d, "events")
+      .groupBy($"event_type")
+      .agg(
+        expr("percentile_disc(0.5) WITHIN GROUP (ORDER BY value)").as("p50"),
+        expr("percentile_disc(0.95) WITHIN GROUP (ORDER BY value)").as("p95"),
+        expr("percentile_disc(0.99) WITHIN GROUP (ORDER BY value)").as("p99"))
+      .orderBy("event_type")
+  }
+
+  private val QuantileSql =
+    "SELECT event_type, quantile_disc(value, 0.5) AS p50, " +
+      "quantile_disc(value, 0.95) AS p95, quantile_disc(value, 0.99) AS p99 " +
+      "FROM events GROUP BY event_type ORDER BY event_type"
+
   /** q_case_when — CASE WHEN categorization (main.py:282,285-286). */
   private def caseWhen(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
@@ -551,6 +615,8 @@ object RelationalOps {
           "CASE WHEN event_type IN ('purchase','signup') THEN 'conversion' " +
           "WHEN event_type = 'error' THEN 'problem' " +
           "ELSE 'engagement' END AS category " +
-          "FROM events ORDER BY event_id"))
+          "FROM events ORDER BY event_id")),
+    QueryDef("q_join_asof", joinAsof, Some(AsofSql)),
+    QueryDef("q_agg_quantile", aggQuantile, Some(QuantileSql))
   )
 }

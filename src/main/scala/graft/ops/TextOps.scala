@@ -2,6 +2,7 @@ package graft.ops
 
 import graft.{QueryDef, T}
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Tier C text analysis (charter): token statistics, corpus stats,
@@ -172,6 +173,96 @@ object TextOps {
       "CAST(ceil(n_chars / 4) AS BIGINT) AS est_bpe_tokens " +
       "FROM documents ORDER BY doc_id"
 
+  /** q_text_ngrams — corpus bigram frequency, top-20: the n-gram language
+    * model / contamination-check primitive. Adjacent-pair expansion is a
+    * per-row transform (map-side); the only shuffle is the two-phase count
+    * aggregate, exactly like q_text_tokens.
+    */
+  private def textNgrams(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    docs(s, d)
+      .select(split($"text", " ").as("tk"))
+      .filter(size($"tk") >= 2)
+      .select(
+        explode(expr(
+          "transform(sequence(1, size(tk) - 1), i -> concat(tk[i-1], ' ', tk[i]))"))
+          .as("bigram"))
+      .groupBy($"bigram")
+      .agg(count(lit(1)).as("n"))
+      .orderBy($"n".desc, $"bigram")
+      .limit(20)
+  }
+
+  private val NgramsSql =
+    "SELECT bigram, COUNT(*) AS n FROM (" +
+      "SELECT unnest(list_transform(generate_series(1, len(tk) - 1), " +
+      "i -> tk[i] || ' ' || tk[i+1])) AS bigram FROM " +
+      "(SELECT string_split(text, ' ') AS tk FROM documents) WHERE len(tk) >= 2" +
+      ") GROUP BY bigram ORDER BY n DESC, bigram LIMIT 20"
+
+  /** q_text_keyterms — characteristic term per document by an integer-exact
+    * tf-idf ranking: (tf DESC, df ASC, term) — highest in-doc frequency,
+    * corpus rarity as the tiebreak. The classic tf·log(N/df) score is
+    * deliberately not materialized: log is not bit-stable across libms
+    * (graft.X rationale), and for a per-doc argmax the lexicographic rank
+    * preserves the decision without any float. Two shuffles (tf by
+    * (doc,term), df by term) + a broadcast-joined window.
+    */
+  private def textKeyterms(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val tok = docs(s, d).select($"doc_id", explode(split($"text", " ")).as("term"))
+    val tf = tok.groupBy($"doc_id", $"term").agg(count(lit(1)).as("tf"))
+    val dfreq = tok.groupBy($"term").agg(countDistinct($"doc_id").as("df"))
+    val w = Window.partitionBy($"doc_id").orderBy($"tf".desc, $"df".asc, $"term")
+    tf.join(dfreq, "term")
+      .withColumn("rn", row_number().over(w))
+      .filter($"rn" === 1)
+      .select($"doc_id", $"term", $"tf", $"df")
+      .orderBy("doc_id")
+  }
+
+  private val KeytermsSql =
+    "WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents), " +
+      "tf AS (SELECT doc_id, term, CAST(COUNT(*) AS BIGINT) AS tf FROM tok GROUP BY 1, 2), " +
+      "df AS (SELECT term, CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS df FROM tok GROUP BY 1) " +
+      "SELECT doc_id, term, tf, df FROM (" +
+      "SELECT tf.doc_id, tf.term, tf.tf, df.df, " +
+      "row_number() OVER (PARTITION BY tf.doc_id ORDER BY tf.tf DESC, df.df ASC, tf.term) AS rn " +
+      "FROM tf JOIN df USING (term)) WHERE rn = 1 ORDER BY doc_id"
+
+  /** q_text_redact — PII scrubbing (emails, phone-like digit runs) via
+    * regexp_replace: the redaction pass of a training-data pipeline.
+    * Synthetic PII is appended per row so the rule demonstrably fires on
+    * every document; patterns avoid backreferences/lookaround so Java
+    * regex and RE2-family engines agree. Pure map-side.
+    */
+  private def textRedact(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    docs(s, d)
+      .select(
+        $"doc_id",
+        concat(
+          $"text",
+          lit(" contact user"),
+          $"doc_id",
+          lit("@example.com or +1 415 555 01"),
+          $"doc_id").as("raw"))
+      .select(
+        $"doc_id",
+        regexp_replace(
+          regexp_replace($"raw", "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+", "<EMAIL>"),
+          "\\+?[0-9][0-9 ()-]{6,}[0-9]",
+          "<PHONE>").as("clean"))
+      .orderBy("doc_id")
+  }
+
+  private val RedactSql =
+    "SELECT doc_id, regexp_replace(regexp_replace(" +
+      "text || ' contact user' || doc_id || '@example.com or +1 415 555 01' || doc_id, " +
+      "'[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+', '<EMAIL>', 'g'), " +
+      "'\\+?[0-9][0-9 ()-]{6,}[0-9]', '<PHONE>', 'g') AS clean " +
+      "FROM documents ORDER BY doc_id"
+
   val defs: Seq[QueryDef] = Seq(
     QueryDef(
       "q_text_tokens",
@@ -192,6 +283,9 @@ object TextOps {
     QueryDef("q_text_langid", textLangid, Some(LangidSql)),
     QueryDef("q_text_quality", textQuality, Some(QualitySql)),
     QueryDef("q_text_fingerprint", textFingerprint, Some(FingerprintSql)),
-    QueryDef("q_text_count_tokens", textCountTokens, Some(CountTokensSql))
+    QueryDef("q_text_count_tokens", textCountTokens, Some(CountTokensSql)),
+    QueryDef("q_text_ngrams", textNgrams, Some(NgramsSql)),
+    QueryDef("q_text_keyterms", textKeyterms, Some(KeytermsSql)),
+    QueryDef("q_text_redact", textRedact, Some(RedactSql))
   )
 }

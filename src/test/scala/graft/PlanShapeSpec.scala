@@ -70,6 +70,12 @@ class PlanShapeSpec extends SparkSpec {
     assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastHashJoin"), p)
   }
 
+  test("q_join_asof is one window pass over one shuffle — no join operator") {
+    val p = plan("q_join_asof")
+    assert(!p.contains("Join"), p)
+    assert(p.contains("Window"), p)
+  }
+
   test("q_sim_ivf cell assignment is map-side: no row-expanding shuffle") {
     val p = plan("q_sim_ivf")
     // the only shuffle allowed is the single-partition collect of the
