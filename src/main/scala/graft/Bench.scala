@@ -41,21 +41,41 @@ object Bench {
     }
     System.gc() // drop warmup garbage so no measured query eats the pause
     // name order: stable across rounds, so per-query numbers are comparable
-    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
-      val times = (1 to iters).map { _ =>
-        val t0 = System.nanoTime()
-        // noop sink materializes every output column; count() would let the
-        // optimizer prune the very expressions being measured
-        try fn(spark, sfDir).write.mode("overwrite").format("noop").save()
-        catch { case e: Throwable => System.err.println(s"[bench] $name: $e") }
-        (System.nanoTime() - t0) / 1e9
-      }.sorted
-      name -> times(times.size / 2)
+    val names = SparkEntry.queries.toSeq.sortBy(_._1)
+    // INTERLEAVED iterations: run the full query list `iters` times and take
+    // each query's median ACROSS list-rounds. Back-to-back iterations of one
+    // query share any multi-second host-contention window, so their median
+    // still reports the contended time; interleaving puts ~the full list
+    // between a query's samples, decorrelating the noise.
+    val samples = collection.mutable.Map.empty[String, List[Double]]
+      .withDefaultValue(Nil)
+    val errors = collection.mutable.Map.empty[String, String]
+    for (_ <- 1 to iters; (name, fn) <- names) {
+      val t0 = System.nanoTime()
+      // noop sink materializes every output column; count() would let the
+      // optimizer prune the very expressions being measured
+      try {
+        fn(spark, sfDir).write.mode("overwrite").format("noop").save()
+        // only successful runs are timed: a fast-failing query must not
+        // lower the reported total (it reports into "errors" instead)
+        samples(name) = ((System.nanoTime() - t0) / 1e9) :: samples(name)
+      } catch {
+        case e: Throwable =>
+          System.err.println(s"[bench] $name: $e")
+          errors(name) = s"${e.getClass.getSimpleName}: ${Option(e.getMessage).getOrElse("").take(200)}"
+      }
     }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
+    val results = names.flatMap { case (name, _) =>
+      val ts = samples(name).sorted
+      if (ts.isEmpty) None else Some(name -> ts(ts.size / 2))
+    }
+    def jstr(s: String) = "\"" + s.replace("\\", "\\\\").replace("\"", "\\\"") + "\""
+    val qs = results.map { case (k, v) => jstr(k) + ":" + v }
       .mkString("{", ",", "}")
+    val errs = errors.toSeq.sortBy(_._1)
+      .map { case (k, v) => jstr(k) + ":" + jstr(v) }.mkString("{", ",", "}")
     val total = results.map(_._2).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","iterations":$iters}""")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errs,"sf":"$sfDir","iterations":$iters}""")
     spark.stop()
   }
 }
