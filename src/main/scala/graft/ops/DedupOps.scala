@@ -401,15 +401,20 @@ object DedupOps {
       .map(k => s"CASE WHEN embedding[${embDim(j, k)}] > 0 THEN ${1L << k} ELSE 0 END")
       .mkString(" + ")
 
-  /** Sign-LSH banded candidate pairs for any (vec_id, embedding) relation;
-    * the candidate half of [[dedupEmbed]], exposed for the recall spec.
+  /** Banded candidate pairs for any (vec_id, embedding) relation given one
+    * band-value column per band: explode to (band_idx, band_val), self-join
+    * on the bucket, emit slim distinct id pairs. Shared by the raw-sign and
+    * random-hyperplane variants; the band bucket is the shuffle key, so a
+    * hot bucket splits under AQE exactly as in [[bandedJaccardPairs]]
+    * (asserted for this join in EmbedSkewSpec).
     */
-  private[graft] def embBandedCandidates(emb: DataFrame): DataFrame = {
+  private[graft] def bandedCandidates(
+      emb: DataFrame,
+      bandCols: Seq[Column]): DataFrame = {
     import emb.sparkSession.implicits._
     val bands = emb.select(
       $"vec_id",
-      posexplode(array((0 until EmbBands).map(embBandCol): _*))
-        .as(Seq("band_idx", "band_val")))
+      posexplode(array(bandCols: _*)).as(Seq("band_idx", "band_val")))
     bands
       .as("a")
       .join(
@@ -420,11 +425,21 @@ object DedupOps {
       .distinct()
   }
 
-  private def dedupEmbed(s: SparkSession, d: String): DataFrame = {
+  /** Sign-LSH banded candidate pairs for any (vec_id, embedding) relation;
+    * the candidate half of [[dedupEmbed]], exposed for the recall spec.
+    */
+  private[graft] def embBandedCandidates(emb: DataFrame): DataFrame =
+    bandedCandidates(emb, (0 until EmbBands).map(embBandCol))
+
+  /** The exact-cosine verify half shared by both embed-dedup variants:
+    * fetch vectors back for the slim candidate pairs, one codegen'd dot per
+    * pair, keep cos ≥ 0.4.
+    */
+  private def verifyCosinePairs(s: SparkSession, d: String, cand: DataFrame): DataFrame = {
     import s.implicits._
     val e = T(s, d, "embeddings")
       .select($"vec_id", $"embedding", Vec.norm2($"embedding").as("n2"))
-    embBandedCandidates(T(s, d, "embeddings").select($"vec_id", $"embedding"))
+    cand
       .join(e.select($"vec_id".as("a_id"), $"embedding".as("ea"), $"n2".as("n2a")), "a_id")
       .join(e.select($"vec_id".as("b_id"), $"embedding".as("eb"), $"n2".as("n2b")), "b_id")
       .select(
@@ -435,9 +450,93 @@ object DedupOps {
       .orderBy("a_id", "b_id")
   }
 
+  private def dedupEmbed(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    verifyCosinePairs(
+      s,
+      d,
+      embBandedCandidates(T(s, d, "embeddings").select($"vec_id", $"embedding")))
+  }
+
   private val EmbedSql = {
     val bandUnion = (0 until EmbBands)
       .map(j => s"SELECT vec_id, $j AS band_idx, ${embBandSql(j)} AS band_val FROM embeddings")
+      .mkString(" UNION ALL ")
+    s"WITH e AS (SELECT vec_id, embedding, ${Vec.norm2Sql("embedding")} AS n2 " +
+      "FROM embeddings), " +
+      s"bands AS ($bandUnion), " +
+      "cand AS (SELECT DISTINCT a.vec_id AS a_id, b.vec_id AS b_id " +
+      "FROM bands a JOIN bands b ON a.band_idx = b.band_idx AND a.band_val = b.band_val " +
+      "AND a.vec_id < b.vec_id) " +
+      "SELECT a_id, b_id, cos FROM (" +
+      "SELECT c.a_id, c.b_id, " +
+      s"${Vec.dotSql("ea.embedding", "eb.embedding")} / (sqrt(ea.n2) * sqrt(eb.n2)) AS cos " +
+      "FROM cand c JOIN e ea ON ea.vec_id = c.a_id JOIN e eb ON eb.vec_id = c.b_id) " +
+      "WHERE cos >= 0.4 ORDER BY a_id, b_id"
+  }
+
+  /** q_dedup_embed_rh — the production sign-LSH: k SEEDED random
+    * hyperplanes instead of raw dimension signs. Raw signs (q_dedup_embed)
+    * are oracle-friendly but correlated with however the embedding model
+    * allocates its axes; random hyperplanes make P(bit flips) = angle/π
+    * regardless of axis alignment — the standard LSH guarantee. The
+    * hyperplane matrix is drawn ONCE from a fixed seed on the driver
+    * (model state, like the IVF codebook) and enters the plan as a
+    * broadcast literal, so sign computation stays map-side codegen
+    * ([[graft.expr.DotProduct]] against a literal array) with zero extra
+    * shuffles. Entries are Gaussians quantized to multiples of 1/1024:
+    * exactly representable in FLOAT, DOUBLE, and a short decimal string,
+    * so the DuckDB oracle evaluates the IDENTICAL hyperplanes and the
+    * variant is hash-checked end-to-end, not just recall-tested
+    * (HyperplaneBandSpec additionally pins recall at the same 4×8 band
+    * budget as the raw-sign variant).
+    */
+  private val RhSeed = 20260812L
+  private[graft] val rhPlanes: Seq[Seq[Float]] = {
+    val rnd = new scala.util.Random(RhSeed)
+    Seq.fill(EmbBands * EmbBandBits)(
+      Seq.fill(64)((math.rint(rnd.nextGaussian() * 1024) / 1024).toFloat))
+  }
+
+  private def rhBandCol(j: Int): Column =
+    (0 until EmbBandBits)
+      .map(k =>
+        when(
+          Vec.dot(col("embedding"), typedLit(rhPlanes(EmbBandBits * j + k))) > 0d,
+          lit(1L << k)).otherwise(lit(0L)))
+      .reduce(_ + _)
+
+  /** Exact decimal rendering of the quantized plane (n/1024 has ≤ 10
+    * fractional digits), so the SQL literal parses back to the identical
+    * double in DuckDB.
+    */
+  private def planeSqlLit(p: Seq[Float]): String =
+    p.map(f => new java.math.BigDecimal(f.toDouble).toPlainString)
+      .mkString("[", ", ", "]")
+
+  private def rhBandSql(j: Int): String =
+    (0 until EmbBandBits)
+      .map { k =>
+        val dot = Vec.dotSql("embedding", planeSqlLit(rhPlanes(EmbBandBits * j + k)))
+        s"CASE WHEN $dot > 0 THEN ${1L << k} ELSE 0 END"
+      }
+      .mkString(" + ")
+
+  /** Random-hyperplane banded candidates, exposed for HyperplaneBandSpec. */
+  private[graft] def rhBandedCandidates(emb: DataFrame): DataFrame =
+    bandedCandidates(emb, (0 until EmbBands).map(rhBandCol))
+
+  private def dedupEmbedRh(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    verifyCosinePairs(
+      s,
+      d,
+      rhBandedCandidates(T(s, d, "embeddings").select($"vec_id", $"embedding")))
+  }
+
+  private val EmbedRhSql = {
+    val bandUnion = (0 until EmbBands)
+      .map(j => s"SELECT vec_id, $j AS band_idx, ${rhBandSql(j)} AS band_val FROM embeddings")
       .mkString(" UNION ALL ")
     s"WITH e AS (SELECT vec_id, embedding, ${Vec.norm2Sql("embedding")} AS n2 " +
       "FROM embeddings), " +
@@ -465,6 +564,7 @@ object DedupOps {
     QueryDef("q_dedup_minhash", dedupMinhash, Some(MinhashSql)),
     QueryDef("q_dedup_lsh", dedupLsh, Some(LshSql)),
     QueryDef("q_dedup_simhash", dedupSimhash, Some(SimhashSql)),
-    QueryDef("q_dedup_embed", dedupEmbed, Some(EmbedSql))
+    QueryDef("q_dedup_embed", dedupEmbed, Some(EmbedSql)),
+    QueryDef("q_dedup_embed_rh", dedupEmbedRh, Some(EmbedRhSql))
   )
 }

@@ -183,7 +183,12 @@ object ReportOps {
     * [[pivot]]'s fixed-list form stays the scale default; this variant is
     * the discovery story for schemas no one declared. Same oracle as
     * q_pivot: on this data the discovered values ARE the declared list, so
-    * the two must agree cell for cell.
+    * the two must agree cell for cell. Known coupling (accepted): on a
+    * dataset where one of the five declared event_type values is absent
+    * (or a new one appears) the discovered wide schema would diverge from
+    * the fixed-list oracle and the check would flag a schema mismatch even
+    * though the query is behaving correctly — the oracle pins the
+    * discovery on THIS corpus, it is not a schema contract.
     */
   private def pivotAuto(s: SparkSession, d: String): DataFrame = {
     import s.implicits._

@@ -2,6 +2,7 @@ package graft.ops
 
 import graft.{QueryDef, T, X}
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Tier C similarity search over the embeddings table (SURVEY §2 Tier C):
@@ -134,19 +135,110 @@ object SimilarityOps {
       .limit(10)
   }
 
-  private val AnnSql = {
-    val probeList =
-      ("bucket" +: (0 until SignBits).map(j => s"xor(bucket, ${1L << j})")).mkString(", ")
-    s"WITH e AS (SELECT vec_id, embedding, ${Vec.norm2Sql("embedding")} AS n2, " +
+  private val ProbeListSql =
+    ("bucket" +: (0 until SignBits).map(j => s"xor(bucket, ${1L << j})")).mkString(", ")
+
+  /** Shared ANN CTE prefix (corpus with norms/buckets + the exploded
+    * multi-probe bucket list for vec_id 0) — reused by q_sim_fetch's oracle
+    * so the fetch-back query's hit set is definitionally q_sim_ann's.
+    */
+  private val AnnCtes =
+    s"e AS (SELECT vec_id, embedding, ${Vec.norm2Sql("embedding")} AS n2, " +
       s"$BucketSql AS bucket FROM embeddings), " +
       "probe AS (SELECT embedding AS p, n2 AS pn2, " +
-      s"unnest([$probeList]) AS pbucket FROM e WHERE vec_id = 0) " +
-      "SELECT vec_id, bucket, " +
+      s"unnest([$ProbeListSql]) AS pbucket FROM e WHERE vec_id = 0)"
+
+  private val AnnSelect =
+    "SELECT vec_id, bucket, " +
       s"floor((${Vec.dotSql("embedding", "p")} / (sqrt(n2) * sqrt(pn2))) " +
       "* 1000000 + 0.5) / 1000000 AS cos " +
       "FROM e JOIN probe ON bucket = pbucket WHERE vec_id <> 0 " +
       "ORDER BY cos DESC, vec_id LIMIT 10"
+
+  private val AnnSql = s"WITH $AnnCtes $AnnSelect"
+
+  /** q_sim_batch — batch-probe ANN: the production retrieval shape. A probe
+    * TABLE (vec_id < BatchProbes) replaces the single hardcoded probe: each
+    * probe explodes to its Hamming-1 multi-probe bucket list, the probe set
+    * is broadcast, and the corpus joins on its bucket column ONCE for all
+    * probes — zero corpus re-shuffle per probe (the per-probe plans would
+    * scan the corpus |probes| times). Top-k per probe is a row_number window
+    * partitioned by probe_id over the already-bucket-pruned candidate set,
+    * so the only hash Exchange in the plan moves candidates, not the corpus
+    * (plan-asserted in PlanShapeSpec). At scale the probe set is the QPS
+    * batch (thousands of rows — still broadcastable) and the corpus side
+    * stays a single bucket-partitioned pass.
+    */
+  private val BatchProbes = 5
+  private def simBatch(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val e = emb(s, d).select(
+      $"vec_id",
+      $"embedding",
+      Vec.norm2($"embedding").as("n2"),
+      bucketCol.as("bucket"))
+    val probes = e
+      .filter($"vec_id" < BatchProbes)
+      .select(
+        $"vec_id".as("probe_id"),
+        $"embedding".as("p"),
+        $"n2".as("pn2"),
+        explode(
+          array(
+            $"bucket" +:
+              (0 until SignBits).map(j => $"bucket".bitwiseXOR(lit(1L << j))): _*))
+          .as("pbucket"))
+    val w = Window.partitionBy($"probe_id").orderBy($"cos".desc, $"vec_id")
+    e.join(broadcast(probes), $"bucket" === $"pbucket" && $"vec_id" =!= $"probe_id")
+      .select(
+        $"probe_id",
+        $"vec_id",
+        X.r6(Vec.cosine(Vec.dot($"embedding", $"p"), $"n2", $"pn2")).as("cos"))
+      .withColumn("rn", row_number().over(w))
+      .filter($"rn" <= 10)
+      .select($"probe_id", $"vec_id", $"cos")
+      .orderBy($"probe_id", $"cos".desc, $"vec_id")
   }
+
+  private val BatchSql =
+    s"WITH e AS (SELECT vec_id, embedding, ${Vec.norm2Sql("embedding")} AS n2, " +
+      s"$BucketSql AS bucket FROM embeddings), " +
+      "probe AS (SELECT vec_id AS probe_id, embedding AS p, n2 AS pn2, " +
+      s"unnest([$ProbeListSql]) AS pbucket FROM e WHERE vec_id < $BatchProbes), " +
+      "cand AS (SELECT probe_id, e.vec_id AS vec_id, " +
+      s"floor((${Vec.dotSql("e.embedding", "p")} / (sqrt(e.n2) * sqrt(pn2))) " +
+      "* 1000000 + 0.5) / 1000000 AS cos " +
+      "FROM e JOIN probe ON e.bucket = probe.pbucket AND e.vec_id <> probe.probe_id) " +
+      "SELECT probe_id, vec_id, cos FROM (" +
+      "SELECT *, row_number() OVER (PARTITION BY probe_id ORDER BY cos DESC, vec_id) AS rn " +
+      "FROM cand) WHERE rn <= 10 ORDER BY probe_id, cos DESC, vec_id"
+
+  /** q_sim_fetch — the retrieval surface end-to-end: q_sim_ann's top-k hit
+    * ids joined back to `documents` to return text, not ids. The ≤10-row
+    * hit set is broadcast, so the fetch-back is one streamed pass over the
+    * documents scan with no shuffle of either side.
+    */
+  private def simFetch(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val hits = simAnn(s, d).select($"vec_id".as("hit_id"), $"cos")
+    T(s, d, "documents")
+      .join(broadcast(hits), $"doc_id" === $"hit_id")
+      .select(
+        $"doc_id",
+        $"cos",
+        $"lang",
+        $"source",
+        $"n_chars",
+        substring($"text", 1, 40).as("snippet"))
+      .orderBy($"cos".desc, $"doc_id")
+  }
+
+  private val FetchSql =
+    s"WITH $AnnCtes, hits AS ($AnnSelect) " +
+      "SELECT d.doc_id, h.cos, d.lang, d.source, d.n_chars, " +
+      "substring(d.text, 1, 40) AS snippet " +
+      "FROM documents d JOIN hits h ON d.doc_id = h.vec_id " +
+      "ORDER BY cos DESC, doc_id"
 
   /** q_sim_ivf — IVF-style ANN: a broadcast coarse quantizer (16 cells)
     * assigns every vector to its nearest centroid; the probe searches only
@@ -199,9 +291,12 @@ object SimilarityOps {
     * vector's top-nprobe cells only. Shared by the stand-in-codebook oracle
     * variant and the k-means-trained variant.
     */
-  private def ivfSearch(e: DataFrame, cents: DataFrame, nprobe: Int): DataFrame = {
+  private def ivfSearch(
+      e: DataFrame,
+      cents: DataFrame,
+      nprobe: Int,
+      k: Int): DataFrame = {
     import e.sparkSession.implicits._
-    val k = IvfCells
     val assigned = e
       .crossJoin(broadcast(codebookRow(cents)))
       .select(
@@ -238,7 +333,7 @@ object SimilarityOps {
     val cents = e
       .filter($"vec_id" < IvfCells)
       .select($"vec_id".as("c_id"), $"embedding".as("c"), $"n2".as("cn2"))
-    ivfSearch(e, cents, NProbe)
+    ivfSearch(e, cents, NProbe, IvfCells)
   }
 
   /** Deterministic Lloyd k-means for the IVF coarse quantizer: init = the k
@@ -266,6 +361,11 @@ object SimilarityOps {
       .toSeq
       .zipWithIndex
       .map { case ((_, v), i) => (i.toLong, v) }
+    // a short seed set would silently score against null-field structs
+    // downstream (element_at past the codebook end) instead of failing here
+    require(
+      cb.size == k,
+      s"trainCodebook: ${cb.size} seed vectors with vec_id < $k (need exactly $k)")
     for (_ <- 1 to iters) {
       val cents =
         cb.toDF("c_id", "c").select($"c_id", $"c", Vec.norm2($"c").as("cn2"))
@@ -307,7 +407,7 @@ object SimilarityOps {
     val cb = trainCodebook(e, IvfCells, iters = 4)
     val cents =
       cb.toDF("c_id", "c").select($"c_id", $"c", Vec.norm2($"c").as("cn2"))
-    ivfSearch(e, cents, NProbe)
+    ivfSearch(e, cents, NProbe, cb.size)
   }
 
   private val IvfSql =
@@ -349,6 +449,8 @@ object SimilarityOps {
     QueryDef("q_sim_cosine", simCosine, Some(CosineSql)),
     QueryDef("q_sim_topk", simTopk, Some(TopkSql)),
     QueryDef("q_sim_ann", simAnn, Some(AnnSql)),
+    QueryDef("q_sim_batch", simBatch, Some(BatchSql)),
+    QueryDef("q_sim_fetch", simFetch, Some(FetchSql)),
     QueryDef("q_sim_ivf", simIvf, Some(IvfSql)),
     QueryDef("q_sim_ivf_trained", simIvfTrained, None),
     QueryDef(

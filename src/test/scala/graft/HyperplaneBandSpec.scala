@@ -1,0 +1,54 @@
+package graft
+
+import graft.ops.DedupOps
+
+/** Candidate-recall validation for the seeded random-hyperplane sign-LSH
+  * (the approximate half of q_dedup_embed_rh; the exact-cosine verify half
+  * is oracle-checked by the driver). Same 4×8 band budget as the raw-sign
+  * variant in EmbedBandSpec, so the two are directly comparable: for a
+  * near-dup pair at angle θ each hyperplane bit flips with probability θ/π
+  * independent of how the embedding model aligned its axes — the guarantee
+  * raw dimension signs cannot make.
+  */
+class HyperplaneBandSpec extends SparkSpec {
+
+  private def candidates(rows: Seq[(Long, Seq[Float])]): Set[(Long, Long)] = {
+    import spark.implicits._
+    DedupOps
+      .rhBandedCandidates(rows.toDF("vec_id", "embedding"))
+      .as[(Long, Long)]
+      .collect()
+      .toSet
+  }
+
+  test("hyperplane matrix is deterministic: fixed seed, quantized entries") {
+    val p = DedupOps.rhPlanes
+    assert(p.length == 32 && p.forall(_.length == 64))
+    // every entry is a multiple of 1/1024 (exact in float/double/decimal,
+    // the property the oracle SQL literal rendering relies on)
+    assert(p.flatten.forall(x => (x * 1024f) == math.rint(x * 1024f).toFloat))
+    // and the draw is seeded: a second read sees the identical matrix
+    assert(p == DedupOps.rhPlanes)
+  }
+
+  test("banded candidates capture planted near-duplicates (recall >= 0.9)") {
+    val rnd = new scala.util.Random(42) // fixed seed: fully deterministic
+    val base = (0 until 40).map(i => i.toLong -> Seq.fill(64)(rnd.nextGaussian().toFloat))
+    val dups = (0 until 20).map { i =>
+      (1000L + i) -> base(i)._2.map(x => x + 0.05f * rnd.nextGaussian().toFloat)
+    }
+    val cand = candidates(base ++ dups)
+    val found = (0 until 20).count(i => cand.contains((i.toLong, 1000L + i)))
+    assert(found >= 18, s"recall ${found / 20.0} < 0.9 for cos≈0.999 pairs")
+  }
+
+  test("axis-independence: similarity concentrated on one dim is still found") {
+    // two vectors agreeing in direction but differing in sign on 31 of 32
+    // odd dims' raw signs would defeat axis-aligned banding if the energy
+    // lived elsewhere; random hyperplanes see only the ANGLE between them.
+    val rnd = new scala.util.Random(7)
+    val v = Seq.fill(64)(rnd.nextGaussian().toFloat)
+    val near = v.map(x => x + 0.02f * rnd.nextGaussian().toFloat)
+    assert(candidates(Seq(0L -> v, 1L -> near)).contains((0L, 1L)))
+  }
+}

@@ -70,6 +70,18 @@ class PlanShapeSpec extends SparkSpec {
     assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastHashJoin"), p)
   }
 
+  test("q_sim_batch broadcasts the probe set: the only hash shuffle moves candidates") {
+    val p = plan("q_sim_batch")
+    // corpus joins the broadcast probe table in place; the row_number
+    // window may shuffle the bucket-pruned candidates by probe_id, but the
+    // corpus itself must not be hash-exchanged (one probe batch = one pass)
+    assert(p.contains("BroadcastHashJoin"), p)
+    val exchanges =
+      "Exchange hashpartitioning\\(probe_id".r.findAllIn(p).length
+    val allExchanges = "Exchange hashpartitioning".r.findAllIn(p).length
+    assert(allExchanges == exchanges, s"corpus-side hash exchange present:\n$p")
+  }
+
   test("q_join_asof is one window pass over one shuffle — no join operator") {
     val p = plan("q_join_asof")
     assert(!p.contains("Join"), p)
