@@ -1,9 +1,15 @@
 package graft.expr
 
 import com.fasterxml.jackson.databind.{JsonNode, ObjectMapper}
-import org.apache.spark.sql.Column
-import org.apache.spark.sql.functions.{coalesce, from_json, udf}
-import org.apache.spark.sql.types.{MapType, StringType}
+import org.apache.spark.sql.{Column, GraftBridge}
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode, FalseLiteral}
+import org.apache.spark.sql.catalyst.expressions.codegen.Block._
+import org.apache.spark.sql.catalyst.util.{ArrayBasedMapData, GenericArrayData, MapData}
+import org.apache.spark.sql.functions.{coalesce, from_json}
+import org.apache.spark.sql.types.{DataType, MapType, StringType}
+import org.apache.spark.unsafe.types.UTF8String
 
 /** Lenient semi-structured parser mirroring the reference's
   * `safe_parse_passback` (/root/reference/main.py:94-101): strict JSON
@@ -88,14 +94,69 @@ object LenientJson {
     before && after
   }
 
-  private val parseUdf = udf(parseToMap _)
+  /** [[parseToMap]] at the InternalRow layer (UTF8String in, MapData out)
+    * — the static entry point both the interpreted eval and the generated
+    * code of [[LenientJsonParse]] call, so the two paths are one function.
+    * Total like parseToMap: null in → empty map out, never null, never
+    * throws.
+    */
+  def mapData(s: UTF8String): MapData = {
+    val m = parseToMap(if (s == null) null else s.toString)
+    val keys = new Array[Any](m.size)
+    val vals = new Array[Any](m.size)
+    var i = 0
+    m.foreach { case (k, v) =>
+      keys(i) = UTF8String.fromString(k)
+      vals(i) = if (v == null) null else UTF8String.fromString(v)
+      i += 1
+    }
+    new ArrayBasedMapData(new GenericArrayData(keys), new GenericArrayData(vals))
+  }
 
-  /** Interpreted fallback path as a Column. */
-  def lenient(c: Column): Column = parseUdf(c)
+  /** Fallback path as a Column: a native codegen'd expression (was a Scala
+    * UDF through round 3 — same parse, but each row paid the UDF's
+    * catalyst↔Scala converters and an encode/decode hop, and the UDF node
+    * split whole-stage codegen around itself).
+    */
+  def lenient(c: Column): Column =
+    GraftBridge.column(LenientJsonParse(GraftBridge.expression(c)))
 
-  /** Production parse: codegen'd `from_json` fast path, UDF only for rows
-    * the strict parser rejects.
+  /** Production parse: codegen'd `from_json` fast path, the lenient
+    * expression only for rows the strict parser rejects.
     */
   def parsed(c: Column): Column =
-    coalesce(from_json(c, MapType(StringType, StringType)), parseUdf(c))
+    coalesce(from_json(c, MapType(StringType, StringType)), lenient(c))
+}
+
+/** The lenient parse as a native unary Expression: interpreted eval and
+  * generated code both call [[LenientJson.mapData]], so behavior is one
+  * static function and the operator stays inside whole-stage codegen (a
+  * Scala UDF here forced a codegen split plus per-row converter overhead —
+  * the one interpreted hop left in the Tier A chain through round 3).
+  * Total: null/garbage input → empty map, never null, never throws.
+  */
+case class LenientJsonParse(child: Expression) extends UnaryExpression {
+
+  override def dataType: DataType = MapType(StringType, StringType)
+
+  override def nullable: Boolean = false
+
+  override def prettyName: String = "lenient_json_parse"
+
+  override def eval(input: InternalRow): Any =
+    LenientJson.mapData(child.eval(input).asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val c = child.genCode(ctx)
+    ev.copy(
+      code = code"""
+        |${c.code}
+        |org.apache.spark.sql.catalyst.util.MapData ${ev.value} =
+        |  graft.expr.LenientJson.mapData(${c.isNull} ? null : ${c.value});
+        |""".stripMargin,
+      isNull = FalseLiteral)
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
 }
