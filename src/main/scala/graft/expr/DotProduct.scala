@@ -23,6 +23,16 @@ case class DotProduct(left: Expression, right: Expression)
 
   override def dataType: DataType = DoubleType
 
+  /** Must be true even for non-nullable children: mismatched lengths or
+    * null elements produce null from non-null inputs. Without this,
+    * nullSafeCodeGen's non-nullable branch never declares `ev.isNull`, the
+    * generated `isNull = true` assignment references an undeclared
+    * variable, and janino rejects the class ("not an rvalue") — silently
+    * de-optimizing every stage containing a dot over a filtered-non-null
+    * embedding column to interpreted execution.
+    */
+  override def nullable: Boolean = true
+
   override def prettyName: String = "dot_product"
 
   override def nullSafeEval(l: Any, r: Any): Any = {
@@ -44,19 +54,27 @@ case class DotProduct(left: Expression, right: Expression)
     nullSafeCodeGen(
       ctx,
       ev,
-      (a, b) => s"""
-        |int gdn = $a.numElements();
-        |if (gdn != $b.numElements()) {
+      (a, b) => {
+        // Locals must be freshName'd: with non-nullable inputs nullSafeCodeGen
+        // omits its scoping braces, so two instances of this expression in one
+        // generated function would otherwise redefine the same variables.
+        val n = ctx.freshName("dotN")
+        val s = ctx.freshName("dotS")
+        val i = ctx.freshName("dotI")
+        s"""
+        |int $n = $a.numElements();
+        |if ($n != $b.numElements()) {
         |  ${ev.isNull} = true;
         |} else {
-        |  double gds = 0d;
-        |  for (int gdi = 0; gdi < gdn; gdi++) {
-        |    if ($a.isNullAt(gdi) || $b.isNullAt(gdi)) { ${ev.isNull} = true; break; }
-        |    gds += (double) $a.getFloat(gdi) * (double) $b.getFloat(gdi);
+        |  double $s = 0d;
+        |  for (int $i = 0; $i < $n; $i++) {
+        |    if ($a.isNullAt($i) || $b.isNullAt($i)) { ${ev.isNull} = true; break; }
+        |    $s += (double) $a.getFloat($i) * (double) $b.getFloat($i);
         |  }
-        |  ${ev.value} = gds;
+        |  ${ev.value} = $s;
         |}
-        |""".stripMargin)
+        |""".stripMargin
+      })
 
   override protected def withNewChildrenInternal(
       newLeft: Expression,

@@ -3,11 +3,11 @@ package graft.expr
 import com.fasterxml.jackson.databind.{JsonNode, ObjectMapper}
 import org.apache.spark.sql.{Column, GraftBridge}
 import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
 import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode, FalseLiteral}
 import org.apache.spark.sql.catalyst.expressions.codegen.Block._
 import org.apache.spark.sql.catalyst.util.{ArrayBasedMapData, GenericArrayData, MapData}
-import org.apache.spark.sql.functions.{coalesce, from_json}
 import org.apache.spark.sql.types.{DataType, MapType, StringType}
 import org.apache.spark.unsafe.types.UTF8String
 
@@ -121,11 +121,15 @@ object LenientJson {
   def lenient(c: Column): Column =
     GraftBridge.column(LenientJsonParse(GraftBridge.expression(c)))
 
-  /** Production parse: codegen'd `from_json` fast path, the lenient
-    * expression only for rows the strict parser rejects.
+  /** Production parse. Through round 4 this composed `from_json` as a fast
+    * path with the lenient expression behind a `coalesce` — but Spark's
+    * `JsonToStructs` is a CodegenFallback expression, so its mere presence
+    * excluded the whole parse projection from whole-stage codegen, and the
+    * fast path was semantically redundant anyway (strict Jackson JSON is
+    * already the first branch of [[parseToMap]]). The lenient expression
+    * alone is WSCG-eligible and parses strict JSON on its first branch.
     */
-  def parsed(c: Column): Column =
-    coalesce(from_json(c, MapType(StringType, StringType)), lenient(c))
+  def parsed(c: Column): Column = lenient(c)
 }
 
 /** The lenient parse as a native unary Expression: interpreted eval and
@@ -136,6 +140,14 @@ object LenientJson {
   * Total: null/garbage input → empty map, never null, never throws.
   */
 case class LenientJsonParse(child: Expression) extends UnaryExpression {
+
+  // AbstractDataType (and so ExpectsInputTypes' signature) is private[sql]
+  // in Spark 4, so reject non-string children directly at analysis time.
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (child.dataType == StringType) TypeCheckResult.TypeCheckSuccess
+    else
+      TypeCheckResult.TypeCheckFailure(
+        s"$prettyName requires a STRING child, got ${child.dataType.catalogString}")
 
   override def dataType: DataType = MapType(StringType, StringType)
 

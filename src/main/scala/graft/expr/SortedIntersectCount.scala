@@ -48,18 +48,30 @@ case class SortedIntersectCount(left: Expression, right: Expression)
     nullSafeCodeGen(
       ctx,
       ev,
-      (a, b) => s"""
-        |int gi = 0, gj = 0, gc = 0;
-        |int gna = $a.numElements(), gnb = $b.numElements();
-        |while (gi < gna && gj < gnb) {
-        |  long gx = $a.getLong(gi);
-        |  long gy = $b.getLong(gj);
-        |  if (gx == gy) { gc++; gi++; gj++; }
-        |  else if (gx < gy) { gi++; }
-        |  else { gj++; }
+      (a, b) => {
+        // Locals must be freshName'd: with non-nullable inputs nullSafeCodeGen
+        // omits its scoping braces, so two instances of this expression in one
+        // generated function would otherwise redefine the same variables.
+        val i = ctx.freshName("sicI")
+        val j = ctx.freshName("sicJ")
+        val c = ctx.freshName("sicC")
+        val na = ctx.freshName("sicNa")
+        val nb = ctx.freshName("sicNb")
+        val x = ctx.freshName("sicX")
+        val y = ctx.freshName("sicY")
+        s"""
+        |int $i = 0, $j = 0, $c = 0;
+        |int $na = $a.numElements(), $nb = $b.numElements();
+        |while ($i < $na && $j < $nb) {
+        |  long $x = $a.getLong($i);
+        |  long $y = $b.getLong($j);
+        |  if ($x == $y) { $c++; $i++; $j++; }
+        |  else if ($x < $y) { $i++; }
+        |  else { $j++; }
         |}
-        |${ev.value} = gc;
-        |""".stripMargin)
+        |${ev.value} = $c;
+        |""".stripMargin
+      })
 
   override protected def withNewChildrenInternal(
       newLeft: Expression,

@@ -268,24 +268,18 @@ object SimilarityOps {
       sort_array(collect_list(struct($"c_id", $"c", $"cn2"))).as("cb"))
   }
 
-  /** Per-row scores against every codebook entry, as a flat (codegen-able,
-    * no higher-order-function fallback) array of struct(ccos, -c_id):
-    * `array_max` over it is the argmin assignment with the same
+  /** Per-row scores against every codebook entry as one fused codegen'd
+    * kernel ([[graft.expr.CodebookScores]]): array of struct(ccos, -c_id),
+    * so `array_max` over it is the argmin assignment with the same
     * (cos desc, c_id asc) tie-break the previous row_number formulation
     * used, and `reverse(array_sort(_))` ranks cells for the probe — all
     * map-side, no Exchange between the embeddings scan and assignment.
+    * (Through round 4 this was k inline struct expressions; the 16-wide
+    * projection broke janino after Spark's method splitting and silently
+    * ran interpreted — the fused expression is one short WSCG block.)
     */
-  private def cellScores(k: Int) = {
-    (1 to k).map { i =>
-      val ct = element_at(col("cb"), i)
-      struct(
-        Vec.cosine(
-          Vec.dot(col("embedding"), ct.getField("c")),
-          col("n2"),
-          ct.getField("cn2")).as("ccos"),
-        (-ct.getField("c_id")).as("nid"))
-    }
-  }
+  private def scoredCol =
+    graft.expr.CodebookScores(col("embedding"), col("n2"), col("cb"))
 
   /** IVF probe: assign every vector to its best cell, search the probe
     * vector's top-nprobe cells only. Shared by the stand-in-codebook oracle
@@ -294,8 +288,7 @@ object SimilarityOps {
   private def ivfSearch(
       e: DataFrame,
       cents: DataFrame,
-      nprobe: Int,
-      k: Int): DataFrame = {
+      nprobe: Int): DataFrame = {
     import e.sparkSession.implicits._
     val assigned = e
       .crossJoin(broadcast(codebookRow(cents)))
@@ -303,7 +296,7 @@ object SimilarityOps {
         $"vec_id",
         $"embedding",
         $"n2",
-        array(cellScores(k): _*).as("scored"))
+        scoredCol.as("scored"))
     val cells = assigned.select(
       $"vec_id",
       $"embedding",
@@ -333,7 +326,7 @@ object SimilarityOps {
     val cents = e
       .filter($"vec_id" < IvfCells)
       .select($"vec_id".as("c_id"), $"embedding".as("c"), $"n2".as("cn2"))
-    ivfSearch(e, cents, NProbe, IvfCells)
+    ivfSearch(e, cents, NProbe)
   }
 
   /** Deterministic Lloyd k-means for the IVF coarse quantizer: init = the k
@@ -373,7 +366,7 @@ object SimilarityOps {
         .crossJoin(broadcast(codebookRow(cents)))
         .select(
           $"embedding",
-          (-array_max(array(cellScores(k): _*)).getField("nid")).as("cell"))
+          (-array_max(scoredCol).getField("nid")).as("cell"))
       val means = assigned
         .select($"cell", posexplode($"embedding").as(Seq("pos", "x")))
         .groupBy($"cell", $"pos")
@@ -407,7 +400,7 @@ object SimilarityOps {
     val cb = trainCodebook(e, IvfCells, iters = 4)
     val cents =
       cb.toDF("c_id", "c").select($"c_id", $"c", Vec.norm2($"c").as("cn2"))
-    ivfSearch(e, cents, NProbe, cb.size)
+    ivfSearch(e, cents, NProbe)
   }
 
   private val IvfSql =

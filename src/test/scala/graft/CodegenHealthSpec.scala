@@ -1,0 +1,54 @@
+package graft
+
+import java.util.concurrent.ConcurrentLinkedQueue
+
+import scala.jdk.CollectionConverters._
+
+import org.apache.logging.log4j.{Level, LogManager}
+import org.apache.logging.log4j.core.{LogEvent, LoggerContext}
+import org.apache.logging.log4j.core.appender.AbstractAppender
+
+/** Every registered query must execute janino-clean: a custom Expression
+  * whose generated Java fails to compile silently falls back to interpreted
+  * execution with identical results — the oracle stays green while the hot
+  * inner loop runs reflective per-row evaluation, which at 100 TB is the
+  * difference between a compiled kernel and a scale-killer. That exact rot
+  * (DotProduct assigning an undeclared isNull for non-nullable children,
+  * fixed-name codegen locals colliding) shipped unnoticed for two rounds
+  * because nothing watched the CodeGenerator log. This spec executes the
+  * full registry at sf0.001 with a capturing appender on the log4j root and
+  * fails on any compile failure or interpreter-fallback warning.
+  */
+class CodegenHealthSpec extends SparkSpec {
+
+  private class Capture
+      extends AbstractAppender("graft-cg-capture", null, null, false, null) {
+    val hits = new ConcurrentLinkedQueue[String]()
+    override def append(e: LogEvent): Unit = {
+      val m = e.getMessage.getFormattedMessage
+      if (m.contains("Failed to compile") ||
+        m.contains("falling back to interpreter mode"))
+        hits.add(s"[${e.getLoggerName}] ${m.linesIterator.next().take(300)}")
+    }
+  }
+
+  test("all registered queries execute with zero codegen compile failures") {
+    val ctx = LogManager.getContext(false).asInstanceOf[LoggerContext]
+    val rootCfg = ctx.getConfiguration.getRootLogger
+    val cap = new Capture
+    cap.start()
+    rootCfg.addAppender(cap, Level.WARN, null)
+    ctx.updateLoggers()
+    try {
+      SparkEntry.queries.foreach { case (name, fn) =>
+        withClue(s"query $name: ") { fn(spark, sf).collect() }
+      }
+    } finally {
+      rootCfg.removeAppender(cap.getName)
+      ctx.updateLoggers()
+      cap.stop()
+    }
+    val hits = cap.hits.asScala.toSeq
+    assert(hits.isEmpty, s"codegen fell back on:\n${hits.mkString("\n")}")
+  }
+}

@@ -54,14 +54,19 @@ class LenientJsonParseExprSpec extends SparkSpec {
 
   test("q_parse_literal runs the parse inside whole-stage codegen (no UDF split)") {
     // a literal local relation constant-folds away, so assert on the real
-    // query plan over the parquet source (the path the driver times)
-    val p = SparkEntry
-      .queries("q_parse_literal")(spark, sf)
-      .queryExecution
-      .executedPlan
-      .toString
+    // query plan over the parquet source (the path the driver times);
+    // execute first — under AQE the pre-execution plan shows no
+    // WholeStageCodegen nodes regardless of eligibility
+    val df = SparkEntry.queries("q_parse_literal")(spark, sf)
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString
     assert(!p.contains("UDF"), p)
-    assert(p.contains("lenient_json_parse"), p)
-    assert(p.contains("WholeStageCodegen"), p)
+    // the executed plan renders a WholeStageCodegen span as a `*(n)` prefix
+    // on its member nodes: the parse projection must carry one
+    val finalPlan = p.split("== Initial Plan ==").head
+    val parseLines =
+      finalPlan.linesIterator.filter(_.contains("lenient_json_parse")).toSeq
+    assert(parseLines.nonEmpty, p)
+    assert(parseLines.forall(_.matches(""".*\*\(\d+\) Project .*""")), p)
   }
 }
