@@ -69,13 +69,29 @@ object Bench {
       val ts = samples(name).sorted
       if (ts.isEmpty) None else Some(name -> ts(ts.size / 2))
     }
-    def jstr(s: String) = "\"" + s.replace("\\", "\\\\").replace("\"", "\\\"") + "\""
+    // Escape backslash, quote, AND control chars: Spark exception messages
+    // routinely span lines (multi-line AnalysisException), and a raw \n
+    // inside a JSON string would corrupt the output exactly when the
+    // error-surfacing feature triggers.
+    def jstr(s: String) = s.flatMap {
+      case '\\'           => "\\\\"
+      case '"'            => "\\\""
+      case c if c < ' '   => f"\\u${c.toInt}%04x"
+      case c              => c.toString
+    }.mkString("\"", "", "\"")
     val qs = results.map { case (k, v) => jstr(k) + ":" + v }
       .mkString("{", ",", "}")
     val errs = errors.toSeq.sortBy(_._1)
       .map { case (k, v) => jstr(k) + ":" + jstr(v) }.mkString("{", ",", "}")
+    // Per-query sample counts: a query that failed in some interleaved
+    // rounds has a median over fewer samples — a consumer must be able to
+    // tell a 3-sample median from a 1-sample one.
+    val counts = names.flatMap { case (name, _) =>
+      val n = samples(name).size
+      if (n == 0 || n == iters) None else Some(jstr(name) + ":" + n)
+    }.mkString("{", ",", "}")
     val total = results.map(_._2).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errs,"sf":"$sfDir","iterations":$iters}""")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errs,"partial_samples":$counts,"sf":"$sfDir","iterations":$iters}""")
     spark.stop()
   }
 }

@@ -421,6 +421,76 @@ object SimilarityOps {
       "FROM cells JOIN pcells ON cell = pcell, probe WHERE vec_id <> 0 " +
       "ORDER BY cos DESC, vec_id LIMIT 10"
 
+  /** q_sim_ivf_batch — batch-probe IVF: the q_sim_batch generalization
+    * applied to the inverted-file path (q_sim_ivf still serves the single
+    * hardcoded probe). A probe TABLE (vec_id < BatchProbes) ranks its
+    * top-nprobe cells from the same one-pass scored column as the corpus
+    * assignment, the exploded (probe, cell) set is broadcast, and the
+    * cell-assigned corpus joins its cell column ONCE for all probes — the
+    * corpus never re-shuffles per probe (plan-asserted in PlanShapeSpec:
+    * the only hash Exchange moves bucket-pruned candidates into the
+    * per-probe top-k window). At scale the probe set is the QPS batch and
+    * the inverted file stays a single cell-partitioned pass.
+    */
+  private def simIvfBatch(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val e =
+      emb(s, d).select($"vec_id", $"embedding", Vec.norm2($"embedding").as("n2"))
+    val cents = e
+      .filter($"vec_id" < IvfCells)
+      .select($"vec_id".as("c_id"), $"embedding".as("c"), $"n2".as("cn2"))
+    val assigned = e
+      .crossJoin(broadcast(codebookRow(cents)))
+      .select($"vec_id", $"embedding", $"n2", scoredCol.as("scored"))
+    val cells = assigned.select(
+      $"vec_id",
+      $"embedding",
+      $"n2",
+      (-array_max($"scored").getField("nid")).as("cell"))
+    val probeCells = assigned
+      .filter($"vec_id" < BatchProbes)
+      .select(
+        $"vec_id".as("probe_id"),
+        $"embedding".as("p"),
+        $"n2".as("pn2"),
+        explode(slice(reverse(array_sort($"scored")), 1, NProbe)).as("sc"))
+      .select($"probe_id", $"p", $"pn2", (-$"sc.nid").as("pcell"))
+    val w = Window.partitionBy($"probe_id").orderBy($"cos".desc, $"vec_id")
+    cells
+      .join(
+        broadcast(probeCells),
+        $"cell" === $"pcell" && $"vec_id" =!= $"probe_id")
+      .select(
+        $"probe_id",
+        $"vec_id",
+        $"cell",
+        X.r6(Vec.cosine(Vec.dot($"embedding", $"p"), $"n2", $"pn2")).as("cos"))
+      .withColumn("rn", row_number().over(w))
+      .filter($"rn" <= 10)
+      .select($"probe_id", $"vec_id", $"cell", $"cos")
+      .orderBy($"probe_id", $"cos".desc, $"vec_id")
+  }
+
+  private val IvfBatchSql =
+    s"WITH e AS (SELECT vec_id, embedding, ${Vec.norm2Sql("embedding")} AS n2 " +
+      "FROM embeddings), " +
+      s"cents AS (SELECT vec_id AS c_id, embedding AS c, n2 AS cn2 FROM e WHERE vec_id < $IvfCells), " +
+      "scored AS (SELECT e.vec_id, e.embedding, e.n2, cents.c_id, " +
+      s"${Vec.dotSql("e.embedding", "cents.c")} / (sqrt(e.n2) * sqrt(cents.cn2)) AS ccos " +
+      "FROM e, cents), " +
+      "ranked AS (SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY ccos DESC, c_id) AS rn " +
+      "FROM scored), " +
+      "cells AS (SELECT vec_id, embedding, n2, c_id AS cell FROM ranked WHERE rn = 1), " +
+      "pcells AS (SELECT vec_id AS probe_id, embedding AS p, n2 AS pn2, c_id AS pcell " +
+      s"FROM ranked WHERE vec_id < $BatchProbes AND rn <= $NProbe), " +
+      "cand AS (SELECT probe_id, cells.vec_id AS vec_id, cell, " +
+      s"floor((${Vec.dotSql("cells.embedding", "p")} / (sqrt(cells.n2) * sqrt(pn2))) " +
+      "* 1000000 + 0.5) / 1000000 AS cos " +
+      "FROM cells JOIN pcells ON cell = pcell AND cells.vec_id <> probe_id) " +
+      "SELECT probe_id, vec_id, cell, cos FROM (" +
+      "SELECT *, row_number() OVER (PARTITION BY probe_id ORDER BY cos DESC, vec_id) AS rn2 " +
+      "FROM cand) WHERE rn2 <= 10 ORDER BY probe_id, cos DESC, vec_id"
+
   /** q_multimodal — heterogeneous-column join: text metadata × vector
     * table, predicates on both sides (SURVEY §2 Tier C).
     */
@@ -445,6 +515,7 @@ object SimilarityOps {
     QueryDef("q_sim_batch", simBatch, Some(BatchSql)),
     QueryDef("q_sim_fetch", simFetch, Some(FetchSql)),
     QueryDef("q_sim_ivf", simIvf, Some(IvfSql)),
+    QueryDef("q_sim_ivf_batch", simIvfBatch, Some(IvfBatchSql)),
     QueryDef("q_sim_ivf_trained", simIvfTrained, None),
     QueryDef(
       "q_multimodal",

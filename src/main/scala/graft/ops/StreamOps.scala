@@ -135,6 +135,47 @@ object StreamOps {
   def liftDedup(s: SparkSession, sourceDir: String): DataFrame =
     eventsStream(s, sourceDir).dropDuplicates("user_id", "event_type")
 
+  /** readStream over a documents-parquet directory: the continuous-ingest
+    * form of the Tier C corpus. The testdata documents table carries no
+    * timestamp, so `ingest_ts` is synthesized deterministically from
+    * doc_id — it stands in for the fetch-time column a real crawl feed
+    * carries, and exists solely so the watermark contract below is the one
+    * a production ingest stream would run.
+    */
+  def docsStream(
+      s: SparkSession,
+      sourceDir: String,
+      options: Map[String, String] = Map.empty): DataFrame = {
+    import s.implicits._
+    val batchSchema =
+      T(s, sourceDir.stripSuffix("/documents.parquet"), "documents").schema
+    s.readStream
+      .options(options)
+      .schema(batchSchema)
+      .parquet(sourceDir)
+      .withColumn(
+        "ingest_ts",
+        timestamp_micros(lit(1704067200000000L) + $"doc_id" * 1000000L))
+      .withWatermark("ingest_ts", "7 days")
+  }
+
+  /** Streaming lift of q_dedup_exact — content-hash dedup on a continuous
+    * ingest feed: the same md5(text) shuffle key as the batch operator,
+    * through `dropDuplicatesWithinWatermark`, which keeps the first arrival
+    * per content hash and evicts a key's state once the watermark passes
+    * its arrival + delay — bounded state at 100 TB/day, unlike a plain
+    * dropDuplicates on a non-event-time key, whose state never drains.
+    * Which physical row represents a hash is arrival-order-dependent
+    * (exactly the batch first-writer-wins), so the lift contract is
+    * key-set equality with batch q_dedup_exact (StreamingLiftDedupSessionSpec).
+    */
+  def liftDedupExact(s: SparkSession, sourceDir: String): DataFrame = {
+    import s.implicits._
+    docsStream(s, sourceDir)
+      .withColumn("content_md5", md5($"text"))
+      .dropDuplicatesWithinWatermark("content_md5")
+  }
+
   /** The session_window aggregation shape shared by the batch and stream
     * forms of the session lift: 30-minute-gap sessions per user. Spark's
     * native gap-based session operator — at scale this is state-store

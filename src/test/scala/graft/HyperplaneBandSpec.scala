@@ -27,8 +27,13 @@ class HyperplaneBandSpec extends SparkSpec {
     // every entry is a multiple of 1/1024 (exact in float/double/decimal,
     // the property the oracle SQL literal rendering relies on)
     assert(p.flatten.forall(x => (x * 1024f) == math.rint(x * 1024f).toFloat))
-    // and the draw is seeded: a second read sees the identical matrix
-    assert(p == DedupOps.rhPlanes)
+    // and the draw is seeded: an independent re-derivation with the same
+    // seed and quantization reproduces the matrix exactly (comparing the
+    // memoized val to itself would be vacuous)
+    val rnd = new scala.util.Random(20260812L)
+    val rederived = Seq.fill(32)(
+      Seq.fill(64)((math.rint(rnd.nextGaussian() * 1024) / 1024).toFloat))
+    assert(p == rederived)
   }
 
   test("banded candidates capture planted near-duplicates (recall >= 0.9)") {

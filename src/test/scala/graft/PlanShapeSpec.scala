@@ -82,6 +82,18 @@ class PlanShapeSpec extends SparkSpec {
     assert(allExchanges == exchanges, s"corpus-side hash exchange present:\n$p")
   }
 
+  test("q_sim_ivf_batch: corpus joins its cell once; only candidates shuffle") {
+    val p = plan("q_sim_ivf_batch")
+    // probe cells are broadcast onto the cell-assigned corpus; the only
+    // hash Exchange allowed is the per-probe top-k window moving the
+    // cell-pruned candidate set, never the corpus
+    assert(p.contains("BroadcastHashJoin"), p)
+    val candExchanges =
+      "Exchange hashpartitioning\\(probe_id".r.findAllIn(p).length
+    val allExchanges = "Exchange hashpartitioning".r.findAllIn(p).length
+    assert(allExchanges == candExchanges, s"corpus-side hash exchange present:\n$p")
+  }
+
   test("q_join_asof is one window pass over one shuffle — no join operator") {
     val p = plan("q_join_asof")
     assert(!p.contains("Join"), p)

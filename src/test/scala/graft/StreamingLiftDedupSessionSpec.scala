@@ -54,6 +54,49 @@ class StreamingLiftDedupSessionSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("readStream md5 dedup keeps exactly the batch q_dedup_exact key set") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("graft_stream_docs")
+    Files.copy(
+      Paths.get(s"$sf/documents.parquet"),
+      dir.resolve("documents.parquet"),
+      StandardCopyOption.REPLACE_EXISTING)
+    def runOnce(name: String): Seq[String] = {
+      val q = StreamOps
+        .liftDedupExact(spark, dir.toString)
+        .writeStream
+        .outputMode("append")
+        .format("memory")
+        .queryName(name)
+        .option("checkpointLocation", Files.createTempDirectory("graft_ckpt").toString)
+        .start()
+      try {
+        q.processAllAvailable()
+        val streamed = spark.table(name)
+        // one surviving row per content hash…
+        assert(streamed.count() == streamed.select("content_md5").distinct().count())
+        streamed.select("content_md5").collect().map(_.getString(0)).sorted.toSeq
+      } finally q.stop()
+    }
+    val streamKeys = runOnce("graft_md5_out")
+    // …and the hash set equals the batch operator's: q_dedup_exact keeps
+    // one doc per md5(text), so its key set is the distinct content hashes
+    val batchKeys = graft
+      .T(spark, sf, "documents")
+      .select(md5($"text"))
+      .distinct()
+      .collect()
+      .map(_.getString(0))
+      .sorted
+      .toSeq
+    assert(streamKeys.nonEmpty && streamKeys == batchKeys)
+    // the batch operator emits exactly one row per key too
+    assert(
+      SparkEntry.queries("q_dedup_exact")(spark, sf).count() == batchKeys.size)
+    // fresh-checkpoint rerun: same key set (idempotent re-ingest)
+    assert(runOnce("graft_md5_out2") == streamKeys)
+  }
+
   test("readStream session_window equals the batch session_window result") {
     import spark.implicits._
     val dir = stageEvents()
