@@ -120,6 +120,16 @@ class PlanShapeSpec extends SparkSpec {
       // and the inferred join-key null checks must NOT drag the tokenize+
       // hash expression into the parquet scan as a duplicated DataFilter
       assert(!p.contains("DataFilters: [isnotnull(size("), q)
+      // the pair-verify merge walk — the whole point of the codegen'd
+      // SortedIntersectCount — must sit inside a WholeStageCodegen span
+      // (rendered as a `*(n)` node prefix in the final plan)
+      val verifyLines = p.split("== Initial Plan ==").head.linesIterator
+        .filter(_.contains("sorted_intersect_count"))
+        .toSeq
+      assert(verifyLines.nonEmpty, s"$q: no sorted_intersect_count node")
+      assert(
+        verifyLines.forall(_.matches(""".*\*\(\d+\) .*""")),
+        s"$q: merge walk outside WholeStageCodegen:\n$p")
     }
   }
 }
