@@ -401,20 +401,20 @@ object DedupOps {
       .map(k => s"CASE WHEN embedding[${embDim(j, k)}] > 0 THEN ${1L << k} ELSE 0 END")
       .mkString(" + ")
 
-  /** Banded candidate pairs for any (vec_id, embedding) relation given one
-    * band-value column per band: explode to (band_idx, band_val), self-join
-    * on the bucket, emit slim distinct id pairs. Shared by the raw-sign and
-    * random-hyperplane variants; the band bucket is the shuffle key, so a
-    * hot bucket splits under AQE exactly as in [[bandedJaccardPairs]]
-    * (asserted for this join in EmbedSkewSpec).
+  /** Banded candidate pairs for any (vec_id, embedding) relation given an
+    * array column of band values: explode to (band_idx, band_val),
+    * self-join on the bucket, emit slim distinct id pairs. Shared by the
+    * raw-sign and random-hyperplane variants; the band bucket is the
+    * shuffle key, so a hot bucket splits under AQE exactly as in
+    * [[bandedJaccardPairs]] (asserted for this join in EmbedSkewSpec).
     */
   private[graft] def bandedCandidates(
       emb: DataFrame,
-      bandCols: Seq[Column]): DataFrame = {
+      bandsArr: Column): DataFrame = {
     import emb.sparkSession.implicits._
     val bands = emb.select(
       $"vec_id",
-      posexplode(array(bandCols: _*)).as(Seq("band_idx", "band_val")))
+      posexplode(bandsArr).as(Seq("band_idx", "band_val")))
     bands
       .as("a")
       .join(
@@ -429,7 +429,7 @@ object DedupOps {
     * the candidate half of [[dedupEmbed]], exposed for the recall spec.
     */
   private[graft] def embBandedCandidates(emb: DataFrame): DataFrame =
-    bandedCandidates(emb, (0 until EmbBands).map(embBandCol))
+    bandedCandidates(emb, array((0 until EmbBands).map(embBandCol): _*))
 
   /** The exact-cosine verify half shared by both embed-dedup variants:
     * fetch vectors back for the slim candidate pairs, one codegen'd dot per
@@ -498,13 +498,15 @@ object DedupOps {
       Seq.fill(64)((math.rint(rnd.nextGaussian() * 1024) / 1024).toFloat))
   }
 
-  private def rhBandCol(j: Int): Column =
-    (0 until EmbBandBits)
-      .map(k =>
-        when(
-          Vec.dot(col("embedding"), typedLit(rhPlanes(EmbBandBits * j + k))) > 0d,
-          lit(1L << k)).otherwise(lit(0L)))
-      .reduce(_ + _)
+  /** All four band values in one fused codegen'd pass
+    * ([[graft.expr.PlaneSignBits]]): the vector is decoded once and walks
+    * the 32-plane literal matrix in a single loop, instead of 32
+    * independent dot expression trees. Same strict-left-fold dot and
+    * `> 0d` sign as the per-bit `when(dot > 0, 1<<k)` sum it replaces, so
+    * the band values — and the oracle hashes — are bit-identical.
+    */
+  private def rhBandsArr: Column =
+    graft.expr.PlaneSignBits(col("embedding"), typedLit(rhPlanes), EmbBandBits)
 
   /** Exact decimal rendering of the quantized plane (n/1024 has ≤ 10
     * fractional digits), so the SQL literal parses back to the identical
@@ -524,7 +526,7 @@ object DedupOps {
 
   /** Random-hyperplane banded candidates, exposed for HyperplaneBandSpec. */
   private[graft] def rhBandedCandidates(emb: DataFrame): DataFrame =
-    bandedCandidates(emb, (0 until EmbBands).map(rhBandCol))
+    bandedCandidates(emb, rhBandsArr)
 
   private def dedupEmbedRh(s: SparkSession, d: String): DataFrame = {
     import s.implicits._

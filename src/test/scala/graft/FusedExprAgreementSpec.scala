@@ -1,0 +1,110 @@
+package graft
+
+import graft.expr.{CodebookScores, DotProduct, PlaneSignBits}
+import graft.ops.Vec
+import org.apache.spark.sql.{DataFrame, Row}
+import org.apache.spark.sql.functions._
+import org.scalacheck.Gen
+import org.scalacheck.rng.Seed
+
+/** The two round-5 fused kernels must agree with the composed expression
+  * chains they replaced — per-cell struct scoring (CodebookScores vs
+  * element_at + DotProduct + struct) and per-plane sign banding
+  * (PlaneSignBits vs the when(dot > 0) bit sum) — in BOTH the codegen and
+  * interpreted paths, on random and adversarial (null/mismatched) inputs.
+  */
+class FusedExprAgreementSpec extends SparkSpec {
+
+  private def vecs(n: Int, seed: Long): Seq[Seq[Float]] =
+    Gen
+      .listOfN(n, Gen.listOfN(64, Gen.choose(-4.0f, 4.0f)))
+      .pureApply(Gen.Parameters.default, Seed(seed))
+
+  private def collectBoth(df: DataFrame): (Seq[Row], Seq[Row]) = {
+    spark.conf.set("spark.sql.codegen.wholeStage", "false")
+    spark.conf.set("spark.sql.codegen.factoryMode", "NO_CODEGEN")
+    try {
+      val interp = df.collect().toSeq
+      spark.conf.set("spark.sql.codegen.factoryMode", "FALLBACK")
+      spark.conf.set("spark.sql.codegen.wholeStage", "true")
+      (interp, df.collect().toSeq)
+    } finally {
+      spark.conf.set("spark.sql.codegen.factoryMode", "FALLBACK")
+      spark.conf.set("spark.sql.codegen.wholeStage", "true")
+    }
+  }
+
+  test("CodebookScores equals the composed element_at+dot+struct chain, both paths") {
+    import spark.implicits._
+    val k = 16
+    val cents = vecs(k, 3L).zipWithIndex.map { case (v, i) => (i.toLong, v) }
+    val cb = cents
+      .toDF("c_id", "c")
+      .select($"c_id", $"c", Vec.dot($"c", $"c").as("cn2"))
+      .groupBy()
+      .agg(sort_array(collect_list(struct($"c_id", $"c", $"cn2"))).as("cb"))
+    val e = vecs(50, 4L).zipWithIndex
+      .map { case (v, i) => (i.toLong, v) }
+      .toDF("vec_id", "embedding")
+      .select($"vec_id", $"embedding", Vec.dot($"embedding", $"embedding").as("n2"))
+      .crossJoin(broadcast(cb))
+    val composed = array((1 to k).map { i =>
+      val ct = element_at(col("cb"), i)
+      struct(
+        (DotProduct(col("embedding"), ct.getField("c")) /
+          (sqrt(col("n2")) * sqrt(ct.getField("cn2")))).as("ccos"),
+        (-ct.getField("c_id")).as("nid"))
+    }: _*)
+    val df = e.select(
+      $"vec_id",
+      CodebookScores($"embedding", $"n2", $"cb").as("fused"),
+      composed.as("ref"))
+    val (interp, codegen) = collectBoth(df)
+    (interp ++ codegen).foreach { r =>
+      assert(r.getSeq[Row](1) == r.getSeq[Row](2), s"vec_id=${r.getLong(0)}")
+    }
+    assert(interp.map(_.toString).sorted == codegen.map(_.toString).sorted)
+  }
+
+  test("PlaneSignBits equals the per-bit when(dot > 0) sum, both paths") {
+    import spark.implicits._
+    val planes = graft.ops.DedupOps.rhPlanes
+    val bits = 8
+    val composed = array((0 until planes.length / bits).map { j =>
+      (0 until bits)
+        .map(k =>
+          when(
+            DotProduct(col("embedding"), typedLit(planes(bits * j + k))) > 0d,
+            lit(1L << k)).otherwise(lit(0L)))
+        .reduce(_ + _)
+    }: _*)
+    val df = vecs(80, 5L).zipWithIndex
+      .map { case (v, i) => (i.toLong, v) }
+      .toDF("vec_id", "embedding")
+      .select(
+        $"vec_id",
+        PlaneSignBits($"embedding", typedLit(planes), bits).as("fused"),
+        composed.as("ref"))
+    val (interp, codegen) = collectBoth(df)
+    (interp ++ codegen).foreach { r =>
+      assert(r.getSeq[Long](1) == r.getSeq[Long](2), s"vec_id=${r.getLong(0)}")
+    }
+    assert(interp.map(_.toString) == codegen.map(_.toString))
+  }
+
+  test("PlaneSignBits null/mismatch contract: zero bits, never null") {
+    import spark.implicits._
+    val planes = Seq(Seq(1f, 1f), Seq(-1f, 1f))
+    val df = Seq(
+      (0L, Some(Seq(2f, 1f))),   // dots: +3 > 0, -1 → band = 1
+      (1L, None),                // null vec → 0
+      (2L, Some(Seq(1f, 1f, 1f))) // length mismatch → 0
+    ).toDF("vec_id", "embedding")
+      .select($"vec_id", PlaneSignBits($"embedding", typedLit(planes), 2).as("b"))
+    val (interp, codegen) = collectBoth(df)
+    Seq(interp, codegen).foreach { rows =>
+      assert(rows.map(r => (r.getLong(0), r.getSeq[Long](1))) ==
+        Seq((0L, Seq(1L)), (1L, Seq(0L)), (2L, Seq(0L))))
+    }
+  }
+}
