@@ -44,7 +44,7 @@ object LenientJson {
       if (node == null || !node.isObject) None
       else {
         val b = Map.newBuilder[String, String]
-        val it = node.fields()
+        val it = node.properties().iterator()
         while (it.hasNext) {
           val e = it.next()
           b += e.getKey -> jsonValueAsString(e.getValue)
