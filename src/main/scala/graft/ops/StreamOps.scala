@@ -176,6 +176,52 @@ object StreamOps {
       .dropDuplicatesWithinWatermark("content_md5")
   }
 
+  /** Custom-state streaming via `flatMapGroupsWithState` — the API tier
+    * below the built-in window/dedup operators, for state machines the
+    * built-ins can't express. Demonstrated here as per-user lifetime event
+    * totals with an event-time timeout: each micro-batch folds its rows
+    * into a (count, max event time) state per user, arms a timeout one
+    * hour past the user's newest event, and emits the final total exactly
+    * once when the watermark passes it — i.e. when the 7-day late-data
+    * horizon closes the user's activity. State is one (long, long) per
+    * live user, evicted on emission: bounded by active users, not corpus
+    * size. Batch equivalent: `groupBy(user_id).count()`
+    * (StreamingLiftDedupSessionSpec proves equality).
+    */
+  def liftUserTotals(
+      s: SparkSession,
+      sourceDir: String,
+      options: Map[String, String] = Map.empty): DataFrame = {
+    import s.implicits._
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+    eventsStream(s, sourceDir, options)
+      .select($"user_id", $"ts")
+      .as[(Long, java.sql.Timestamp)]
+      .groupByKey(_._1)
+      .flatMapGroupsWithState[(Long, Long), (Long, Long)](
+        OutputMode.Append(),
+        GroupStateTimeout.EventTimeTimeout()) {
+        (uid: Long,
+         rows: Iterator[(Long, java.sql.Timestamp)],
+         state: GroupState[(Long, Long)]) =>
+          if (state.hasTimedOut) {
+            val (n, _) = state.get
+            state.remove()
+            Iterator.single((uid, n))
+          } else {
+            var (n, maxTs) = state.getOption.getOrElse((0L, 0L))
+            rows.foreach { r =>
+              n += 1
+              maxTs = math.max(maxTs, r._2.getTime)
+            }
+            state.update((n, maxTs))
+            state.setTimeoutTimestamp(maxTs + 3600L * 1000)
+            Iterator.empty
+          }
+      }
+      .toDF("user_id", "n")
+  }
+
   /** The session_window aggregation shape shared by the batch and stream
     * forms of the session lift: 30-minute-gap sessions per user. Spark's
     * native gap-based session operator — at scale this is state-store

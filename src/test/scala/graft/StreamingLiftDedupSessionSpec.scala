@@ -97,6 +97,53 @@ class StreamingLiftDedupSessionSpec extends SparkSpec {
     assert(runOnce("graft_md5_out2") == streamKeys)
   }
 
+  test("flatMapGroupsWithState user totals equal the batch groupBy counts") {
+    import spark.implicits._
+    val dir = stageEvents()
+    // sentinel in a second file/micro-batch pushes the watermark past every
+    // real user's timeout, so each user's total is emitted exactly once
+    val maxTs = graft.T(spark, sf, "events")
+      .agg(max($"ts"))
+      .head()
+      .getTimestamp(0)
+    val sentinelNanos = (maxTs.getTime + 40L * 24 * 3600 * 1000) * 1000000L
+    val schema = spark.read.parquet(s"$dir/events.parquet").schema
+    val sentinel = spark
+      .createDataFrame(
+        java.util.List.of(
+          org.apache.spark.sql.Row(-1L, sentinelNanos, -1L, "sentinel", 0.0d, "{}")),
+        schema)
+    Thread.sleep(5) // distinct mtime so the sentinel file sorts later
+    sentinel.coalesce(1).write.mode("append").parquet(dir.toString)
+    val q = StreamOps
+      .liftUserTotals(spark, dir.toString, Map("maxFilesPerTrigger" -> "1"))
+      .writeStream
+      .outputMode("append")
+      .format("memory")
+      .queryName("graft_totals_out")
+      .option("checkpointLocation", Files.createTempDirectory("graft_ckpt").toString)
+      .start()
+    try {
+      q.processAllAvailable()
+      val streamed = spark
+        .table("graft_totals_out")
+        .filter($"user_id" =!= -1L)
+        .collect()
+        .map(r => (r.getLong(0), r.getLong(1)))
+        .sorted
+        .toSeq
+      val batch = graft
+        .T(spark, sf, "events")
+        .groupBy($"user_id")
+        .count()
+        .collect()
+        .map(r => (r.getLong(0), r.getLong(1)))
+        .sorted
+        .toSeq
+      assert(streamed.nonEmpty && streamed == batch)
+    } finally q.stop()
+  }
+
   test("readStream session_window equals the batch session_window result") {
     import spark.implicits._
     val dir = stageEvents()
