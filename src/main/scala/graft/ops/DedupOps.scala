@@ -553,7 +553,62 @@ object DedupOps {
       "WHERE cos >= 0.4 ORDER BY a_id, b_id"
   }
 
+  /** q_pipeline_corpus — the training-corpus build as ONE declarative
+    * pipeline, the composition a user of this library actually runs:
+    * quality gate (length + lexical-diversity thresholds, the
+    * q_text_quality features) → exact content dedup (q_dedup_exact's
+    * first-writer-wins md5 pass) → deterministic 80/10/10 train/valid/test
+    * split (q_split_assign's pure-function-of-key bucketing on doc_id) →
+    * per-(split, lang) corpus accounting. Every stage is a map or one
+    * keyed shuffle, so the whole pipeline is three exchanges end-to-end
+    * (md5 window, split-lang aggregate, output sort) regardless of corpus
+    * size.
+    */
+  private def pipelineCorpus(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val w = Window.partitionBy(md5($"text")).orderBy($"doc_id")
+    val bucket = pmod(h32($"doc_id".cast("string")), lit(100L))
+    docs(s, d)
+      .select(
+        $"doc_id",
+        $"lang",
+        $"n_chars",
+        $"text",
+        size(split($"text", " ")).as("n_tokens"),
+        size(array_distinct(split($"text", " "))).as("n_distinct"))
+      .filter(
+        $"n_chars" >= 100 &&
+          $"n_distinct".cast("double") / $"n_tokens".cast("double") > 0.3)
+      .withColumn("rn", row_number().over(w))
+      .filter($"rn" === 1)
+      .select(
+        $"lang",
+        $"n_chars",
+        when(bucket < 80, "train")
+          .when(bucket < 90, "valid")
+          .otherwise("test")
+          .as("split"))
+      .groupBy($"split", $"lang")
+      .agg(count(lit(1)).as("n_docs"), sum($"n_chars").as("sum_chars"))
+      .orderBy("split", "lang")
+  }
+
+  private val PipelineSql =
+    "WITH f AS (SELECT doc_id, lang, n_chars, text FROM (" +
+      "SELECT doc_id, lang, n_chars, text, " +
+      "CAST(len(string_split(text, ' ')) AS INTEGER) AS n_tokens, " +
+      "CAST(len(list_distinct(string_split(text, ' '))) AS INTEGER) AS n_distinct " +
+      "FROM documents) " +
+      "WHERE n_chars >= 100 AND CAST(n_distinct AS DOUBLE) / CAST(n_tokens AS DOUBLE) > 0.3), " +
+      "d AS (SELECT lang, n_chars, " +
+      s"${h32Sql("CAST(doc_id AS VARCHAR)")} % 100 AS b FROM f " +
+      "QUALIFY row_number() OVER (PARTITION BY md5(text) ORDER BY doc_id) = 1) " +
+      "SELECT CASE WHEN b < 80 THEN 'train' WHEN b < 90 THEN 'valid' ELSE 'test' END AS split, " +
+      "lang, COUNT(*) AS n_docs, CAST(SUM(n_chars) AS BIGINT) AS sum_chars " +
+      "FROM d GROUP BY 1, 2 ORDER BY split, lang"
+
   val defs: Seq[QueryDef] = Seq(
+    QueryDef("q_pipeline_corpus", pipelineCorpus, Some(PipelineSql)),
     QueryDef(
       "q_dedup_exact",
       dedupExact,
