@@ -125,12 +125,20 @@ object StreamOps {
 
   /** Streaming lift of q_stream_dedup — the reference's exact sink
     * contract (dedup on business key under a 7-day late-data bound,
-    * main.py:25,104-105,202): withWatermark + dropDuplicates. State =
-    * one key per (user_id, event_type) inside the watermark horizon,
-    * evicted as the watermark passes — bounded memory at 100 TB/day.
-    * Which physical row represents a key depends on arrival order (same
-    * as the reference's first-writer-wins INSERT), so the lift contract
-    * is key-set equality, not row equality.
+    * main.py:25,104-105,202): withWatermark + dropDuplicates. Which
+    * physical row represents a key depends on arrival order (same as the
+    * reference's first-writer-wins INSERT), so the lift contract is
+    * key-set equality, not row equality.
+    *
+    * State note: the event-time column is not part of the dedup key, so
+    * this state store grows with distinct keys — which is FAITHFUL to the
+    * reference, whose dedup state is the entire sink table (INSERT ... ON
+    * CONFLICT over all history). When the horizon-bounded contract is
+    * acceptable instead, use `dropDuplicatesWithinWatermark` (the
+    * [[liftDedupExact]] shape: state evicted as the watermark passes);
+    * when exact all-history dedup must scale past executor memory, push
+    * the state into the sink itself via foreachBatch + idempotent append
+    * (the [[graft.ops.Sinks]] pattern StreamingPipelineSpec proves).
     */
   def liftDedup(s: SparkSession, sourceDir: String): DataFrame =
     eventsStream(s, sourceDir).dropDuplicates("user_id", "event_type")
