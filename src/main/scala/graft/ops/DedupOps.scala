@@ -49,34 +49,37 @@ object DedupOps {
     // coalesce makes the token array non-nullable, so downstream join-key
     // IsNotNull inference cannot push isnotnull(<whole hash expression>)
     // into the scan as a DataFilter (which would evaluate the tokenize+hash
-    // pass twice per row)
+    // pass twice per row). The fused kernel replaces the
+    // array_sort(transform(array_distinct(split(..)), h32)) HOF chain — one
+    // tight loop per row instead of per-token interpreted md5/conv eval.
     docs(s, d)
-      .select($"doc_id", $"lang", array_distinct(split(coalesce($"text", lit("")), " ")).as("t"))
       .select(
         $"doc_id",
         $"lang",
-        array_sort(transform($"t", tk => h32(tk))).as("th"),
-        size($"t").as("n"))
+        graft.expr.TokenHashes(coalesce($"text", lit("")), sortedDistinct = true)
+          .as("th"))
+      .select($"doc_id", $"lang", $"th", size($"th").as("n"))
   }
 
-  /** One MinHash value over the pre-hashed token column:
-    * min over th of (a_j*h + b_j) mod P.
+  /** All NumHashes MinHash lane minima in one fused pass over th
+    * ([[graft.expr.MinHashLanes]]); lane j is read back with element_at.
+    * The lanes alias is referenced NumHashes times, so Catalyst keeps the
+    * projection and the pass runs once per row.
     */
-  private def minhash(j: Int): Column =
-    array_min(transform(col("th"), h => pmod(lit(mhA(j)) * h + lit(mhB(j)), lit(P))))
+  private def mhCols: Seq[Column] =
+    (0 until NumHashes).map(j => element_at(col("lanes"), j + 1).as(s"mh$j"))
 
   private def minhashSql(j: Int): String =
     s"list_min(list_transform(t, tk -> (${mhA(j)} * ${h32Sql("tk")} + ${mhB(j)}) % $P))"
 
-  /** Signature frame: (doc_id, lang, n, mh0..mh7). th is referenced by all
-    * NumHashes lanes, so the hashedToks projection survives optimization and
-    * tokens are hashed once.
+  /** Signature frame: (doc_id, lang, n, mh0..mh7), token hashing and the
+    * 8 lane minima each one fused pass.
     */
   private def sigFrame(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
-    hashedToks(s, d).select(
-      Seq($"doc_id", $"lang", $"n") ++
-        (0 until NumHashes).map(j => minhash(j).as(s"mh$j")): _*)
+    hashedToks(s, d)
+      .select($"doc_id", $"lang", $"n", graft.expr.MinHashLanes($"th").as("lanes"))
+      .select(Seq($"doc_id", $"lang", $"n") ++ mhCols: _*)
   }
 
   /** q_dedup_near — exact token-set Jaccard (J ≥ 0.9) verification over
@@ -131,9 +134,9 @@ object DedupOps {
       num: Int,
       den: Int): DataFrame = {
     import s.implicits._
-    val sig = sets.select(
-      Seq($"doc_id", $"lang", $"n", $"th") ++
-        (0 until NumHashes).map(j => minhash(j).as(s"mh$j")): _*)
+    val sig = sets
+      .select($"doc_id", $"lang", $"n", $"th", graft.expr.MinHashLanes($"th").as("lanes"))
+      .select(Seq($"doc_id", $"lang", $"n", $"th") ++ mhCols: _*)
     val bands = sig.select(
       $"doc_id",
       $"lang",
@@ -205,8 +208,11 @@ object DedupOps {
     import s.implicits._
     def combine(a: Column, b: Column): Column = pmod(a * lit(131L) + b, lit(P))
     docs(s, d)
-      .select($"doc_id", $"lang", split(coalesce($"text", lit("")), " ").as("t"))
-      .select($"doc_id", $"lang", transform($"t", tk => h32(tk)).as("ht"))
+      .select(
+        $"doc_id",
+        $"lang",
+        graft.expr.TokenHashes(coalesce($"text", lit("")), sortedDistinct = false)
+          .as("ht"))
       .select(
         $"doc_id",
         $"lang",
@@ -268,7 +274,8 @@ object DedupOps {
   private def dedupMinhash(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
     hashedToks(s, d)
-      .select($"doc_id" +: (0 until NumHashes).map(j => minhash(j).as(s"mh$j")): _*)
+      .select($"doc_id", graft.expr.MinHashLanes($"th").as("lanes"))
+      .select($"doc_id" +: mhCols: _*)
       .orderBy("doc_id")
   }
 
@@ -335,17 +342,8 @@ object DedupOps {
   private val SimBits = 16
   private def dedupSimhash(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
-    def bit(b: Int): Column =
-      when(
-        aggregate(
-          $"th",
-          lit(0L),
-          (acc, x) => acc + (shiftright(x, b) % 2L) * 2L - 1L) > 0,
-        lit(1L << b)).otherwise(lit(0L))
     hashedToks(s, d)
-      .select(
-        $"doc_id",
-        (0 until SimBits).map(bit).reduce(_ + _).as("simhash"))
+      .select($"doc_id", graft.expr.SimHashFold($"th", SimBits).as("simhash"))
       .orderBy("doc_id")
   }
 

@@ -92,6 +92,63 @@ class FusedExprAgreementSpec extends SparkSpec {
     assert(interp.map(_.toString) == codegen.map(_.toString))
   }
 
+  test("TokenHashes/MinHashLanes/SimHashFold equal the HOF chains, both paths") {
+    import graft.expr.{MinHashLanes, SimHashFold, TokenHashes}
+    import graft.ops.Hashing
+    import spark.implicits._
+    // adversarial corpus: empty text, repeated/whitespace-heavy tokens,
+    // unicode, plus generated ascii strings
+    val texts = Seq(
+      "",
+      " ",
+      "a a a",
+      "the quick brown fox the lazy dog the",
+      "tab\tinside one token",
+      "café naïve 中文 tokens",
+      "trailing space ") ++
+      Gen
+        .listOfN(60, Gen.asciiPrintableStr)
+        .pureApply(Gen.Parameters.default, Seed(29L))
+    val df0 = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }.toDF("id", "text")
+    def h32c(t: org.apache.spark.sql.Column) = Hashing.h32(t)
+    val refTh = array_sort(transform(array_distinct(split($"text", " ")), tk => h32c(tk)))
+    val refHt = transform(split($"text", " "), tk => h32c(tk))
+    val refLanes = array((0 until Hashing.NumHashes).map(j =>
+      array_min(transform($"th", h =>
+        pmod(lit(Hashing.mhA(j)) * h + lit(Hashing.mhB(j)), lit(Hashing.P))))): _*)
+    val refSim = (0 until 16)
+      .map(b =>
+        when(
+          aggregate($"th", lit(0L), (acc, x) => acc + (shiftright(x, b) % 2L) * 2L - 1L) > 0,
+          lit(1L << b)).otherwise(lit(0L)))
+      .reduce(_ + _)
+    val df = df0
+      .select(
+        $"id",
+        TokenHashes($"text", sortedDistinct = true).as("th"),
+        refTh.as("refTh"),
+        TokenHashes($"text", sortedDistinct = false).as("ht"),
+        refHt.as("refHt"))
+      .select(
+        $"id",
+        $"th",
+        $"refTh",
+        $"ht",
+        $"refHt",
+        MinHashLanes($"th").as("lanes"),
+        refLanes.as("refLanes"),
+        SimHashFold($"th", 16).as("sim"),
+        refSim.as("refSim"))
+    val (interp, codegen) = collectBoth(df)
+    (interp ++ codegen).foreach { r =>
+      assert(r.getSeq[Long](1) == r.getSeq[Long](2), s"th mismatch id=${r.getLong(0)}")
+      assert(r.getSeq[Long](3) == r.getSeq[Long](4), s"ht mismatch id=${r.getLong(0)}")
+      assert(r.getSeq[Long](5) == r.getSeq[Long](6), s"lanes mismatch id=${r.getLong(0)}")
+      assert(r.getLong(7) == r.getLong(8), s"simhash mismatch id=${r.getLong(0)}")
+    }
+    assert(interp.map(_.toString) == codegen.map(_.toString))
+  }
+
   test("PlaneSignBits null/mismatch contract: zero bits, never null") {
     import spark.implicits._
     val planes = Seq(Seq(1f, 1f), Seq(-1f, 1f))
