@@ -1,0 +1,128 @@
+package graft.ops
+
+import graft.{QueryDef, T}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Tier C corpus-curation family (charter: "the operations a large-scale
+  * training-data pipeline would need"): deterministic mixture sampling
+  * (domain re-weighting) and sequence packing (context-window accounting).
+  * Both are pure functions of the row key — no RNG state, so a retry, a
+  * re-run, or a different partitioning of the same 100 TB corpus selects
+  * the identical sample and the identical packing.
+  */
+object CurationOps {
+
+  import Hashing._
+
+  private def docs(s: SparkSession, d: String) = T(s, d, "documents")
+
+  /** Salted md5-derived bucket in [0, m): independent across salts, so the
+    * mix sample, the pack shard and the pack order don't correlate with
+    * each other or with q_sample_hash / q_split_assign.
+    */
+  private def hkey(salt: String): Column =
+    h32(concat(col("doc_id").cast("string"), lit("|" + salt)))
+
+  private def hkeySql(salt: String): String =
+    h32Sql(s"concat(CAST(doc_id AS VARCHAR), '|$salt')")
+
+  // ---------------------------------------------------------------------
+  // q_sample_mix
+  // ---------------------------------------------------------------------
+
+  /** Per-language sampling percentages: the training-mix knob (up-weight
+    * the languages the run wants more of, down-weight the rest).
+    */
+  private val MixRates: Seq[(String, Int)] = Seq("en" -> 40, "zh" -> 25)
+  private val MixDefault = 10
+
+  /** q_sample_mix — deterministic per-stratum mixture sampling: keep a
+    * document iff its salted hash bucket falls under its language's rate.
+    * Entirely map-side — the rate ladder and the hash are evaluated inside
+    * the scan's stage, so at 100 TB this is a single pass with ZERO
+    * shuffles (the orderBy exists only for the oracle compare; a pipeline
+    * sink would drop it). Contrast with `df.sample`, whose per-partition
+    * RNG state changes the selected set under retries and repartitioning.
+    */
+  private def sampleMix(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val rate = MixRates.foldLeft(lit(MixDefault): Column) { case (acc, (l, r)) =>
+      when($"lang" === l, lit(r)).otherwise(acc)
+    }
+    docs(s, d)
+      .filter(pmod(hkey("mix"), lit(100L)) < rate)
+      .select($"doc_id", $"lang", $"source", $"n_chars")
+      .orderBy($"doc_id")
+  }
+
+  private val MixSql = {
+    val ladder = MixRates.reverse
+      .map { case (l, r) => s"WHEN lang = '$l' THEN $r" }
+      .mkString("CASE ", " ", s" ELSE $MixDefault END")
+    "SELECT doc_id, lang, source, n_chars FROM documents " +
+      s"WHERE ${hkeySql("mix")} % 100 < $ladder ORDER BY doc_id"
+  }
+
+  // ---------------------------------------------------------------------
+  // q_pack_sequences
+  // ---------------------------------------------------------------------
+
+  /** Context-window size (tokens) and shard fan-out for packing. Shards
+    * exist so the running sum is per (lang, shard), not per lang: packing
+    * has no semantic order requirement (any grouping of whole documents is
+    * a valid pack), so sharding by hash makes the window pass
+    * embarrassingly parallel — at 100 TB the shard count scales with the
+    * cluster instead of one task per language. 512 matches the testdata's
+    * 10-99-token documents (~9 docs per window); a production corpus would
+    * use 4096/8192.
+    */
+  private val PackWindow = 512L
+  private val PackShards = 4L
+
+  /** q_pack_sequences — greedy concat-and-chunk sequence packing: within
+    * each (lang, shard), documents are laid end to end in deterministic
+    * salted-hash order and a document belongs to the context window its
+    * START offset falls in (documents are never split). Output is the
+    * packing account per bin — how many documents and tokens each context
+    * window holds (n_tokens may exceed the window by at most the last
+    * document's length: the straddle the no-split rule accepts).
+    * One hash shuffle (the window) + the oracle sort; the bin is derived
+    * from the running sum, so the aggregation reuses the window's
+    * partitioning (no extra exchange — plan-asserted).
+    */
+  private def packSequences(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val w = Window
+      .partitionBy($"lang", $"shard")
+      .orderBy($"hk", $"doc_id")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    docs(s, d)
+      .select(
+        $"doc_id",
+        $"lang",
+        size(split(coalesce($"text", lit("")), " ")).cast("long").as("n_tok"),
+        pmod(hkey("pack"), lit(PackShards)).as("shard"),
+        hkey("ord").as("hk"))
+      .withColumn("cum", sum($"n_tok").over(w))
+      .withColumn("bin", floor(($"cum" - $"n_tok") / lit(PackWindow)))
+      .groupBy($"lang", $"shard", $"bin")
+      .agg(count(lit(1)).as("n_docs"), sum($"n_tok").as("n_tokens"))
+      .orderBy($"lang", $"shard", $"bin")
+  }
+
+  private val PackSql =
+    "WITH t AS (SELECT doc_id, lang, " +
+      "CAST(len(string_split(coalesce(text, ''), ' ')) AS BIGINT) AS n_tok, " +
+      s"${hkeySql("pack")} % $PackShards AS shard, ${hkeySql("ord")} AS hk FROM documents), " +
+      "c AS (SELECT lang, shard, n_tok, sum(n_tok) OVER (PARTITION BY lang, shard " +
+      "ORDER BY hk, doc_id ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum FROM t) " +
+      s"SELECT lang, shard, CAST((cum - n_tok) // $PackWindow AS BIGINT) AS bin, " +
+      "count(*) AS n_docs, CAST(sum(n_tok) AS BIGINT) AS n_tokens " +
+      "FROM c GROUP BY lang, shard, bin ORDER BY lang, shard, bin"
+
+  val defs: Seq[QueryDef] = Seq(
+    QueryDef("q_sample_mix", sampleMix, Some(MixSql)),
+    QueryDef("q_pack_sequences", packSequences, Some(PackSql)))
+}

@@ -166,7 +166,11 @@ object DedupOps {
   private def dedupNear(s: SparkSession, d: String): DataFrame =
     bandedJaccardPairs(s, hashedToks(s, d), 9, 10)
 
-  private val NearSql = {
+  /** The near-dup pipeline as a CTE list ending in `pairs(a_id, b_id,
+    * jaccard)`, shared by [[NearSql]] and the transitive-closure oracle
+    * ([[CcSql]]).
+    */
+  private val NearCtes = {
     val sigSelect =
       "SELECT doc_id, lang, len(t) AS n, " +
         (0 until NumHashes).map(j => s"${minhashSql(j)} AS mh$j").mkString(", ") +
@@ -174,20 +178,113 @@ object DedupOps {
     val bandUnion = (0 until NearBands)
       .map(j => s"SELECT doc_id, lang, n, $j AS band_idx, ${nearBandSql(j)} AS band_val FROM sig")
       .mkString(" UNION ALL ")
-    "WITH tok AS (SELECT doc_id, lang, list_distinct(string_split(coalesce(text, ''), ' ')) AS t " +
+    "tok AS (SELECT doc_id, lang, list_distinct(string_split(coalesce(text, ''), ' ')) AS t " +
       "FROM documents), " +
       s"sig AS ($sigSelect), bands AS ($bandUnion), " +
       "cand AS (SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id " +
       "FROM bands a JOIN bands b ON a.band_idx = b.band_idx AND a.band_val = b.band_val " +
       "AND a.doc_id < b.doc_id AND a.lang = b.lang " +
-      "AND a.n * 10 >= b.n * 9 AND b.n * 10 >= a.n * 9) " +
-      "SELECT a_id, b_id, jaccard FROM (" +
+      "AND a.n * 10 >= b.n * 9 AND b.n * 10 >= a.n * 9), " +
+      "pairs AS (SELECT a_id, b_id, jaccard FROM (" +
       "SELECT c.a_id, c.b_id, " +
       "CAST(len(list_intersect(ta.t, tb.t)) AS DOUBLE) / " +
       "(len(ta.t) + len(tb.t) - len(list_intersect(ta.t, tb.t))) AS jaccard " +
       "FROM cand c JOIN tok ta ON ta.doc_id = c.a_id JOIN tok tb ON tb.doc_id = c.b_id) " +
-      "WHERE jaccard >= 0.9 ORDER BY a_id, b_id"
+      "WHERE jaccard >= 0.9)"
   }
+
+  private val NearSql =
+    s"WITH $NearCtes SELECT a_id, b_id, jaccard FROM pairs ORDER BY a_id, b_id"
+
+  /** Min-label propagation to a fixpoint: connected components over an
+    * undirected `edges(src, dst)` set, labels(v) = min doc_id reachable
+    * from v. Each iteration is one shuffle join (neighbor labels) + one
+    * aggregate (min per node); the frame is `localCheckpoint`ed per
+    * iteration so lineage stays flat (a reliable checkpoint dir is the
+    * cluster-mode equivalent). Convergence is detected from Σ label — the
+    * per-node min is monotonically non-increasing, so the sum strictly
+    * decreases until the fixpoint (decimal sum: no overflow at any id
+    * range × row count). Iterations are bounded by the largest component
+    * DIAMETER, not its size — near-dup components are clique-like (a few
+    * hops), so the loop is O(1) rounds in practice with a hard cap as a
+    * guard; the driver holds only the convergence scalar, never the
+    * labels (k-means-style model-state loop, the MLlib shape).
+    */
+  private val CcMaxIters = 25
+
+  private[graft] def connectedComponents(
+      s: SparkSession,
+      rawEdges: DataFrame,
+      universe: DataFrame): DataFrame = {
+    import s.implicits._
+    val pairs = rawEdges.toDF("a_id", "b_id")
+    val edges = pairs
+      .union(pairs.select($"b_id", $"a_id"))
+      .toDF("src", "dst")
+      .persist()
+    var labels = edges
+      .select($"src".as("id"))
+      .distinct()
+      .select($"id", $"id".as("label"))
+      .localCheckpoint()
+    var prevSum = BigDecimal(-1)
+    var iter = 0
+    var converged = false
+    while (!converged && iter < CcMaxIters) {
+      val msgs = edges
+        .join(labels, edges("src") === labels("id"))
+        .select($"dst".as("id"), $"label")
+      val next = labels
+        .union(msgs)
+        .groupBy($"id")
+        .agg(min($"label").as("label"))
+        .localCheckpoint()
+      val sum0 = Option(next.agg(sum($"label".cast("decimal(38,0)"))).head().get(0))
+        .map(v => BigDecimal(v.asInstanceOf[java.math.BigDecimal]))
+        .getOrElse(BigDecimal(0))
+      converged = sum0 == prevSum
+      prevSum = sum0
+      labels = next
+      iter += 1
+    }
+    edges.unpersist()
+    universe
+      .join(labels, universe("doc_id") === labels("id"), "left")
+      .select($"doc_id", coalesce($"label", $"doc_id").as("cluster_id"))
+      .withColumn("cluster_size", count(lit(1)).over(Window.partitionBy($"cluster_id")))
+      .orderBy($"doc_id")
+  }
+
+  /** q_dedup_cc — transitive duplicate-cluster resolution: pairwise
+    * near-dup output is not a dedup decision (A≈B and B≈C put all three
+    * in one cluster even when A and C never pair), so the pair set from
+    * [[dedupNear]] is closed into connected components and every document
+    * gets (cluster_id = min doc_id of its component, cluster_size).
+    * Singletons are their own cluster, so the output is a total
+    * assignment a dedup sink can consume directly (keep iff doc_id =
+    * cluster_id). The oracle computes the identical closure as a DuckDB
+    * recursive CTE over the identical pair set.
+    */
+  private def dedupCc(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    connectedComponents(
+      s,
+      bandedJaccardPairs(s, hashedToks(s, d), 9, 10).select($"a_id", $"b_id"),
+      docs(s, d).select($"doc_id"))
+  }
+
+  private val CcSql =
+    s"WITH RECURSIVE $NearCtes, " +
+      "edges AS (SELECT a_id AS src, b_id AS dst FROM pairs " +
+      "UNION ALL SELECT b_id, a_id FROM pairs), " +
+      "reach(id, r) AS (SELECT src, src FROM edges " +
+      "UNION SELECT e.src, r.r FROM edges e JOIN reach r ON r.id = e.dst), " +
+      "lbl AS (SELECT id, min(r) AS cluster_id FROM reach GROUP BY id), " +
+      "asgn AS (SELECT d.doc_id, coalesce(l.cluster_id, d.doc_id) AS cluster_id " +
+      "FROM documents d LEFT JOIN lbl l ON l.id = d.doc_id) " +
+      "SELECT doc_id, cluster_id, " +
+      "count(*) OVER (PARTITION BY cluster_id) AS cluster_size " +
+      "FROM asgn ORDER BY doc_id"
 
   /** q_dedup_ngram — n-gram (3-token shingle) Jaccard near-dup: the
     * order-sensitive dedup variant (unigram sets can't tell a permuted
@@ -615,6 +712,7 @@ object DedupOps {
           "QUALIFY row_number() OVER (PARTITION BY md5(text) ORDER BY doc_id) = 1 " +
           "ORDER BY doc_id")),
     QueryDef("q_dedup_near", dedupNear, Some(NearSql)),
+    QueryDef("q_dedup_cc", dedupCc, Some(CcSql)),
     QueryDef("q_dedup_ngram", dedupNgram, Some(NgramSql)),
     QueryDef("q_dedup_minhash", dedupMinhash, Some(MinhashSql)),
     QueryDef("q_dedup_lsh", dedupLsh, Some(LshSql)),
