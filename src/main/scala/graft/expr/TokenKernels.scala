@@ -97,6 +97,75 @@ object TokenKernels {
     if (!seen) null else new GenericArrayData(mins)
   }
 
+  /** All 3-shingle hashes in one pass over the token-hash array —
+    * `array_sort(array_distinct(transform(sequence(1, n-2), i =>
+    * combine(combine(ht[i], ht[i+1]), ht[i+2]))))` with combine(a, b) =
+    * (a·131 + b) mod P, degrading to the single whole-array fold
+    * `[aggregate(ht, 0, combine)]` below 3 tokens — exactly the
+    * order-sensitive shingle set of the ngram dedup.
+    */
+  def shingleHashes(ht: ArrayData, p: Long): ArrayData = {
+    val n = ht.numElements()
+    if (n >= 3) {
+      val buf = new Array[Long](n - 2)
+      var i = 0
+      while (i < n - 2) {
+        buf(i) = ((ht.getLong(i) * 131L + ht.getLong(i + 1)) % p * 131L +
+          ht.getLong(i + 2)) % p
+        i += 1
+      }
+      java.util.Arrays.sort(buf)
+      var m = 0
+      var j = 0
+      while (j < buf.length) {
+        if (m == 0 || buf(m - 1) != buf(j)) { buf(m) = buf(j); m += 1 }
+        j += 1
+      }
+      new GenericArrayData(java.util.Arrays.copyOf(buf, m))
+    } else {
+      var acc = 0L
+      var i = 0
+      while (i < n) { acc = (acc * 131L + ht.getLong(i)) % p; i += 1 }
+      new GenericArrayData(Array(acc))
+    }
+  }
+
+  /** Adjacent-pair expansion over a token array —
+    * `transform(sequence(1, n-1), i => concat(tk[i-1], ' ', tk[i]))`.
+    * Contract: callers filter to n ≥ 2 first (as q_text_ngrams does);
+    * below that the composed chain produces out-of-bounds nulls and this
+    * kernel returns an empty array instead.
+    */
+  def bigrams(tk: ArrayData): ArrayData = {
+    val n = tk.numElements()
+    val out = new Array[AnyRef](math.max(0, n - 1))
+    var i = 0
+    while (i + 1 < n) {
+      out(i) = UTF8String.concat(tk.getUTF8String(i), Space, tk.getUTF8String(i + 1))
+      i += 1
+    }
+    new GenericArrayData(out)
+  }
+
+  /** Order-sensitive rolling polynomial hash over the token stream —
+    * `aggregate(split(text, ' '), 0L, (acc, t) => (acc·131 +
+    * ascii(t)·131 + length(t)) mod P)`. ascii is Spark's: the code point
+    * of the first character (0 when empty), identical to DuckDB's.
+    */
+  def rollingFingerprint(s: UTF8String, p: Long): Long = {
+    val parts = s.split(Space, -1)
+    var acc = 0L
+    var i = 0
+    while (i < parts.length) {
+      val t = parts(i)
+      val first = t.substring(0, 1)
+      val a = if (first.numChars() > 0) first.toString.codePointAt(0) else 0
+      acc = Math.floorMod(acc * 131L + (a * 131 + t.numChars()).toLong, p)
+      i += 1
+    }
+    acc
+  }
+
   /** The full SimHash value in one pass: bit b of the result is set iff
     * `aggregate(th, 0L, (acc, x) => acc + ((x >> b) % 2) * 2 - 1) > 0` —
     * the ±1 vote per token per bit, all `bits` votes accumulated in one
@@ -237,4 +306,83 @@ case class SimHashFold(child: Expression, bits: Int) extends UnaryExpression {
 object SimHashFold {
   def apply(c: Column, bits: Int): Column =
     GraftBridge.column(SimHashFold(GraftBridge.expression(c), bits))
+}
+
+/** `shingleHashes` as an expression over the hashed-token array (see
+  * [[TokenKernels.shingleHashes]]); never null from a non-null child.
+  */
+case class ShingleHashes(child: Expression) extends UnaryExpression {
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+
+  override def prettyName: String = "shingle_hashes"
+
+  override def nullSafeEval(ht: Any): Any =
+    TokenKernels.shingleHashes(ht.asInstanceOf[ArrayData], graft.ops.Hashing.P)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(
+      ctx,
+      ev,
+      c => s"graft.expr.TokenKernels.shingleHashes($c, ${graft.ops.Hashing.P}L)")
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+object ShingleHashes {
+  def apply(c: Column): Column =
+    GraftBridge.column(ShingleHashes(GraftBridge.expression(c)))
+}
+
+/** `bigrams` as an expression over a token array (see
+  * [[TokenKernels.bigrams]]).
+  */
+case class BigramConcat(child: Expression) extends UnaryExpression {
+
+  override def dataType: DataType =
+    ArrayType(org.apache.spark.sql.types.StringType, containsNull = false)
+
+  override def prettyName: String = "bigram_concat"
+
+  override def nullSafeEval(tk: Any): Any =
+    TokenKernels.bigrams(tk.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.expr.TokenKernels.bigrams($c)")
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+object BigramConcat {
+  def apply(c: Column): Column =
+    GraftBridge.column(BigramConcat(GraftBridge.expression(c)))
+}
+
+/** `rollingFingerprint` as an expression over the raw text (see
+  * [[TokenKernels.rollingFingerprint]]).
+  */
+case class RollingFingerprint(child: Expression) extends UnaryExpression {
+
+  override def dataType: DataType = LongType
+
+  override def prettyName: String = "rolling_fingerprint"
+
+  override def nullSafeEval(s: Any): Any =
+    TokenKernels.rollingFingerprint(s.asInstanceOf[UTF8String], graft.ops.Hashing.P)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(
+      ctx,
+      ev,
+      c => s"graft.expr.TokenKernels.rollingFingerprint($c, ${graft.ops.Hashing.P}L)")
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+object RollingFingerprint {
+  def apply(c: Column): Column =
+    GraftBridge.column(RollingFingerprint(GraftBridge.expression(c)))
 }

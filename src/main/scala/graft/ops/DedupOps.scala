@@ -299,32 +299,18 @@ object DedupOps {
     * (computed once in the ht projection) instead of one md5 per shingle
     * over a concatenated string; the combine is pure integer arithmetic in
     * both engines. Documents with fewer than 3 tokens degrade to a single
-    * whole-document fold of the same form.
+    * whole-document fold of the same form. Shingling is one fused pass per
+    * row ([[graft.expr.ShingleHashes]]).
     */
   private def shingleSets(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
-    def combine(a: Column, b: Column): Column = pmod(a * lit(131L) + b, lit(P))
     docs(s, d)
       .select(
         $"doc_id",
         $"lang",
         graft.expr.TokenHashes(coalesce($"text", lit("")), sortedDistinct = false)
           .as("ht"))
-      .select(
-        $"doc_id",
-        $"lang",
-        when(
-          size($"ht") >= 3,
-          array_sort(
-            array_distinct(
-              transform(
-                sequence(lit(1), size($"ht") - 2),
-                i =>
-                  combine(
-                    combine(element_at($"ht", i), element_at($"ht", i + 1)),
-                    element_at($"ht", i + 2))))))
-          .otherwise(array(aggregate($"ht", lit(0L), (acc, h) => combine(acc, h))))
-          .as("th"))
+      .select($"doc_id", $"lang", graft.expr.ShingleHashes($"ht").as("th"))
       .withColumn("n", size($"th"))
   }
 

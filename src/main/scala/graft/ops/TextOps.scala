@@ -131,20 +131,14 @@ object TextOps {
 
   /** q_text_fingerprint — order-sensitive rolling polynomial hash over the
     * token stream (document fingerprinting; integer-exact and portable,
-    * unlike engine-native hashes).
+    * unlike engine-native hashes). One fused pass per row
+    * ([[graft.expr.RollingFingerprint]] — the `aggregate` fold it
+    * replaces was an interpreted ascii+length eval per token).
     */
   private def textFingerprint(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
     docs(s, d)
-      .select(
-        $"doc_id",
-        aggregate(
-          split($"text", " "),
-          lit(0L),
-          (acc, t) =>
-            pmod(
-              acc * 131L + (ascii(t) * 131 + length(t)).cast("bigint"),
-              lit(Hashing.P))).as("fingerprint"))
+      .select($"doc_id", graft.expr.RollingFingerprint($"text").as("fingerprint"))
       .orderBy("doc_id")
   }
 
@@ -174,8 +168,10 @@ object TextOps {
       "FROM documents ORDER BY doc_id"
 
   /** q_text_ngrams — corpus bigram frequency, top-20: the n-gram language
-    * model / contamination-check primitive. Adjacent-pair expansion is a
-    * per-row transform (map-side); the only shuffle is the two-phase count
+    * model / contamination-check primitive. Adjacent-pair expansion is one
+    * fused map-side pass per row ([[graft.expr.BigramConcat]] — the
+    * `transform(sequence(…))` HOF it replaces evaluated an interpreted
+    * concat per bigram); the only shuffle is the two-phase count
     * aggregate, exactly like q_text_tokens.
     */
   private def textNgrams(s: SparkSession, d: String): DataFrame = {
@@ -183,10 +179,7 @@ object TextOps {
     docs(s, d)
       .select(split($"text", " ").as("tk"))
       .filter(size($"tk") >= 2)
-      .select(
-        explode(expr(
-          "transform(sequence(1, size(tk) - 1), i -> concat(tk[i-1], ' ', tk[i]))"))
-          .as("bigram"))
+      .select(explode(graft.expr.BigramConcat($"tk")).as("bigram"))
       .groupBy($"bigram")
       .agg(count(lit(1)).as("n"))
       .orderBy($"n".desc, $"bigram")

@@ -149,6 +149,70 @@ class FusedExprAgreementSpec extends SparkSpec {
     assert(interp.map(_.toString) == codegen.map(_.toString))
   }
 
+  test("ShingleHashes/BigramConcat/RollingFingerprint equal their chains, both paths") {
+    import graft.expr.{BigramConcat, RollingFingerprint, ShingleHashes, TokenHashes}
+    import graft.ops.Hashing.P
+    import spark.implicits._
+    // astral-plane + combining chars exercise the ascii()/length() corner
+    // (code point of the first char; length in chars, not bytes)
+    val texts = Seq(
+      "",
+      " ",
+      "one",
+      "one two",
+      "a a a a a",
+      "the quick brown fox jumps over the lazy dog",
+      "café naïve 中文 字 tokens",
+      "😀 astral 𝔘 chars",
+      "trailing space ",
+      "  double  spaces") ++
+      Gen
+        .listOfN(60, Gen.asciiPrintableStr)
+        .pureApply(Gen.Parameters.default, Seed(31L))
+    val df0 = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }.toDF("id", "text")
+    def combine(a: org.apache.spark.sql.Column, b: org.apache.spark.sql.Column) =
+      pmod(a * lit(131L) + b, lit(P))
+    val refShingle = when(
+      size($"ht") >= 3,
+      array_sort(
+        array_distinct(
+          transform(
+            sequence(lit(1), size($"ht") - 2),
+            i =>
+              combine(
+                combine(element_at($"ht", i), element_at($"ht", i + 1)),
+                element_at($"ht", i + 2))))))
+      .otherwise(array(aggregate($"ht", lit(0L), (acc, h) => combine(acc, h))))
+    val refBigrams =
+      expr("transform(sequence(1, size(tk) - 1), i -> concat(tk[i-1], ' ', tk[i]))")
+    val refFp = aggregate(
+      split($"text", " "),
+      lit(0L),
+      (acc, t) => pmod(acc * 131L + (ascii(t) * 131 + length(t)).cast("bigint"), lit(P)))
+    val df = df0
+      .select(
+        $"id",
+        $"text",
+        TokenHashes($"text", sortedDistinct = false).as("ht"),
+        split($"text", " ").as("tk"))
+      .select(
+        $"id",
+        ShingleHashes($"ht").as("sh"),
+        refShingle.as("refSh"),
+        // bigram contract holds for n >= 2 only (q_text_ngrams filters first)
+        when(size($"tk") >= 2, BigramConcat($"tk")).as("bg"),
+        when(size($"tk") >= 2, refBigrams).as("refBg"),
+        RollingFingerprint($"text").as("fp"),
+        refFp.as("refFp"))
+    val (interp, codegen) = collectBoth(df)
+    (interp ++ codegen).foreach { r =>
+      assert(r.getSeq[Long](1) == r.getSeq[Long](2), s"shingles mismatch id=${r.getLong(0)}")
+      assert(r.getSeq[String](3) == r.getSeq[String](4), s"bigrams mismatch id=${r.getLong(0)}")
+      assert(r.getLong(5) == r.getLong(6), s"fingerprint mismatch id=${r.getLong(0)}")
+    }
+    assert(interp.map(_.toString) == codegen.map(_.toString))
+  }
+
   test("PlaneSignBits null/mismatch contract: zero bits, never null") {
     import spark.implicits._
     val planes = Seq(Seq(1f, 1f), Seq(-1f, 1f))
