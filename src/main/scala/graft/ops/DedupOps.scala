@@ -44,7 +44,7 @@ object DedupOps {
     * [[graft.expr.SortedIntersectCount]]; sorting is irrelevant to MinHash
     * (min over a set) and SimHash (±1 votes are commutative integer adds).
     */
-  private def hashedToks(s: SparkSession, d: String): DataFrame = {
+  private[graft] def hashedToks(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
     // coalesce makes the token array non-nullable, so downstream join-key
     // IsNotNull inference cannot push isnotnull(<whole hash expression>)
@@ -222,23 +222,36 @@ object DedupOps {
       .union(pairs.select($"b_id", $"a_id"))
       .toDF("src", "dst")
       .persist()
+    // lazy checkpoints: the convergence aggregate below is the action that
+    // materializes each round's label frame, so a round is ONE job (an
+    // eager checkpoint would pay a second materialization pass per round)
     var labels = edges
       .select($"src".as("id"))
       .distinct()
       .select($"id", $"id".as("label"))
-      .localCheckpoint()
+      .localCheckpoint(eager = false)
     var prevSum = BigDecimal(-1)
     var iter = 0
     var converged = false
     while (!converged && iter < CcMaxIters) {
+      // hook: every node takes the min label in its neighborhood
       val msgs = edges
         .join(labels, edges("src") === labels("id"))
         .select($"dst".as("id"), $"label")
-      val next = labels
+      val hooked = labels
         .union(msgs)
         .groupBy($"id")
         .agg(min($"label").as("label"))
-        .localCheckpoint()
+      // compress (pointer jumping): follow one label indirection —
+      // label(v) ← label(label(v)). Hook alone needs diameter rounds
+      // (near-dup chains: 8 at sf0.1); compression doubles the resolved
+      // distance per round, so the loop is O(log diameter) — the
+      // label-frame self-join is over the small node set, not the edges
+      val lut = hooked.select($"id".as("jid"), $"label".as("jlabel"))
+      val next = hooked
+        .join(lut.hint("shuffle_hash"), $"label" === $"jid", "left")
+        .select($"id", coalesce($"jlabel", $"label").as("label"))
+        .localCheckpoint(eager = false)
       val sum0 = Option(next.agg(sum($"label".cast("decimal(38,0)"))).head().get(0))
         .map(v => BigDecimal(v.asInstanceOf[java.math.BigDecimal]))
         .getOrElse(BigDecimal(0))
@@ -246,6 +259,8 @@ object DedupOps {
       prevSum = sum0
       labels = next
       iter += 1
+      if (sys.props.contains("graft.cc.debug"))
+        println(s"[cc] iter $iter sum=$sum0 converged=$converged")
     }
     edges.unpersist()
     universe
