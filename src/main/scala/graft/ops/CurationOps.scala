@@ -46,13 +46,21 @@ object CurationOps {
     * sink would drop it). Contrast with `df.sample`, whose per-partition
     * RNG state changes the selected set under retries and repartitioning.
     */
+  /** The mixture predicate itself, shared by the batch query and the
+    * streaming lift ([[StreamOps.liftSampleMix]]) — stateless, so the
+    * batch and stream forms are the same expression.
+    */
+  private[graft] def mixPredicate: Column = {
+    val rate = MixRates.foldLeft(lit(MixDefault): Column) { case (acc, (l, r)) =>
+      when(col("lang") === l, lit(r)).otherwise(acc)
+    }
+    pmod(hkey("mix"), lit(100L)) < rate
+  }
+
   private def sampleMix(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
-    val rate = MixRates.foldLeft(lit(MixDefault): Column) { case (acc, (l, r)) =>
-      when($"lang" === l, lit(r)).otherwise(acc)
-    }
     docs(s, d)
-      .filter(pmod(hkey("mix"), lit(100L)) < rate)
+      .filter(mixPredicate)
       .select($"doc_id", $"lang", $"source", $"n_chars")
       .orderBy($"doc_id")
   }

@@ -184,6 +184,20 @@ object StreamOps {
       .dropDuplicatesWithinWatermark("content_md5")
   }
 
+  /** Streaming lift of q_sample_mix — the training-mix gate on the
+    * continuous ingest feed. The mixture predicate is a pure function of
+    * the document key ([[CurationOps.mixPredicate]]), so the lift is
+    * STATELESS: no state store, no watermark interaction, identical
+    * selection whether a document arrives in a batch backfill or on the
+    * stream — the property that lets one curation definition serve both.
+    */
+  def liftSampleMix(s: SparkSession, sourceDir: String): DataFrame = {
+    import s.implicits._
+    docsStream(s, sourceDir)
+      .filter(CurationOps.mixPredicate)
+      .select($"doc_id", $"lang", $"source", $"n_chars")
+  }
+
   /** Custom-state streaming via `flatMapGroupsWithState` — the API tier
     * below the built-in window/dedup operators, for state machines the
     * built-ins can't express. Demonstrated here as per-user lifetime event

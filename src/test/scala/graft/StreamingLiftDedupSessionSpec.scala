@@ -97,6 +97,40 @@ class StreamingLiftDedupSessionSpec extends SparkSpec {
     assert(runOnce("graft_md5_out2") == streamKeys)
   }
 
+  test("readStream sample_mix selects exactly the batch q_sample_mix rows") {
+    val dir = Files.createTempDirectory("graft_stream_mix")
+    Files.copy(
+      Paths.get(s"$sf/documents.parquet"),
+      dir.resolve("documents.parquet"),
+      StandardCopyOption.REPLACE_EXISTING)
+    val q = StreamOps
+      .liftSampleMix(spark, dir.toString)
+      .writeStream
+      .outputMode("append")
+      .format("memory")
+      .queryName("graft_mix_out")
+      .start()
+    try {
+      q.processAllAvailable()
+      // the mixture gate is a pure function of the document key, so the
+      // streamed selection must equal the batch operator's rows exactly —
+      // not just a key set: stateless lift, full-row contract
+      val streamed = spark
+        .table("graft_mix_out")
+        .collect()
+        .map(_.toString)
+        .sorted
+        .toSeq
+      val batch = SparkEntry
+        .queries("q_sample_mix")(spark, sf)
+        .collect()
+        .map(_.toString)
+        .sorted
+        .toSeq
+      assert(streamed.nonEmpty && streamed == batch)
+    } finally q.stop()
+  }
+
   test("flatMapGroupsWithState user totals equal the batch groupBy counts") {
     import spark.implicits._
     val dir = stageEvents()
