@@ -76,6 +76,63 @@ object StreamOps {
       .orderBy("event_id")
   }
 
+  /** q_stream_join — event-to-event attribution: each click joins every
+    * view by the same user in the preceding hour (the classic two-stream
+    * correlation a funnel report needs). The batch form is an equi-join on
+    * user_id with the hour bound as a range predicate — Spark extracts the
+    * equality key, so this is a hash-partitioned join, never a
+    * nested-loop; the stream form ([[liftStreamJoin]]) is the identical
+    * plan as a watermarked stream-stream interval join, where the same
+    * range bound is what lets the state store evict a view one hour (plus
+    * the late-data delay) after its event time.
+    */
+  private def streamJoin(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    joinViewsClicks(
+      T(s, d, "events").filter($"event_type" === "view"),
+      T(s, d, "events").filter($"event_type" === "click"))
+      .orderBy("user_id", "view_id", "click_id")
+  }
+
+  /** The attribution join shape shared by the batch and stream forms:
+    * columns renamed per side BEFORE the join (two selects of one source
+    * with `.as` aliases can collide in Catalyst self-join resolution;
+    * renamed projections never do).
+    */
+  private def joinViewsClicks(views: DataFrame, clicks: DataFrame): DataFrame = {
+    import views.sparkSession.implicits._
+    val v = views.select(
+      $"user_id",
+      $"event_id".as("view_id"),
+      $"ts".as("view_ts"))
+    val c = clicks.select(
+      $"user_id".as("click_user"),
+      $"event_id".as("click_id"),
+      $"ts".as("click_ts"))
+    v.join(
+      c,
+      $"user_id" === $"click_user" &&
+        $"click_ts" >= $"view_ts" &&
+        $"click_ts" <= $"view_ts" + expr("INTERVAL 1 HOUR"))
+      // integer seconds (µs div): exact in both engines, no double division
+      .select(
+        $"user_id",
+        $"view_id",
+        $"click_id",
+        expr("(unix_micros(click_ts) - unix_micros(view_ts)) div 1000000")
+          .as("lag_sec"))
+  }
+
+  private val JoinSql =
+    "SELECT v.user_id, v.event_id AS view_id, c.event_id AS click_id, " +
+      "(epoch_us(CAST(c.ts AS TIMESTAMP)) - epoch_us(CAST(v.ts AS TIMESTAMP))) " +
+      "// 1000000 AS lag_sec " +
+      "FROM events v JOIN events c ON v.user_id = c.user_id " +
+      "AND v.event_type = 'view' AND c.event_type = 'click' " +
+      "AND CAST(c.ts AS TIMESTAMP) >= CAST(v.ts AS TIMESTAMP) " +
+      "AND CAST(c.ts AS TIMESTAMP) <= CAST(v.ts AS TIMESTAMP) + INTERVAL 1 HOUR " +
+      "ORDER BY v.user_id, view_id, click_id"
+
   /** readStream over an events-parquet directory with the ns→µs conversion
     * and the reference's 7-day late-data contract (withWatermark ≡
     * DAYS_BACK, SURVEY §0). Shared source for every streaming lift.
@@ -198,6 +255,23 @@ object StreamOps {
       .select($"doc_id", $"lang", $"source", $"n_chars")
   }
 
+  /** Streaming lift of q_stream_join — a stream-stream interval join:
+    * both sides carry the 7-day watermark from [[eventsStream]] (the
+    * event-time metadata survives the per-side renames), and the
+    * `click_ts ∈ [view_ts, view_ts + 1h]` bound gives the state store its
+    * eviction rule — a buffered view is dropped once the watermark passes
+    * `view_ts + 1h`, a buffered click once it passes `click_ts`, so state
+    * is bounded by one hour-plus-delay of traffic per side regardless of
+    * corpus size. Append mode: a pair is emitted exactly once, when both
+    * matching rows have arrived.
+    */
+  def liftStreamJoin(s: SparkSession, sourceDir: String): DataFrame = {
+    import s.implicits._
+    joinViewsClicks(
+      eventsStream(s, sourceDir).filter($"event_type" === "view"),
+      eventsStream(s, sourceDir).filter($"event_type" === "click"))
+  }
+
   /** Custom-state streaming via `flatMapGroupsWithState` — the API tier
     * below the built-in window/dedup operators, for state machines the
     * built-ins can't express. Demonstrated here as per-user lifetime event
@@ -306,6 +380,7 @@ object StreamOps {
           "CAST(CAST(ts AS DATE) AS TIMESTAMP), INTERVAL 1 DAY)) AS ws " +
           "FROM events) GROUP BY ws ORDER BY ws")),
     QueryDef("q_stream_session", streamSession, Some(SessionSql)),
+    QueryDef("q_stream_join", streamJoin, Some(JoinSql)),
     QueryDef(
       "q_stream_dedup",
       streamDedup,

@@ -44,6 +44,11 @@ class PlanShapeSpec extends SparkSpec {
     assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"), p)
   }
 
+  test("q_stream_join is an equi-join on user_id, not a nested loop") {
+    val p = plan("q_stream_join")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"), p)
+  }
+
   test("q_dedup_near banded join is an equi-join, not a nested loop") {
     val p = plan("q_dedup_near")
     assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"), p)

@@ -97,6 +97,34 @@ class StreamingLiftDedupSessionSpec extends SparkSpec {
     assert(runOnce("graft_md5_out2") == streamKeys)
   }
 
+  test("stream-stream interval join emits exactly the batch q_stream_join pairs") {
+    val dir = stageEvents()
+    val q = StreamOps
+      .liftStreamJoin(spark, dir.toString)
+      .writeStream
+      .outputMode("append")
+      .format("memory")
+      .queryName("graft_ssjoin_out")
+      .option("checkpointLocation", Files.createTempDirectory("graft_ckpt").toString)
+      .start()
+    try {
+      q.processAllAvailable()
+      val streamed = spark
+        .table("graft_ssjoin_out")
+        .collect()
+        .map(_.toString)
+        .sorted
+        .toSeq
+      val batch = SparkEntry
+        .queries("q_stream_join")(spark, sf)
+        .collect()
+        .map(_.toString)
+        .sorted
+        .toSeq
+      assert(streamed.nonEmpty && streamed == batch)
+    } finally q.stop()
+  }
+
   test("readStream sample_mix selects exactly the batch q_sample_mix rows") {
     val dir = Files.createTempDirectory("graft_stream_mix")
     Files.copy(
