@@ -212,31 +212,57 @@ object DedupOps {
     */
   private val CcMaxIters = 25
 
+  /** One pointer-jumping step: label(v) ← label(label(v)) via a hash
+    * self-join of the label frame against itself as a lut — over the node
+    * set, never the edges. One step per loop round: measured on the sf0.1
+    * pair graph, a second jump resolves no extra rounds (propagation is
+    * limited by new minima crossing edges, not by indirection depth) and
+    * its extra self-join costs ~50% more per round.
+    */
+  private def pointerJump(labelFrame: DataFrame): DataFrame = {
+    import labelFrame.sparkSession.implicits._
+    val lut = labelFrame.select($"id".as("jid"), $"label".as("jlabel"))
+    labelFrame
+      .join(lut.hint("shuffle_hash"), $"label" === $"jid", "left")
+      .select($"id", coalesce($"jlabel", $"label").as("label"))
+  }
+
   private[graft] def connectedComponents(
       s: SparkSession,
       rawEdges: DataFrame,
       universe: DataFrame): DataFrame = {
     import s.implicits._
     val pairs = rawEdges.toDF("a_id", "b_id")
+    // cached hash-partitioned on src: every round's neighbor join keys on
+    // src, so the per-round Exchange on the (larger) edge side collapses
+    // into the one shuffle paid here
     val edges = pairs
       .union(pairs.select($"b_id", $"a_id"))
       .toDF("src", "dst")
+      .repartition($"src")
       .persist()
     // lazy checkpoints: the convergence aggregate below is the action that
     // materializes each round's label frame, so a round is ONE job (an
     // eager checkpoint would pay a second materialization pass per round)
+    //
+    // init = the first hook fused into label creation: label(v) =
+    // min(v, min neighbor) comes out of the same src-partitioned aggregate
+    // that would otherwise only deduplicate the node set — one full
+    // edge-join round saved before the loop starts
     var labels = edges
-      .select($"src".as("id"))
-      .distinct()
-      .select($"id", $"id".as("label"))
+      .groupBy($"src")
+      .agg(min($"dst").as("mind"))
+      .select($"src".as("id"), least($"src", $"mind").as("label"))
       .localCheckpoint(eager = false)
     var prevSum = BigDecimal(-1)
     var iter = 0
     var converged = false
     while (!converged && iter < CcMaxIters) {
-      // hook: every node takes the min label in its neighborhood
+      // hook: every node takes the min label in its neighborhood — hash
+      // join (labels is the per-round frame; no point sorting the cached
+      // edges every round for a merge join)
       val msgs = edges
-        .join(labels, edges("src") === labels("id"))
+        .join(labels.hint("shuffle_hash"), edges("src") === labels("id"))
         .select($"dst".as("id"), $"label")
       val hooked = labels
         .union(msgs)
@@ -247,11 +273,7 @@ object DedupOps {
       // (near-dup chains: 8 at sf0.1); compression doubles the resolved
       // distance per round, so the loop is O(log diameter) — the
       // label-frame self-join is over the small node set, not the edges
-      val lut = hooked.select($"id".as("jid"), $"label".as("jlabel"))
-      val next = hooked
-        .join(lut.hint("shuffle_hash"), $"label" === $"jid", "left")
-        .select($"id", coalesce($"jlabel", $"label").as("label"))
-        .localCheckpoint(eager = false)
+      val next = pointerJump(hooked).localCheckpoint(eager = false)
       val sum0 = Option(next.agg(sum($"label".cast("decimal(38,0)"))).head().get(0))
         .map(v => BigDecimal(v.asInstanceOf[java.math.BigDecimal]))
         .getOrElse(BigDecimal(0))
