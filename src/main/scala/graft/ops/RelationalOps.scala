@@ -425,6 +425,66 @@ object RelationalOps {
       "quantile_disc(value, 0.95) AS p95, quantile_disc(value, 0.99) AS p99 " +
       "FROM events GROUP BY event_type ORDER BY event_type"
 
+  /** q_win_dist — distribution window functions (ntile / percent_rank /
+    * cume_dist): the quantile-bucketing view of a ranking window, e.g.
+    * "which quartile of per-type value is this event in". One shuffle on
+    * the partition key like every ranking window; the (value, event_id)
+    * ordering is total, so rank-derived ratios are deterministic, and the
+    * ratios themselves are single IEEE divisions of exact small integers —
+    * bit-identical cross-engine (graft.X rules).
+    */
+  private def winDist(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val w = Window.partitionBy($"event_type").orderBy($"value", $"event_id")
+    T(s, d, "events")
+      .select(
+        $"event_id",
+        $"event_type",
+        $"value",
+        ntile(4).over(w).as("quartile"),
+        percent_rank().over(w).as("prank"),
+        cume_dist().over(w).as("cdist"))
+      .orderBy("event_id")
+  }
+
+  private val WinDistSql =
+    "SELECT event_id, event_type, value, ntile(4) OVER w AS quartile, " +
+      "percent_rank() OVER w AS prank, cume_dist() OVER w AS cdist " +
+      "FROM events WINDOW w AS (PARTITION BY event_type ORDER BY value, event_id) " +
+      "ORDER BY event_id"
+
+  /** q_agg_grouping_sets — the general form of rollup/cube: an explicit
+    * grouping-set list ((status, priority), (status), (priority), ()),
+    * i.e. exactly the marginals a report wants and nothing else — cube
+    * computes 2^n combinations, grouping sets only the requested ones.
+    * Spark expands the sets via a single Expand node feeding one hash
+    * aggregate: one pass over the fact table at any scale. Group keys are
+    * sentinel-coalesced so the set a row belongs to is explicit in the
+    * output (the data's keys are non-null, making the sentinel lossless).
+    */
+  private def aggGroupingSets(s: SparkSession, d: String): DataFrame = {
+    T(s, d, "orders").createOrReplaceTempView("orders_gsets")
+    s.sql(
+      "SELECT coalesce(o_orderstatus, '(all)') AS status, " +
+        "coalesce(o_orderpriority, '(all)') AS priority, " +
+        "COUNT(*) AS n, " +
+        "CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue " +
+        "FROM orders_gsets " +
+        "GROUP BY GROUPING SETS ((o_orderstatus, o_orderpriority), " +
+        "(o_orderstatus), (o_orderpriority), ()) " +
+        "ORDER BY status, priority")
+  }
+
+  private val GroupingSetsSql =
+    "SELECT coalesce(o_orderstatus, '(all)') AS status, " +
+      "coalesce(o_orderpriority, '(all)') AS priority, " +
+      "COUNT(*) AS n, " +
+      "CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue " +
+      "FROM orders " +
+      "GROUP BY GROUPING SETS ((o_orderstatus, o_orderpriority), " +
+      "(o_orderstatus), (o_orderpriority), ()) " +
+      "ORDER BY status, priority"
+
   /** q_case_when — CASE WHEN categorization (main.py:282,285-286). */
   private def caseWhen(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
@@ -617,6 +677,8 @@ object RelationalOps {
           "ELSE 'engagement' END AS category " +
           "FROM events ORDER BY event_id")),
     QueryDef("q_join_asof", joinAsof, Some(AsofSql)),
-    QueryDef("q_agg_quantile", aggQuantile, Some(QuantileSql))
+    QueryDef("q_agg_quantile", aggQuantile, Some(QuantileSql)),
+    QueryDef("q_win_dist", winDist, Some(WinDistSql)),
+    QueryDef("q_agg_grouping_sets", aggGroupingSets, Some(GroupingSetsSql))
   )
 }
