@@ -435,7 +435,11 @@ object RelationalOps {
     */
   private def winDist(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
-    val w = Window.partitionBy($"event_type").orderBy($"value", $"event_id")
+    // Explicit NULLS LAST (DuckDB's ASC default): value has no nulls in
+    // the testdata, but the window rank must not silently diverge from the
+    // oracle if that ever changes (Spark's ASC default is NULLS FIRST).
+    val w = Window.partitionBy($"event_type")
+      .orderBy($"value".asc_nulls_last, $"event_id".asc_nulls_last)
     T(s, d, "events")
       .select(
         $"event_id",
@@ -458,26 +462,40 @@ object RelationalOps {
     * i.e. exactly the marginals a report wants and nothing else — cube
     * computes 2^n combinations, grouping sets only the requested ones.
     * Spark expands the sets via a single Expand node feeding one hash
-    * aggregate: one pass over the fact table at any scale. Group keys are
-    * sentinel-coalesced so the set a row belongs to is explicit in the
-    * output (the data's keys are non-null, making the sentinel lossless).
+    * aggregate: one pass over the fact table at any scale. Alongside the
+    * human-readable '(all)' sentinel, grouping() marker columns carry the
+    * lossless answer to "rolled up or a real key?" — a NULL key or a
+    * literal '(all)' value in the data could collide with the sentinel,
+    * but never with the marker. Built on Dataset.groupingSets (Spark 4)
+    * so the query stays a pure function with no session side effects.
     */
   private def aggGroupingSets(s: SparkSession, d: String): DataFrame = {
-    T(s, d, "orders").createOrReplaceTempView("orders_gsets")
-    s.sql(
-      "SELECT coalesce(o_orderstatus, '(all)') AS status, " +
-        "coalesce(o_orderpriority, '(all)') AS priority, " +
-        "COUNT(*) AS n, " +
-        "CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue " +
-        "FROM orders_gsets " +
-        "GROUP BY GROUPING SETS ((o_orderstatus, o_orderpriority), " +
-        "(o_orderstatus), (o_orderpriority), ()) " +
-        "ORDER BY status, priority")
+    import s.implicits._
+    T(s, d, "orders")
+      .groupingSets(
+        Seq(
+          Seq($"o_orderstatus", $"o_orderpriority"),
+          Seq($"o_orderstatus"),
+          Seq($"o_orderpriority"),
+          Seq()),
+        $"o_orderstatus", $"o_orderpriority")
+      .agg(
+        grouping($"o_orderstatus").cast("int").as("g_status"),
+        grouping($"o_orderpriority").cast("int").as("g_priority"),
+        count(lit(1)).as("n"),
+        sum($"o_totalprice".cast("decimal(18,2)")).cast("double").as("revenue"))
+      .select(
+        coalesce($"o_orderstatus", lit("(all)")).as("status"),
+        coalesce($"o_orderpriority", lit("(all)")).as("priority"),
+        $"g_status", $"g_priority", $"n", $"revenue")
+      .orderBy("status", "priority")
   }
 
   private val GroupingSetsSql =
     "SELECT coalesce(o_orderstatus, '(all)') AS status, " +
       "coalesce(o_orderpriority, '(all)') AS priority, " +
+      "CAST(GROUPING(o_orderstatus) AS INT) AS g_status, " +
+      "CAST(GROUPING(o_orderpriority) AS INT) AS g_priority, " +
       "COUNT(*) AS n, " +
       "CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue " +
       "FROM orders " +
