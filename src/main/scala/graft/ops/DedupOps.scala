@@ -132,7 +132,8 @@ object DedupOps {
       s: SparkSession,
       sets: DataFrame,
       num: Int,
-      den: Int): DataFrame = {
+      den: Int,
+      ordered: Boolean = true): DataFrame = {
     import s.implicits._
     val sig = sets
       .select($"doc_id", $"lang", $"n", $"th", graft.expr.MinHashLanes($"th").as("lanes"))
@@ -144,7 +145,7 @@ object DedupOps {
       $"th",
       posexplode(array((0 until NearBands).map(nearBandCol): _*))
         .as(Seq("band_idx", "band_val")))
-    bands
+    val verified = bands
       .as("a")
       .join(
         bands.as("b").hint("shuffle_hash"),
@@ -160,7 +161,9 @@ object DedupOps {
       .withColumn("jaccard", $"i".cast("double") / ($"sz" - $"i").cast("double"))
       .filter($"jaccard" >= lit(num.toDouble) / lit(den.toDouble))
       .select($"a_id", $"b_id", $"jaccard")
-      .orderBy("a_id", "b_id")
+    // ordered=false for set-consumers (the CC closure): a global sort of
+    // the pair set buys nothing when the next step is a symmetrize+shuffle
+    if (ordered) verified.orderBy("a_id", "b_id") else verified
   }
 
   private def dedupNear(s: SparkSession, d: String): DataFrame =
@@ -196,18 +199,20 @@ object DedupOps {
   private val NearSql =
     s"WITH $NearCtes SELECT a_id, b_id, jaccard FROM pairs ORDER BY a_id, b_id"
 
-  /** Min-label propagation to a fixpoint: connected components over an
-    * undirected `edges(src, dst)` set, labels(v) = min doc_id reachable
-    * from v. Each iteration is one shuffle join (neighbor labels) + one
-    * aggregate (min per node); the frame is `localCheckpoint`ed per
-    * iteration so lineage stays flat (a reliable checkpoint dir is the
-    * cluster-mode equivalent). Convergence is detected from Σ label — the
-    * per-node min is monotonically non-increasing, so the sum strictly
-    * decreases until the fixpoint (decimal sum: no overflow at any id
-    * range × row count). Iterations are bounded by the largest component
-    * DIAMETER, not its size — near-dup components are clique-like (a few
-    * hops), so the loop is O(1) rounds in practice with a hard cap as a
-    * guard; the driver holds only the convergence scalar, never the
+  /** Hook-and-contract min-label propagation: connected components over
+    * an undirected `edges(src, dst)` set, labels(v) = min doc_id
+    * reachable from v. Each hook round is one shuffle join (neighbor
+    * labels) + one min aggregate + one pointer jump, after which the edge
+    * set is CONTRACTED — every edge re-expressed over its endpoints'
+    * current labels, self-loops dropped — so the next round shuffles only
+    * the edges still crossing label boundaries (46 of 232k after one
+    * round on the sf0.1 pair graph: clique-like near-dup components
+    * collapse immediately). When the contracted set is empty, an
+    * edge-free jump-only resolve phase flattens the remaining label
+    * chains. Frames are `localCheckpoint`ed per round so lineage stays
+    * flat (a reliable checkpoint dir is the cluster-mode equivalent);
+    * rounds are O(log diameter) with a hard cap as a guard; the driver
+    * holds only per-round scalars (edge count / changed count), never the
     * labels (k-means-style model-state loop, the MLlib shape).
     */
   private val CcMaxIters = 25
@@ -227,20 +232,36 @@ object DedupOps {
       .select($"id", coalesce($"jlabel", $"label").as("label"))
   }
 
+  /** `universe` is either (doc_id) — one graph node per doc — or
+    * (doc_id, rep) — each doc attached to a representative node of the
+    * edge graph (exact-duplicate collapse: the closure runs over reps
+    * only, and every doc inherits its rep's component label).
+    */
   private[graft] def connectedComponents(
       s: SparkSession,
       rawEdges: DataFrame,
       universe: DataFrame): DataFrame = {
     import s.implicits._
-    val pairs = rawEdges.toDF("a_id", "b_id")
-    // cached hash-partitioned on src: every round's neighbor join keys on
-    // src, so the per-round Exchange on the (larger) edge side collapses
-    // into the one shuffle paid here
+    val tEnter = System.nanoTime()
+    val uni =
+      if (universe.columns.contains("rep")) universe
+      else universe.select($"doc_id", $"doc_id".as("rep"))
+    // Eager checkpoint of the pair set BEFORE symmetrizing: the pair
+    // lineage (band self-join + fused kernels) is an expensive plan for
+    // the DRIVER, not just the executors — the union below inlines two
+    // copies of it, and Catalyst re-analyzes + re-codegens that double
+    // lineage once for the labels checkpoint and again for round 1's job
+    // (~3 s of pure planning at sf0.1, measured). Checkpointing here pays
+    // the pair job once and makes every loop plan a flat LogicalRDD.
+    val pairs = rawEdges.toDF("a_id", "b_id").localCheckpoint(eager = true)
+    // hash-partitioned on src for round 1's neighbor join; NOT persisted —
+    // with edge contraction the full edge set is joined exactly once
+    // (round 2 onward runs over the contracted set), so caching it would
+    // hold executor memory for data no round reuses.
     val edges = pairs
       .union(pairs.select($"b_id", $"a_id"))
       .toDF("src", "dst")
       .repartition($"src")
-      .persist()
     // lazy checkpoints: the convergence aggregate below is the action that
     // materializes each round's label frame, so a round is ONE job (an
     // eager checkpoint would pay a second materialization pass per round)
@@ -254,40 +275,80 @@ object DedupOps {
       .agg(min($"dst").as("mind"))
       .select($"src".as("id"), least($"src", $"mind").as("label"))
       .localCheckpoint(eager = false)
-    var prevSum = BigDecimal(-1)
     var iter = 0
     var converged = false
+    // contract (hook-and-contract CC): after each round, re-express every
+    // edge over the endpoints' CURRENT labels and drop self-loops. A label
+    // is always a node of the same component, so the contracted graph
+    // connects exactly the same components — and once two endpoints share
+    // a label they share it forever (both follow the same label chain), so
+    // a dropped edge never needs to come back. Clique-like near-dup
+    // components collapse after ONE hook (every member points at the
+    // clique min), so rounds 2+ run over a vanishing edge set instead of
+    // re-shuffling the full pair graph each round — the per-round cost
+    // the r6 audit flagged.
+    var curEdges = edges
+    var edgesLeft = -1L // unknown until the first contraction counts them
+    if (sys.props.contains("graft.cc.debug"))
+      println(f"[cc] pre-loop ${(System.nanoTime() - tEnter) / 1e9}%.2f")
     while (!converged && iter < CcMaxIters) {
-      // hook: every node takes the min label in its neighborhood — hash
-      // join (labels is the per-round frame; no point sorting the cached
-      // edges every round for a merge join)
-      val msgs = edges
-        .join(labels.hint("shuffle_hash"), edges("src") === labels("id"))
-        .select($"dst".as("id"), $"label")
-      val hooked = labels
-        .union(msgs)
-        .groupBy($"id")
-        .agg(min($"label").as("label"))
-      // compress (pointer jumping): follow one label indirection —
-      // label(v) ← label(label(v)). Hook alone needs diameter rounds
-      // (near-dup chains: 8 at sf0.1); compression doubles the resolved
-      // distance per round, so the loop is O(log diameter) — the
-      // label-frame self-join is over the small node set, not the edges
-      val next = pointerJump(hooked).localCheckpoint(eager = false)
-      val sum0 = Option(next.agg(sum($"label".cast("decimal(38,0)"))).head().get(0))
-        .map(v => BigDecimal(v.asInstanceOf[java.math.BigDecimal]))
-        .getOrElse(BigDecimal(0))
-      converged = sum0 == prevSum
-      prevSum = sum0
-      labels = next
+      val tRound = System.nanoTime()
+      if (edgesLeft != 0L) {
+        // HOOK phase: every node takes the min label in its neighborhood
+        // — hash join (labels is the per-round frame; no point sorting
+        // the edges every round for a merge join) — then one pointer jump
+        // (label(v) ← label(label(v))) so the improvement reaches nodes a
+        // hop behind, then contraction. The round's one action is the
+        // contracted-edge count, which doubles as the phase switch: a
+        // dropped edge had equal endpoint labels and both endpoints
+        // follow the same label chain forever after, so once no
+        // cross-label edge remains every component is a single label tree
+        // rooted at its min — only jump resolution is left.
+        val msgs = curEdges
+          .join(labels.hint("shuffle_hash"), curEdges("src") === labels("id"))
+          .select($"dst".as("id"), $"label")
+        val hooked = labels
+          .union(msgs)
+          .groupBy($"id")
+          .agg(min($"label").as("label"))
+        val next = pointerJump(hooked).localCheckpoint(eager = false)
+        labels = next
+        val slut = next.select($"id".as("sid"), $"label".as("slabel"))
+        val dlut = next.select($"id".as("did"), $"label".as("dlabel"))
+        curEdges = curEdges
+          .join(slut.hint("shuffle_hash"), $"src" === $"sid")
+          .join(dlut.hint("shuffle_hash"), $"dst" === $"did")
+          .filter($"slabel" =!= $"dlabel")
+          .select($"slabel".as("src"), $"dlabel".as("dst"))
+          .distinct()
+          .repartition($"src") // keep next round's hook join co-partitioned
+          .localCheckpoint(eager = false)
+        edgesLeft = curEdges.count() // materializes next + curEdges: one job
+        if (sys.props.contains("graft.cc.debug"))
+          println(f"[cc] iter ${iter + 1} hook edges=$edgesLeft t=${(System.nanoTime() - tRound) / 1e9}%.2f")
+      } else {
+        // RESOLVE phase (edge-free): iterate pointer jumps until a jump
+        // changes no label — each jump halves the depth of the remaining
+        // label chains, so this is O(log depth) rounds over the node set
+        // only. The changed-count join is over two small label frames and
+        // detects the fixpoint the round it happens.
+        val next = pointerJump(labels).localCheckpoint(eager = false)
+        val changed = next
+          .join(labels.select($"id", $"label".as("prev")), "id")
+          .filter($"label" =!= $"prev")
+          .count()
+        converged = changed == 0L
+        labels = next
+        if (sys.props.contains("graft.cc.debug"))
+          println(f"[cc] iter ${iter + 1} jump changed=$changed t=${(System.nanoTime() - tRound) / 1e9}%.2f")
+      }
       iter += 1
-      if (sys.props.contains("graft.cc.debug"))
-        println(s"[cc] iter $iter sum=$sum0 converged=$converged")
     }
-    edges.unpersist()
-    universe
-      .join(labels, universe("doc_id") === labels("id"), "left")
-      .select($"doc_id", coalesce($"label", $"doc_id").as("cluster_id"))
+    if (sys.props.contains("graft.cc.debug"))
+      println(f"[cc] post-loop-total ${(System.nanoTime() - tEnter) / 1e9}%.2f")
+    uni
+      .join(labels, uni("rep") === labels("id"), "left")
+      .select($"doc_id", coalesce($"label", $"rep").as("cluster_id"))
       .withColumn("cluster_size", count(lit(1)).over(Window.partitionBy($"cluster_id")))
       .orderBy($"doc_id")
   }
@@ -304,10 +365,35 @@ object DedupOps {
     */
   private def dedupCc(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
+    // Exact-duplicate collapse before the pair graph: docs with identical
+    // (lang, text) are mutual near-dups by construction (J = 1, identical
+    // signatures ⇒ same band buckets), so an exact group is always a
+    // subset of one component, and pairing is a function of (lang, token
+    // set) alone — the rep graph is exactly the quotient of the full pair
+    // graph. Closing over one representative per group (rep = min doc_id,
+    // so min-rep labels ≡ min-doc_id labels) and mapping members back
+    // shrinks both nodes AND edges quadratically in group size — identical
+    // copies are precisely what a near-dup corpus is full of, and without
+    // the collapse each k-copy group contributes k(k-1)/2 edges that the
+    // closure loop re-shuffles every round.
+    val grouped = docs(s, d)
+      .select($"doc_id", $"lang", $"text",
+        md5(coalesce($"text", lit(""))).as("h"))
+      .withColumn("rep",
+        min($"doc_id").over(Window.partitionBy($"lang", $"h")))
+    val repToks = grouped
+      .filter($"doc_id" === $"rep")
+      .select(
+        $"doc_id",
+        $"lang",
+        graft.expr.TokenHashes(coalesce($"text", lit("")), sortedDistinct = true)
+          .as("th"))
+      .select($"doc_id", $"lang", $"th", size($"th").as("n"))
     connectedComponents(
       s,
-      bandedJaccardPairs(s, hashedToks(s, d), 9, 10).select($"a_id", $"b_id"),
-      docs(s, d).select($"doc_id"))
+      bandedJaccardPairs(s, repToks, 9, 10, ordered = false)
+        .select($"a_id", $"b_id"),
+      grouped.select($"doc_id", $"rep"))
   }
 
   private val CcSql =
