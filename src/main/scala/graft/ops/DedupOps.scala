@@ -44,15 +44,21 @@ object DedupOps {
     * [[graft.expr.SortedIntersectCount]]; sorting is irrelevant to MinHash
     * (min over a set) and SimHash (±1 votes are commutative integer adds).
     */
-  private[graft] def hashedToks(s: SparkSession, d: String): DataFrame = {
-    import s.implicits._
+  private[graft] def hashedToks(s: SparkSession, d: String): DataFrame =
+    hashedToksOf(docs(s, d))
+
+  /** Same tokenize+hash pass over any (doc_id, lang, text) frame — the
+    * corpus pipeline feeds its gated/deduped survivor set through here.
+    */
+  private[graft] def hashedToksOf(df: DataFrame): DataFrame = {
+    import df.sparkSession.implicits._
     // coalesce makes the token array non-nullable, so downstream join-key
     // IsNotNull inference cannot push isnotnull(<whole hash expression>)
     // into the scan as a DataFilter (which would evaluate the tokenize+hash
     // pass twice per row). The fused kernel replaces the
     // array_sort(transform(array_distinct(split(..)), h32)) HOF chain — one
     // tight loop per row instead of per-token interpreted md5/conv eval.
-    docs(s, d)
+    df
       .select(
         $"doc_id",
         $"lang",
@@ -173,7 +179,7 @@ object DedupOps {
     * jaccard)`, shared by [[NearSql]] and the transitive-closure oracle
     * ([[CcSql]]).
     */
-  private val NearCtes = {
+  private def nearCtes(src: String): String = {
     val sigSelect =
       "SELECT doc_id, lang, len(t) AS n, " +
         (0 until NumHashes).map(j => s"${minhashSql(j)} AS mh$j").mkString(", ") +
@@ -182,7 +188,7 @@ object DedupOps {
       .map(j => s"SELECT doc_id, lang, n, $j AS band_idx, ${nearBandSql(j)} AS band_val FROM sig")
       .mkString(" UNION ALL ")
     "tok AS (SELECT doc_id, lang, list_distinct(string_split(coalesce(text, ''), ' ')) AS t " +
-      "FROM documents), " +
+      s"FROM $src), " +
       s"sig AS ($sigSelect), bands AS ($bandUnion), " +
       "cand AS (SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id " +
       "FROM bands a JOIN bands b ON a.band_idx = b.band_idx AND a.band_val = b.band_val " +
@@ -195,6 +201,8 @@ object DedupOps {
       "FROM cand c JOIN tok ta ON ta.doc_id = c.a_id JOIN tok tb ON tb.doc_id = c.b_id) " +
       "WHERE jaccard >= 0.9)"
   }
+
+  private val NearCtes = nearCtes("documents")
 
   private val NearSql =
     s"WITH $NearCtes SELECT a_id, b_id, jaccard FROM pairs ORDER BY a_id, b_id"
@@ -232,12 +240,15 @@ object DedupOps {
       .select($"id", coalesce($"jlabel", $"label").as("label"))
   }
 
-  /** `universe` is either (doc_id) — one graph node per doc — or
-    * (doc_id, rep) — each doc attached to a representative node of the
-    * edge graph (exact-duplicate collapse: the closure runs over reps
-    * only, and every doc inherits its rep's component label).
+  /** `universe` is either (doc_id [, carried cols...]) — one graph node
+    * per doc — or the same plus a `rep` column — each doc attached to a
+    * representative node of the edge graph (exact-duplicate collapse: the
+    * closure runs over reps only, and every doc inherits its rep's
+    * component label). Returns the universe's non-rep columns plus
+    * `cluster_id`, unsorted — the raw assignment a pipeline stage
+    * consumes (keep iff doc_id = cluster_id).
     */
-  private[graft] def connectedComponents(
+  private[graft] def ccAssign(
       s: SparkSession,
       rawEdges: DataFrame,
       universe: DataFrame): DataFrame = {
@@ -245,7 +256,7 @@ object DedupOps {
     val tEnter = System.nanoTime()
     val uni =
       if (universe.columns.contains("rep")) universe
-      else universe.select($"doc_id", $"doc_id".as("rep"))
+      else universe.withColumn("rep", $"doc_id")
     // Eager checkpoint of the pair set BEFORE symmetrizing: the pair
     // lineage (band self-join + fused kernels) is an expensive plan for
     // the DRIVER, not just the executors — the union below inlines two
@@ -346,9 +357,21 @@ object DedupOps {
     }
     if (sys.props.contains("graft.cc.debug"))
       println(f"[cc] post-loop-total ${(System.nanoTime() - tEnter) / 1e9}%.2f")
+    val carried = universe.columns.filterNot(_ == "rep").map(uni(_))
     uni
       .join(labels, uni("rep") === labels("id"), "left")
-      .select($"doc_id", coalesce($"label", $"rep").as("cluster_id"))
+      .select(carried.toSeq :+ coalesce($"label", $"rep").as("cluster_id"): _*)
+  }
+
+  /** [[ccAssign]] decorated with per-cluster size and a doc_id sort — the
+    * standalone q_dedup_cc output contract.
+    */
+  private[graft] def connectedComponents(
+      s: SparkSession,
+      rawEdges: DataFrame,
+      universe: DataFrame): DataFrame = {
+    import s.implicits._
+    ccAssign(s, rawEdges, universe)
       .withColumn("cluster_size", count(lit(1)).over(Window.partitionBy($"cluster_id")))
       .orderBy($"doc_id")
   }
@@ -811,8 +834,80 @@ object DedupOps {
       "lang, COUNT(*) AS n_docs, CAST(SUM(n_chars) AS BIGINT) AS sum_chars " +
       "FROM d GROUP BY 1, 2 ORDER BY split, lang"
 
+  /** q_pipeline_corpus2 — the PRODUCTION corpus build: q_pipeline_corpus
+    * with cluster-based near-dedup composed between the exact pass and
+    * the split. Stages: quality gate (length + lexical diversity) →
+    * exact content dedup (first-writer-wins md5 window) → near-dup
+    * cluster closure over the survivors ([[bandedJaccardPairs]] at
+    * θ = 0.9 → [[ccAssign]]; keep iff doc_id = cluster_id, i.e. exactly
+    * one representative — the first writer — per transitive near-dup
+    * cluster) → deterministic 80/10/10 split → per-(split, lang)
+    * accounting. Exchange economics: the gate is a scan-time filter, the
+    * md5 window and the band self-join are the two data-sized shuffles,
+    * the closure loop runs over the contracted pair graph
+    * (O(log diameter) rounds, each over a shrinking edge set), and the
+    * final job is one small join + one aggregate + the output sort —
+    * every stage is a map or one keyed shuffle at any corpus size.
+    */
+  private def pipelineCorpus2(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val wMd5 = Window.partitionBy(md5($"text")).orderBy($"doc_id")
+    val bucket = pmod(h32($"doc_id".cast("string")), lit(100L))
+    val gated = docs(s, d)
+      .select(
+        $"doc_id",
+        $"lang",
+        $"n_chars",
+        $"text",
+        size(split($"text", " ")).as("n_tokens"),
+        size(array_distinct(split($"text", " "))).as("n_distinct"))
+      .filter(
+        $"n_chars" >= 100 &&
+          $"n_distinct".cast("double") / $"n_tokens".cast("double") > 0.3)
+      .withColumn("rn", row_number().over(wMd5))
+      .filter($"rn" === 1)
+      .select($"doc_id", $"lang", $"n_chars", $"text")
+    val pairs = bandedJaccardPairs(s, hashedToksOf(gated), 9, 10, ordered = false)
+      .select($"a_id", $"b_id")
+    ccAssign(s, pairs, gated.select($"doc_id", $"lang", $"n_chars"))
+      .filter($"cluster_id" === $"doc_id")
+      .select(
+        $"lang",
+        $"n_chars",
+        when(bucket < 80, "train")
+          .when(bucket < 90, "valid")
+          .otherwise("test")
+          .as("split"))
+      .groupBy($"split", $"lang")
+      .agg(count(lit(1)).as("n_docs"), sum($"n_chars").as("sum_chars"))
+      .orderBy("split", "lang")
+  }
+
+  private val Pipeline2Sql =
+    "WITH RECURSIVE g0 AS (SELECT doc_id, lang, n_chars, text, " +
+      "CAST(len(string_split(text, ' ')) AS INTEGER) AS n_tokens, " +
+      "CAST(len(list_distinct(string_split(text, ' '))) AS INTEGER) AS n_distinct " +
+      "FROM documents), " +
+      "gated AS (SELECT doc_id, lang, n_chars, text FROM g0 " +
+      "WHERE n_chars >= 100 AND CAST(n_distinct AS DOUBLE) / CAST(n_tokens AS DOUBLE) > 0.3 " +
+      "QUALIFY row_number() OVER (PARTITION BY md5(text) ORDER BY doc_id) = 1), " +
+      s"${nearCtes("gated")}, " +
+      "edges AS (SELECT a_id AS src, b_id AS dst FROM pairs " +
+      "UNION ALL SELECT b_id, a_id FROM pairs), " +
+      "reach(id, r) AS (SELECT src, src FROM edges " +
+      "UNION SELECT e.src, r.r FROM edges e JOIN reach r ON r.id = e.dst), " +
+      "lbl AS (SELECT id, min(r) AS cluster_id FROM reach GROUP BY id), " +
+      "keep AS (SELECT g.doc_id, g.lang, g.n_chars FROM gated g " +
+      "LEFT JOIN lbl l ON l.id = g.doc_id " +
+      "WHERE coalesce(l.cluster_id, g.doc_id) = g.doc_id), " +
+      s"d AS (SELECT lang, n_chars, ${h32Sql("CAST(doc_id AS VARCHAR)")} % 100 AS b FROM keep) " +
+      "SELECT CASE WHEN b < 80 THEN 'train' WHEN b < 90 THEN 'valid' ELSE 'test' END AS split, " +
+      "lang, COUNT(*) AS n_docs, CAST(SUM(n_chars) AS BIGINT) AS sum_chars " +
+      "FROM d GROUP BY 1, 2 ORDER BY split, lang"
+
   val defs: Seq[QueryDef] = Seq(
     QueryDef("q_pipeline_corpus", pipelineCorpus, Some(PipelineSql)),
+    QueryDef("q_pipeline_corpus2", pipelineCorpus2, Some(Pipeline2Sql)),
     QueryDef(
       "q_dedup_exact",
       dedupExact,
