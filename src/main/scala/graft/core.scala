@@ -14,6 +14,22 @@ final case class QueryDef(
     fn: (SparkSession, String) => DataFrame,
     oracle: Option[String] = None)
 
+/** The reference's fixed 7-field output row (main.py:164-172), the typed
+  * ingest boundary promised in SURVEY §1.4: `Option` fields are exactly
+  * the keys the reference passes through as possibly-absent, and
+  * `user_id`/`event_timestamp` are the two it hard-requires
+  * (main.py:146-147, 161-163). Built by
+  * [[graft.ops.TypedIngest.attempts]].
+  */
+final case class Attempt(
+    user_id: String,
+    oauth_consumer_key: Option[String],
+    lis_result_sourcedid: Option[String],
+    lis_outcome_service_url: Option[String],
+    is_correct: Option[Boolean],
+    attempt_type: Option[String],
+    event_timestamp: java.sql.Timestamp)
+
 /** Testdata access + shared time constants. */
 object T {
   /** Timestamp columns stored as TIMESTAMP(NANOS) in the testdata parquet.

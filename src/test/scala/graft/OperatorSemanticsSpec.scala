@@ -152,4 +152,82 @@ class OperatorSemanticsSpec extends SparkSpec {
     // ANN cannot beat exact search: best IVF cosine ≤ best brute-force cosine
     assert(ivf.head.getAs[Double]("cos") <= brute.head.getAs[Double]("cos") + 1e-9)
   }
+
+  test("ntile splits uneven partitions SQL-style: larger buckets first, sizes differ by at most 1") {
+    import spark.implicits._
+    // 10 rows into 4 buckets → sizes 3,3,2,2 (the first n%k buckets get
+    // the extra row — the SQL-standard rule both engines implement)
+    val df = (1 to 10).map(i => ("p", i)).toDF("g", "v")
+    val w = org.apache.spark.sql.expressions.Window.partitionBy($"g").orderBy($"v")
+    val sizes = df
+      .select(ntile(4).over(w).as("q"))
+      .groupBy($"q").count().orderBy($"q")
+      .collect().map(r => (r.getInt(0), r.getLong(1)))
+    assert(sizes.toSeq == Seq((1, 3L), (2, 3L), (3, 2L), (4, 2L)))
+  }
+
+  test("percent_rank and cume_dist hit their closed forms on the edge rows") {
+    import spark.implicits._
+    // 5 distinct values: percent_rank = (rank-1)/(n-1) → first 0.0, last
+    // 1.0; cume_dist = rows≤current/n → first 0.2, last 1.0. With a TIE on
+    // the smallest value, both tied rows share percent_rank 0 and
+    // cume_dist 2/n.
+    val w = org.apache.spark.sql.expressions.Window.partitionBy($"g").orderBy($"v")
+    val rows = Seq(("p", 1), ("p", 1), ("p", 2), ("p", 3), ("p", 4))
+      .toDF("g", "v")
+      .select($"v", percent_rank().over(w).as("pr"), cume_dist().over(w).as("cd"))
+      .orderBy($"v", $"pr")
+      .collect()
+    assert(rows(0).getDouble(1) == 0.0 && rows(1).getDouble(1) == 0.0)
+    assert(rows(0).getDouble(2) == 0.4 && rows(1).getDouble(2) == 0.4)
+    assert(rows.last.getDouble(1) == 1.0 && rows.last.getDouble(2) == 1.0)
+  }
+
+  test("q_win_dist quartiles are consistent with its own percent_rank") {
+    import spark.implicits._
+    // ntile(4) bucket k can only hold rows whose percent_rank lies in
+    // [(k-1)/4 - eps, k/4 + eps] at bucket-boundary granularity; cheaper
+    // invariant: quartile is non-decreasing in prank within a partition
+    val bad = q("q_win_dist")
+      .select($"event_type", $"quartile", $"prank")
+      .groupBy($"event_type", $"quartile")
+      .agg(min($"prank").as("lo"), max($"prank").as("hi"))
+      .withColumn(
+        "nxt",
+        lead($"lo", 1).over(
+          org.apache.spark.sql.expressions.Window
+            .partitionBy($"event_type").orderBy($"quartile")))
+      .filter($"nxt".isNotNull && $"hi" > $"nxt")
+    assert(bad.count() == 0, "quartile ranges overlap out of order")
+  }
+
+  test("q_agg_grouping_sets markers disambiguate losslessly; sentinel precondition holds") {
+    import spark.implicits._
+    val out = q("q_agg_grouping_sets").cache()
+    // the grouping() markers enumerate exactly the 4 requested sets
+    val sets = out.select($"g_status", $"g_priority").distinct()
+      .collect().map(r => (r.getInt(0), r.getInt(1))).toSet
+    assert(sets == Set((0, 0), (0, 1), (1, 0), (1, 1)))
+    // exactly one grand-total row, and it carries both sentinels
+    val grand = out.filter($"g_status" === 1 && $"g_priority" === 1).collect()
+    assert(grand.length == 1)
+    assert(grand.head.getAs[String]("status") == "(all)")
+    assert(grand.head.getAs[String]("priority") == "(all)")
+    // sentinel precondition: the sentinel is lossless only while the real
+    // keys are never NULL and never the literal '(all)' — assert it on the
+    // data so a future generator change fails loudly here, not in a hash
+    val viol = T(spark, sf, "orders")
+      .filter(
+        $"o_orderstatus".isNull || $"o_orderpriority".isNull ||
+          $"o_orderstatus" === "(all)" || $"o_orderpriority" === "(all)")
+    assert(viol.count() == 0, "sentinel collision: use the markers, not the sentinel")
+    // marginals are consistent: per-set n sums to the grand total
+    val total = grand.head.getAs[Long]("n")
+    Seq(($"g_status" === 0 && $"g_priority" === 0),
+      ($"g_status" === 0 && $"g_priority" === 1),
+      ($"g_status" === 1 && $"g_priority" === 0)).foreach { p =>
+      assert(out.filter(p).agg(sum($"n")).head().getLong(0) == total)
+    }
+    out.unpersist()
+  }
 }
