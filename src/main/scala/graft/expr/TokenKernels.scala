@@ -147,6 +147,29 @@ object TokenKernels {
     new GenericArrayData(out)
   }
 
+  /** Per-document bigram multiplicity summary in one pass:
+    * [total bigrams, distinct bigrams, top bigram count] — the inputs of
+    * the Gopher/C4-style intra-document repetition signals. Exact string
+    * counting (same concatenated bigram keys as [[bigrams]]), so the
+    * fractions derived downstream match a count-by-bigram oracle
+    * bit-for-bit; tokens cannot contain the separator, so concat equality
+    * is pair equality.
+    */
+  def bigramStats(tk: ArrayData): ArrayData = {
+    val n = tk.numElements()
+    val total = math.max(0, n - 1)
+    val counts = new java.util.HashMap[UTF8String, Int](total * 2)
+    var top = 0
+    var i = 0
+    while (i + 1 < n) {
+      val bg = UTF8String.concat(tk.getUTF8String(i), Space, tk.getUTF8String(i + 1))
+      val c = counts.merge(bg, 1, (a, b) => a + b)
+      if (c > top) top = c
+      i += 1
+    }
+    new GenericArrayData(Array(total.toLong, counts.size.toLong, top.toLong))
+  }
+
   /** Order-sensitive rolling polynomial hash over the token stream —
     * `aggregate(split(text, ' '), 0L, (acc, t) => (acc·131 +
     * ascii(t)·131 + length(t)) mod P)`. ascii is Spark's: the code point
@@ -358,6 +381,31 @@ case class BigramConcat(child: Expression) extends UnaryExpression {
 object BigramConcat {
   def apply(c: Column): Column =
     GraftBridge.column(BigramConcat(GraftBridge.expression(c)))
+}
+
+/** `bigramStats` as an expression over a token array (see
+  * [[TokenKernels.bigramStats]]); never null from a non-null child (an
+  * empty or 1-token array yields [0, 0, 0]).
+  */
+case class BigramStats(child: Expression) extends UnaryExpression {
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+
+  override def prettyName: String = "bigram_stats"
+
+  override def nullSafeEval(tk: Any): Any =
+    TokenKernels.bigramStats(tk.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.expr.TokenKernels.bigramStats($c)")
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+object BigramStats {
+  def apply(c: Column): Column =
+    GraftBridge.column(BigramStats(GraftBridge.expression(c)))
 }
 
 /** `rollingFingerprint` as an expression over the raw text (see

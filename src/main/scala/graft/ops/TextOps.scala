@@ -256,6 +256,65 @@ object TextOps {
       "'\\+?[0-9][0-9 ()-]{6,}[0-9]', '<PHONE>', 'g') AS clean " +
       "FROM documents ORDER BY doc_id"
 
+  /** q_text_repetition — intra-document repetition filter, the
+    * Gopher/C4-style corpus-quality signal the per-doc family lacked:
+    * duplicate-bigram fraction (what share of adjacent pairs is a repeat)
+    * and top-bigram fraction (how dominant the single most common pair
+    * is), with the keep decision at both ≤ 0.08 — thresholds calibrated
+    * to this corpus's p95 so the filter demonstrably discriminates (the
+    * published Gopher cuts, e.g. top-2-gram 0.20, reject ~nothing on
+    * synthetic text; the operator shape is the point, the constant is a
+    * config). One fused map-side pass per row ([[graft.expr.BigramStats]]
+    * — total/distinct/top multiplicity in a single walk, instead of an
+    * explode + per-(doc, bigram) count shuffle that would move every
+    * bigram of a 100 TB corpus); the only exchange is the output sort.
+    * Fractions are single IEEE divisions of exact small integers —
+    * bit-identical cross-engine (graft.X rules). Degenerate docs
+    * (< 2 tokens, no bigrams) have null fractions and are rejected.
+    */
+  private def textRepetition(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    docs(s, d)
+      .select(
+        $"doc_id",
+        $"lang",
+        graft.expr.BigramStats(split(coalesce($"text", lit("")), " ")).as("bs"))
+      .select(
+        $"doc_id",
+        $"lang",
+        element_at($"bs", 1).as("n_bigrams"),
+        (element_at($"bs", 1) - element_at($"bs", 2)).as("n_dup_bigrams"),
+        element_at($"bs", 3).as("top_bigram_n"))
+      .withColumn(
+        "dup_frac",
+        when($"n_bigrams" > 0,
+          $"n_dup_bigrams".cast("double") / $"n_bigrams".cast("double")))
+      .withColumn(
+        "top_frac",
+        when($"n_bigrams" > 0,
+          $"top_bigram_n".cast("double") / $"n_bigrams".cast("double")))
+      .withColumn("keep", coalesce($"dup_frac" <= 0.08 && $"top_frac" <= 0.08, lit(false)))
+      .orderBy("doc_id")
+  }
+
+  private val RepetitionSql =
+    "WITH tk AS (SELECT doc_id, lang, string_split(coalesce(text, ''), ' ') AS tk " +
+      "FROM documents), " +
+      "bg AS (SELECT doc_id, unnest(list_transform(generate_series(1, len(tk) - 1), " +
+      "i -> tk[i] || ' ' || tk[i+1])) AS b FROM tk), " +
+      "c AS (SELECT doc_id, b, count(*) AS n FROM bg GROUP BY 1, 2), " +
+      "s AS (SELECT doc_id, CAST(sum(n) AS BIGINT) AS tot, " +
+      "CAST(count(*) AS BIGINT) AS dist, CAST(max(n) AS BIGINT) AS top " +
+      "FROM c GROUP BY 1) " +
+      "SELECT t.doc_id, t.lang, coalesce(s.tot, 0) AS n_bigrams, " +
+      "coalesce(s.tot - s.dist, 0) AS n_dup_bigrams, " +
+      "coalesce(s.top, 0) AS top_bigram_n, " +
+      "CAST(s.tot - s.dist AS DOUBLE) / CAST(s.tot AS DOUBLE) AS dup_frac, " +
+      "CAST(s.top AS DOUBLE) / CAST(s.tot AS DOUBLE) AS top_frac, " +
+      "coalesce(CAST(s.tot - s.dist AS DOUBLE) / CAST(s.tot AS DOUBLE) <= 0.08 " +
+      "AND CAST(s.top AS DOUBLE) / CAST(s.tot AS DOUBLE) <= 0.08, false) AS keep " +
+      "FROM tk t LEFT JOIN s ON s.doc_id = t.doc_id ORDER BY t.doc_id"
+
   val defs: Seq[QueryDef] = Seq(
     QueryDef(
       "q_text_tokens",
@@ -279,6 +338,7 @@ object TextOps {
     QueryDef("q_text_count_tokens", textCountTokens, Some(CountTokensSql)),
     QueryDef("q_text_ngrams", textNgrams, Some(NgramsSql)),
     QueryDef("q_text_keyterms", textKeyterms, Some(KeytermsSql)),
-    QueryDef("q_text_redact", textRedact, Some(RedactSql))
+    QueryDef("q_text_redact", textRedact, Some(RedactSql)),
+    QueryDef("q_text_repetition", textRepetition, Some(RepetitionSql))
   )
 }
