@@ -255,6 +255,46 @@ object StreamOps {
       .select($"doc_id", $"lang", $"source", $"n_chars")
   }
 
+  /** Streaming lift of the corpus build — q_pipeline_corpus's stages plus
+    * the mixture gate, composed on the continuous ingest feed: the
+    * quality gate (length + lexical diversity) and the training-mix gate
+    * ([[CurationOps.mixPredicate]]) are STATELESS predicates evaluated at
+    * ingest; exact content dedup is `dropDuplicatesWithinWatermark` on
+    * md5(text) (first arrival wins, state evicted at the late-data
+    * horizon — bounded at any ingest rate); the split tag is a pure
+    * function of doc_id. Emits curated survivor rows in append mode —
+    * per-(split, lang) accounting is a downstream aggregate over the sink
+    * (which is how a production feed runs it: the curated stream IS the
+    * product; counters hang off it). Which physical row represents a
+    * content hash is arrival-order-dependent, exactly like the batch
+    * first-writer-wins — over an ordered single-file source the two
+    * coincide, which is what StreamingCorpusSpec pins; the near-dup
+    * closure stage is deliberately absent: a transitive global closure is
+    * not a streaming operator, so production runs it as a periodic batch
+    * compaction over the curated sink (q_pipeline_corpus2).
+    */
+  def liftCorpusPipeline(s: SparkSession, sourceDir: String): DataFrame = {
+    import s.implicits._
+    val bucket = pmod(Hashing.h32($"doc_id".cast("string")), lit(100L))
+    docsStream(s, sourceDir)
+      .withColumn("n_tokens", size(split($"text", " ")))
+      .withColumn("n_distinct", size(array_distinct(split($"text", " "))))
+      .filter(
+        $"n_chars" >= 100 &&
+          $"n_distinct".cast("double") / $"n_tokens".cast("double") > 0.3)
+      .filter(CurationOps.mixPredicate)
+      .withColumn("content_md5", md5($"text"))
+      .dropDuplicatesWithinWatermark("content_md5")
+      .select(
+        $"doc_id",
+        $"lang",
+        $"n_chars",
+        when(bucket < 80, "train")
+          .when(bucket < 90, "valid")
+          .otherwise("test")
+          .as("split"))
+  }
+
   /** Streaming lift of q_stream_join — a stream-stream interval join:
     * both sides carry the 7-day watermark from [[eventsStream]] (the
     * event-time metadata survives the per-side renames), and the
