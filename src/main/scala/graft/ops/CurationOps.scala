@@ -28,6 +28,32 @@ object CurationOps {
   private def hkeySql(salt: String): String =
     h32Sql(s"concat(CAST(doc_id AS VARCHAR), '|$salt')")
 
+  /** The corpus-quality gate shared by the batch corpus build
+    * (q_pipeline_corpus2) and the streaming lift
+    * ([[StreamOps.liftCorpusPipeline]]): minimum length, lexical
+    * diversity, and the q_text_repetition signals (a document must HAVE
+    * bigrams, and its duplicate-bigram and top-bigram fractions must both
+    * be ≤ 0.08). Entirely map-side — one fused [[graft.expr.BigramStats]]
+    * walk per row — so the gate runs inside the scan stage at any corpus
+    * size. Keeps the input columns.
+    */
+  private[graft] def qualityGate(df: DataFrame): DataFrame = {
+    import df.sparkSession.implicits._
+    df
+      .withColumn("q_tk", split(coalesce($"text", lit("")), " "))
+      .withColumn("q_bs", graft.expr.BigramStats($"q_tk"))
+      .filter(
+        $"n_chars" >= 100 &&
+          size(array_distinct($"q_tk")).cast("double") /
+            size($"q_tk").cast("double") > 0.3 &&
+          element_at($"q_bs", 1) > 0 &&
+          (element_at($"q_bs", 1) - element_at($"q_bs", 2)).cast("double") /
+            element_at($"q_bs", 1).cast("double") <= 0.08 &&
+          element_at($"q_bs", 3).cast("double") /
+            element_at($"q_bs", 1).cast("double") <= 0.08)
+      .drop("q_tk", "q_bs")
+  }
+
   // ---------------------------------------------------------------------
   // q_sample_mix
   // ---------------------------------------------------------------------

@@ -835,8 +835,10 @@ object DedupOps {
       "FROM d GROUP BY 1, 2 ORDER BY split, lang"
 
   /** q_pipeline_corpus2 — the PRODUCTION corpus build: q_pipeline_corpus
-    * with cluster-based near-dedup composed between the exact pass and
-    * the split. Stages: quality gate (length + lexical diversity) →
+    * with the full quality battery and cluster-based near-dedup composed
+    * between the gate and the split. Stages: quality gate
+    * ([[CurationOps.qualityGate]] — length, lexical diversity, and the
+    * q_text_repetition duplicate/top-bigram signals, all map-side) →
     * exact content dedup (first-writer-wins md5 window) → near-dup
     * cluster closure over the survivors ([[bandedJaccardPairs]] at
     * θ = 0.9 → [[ccAssign]]; keep iff doc_id = cluster_id, i.e. exactly
@@ -853,17 +855,8 @@ object DedupOps {
     import s.implicits._
     val wMd5 = Window.partitionBy(md5($"text")).orderBy($"doc_id")
     val bucket = pmod(h32($"doc_id".cast("string")), lit(100L))
-    val gated = docs(s, d)
-      .select(
-        $"doc_id",
-        $"lang",
-        $"n_chars",
-        $"text",
-        size(split($"text", " ")).as("n_tokens"),
-        size(array_distinct(split($"text", " "))).as("n_distinct"))
-      .filter(
-        $"n_chars" >= 100 &&
-          $"n_distinct".cast("double") / $"n_tokens".cast("double") > 0.3)
+    val gated = CurationOps
+      .qualityGate(docs(s, d).select($"doc_id", $"lang", $"n_chars", $"text"))
       .withColumn("rn", row_number().over(wMd5))
       .filter($"rn" === 1)
       .select($"doc_id", $"lang", $"n_chars", $"text")
@@ -885,12 +878,20 @@ object DedupOps {
 
   private val Pipeline2Sql =
     "WITH RECURSIVE g0 AS (SELECT doc_id, lang, n_chars, text, " +
-      "CAST(len(string_split(text, ' ')) AS INTEGER) AS n_tokens, " +
-      "CAST(len(list_distinct(string_split(text, ' '))) AS INTEGER) AS n_distinct " +
-      "FROM documents), " +
-      "gated AS (SELECT doc_id, lang, n_chars, text FROM g0 " +
-      "WHERE n_chars >= 100 AND CAST(n_distinct AS DOUBLE) / CAST(n_tokens AS DOUBLE) > 0.3 " +
-      "QUALIFY row_number() OVER (PARTITION BY md5(text) ORDER BY doc_id) = 1), " +
+      "string_split(coalesce(text, ''), ' ') AS qtk FROM documents), " +
+      "bgc AS (SELECT doc_id, CAST(sum(n) AS BIGINT) AS tot, " +
+      "CAST(count(*) AS BIGINT) AS dist, CAST(max(n) AS BIGINT) AS top FROM (" +
+      "SELECT doc_id, b, count(*) AS n FROM (" +
+      "SELECT doc_id, unnest(list_transform(generate_series(1, len(qtk) - 1), " +
+      "i -> qtk[i] || ' ' || qtk[i+1])) AS b FROM g0) GROUP BY 1, 2) GROUP BY 1), " +
+      "gated AS (SELECT g.doc_id, g.lang, g.n_chars, g.text " +
+      "FROM g0 g JOIN bgc s ON s.doc_id = g.doc_id " +
+      "WHERE g.n_chars >= 100 " +
+      "AND CAST(len(list_distinct(g.qtk)) AS DOUBLE) / CAST(len(g.qtk) AS DOUBLE) > 0.3 " +
+      "AND s.tot > 0 " +
+      "AND CAST(s.tot - s.dist AS DOUBLE) / CAST(s.tot AS DOUBLE) <= 0.08 " +
+      "AND CAST(s.top AS DOUBLE) / CAST(s.tot AS DOUBLE) <= 0.08 " +
+      "QUALIFY row_number() OVER (PARTITION BY md5(g.text) ORDER BY g.doc_id) = 1), " +
       s"${nearCtes("gated")}, " +
       "edges AS (SELECT a_id AS src, b_id AS dst FROM pairs " +
       "UNION ALL SELECT b_id, a_id FROM pairs), " +

@@ -255,9 +255,10 @@ object StreamOps {
       .select($"doc_id", $"lang", $"source", $"n_chars")
   }
 
-  /** Streaming lift of the corpus build — q_pipeline_corpus's stages plus
-    * the mixture gate, composed on the continuous ingest feed: the
-    * quality gate (length + lexical diversity) and the training-mix gate
+  /** Streaming lift of the corpus build — the production stages composed
+    * on the continuous ingest feed: the full quality gate
+    * ([[CurationOps.qualityGate]] — length, lexical diversity, and the
+    * repetition signals) and the training-mix gate
     * ([[CurationOps.mixPredicate]]) are STATELESS predicates evaluated at
     * ingest; exact content dedup is `dropDuplicatesWithinWatermark` on
     * md5(text) (first arrival wins, state evicted at the late-data
@@ -276,12 +277,8 @@ object StreamOps {
   def liftCorpusPipeline(s: SparkSession, sourceDir: String): DataFrame = {
     import s.implicits._
     val bucket = pmod(Hashing.h32($"doc_id".cast("string")), lit(100L))
-    docsStream(s, sourceDir)
-      .withColumn("n_tokens", size(split($"text", " ")))
-      .withColumn("n_distinct", size(array_distinct(split($"text", " "))))
-      .filter(
-        $"n_chars" >= 100 &&
-          $"n_distinct".cast("double") / $"n_tokens".cast("double") > 0.3)
+    CurationOps
+      .qualityGate(docsStream(s, sourceDir))
       .filter(CurationOps.mixPredicate)
       .withColumn("content_md5", md5($"text"))
       .dropDuplicatesWithinWatermark("content_md5")

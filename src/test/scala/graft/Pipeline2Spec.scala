@@ -35,11 +35,26 @@ class Pipeline2Spec extends SparkSpec {
     import spark.implicits._
     val wMd5 = org.apache.spark.sql.expressions.Window
       .partitionBy(md5($"text")).orderBy($"doc_id")
-    val gated = T(spark, sf, "documents")
-      .withColumn("n_tokens", size(split($"text", " ")))
-      .withColumn("n_distinct", size(array_distinct(split($"text", " "))))
+    val tkDf = T(spark, sf, "documents")
+      .withColumn("tk", split(coalesce($"text", lit("")), " "))
+    // independent derivation of the repetition gate: HOF chain + explode +
+    // count shuffle, NOT the fused BigramStats kernel the product uses
+    val stats = tkDf
+      .filter(size($"tk") >= 2)
+      .select(
+        $"doc_id",
+        explode(expr(
+          "transform(sequence(1, size(tk) - 1), i -> concat(tk[i-1], ' ', tk[i]))"))
+          .as("b"))
+      .groupBy($"doc_id", $"b").count()
+      .groupBy($"doc_id")
+      .agg(sum($"count").as("tot"), count(lit(1)).as("dist"), max($"count").as("top"))
+    val gated = tkDf
+      .join(stats, "doc_id") // inner: docs without bigrams are rejected
       .filter($"n_chars" >= 100 &&
-        $"n_distinct".cast("double") / $"n_tokens".cast("double") > 0.3)
+        size(array_distinct($"tk")).cast("double") / size($"tk").cast("double") > 0.3 &&
+        ($"tot" - $"dist").cast("double") / $"tot".cast("double") <= 0.08 &&
+        $"top".cast("double") / $"tot".cast("double") <= 0.08)
       .withColumn("rn", row_number().over(wMd5))
       .filter($"rn" === 1)
       .select($"doc_id", $"lang", $"n_chars", $"text")

@@ -31,12 +31,8 @@ class StreamingCorpusSpec extends SparkSpec {
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(md5($"text")).orderBy($"doc_id")
     val bucket = pmod(graft.ops.Hashing.h32($"doc_id".cast("string")), lit(100L))
-    T(spark, sf, "documents")
-      .withColumn("n_tokens", size(split($"text", " ")))
-      .withColumn("n_distinct", size(array_distinct(split($"text", " "))))
-      .filter(
-        $"n_chars" >= 100 &&
-          $"n_distinct".cast("double") / $"n_tokens".cast("double") > 0.3)
+    graft.ops.CurationOps
+      .qualityGate(T(spark, sf, "documents"))
       .filter(graft.ops.CurationOps.mixPredicate)
       .withColumn("rn", row_number().over(w))
       .filter($"rn" === 1)
