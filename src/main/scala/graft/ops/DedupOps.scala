@@ -494,6 +494,74 @@ object DedupOps {
       "WHERE jaccard >= 0.8 ORDER BY a_id, b_id"
   }
 
+  /** q_split_contamination — train/eval contamination detection, the
+    * pre-training hygiene check run before every eval is trusted: for
+    * each valid/test document, the fraction of its distinct 3-token
+    * shingles that appears anywhere in the train split (the
+    * deterministic q_split_assign bucketing). A document whose eval
+    * shingles mostly exist in train measures the train set, not the
+    * model — at sf0.01 one cross-split exact duplicate scores 1.0, which
+    * is precisely the leak this query exists to catch. Scale shape: one
+    * shingle pass per doc (fused [[graft.expr.ShingleHashes]] kernel),
+    * train shingles dedup on the shingle-hash shuffle key, eval shingles
+    * left-join the train set on the same well-distributed key, one
+    * per-doc count aggregate — no all-pairs comparison anywhere, so the
+    * cost is linear in corpus shingle volume at any scale. Flag
+    * threshold 0.65 ≈ the corpus p90 (synthetic docs share a 50-word
+    * vocabulary, so background trigram overlap is high; real corpora sit
+    * near 0 and flag at 0.1-0.3).
+    */
+  private def splitContamination(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val bucket = pmod(h32($"doc_id".cast("string")), lit(100L))
+    val sh = docs(s, d)
+      .select(
+        $"doc_id",
+        when(bucket < 80, "train")
+          .when(bucket < 90, "valid")
+          .otherwise("test")
+          .as("split"),
+        graft.expr.ShingleHashes(
+          graft.expr.TokenHashes(coalesce($"text", lit("")), sortedDistinct = false))
+          .as("sh"))
+    val trainSh = sh
+      .filter($"split" === "train")
+      .select(explode($"sh").as("sh_val"))
+      .distinct()
+    sh
+      .filter($"split" =!= "train")
+      .select($"doc_id", $"split", explode($"sh").as("sh_val"))
+      .join(trainSh.withColumn("hit", lit(1)), Seq("sh_val"), "left")
+      .groupBy($"doc_id", $"split")
+      .agg(count(lit(1)).as("n_shingles"), count($"hit").as("n_hits"))
+      .withColumn("contam_frac",
+        $"n_hits".cast("double") / $"n_shingles".cast("double"))
+      .withColumn("contaminated", $"contam_frac" >= 0.65)
+      .orderBy("doc_id")
+  }
+
+  private val ContaminationSql = {
+    val shingle = s"(((ht[i] * 131 + ht[i+1]) % $P) * 131 + ht[i+2]) % $P"
+    "WITH tok AS (SELECT doc_id, " +
+      s"list_transform(string_split(coalesce(text, ''), ' '), tk -> ${h32Sql("tk")}) AS ht " +
+      "FROM documents), " +
+      "sh AS (SELECT doc_id, CASE WHEN len(ht) >= 3 THEN " +
+      s"list_distinct(list_transform(generate_series(1, len(ht)-2), i -> $shingle)) " +
+      "ELSE [list_reduce(list_prepend(CAST(0 AS BIGINT), ht), " +
+      s"(acc, h) -> (acc * 131 + h) % $P)] END AS s FROM tok), " +
+      "sp AS (SELECT doc_id, " +
+      s"${h32Sql("CAST(doc_id AS VARCHAR)")} % 100 AS b, s FROM sh), " +
+      "tr AS (SELECT DISTINCT unnest(s) AS sh_val FROM sp WHERE b < 80), " +
+      "ev AS (SELECT doc_id, CASE WHEN b < 90 THEN 'valid' ELSE 'test' END AS split, " +
+      "unnest(s) AS sh_val FROM sp WHERE b >= 80) " +
+      "SELECT e.doc_id, e.split, COUNT(*) AS n_shingles, " +
+      "CAST(COUNT(t.sh_val) AS BIGINT) AS n_hits, " +
+      "CAST(COUNT(t.sh_val) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) AS contam_frac, " +
+      "CAST(COUNT(t.sh_val) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) >= 0.65 AS contaminated " +
+      "FROM ev e LEFT JOIN tr t ON t.sh_val = e.sh_val " +
+      "GROUP BY 1, 2 ORDER BY doc_id"
+  }
+
   /** q_dedup_minhash — 8-permutation MinHash signature per document.
     * Portable md5-derived hashes make the whole signature oracle-checked
     * (engine-native hashes would not be); at scale the signature is a
@@ -918,6 +986,7 @@ object DedupOps {
           "ORDER BY doc_id")),
     QueryDef("q_dedup_near", dedupNear, Some(NearSql)),
     QueryDef("q_dedup_cc", dedupCc, Some(CcSql)),
+    QueryDef("q_split_contamination", splitContamination, Some(ContaminationSql)),
     QueryDef("q_dedup_ngram", dedupNgram, Some(NgramSql)),
     QueryDef("q_dedup_minhash", dedupMinhash, Some(MinhashSql)),
     QueryDef("q_dedup_lsh", dedupLsh, Some(LshSql)),

@@ -213,6 +213,51 @@ class FusedExprAgreementSpec extends SparkSpec {
     assert(interp.map(_.toString) == codegen.map(_.toString))
   }
 
+  test("BigramStats equals the composed bigram-multiplicity chain, both paths") {
+    import graft.expr.BigramStats
+    import spark.implicits._
+    val texts = Seq(
+      "",
+      " ",
+      "one",
+      "one two",
+      "a a a a a",
+      "x y x y x y",
+      "the quick brown fox jumps over the lazy dog",
+      "café naïve 中文 字 tokens",
+      "😀 astral 𝔘 chars",
+      "trailing space ",
+      "  double  spaces") ++
+      Gen
+        .listOfN(60, Gen.asciiPrintableStr)
+        .pureApply(Gen.Parameters.default, Seed(37L))
+    val df0 = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }.toDF("id", "text")
+    val refBgs =
+      expr("transform(sequence(1, size(tk) - 1), i -> concat(tk[i-1], ' ', tk[i]))")
+    val df = df0
+      .select($"id", split($"text", " ").as("tk"))
+      .select(
+        $"id",
+        BigramStats($"tk").as("bs"),
+        when(size($"tk") >= 2, refBgs)
+          .otherwise(array().cast("array<string>"))
+          .as("bgs"))
+      .select(
+        $"id",
+        $"bs",
+        array(
+          size($"bgs").cast("long"),
+          size(array_distinct($"bgs")).cast("long"),
+          coalesce(
+            array_max(transform($"bgs", b => size(filter($"bgs", x => x === b)))),
+            lit(0)).cast("long")).as("refBs"))
+    val (interp, codegen) = collectBoth(df)
+    (interp ++ codegen).foreach { r =>
+      assert(r.getSeq[Long](1) == r.getSeq[Long](2), s"bigram stats mismatch id=${r.getLong(0)}")
+    }
+    assert(interp.map(_.toString) == codegen.map(_.toString))
+  }
+
   test("PlaneSignBits null/mismatch contract: zero bits, never null") {
     import spark.implicits._
     val planes = Seq(Seq(1f, 1f), Seq(-1f, 1f))

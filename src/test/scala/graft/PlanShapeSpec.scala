@@ -137,4 +137,11 @@ class PlanShapeSpec extends SparkSpec {
         s"$q: merge walk outside WholeStageCodegen:\n$p")
     }
   }
+
+  test("q_text_repetition is map-side: the only exchange is the oracle sort") {
+    val p = plan("q_text_repetition")
+    assert("Exchange".r.findAllIn(p).size == 1, p)
+    assert(p.contains("rangepartitioning"), p)
+    assert(p.contains("bigram_stats"), p)
+  }
 }
