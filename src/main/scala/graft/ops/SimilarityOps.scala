@@ -508,7 +508,56 @@ object SimilarityOps {
       .orderBy("doc_id")
   }
 
+  /** q_embed_quantize — symmetric int8 quantization of the embedding
+    * store, the compression step a 100 TB vector pipeline runs before
+    * serving (4× smaller vectors; integer-SIMD dot products): per-vector
+    * scale = max|v|/127 plus the reconstruction-error stats the pipeline
+    * gates on (max absolute error, summed squared error, saturated-lane
+    * count). One fused map-side pass per row
+    * ([[graft.expr.QuantizeStats]]); the only exchange is the output
+    * sort. Rounding is explicit floor(x + 0.5) and the error sum is a
+    * left fold in index order, so every double matches the DuckDB oracle
+    * bit-for-bit (graft.X rules).
+    */
+  private def embedQuantize(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    emb(s, d)
+      .select($"vec_id", graft.expr.QuantizeStats($"embedding").as("qs"))
+      .select(
+        $"vec_id",
+        element_at($"qs", 1).as("scale"),
+        element_at($"qs", 2).as("max_abs_err"),
+        element_at($"qs", 3).as("sum_sq_err"),
+        element_at($"qs", 4).cast("bigint").as("n_saturated"))
+      .orderBy("vec_id")
+  }
+
+  private val QuantizeSql = {
+    // clamp(floor(x/scale + 0.5), ±127) — repeated inline because lambda
+    // bodies cannot reuse lateral aliases
+    def q(x: String) =
+      s"LEAST(CAST(127 AS DOUBLE), GREATEST(CAST(-127 AS DOUBLE), " +
+        s"floor(CAST($x AS DOUBLE) / scale + 0.5)))"
+    "SELECT vec_id, scale, max_abs_err, sum_sq_err, n_saturated FROM (" +
+      "SELECT vec_id, " +
+      "list_max(list_transform(embedding, x -> abs(CAST(x AS DOUBLE)))) AS amax, " +
+      "CASE WHEN coalesce(amax, 0) = 0 THEN CAST(0 AS DOUBLE) " +
+      "ELSE amax / 127.0 END AS scale, " +
+      "CASE WHEN scale = 0 THEN CAST(0 AS DOUBLE) ELSE " +
+      s"list_max(list_transform(embedding, x -> abs(CAST(x AS DOUBLE) - ${q("x")} * scale))) " +
+      "END AS max_abs_err, " +
+      "CASE WHEN scale = 0 THEN CAST(0 AS DOUBLE) ELSE " +
+      "list_reduce(list_prepend(CAST(0 AS DOUBLE), " +
+      s"list_transform(embedding, x -> (CAST(x AS DOUBLE) - ${q("x")} * scale) * " +
+      s"(CAST(x AS DOUBLE) - ${q("x")} * scale))), (a, b) -> a + b) END AS sum_sq_err, " +
+      "CASE WHEN scale = 0 THEN CAST(0 AS BIGINT) ELSE " +
+      s"CAST(len(list_filter(embedding, x -> abs(${q("x")}) = 127)) AS BIGINT) " +
+      "END AS n_saturated " +
+      "FROM embeddings) ORDER BY vec_id"
+  }
+
   val defs: Seq[QueryDef] = Seq(
+    QueryDef("q_embed_quantize", embedQuantize, Some(QuantizeSql)),
     QueryDef("q_sim_cosine", simCosine, Some(CosineSql)),
     QueryDef("q_sim_topk", simTopk, Some(TopkSql)),
     QueryDef("q_sim_ann", simAnn, Some(AnnSql)),
