@@ -923,11 +923,16 @@ object DedupOps {
     import s.implicits._
     val wMd5 = Window.partitionBy(md5($"text")).orderBy($"doc_id")
     val bucket = pmod(h32($"doc_id".cast("string")), lit(100L))
+    // eager checkpoint: the gated survivor set feeds BOTH the pair branch
+    // (tokenize → band join) and the final universe branch (assignment +
+    // accounting); without it, the gate's fused bigram walk and the md5
+    // window shuffle run twice — once per branch
     val gated = CurationOps
       .qualityGate(docs(s, d).select($"doc_id", $"lang", $"n_chars", $"text"))
       .withColumn("rn", row_number().over(wMd5))
       .filter($"rn" === 1)
       .select($"doc_id", $"lang", $"n_chars", $"text")
+      .localCheckpoint(eager = true)
     val pairs = bandedJaccardPairs(s, hashedToksOf(gated), 9, 10, ordered = false)
       .select($"a_id", $"b_id")
     ccAssign(s, pairs, gated.select($"doc_id", $"lang", $"n_chars"))

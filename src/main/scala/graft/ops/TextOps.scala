@@ -315,6 +315,65 @@ object TextOps {
       "AND CAST(s.top AS DOUBLE) / CAST(s.tot AS DOUBLE) <= 0.08, false) AS keep " +
       "FROM tk t LEFT JOIN s ON s.doc_id = t.doc_id ORDER BY t.doc_id"
 
+  /** q_text_chunk — overlapping token-window chunking, the step between
+    * curation and embedding in a retrieval/embedding pipeline: each doc
+    * splits into fixed token windows advancing by a smaller stride (4-token
+    * overlap so no semantic boundary is lost), the trailing window keeping
+    * whatever remains. Window 32 / stride 28 here — sized to the testdata's
+    * 20-100-token documents so the oracle exercises the multi-chunk overlap
+    * path corpus-wide (a production embedding pipeline runs the same shape
+    * at 512/448); the constants are config, not semantics. Pure per-row expansion — chunk starts come from an integer
+    * `sequence` + `posexplode`, the window text from `slice` — so the op
+    * is map-side with output-sort as its only exchange, and chunk
+    * identity (doc_id, chunk_id, start) is deterministic at any
+    * partitioning. Counting uses integer `div` in both engines (no float
+    * ceil).
+    */
+  private val ChunkSize = 32
+  private val ChunkStride = 28
+
+  private def textChunk(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    docs(s, d)
+      .select($"doc_id", split(coalesce($"text", lit("")), " ").as("tk"))
+      .withColumn(
+        "n_chunks",
+        when(size($"tk") <= ChunkSize, lit(1))
+          .otherwise(
+            expr(s"(size(tk) - $ChunkSize + ${ChunkStride - 1}) div $ChunkStride") + 1))
+      .select(
+        $"doc_id",
+        $"tk",
+        posexplode(sequence(lit(0), $"n_chunks".cast("int") - 1))
+          .as(Seq("chunk_id", "start0")))
+      .select(
+        $"doc_id",
+        $"chunk_id",
+        ($"start0" * ChunkStride).as("start"),
+        slice($"tk", $"start0" * ChunkStride + 1, lit(ChunkSize)).as("ck"))
+      .select(
+        $"doc_id",
+        $"chunk_id",
+        $"start",
+        size($"ck").as("n_tokens"),
+        array_join($"ck", " ").as("chunk"))
+      .orderBy("doc_id", "chunk_id")
+  }
+
+  private val ChunkSql =
+    "WITH tk AS (SELECT doc_id, string_split(coalesce(text, ''), ' ') AS tk " +
+      "FROM documents), " +
+      "c AS (SELECT doc_id, tk, CASE WHEN len(tk) <= 32 THEN 1 " +
+      "ELSE (len(tk) - 32 + 27) // 28 + 1 END AS n_chunks FROM tk), " +
+      "e AS (SELECT doc_id, tk, unnest(generate_series(0, n_chunks - 1)) AS chunk_id " +
+      "FROM c) " +
+      "SELECT doc_id, chunk_id, chunk_id * 28 AS start, " +
+      "CAST(len(list_slice(tk, chunk_id * 28 + 1, " +
+      "LEAST(chunk_id * 28 + 32, len(tk)))) AS INTEGER) AS n_tokens, " +
+      "array_to_string(list_slice(tk, chunk_id * 28 + 1, " +
+      "LEAST(chunk_id * 28 + 32, len(tk))), ' ') AS chunk " +
+      "FROM e ORDER BY doc_id, chunk_id"
+
   val defs: Seq[QueryDef] = Seq(
     QueryDef(
       "q_text_tokens",
@@ -339,6 +398,7 @@ object TextOps {
     QueryDef("q_text_ngrams", textNgrams, Some(NgramsSql)),
     QueryDef("q_text_keyterms", textKeyterms, Some(KeytermsSql)),
     QueryDef("q_text_redact", textRedact, Some(RedactSql)),
-    QueryDef("q_text_repetition", textRepetition, Some(RepetitionSql))
+    QueryDef("q_text_repetition", textRepetition, Some(RepetitionSql)),
+    QueryDef("q_text_chunk", textChunk, Some(ChunkSql))
   )
 }
