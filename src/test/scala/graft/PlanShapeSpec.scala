@@ -144,4 +144,22 @@ class PlanShapeSpec extends SparkSpec {
     assert(p.contains("rangepartitioning"), p)
     assert(p.contains("bigram_stats"), p)
   }
+
+  test("q_embed_quantize is map-side: the only exchange is the oracle sort") {
+    val p = plan("q_embed_quantize")
+    assert("Exchange".r.findAllIn(p).size == 1, p)
+    assert(p.contains("quantize_stats"), p)
+  }
+
+  test("q_text_chunk is a map-side expansion: the only exchange is the oracle sort") {
+    val p = plan("q_text_chunk")
+    assert("Exchange".r.findAllIn(p).size == 1, p)
+    assert(p.contains("rangepartitioning"), p)
+  }
+
+  test("q_split_contamination joins shingles on an equi-key, no nested loop") {
+    val p = plan("q_split_contamination")
+    assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"), p)
+    assert(p.contains("shingle_hashes"), p)
+  }
 }
