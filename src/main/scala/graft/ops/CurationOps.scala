@@ -156,7 +156,95 @@ object CurationOps {
       "count(*) AS n_docs, CAST(sum(n_tok) AS BIGINT) AS n_tokens " +
       "FROM c GROUP BY lang, shard, bin ORDER BY lang, shard, bin"
 
+  // ---------------------------------------------------------------------
+  // q_source_filter
+  // ---------------------------------------------------------------------
+
+  /** Keep a source iff at most this percentage of its documents are bad
+    * (too short). The C4/RefinedWeb pattern: reputation is a property of
+    * the SOURCE (domain), decided from corpus-wide stats, then applied to
+    * every document from it.
+    */
+  private val SourceBadPctMax = 10L
+
+  /** q_source_filter — source-reputation filtering: aggregate a bad-document
+    * fraction per source, then keep only documents from sources under the
+    * threshold. The scale shape is the point: the stats pass scans ONLY
+    * (source, n_chars) — column pruning keeps it a fraction of corpus bytes
+    * — and its output is one row per source, so the join back onto the
+    * full-width scan is a broadcast (no shuffle of the corpus). Integer
+    * cross-multiplication (`bad*100 <= docs*pct`) keeps the keep decision
+    * float-free and bit-identical in the oracle.
+    */
+  private def sourceFilter(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val stats = docs(s, d)
+      .groupBy($"source")
+      .agg(
+        count(lit(1)).as("src_docs"),
+        sum(when($"n_chars" < 100, 1L).otherwise(0L)).as("src_bad"))
+      .filter($"src_bad" * 100L <= $"src_docs" * SourceBadPctMax)
+    docs(s, d)
+      .join(broadcast(stats), "source")
+      .select($"doc_id", $"lang", $"source", $"n_chars", $"src_docs", $"src_bad")
+      .orderBy($"doc_id")
+  }
+
+  private val SourceFilterSql =
+    "WITH st AS (SELECT source, CAST(count(*) AS BIGINT) AS src_docs, " +
+      "CAST(sum(CASE WHEN n_chars < 100 THEN 1 ELSE 0 END) AS BIGINT) AS src_bad " +
+      "FROM documents GROUP BY source) " +
+      "SELECT doc_id, lang, source, n_chars, src_docs, src_bad " +
+      "FROM documents JOIN st USING (source) " +
+      s"WHERE src_bad * 100 <= src_docs * $SourceBadPctMax ORDER BY doc_id"
+
+  // ---------------------------------------------------------------------
+  // q_sample_quota
+  // ---------------------------------------------------------------------
+
+  /** Exact per-stratum quota. 70 makes the testdata exercise both paths:
+    * four languages are clipped to the quota, one (fr, 64 docs at sf0.01)
+    * is under it and kept whole.
+    */
+  private val QuotaPerLang = 70
+
+  /** q_sample_quota — exact-count quota sampling: the first `QuotaPerLang`
+    * documents of each language in deterministic salted-hash order.
+    * Complements [[sampleMix]]: the rate gate is zero-shuffle but only
+    * approximates stratum sizes; eval-set construction wants EXACT counts.
+    * The rank runs over a slim (doc_id, lang, hash) projection — ~16 bytes
+    * a row, the full-width rows never enter the window shuffle — and the
+    * picked set is `quota × n_strata` rows, so applying it back to the
+    * corpus is a broadcast join. One stratum = one window partition, so
+    * this targets bounded-quota strata (eval sets, per-language caps), not
+    * corpus-sized ones — for those the rate gate is the tool.
+    */
+  private def sampleQuota(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val picks = docs(s, d)
+      .select($"doc_id", $"lang", hkey("quota").as("hk"))
+      .withColumn(
+        "rn",
+        row_number().over(Window.partitionBy($"lang").orderBy($"hk", $"doc_id")))
+      .filter($"rn" <= QuotaPerLang)
+      .select($"doc_id", $"rn")
+    docs(s, d)
+      .join(broadcast(picks), "doc_id")
+      .select($"doc_id", $"lang", $"source", $"n_chars", $"rn")
+      .orderBy($"lang", $"rn")
+  }
+
+  private val QuotaSql =
+    "WITH ranked AS (SELECT doc_id, row_number() OVER (PARTITION BY lang " +
+      "ORDER BY hk, doc_id) AS rn FROM " +
+      s"(SELECT doc_id, lang, ${hkeySql("quota")} AS hk FROM documents)) " +
+      "SELECT d.doc_id, d.lang, d.source, d.n_chars, r.rn " +
+      "FROM documents d JOIN ranked r ON d.doc_id = r.doc_id " +
+      s"WHERE r.rn <= $QuotaPerLang ORDER BY d.lang, r.rn"
+
   val defs: Seq[QueryDef] = Seq(
     QueryDef("q_sample_mix", sampleMix, Some(MixSql)),
-    QueryDef("q_pack_sequences", packSequences, Some(PackSql)))
+    QueryDef("q_pack_sequences", packSequences, Some(PackSql)),
+    QueryDef("q_source_filter", sourceFilter, Some(SourceFilterSql)),
+    QueryDef("q_sample_quota", sampleQuota, Some(QuotaSql)))
 }

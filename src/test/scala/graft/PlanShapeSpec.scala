@@ -162,4 +162,21 @@ class PlanShapeSpec extends SparkSpec {
     assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"), p)
     assert(p.contains("shingle_hashes"), p)
   }
+
+  test("q_source_filter broadcasts the stats and prunes the stats scan") {
+    val p = plan("q_source_filter")
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("SortMergeJoin"), p)
+    // the reputation pass must read only (source, n_chars), never text
+    assert(p.contains("ReadSchema: struct<source:string,n_chars:bigint>"), p)
+  }
+
+  test("q_sample_quota ranks a slim projection and broadcasts the picks") {
+    val p = plan("q_sample_quota")
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("SortMergeJoin"), p)
+    // the window input is the slim (doc_id, lang, hash) projection — its
+    // scan must not read text/source/n_chars
+    assert(p.contains("ReadSchema: struct<doc_id:bigint,lang:string>"), p)
+  }
 }
