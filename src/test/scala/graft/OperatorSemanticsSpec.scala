@@ -230,4 +230,53 @@ class OperatorSemanticsSpec extends SparkSpec {
     }
     out.unpersist()
   }
+
+  test("q_source_filter keeps exactly the under-threshold sources, whole") {
+    import spark.implicits._
+    val docs = T(spark, sf, "documents")
+    // independent driver-side recompute of the reputation decision
+    val perSource = docs.groupBy($"source")
+      .agg(
+        count(lit(1)).as("n"),
+        sum(when($"n_chars" < 100, 1L).otherwise(0L)).as("bad"))
+      .collect()
+      .map(r => (r.getAs[String]("source"), r.getAs[Long]("n"), r.getAs[Long]("bad")))
+    val keep = perSource.filter { case (_, n, bad) => bad * 100L <= n * 10L }
+      .map(_._1).toSet
+    assert(keep.nonEmpty && keep.size < perSource.length,
+      "threshold must bite: some sources kept, some dropped")
+    val out = q("q_source_filter").cache()
+    val outSources = out.select($"source").distinct().as[String].collect().toSet
+    assert(outSources == keep)
+    // a kept source keeps ALL its documents (reputation is per-source,
+    // never per-document)
+    val expected = perSource.filter(s => keep(s._1)).map(_._2).sum
+    assert(out.count() == expected)
+    out.unpersist()
+  }
+
+  test("q_sample_quota takes min(quota, stratum size) exactly, ranks dense") {
+    import spark.implicits._
+    // sf0.01 is the scale where both paths exist: fr (64 docs) is under
+    // quota, the other four languages are clipped
+    val sf01 = "/root/testdata/sf0.01"
+    val out = SparkEntry.queries("q_sample_quota")(spark, sf01).cache()
+    val langTotals = T(spark, sf01, "documents").groupBy($"lang").count()
+      .collect().map(r => r.getAs[String]("lang") -> r.getAs[Long]("count")).toMap
+    val got = out.groupBy($"lang").count()
+      .collect().map(r => r.getAs[String]("lang") -> r.getAs[Long]("count")).toMap
+    assert(got.keySet == langTotals.keySet, "every stratum represented")
+    got.foreach { case (lang, n) =>
+      assert(n == math.min(70L, langTotals(lang)), s"$lang: $n")
+    }
+    // both paths exercised on this data: at least one clipped stratum and
+    // at least one under-quota stratum taken whole
+    assert(langTotals.values.exists(_ > 70L) && langTotals.values.exists(_ <= 70L))
+    // ranks are dense 1..n within each stratum (no gaps, no ties)
+    val badRanks = out.groupBy($"lang")
+      .agg(count(lit(1)).as("n"), max($"rn").as("mx"), countDistinct($"rn").as("d"))
+      .filter($"mx" =!= $"n" || $"d" =!= $"n")
+    assert(badRanks.count() == 0)
+    out.unpersist()
+  }
 }
