@@ -233,11 +233,63 @@ object IngestOps {
     header.unionByName(grid).orderBy("rn")
   }
 
+  /** q_profile_table — per-column profiling of the ingest table (the
+    * ANALYZE / stats-collection primitive a warehouse runs before choosing
+    * plans): row count, null count, exact distinct count, min/max. Every
+    * column is profiled through its canonical string rendering (epoch-µs
+    * for the timestamp, fixed-scale decimal for the double — the two
+    * renderings that are bit-identical cross-engine), so one uniform
+    * unpivoted (col_name, v) stream feeds ONE aggregate: the distinct
+    * count shuffles on the distributed (col_name, v) key space, never a
+    * per-column global expand — at 100 TB this is the difference between a
+    * stats pass and six. min/max are byte-order over the rendering
+    * (UTF-8 byte order = codepoint order in both engines).
+    */
+  private def profileTable(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val rendered = Seq(
+      "event_id" -> col("event_id").cast("string"),
+      "ts" -> unix_micros(col("ts")).cast("string"),
+      "user_id" -> col("user_id").cast("string"),
+      "event_type" -> col("event_type"),
+      "value" -> col("value").cast("decimal(18,6)").cast("string"),
+      "props" -> col("props"))
+    val pairs = rendered.map { case (n, c) =>
+      struct(lit(n).as("col_name"), c.as("v"))
+    }
+    T(s, d, "events")
+      .select(explode(array(pairs: _*)).as("p"))
+      .select($"p.col_name".as("col_name"), $"p.v".as("v"))
+      .groupBy($"col_name")
+      .agg(
+        count(lit(1)).as("n_rows"),
+        sum(when($"v".isNull, 1L).otherwise(0L)).as("n_null"),
+        countDistinct($"v").as("n_distinct"),
+        min($"v").as("min_v"),
+        max($"v").as("max_v"))
+      .orderBy($"col_name")
+  }
+
+  private val ProfileSql =
+    "WITH u AS (" +
+      "SELECT 'event_id' AS col_name, CAST(event_id AS VARCHAR) AS v FROM events " +
+      "UNION ALL SELECT 'ts', CAST(epoch_us(CAST(ts AS TIMESTAMP)) AS VARCHAR) FROM events " +
+      "UNION ALL SELECT 'user_id', CAST(user_id AS VARCHAR) FROM events " +
+      "UNION ALL SELECT 'event_type', event_type FROM events " +
+      "UNION ALL SELECT 'value', CAST(CAST(value AS DECIMAL(18,6)) AS VARCHAR) FROM events " +
+      "UNION ALL SELECT 'props', props FROM events) " +
+      "SELECT col_name, CAST(count(*) AS BIGINT) AS n_rows, " +
+      "CAST(sum(CASE WHEN v IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_null, " +
+      "CAST(count(DISTINCT v) AS BIGINT) AS n_distinct, " +
+      "min(v) AS min_v, max(v) AS max_v " +
+      "FROM u GROUP BY col_name ORDER BY col_name"
+
   val defs: Seq[QueryDef] = Seq(
     QueryDef(
       "q_src_scan",
       srcScan,
       Some(s"SELECT $EventCols FROM events ORDER BY event_id")),
+    QueryDef("q_profile_table", profileTable, Some(ProfileSql)),
     QueryDef(
       "q_window_7d",
       window7d,

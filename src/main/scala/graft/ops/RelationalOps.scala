@@ -503,6 +503,75 @@ object RelationalOps {
       "(o_orderstatus), (o_orderpriority), ()) " +
       "ORDER BY status, priority"
 
+  /** Gap after which a user's next event starts a new session (µs). 8 h
+    * against the testdata's ~7 h median inter-event gap splits activity
+    * into real multi-event sessions.
+    */
+  private val SessionGapUs = 8L * 3600 * 1000000L
+
+  /** q_funnel_paths — gap-based sessionization + top conversion paths (the
+    * funnel-analysis primitive): a session is a maximal run of a user's
+    * events with < 8 h between neighbors (lag + running sum of
+    * session-start flags); a session's path is its first three event
+    * types in time order. ONE shuffle does all the heavy work: the lag
+    * window, the running sum, and the per-session aggregate all reuse the
+    * user_id hash partitioning (hash(user_id) co-locates every
+    * (user_id, sess) group, so Catalyst inserts no second exchange); the
+    * path ranking then aggregates ≤ |types|³ tiny rows. Timestamp math is
+    * integer µs end-to-end — no interval arithmetic to diverge.
+    */
+  private def funnelPaths(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val w = Window.partitionBy($"user_id").orderBy($"ts", $"event_id")
+    val sessions = T(s, d, "events")
+      .select($"event_id", $"user_id", $"ts", $"event_type")
+      .withColumn(
+        "gap_us",
+        unix_micros($"ts") - unix_micros(lag($"ts", 1).over(w)))
+      .withColumn(
+        "new_sess",
+        when($"gap_us".isNull || $"gap_us" > SessionGapUs, 1L).otherwise(0L))
+      .withColumn(
+        "sess",
+        sum($"new_sess").over(w.rowsBetween(Window.unboundedPreceding, 0)))
+      .groupBy($"user_id", $"sess")
+      .agg(
+        count(lit(1)).as("n_events"),
+        // collect in any order, sort by the (ts, event_id) struct prefix,
+        // keep the first three types: order-insensitive to partial-agg
+        // combining, so the result is retry/partition invariant
+        concat_ws(
+          ">",
+          slice(
+            transform(
+              array_sort(
+                collect_list(struct($"ts", $"event_id", $"event_type"))),
+              x => x.getField("event_type")),
+            1,
+            3)).as("path"))
+    sessions
+      .groupBy($"path")
+      .agg(
+        count(lit(1)).as("n_sessions"),
+        sum($"n_events").as("n_events"))
+      .orderBy($"n_sessions".desc, $"path")
+      .limit(20)
+  }
+
+  private val FunnelSql =
+    "WITH e AS (SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS ts, event_type FROM events), " +
+      "g AS (SELECT *, epoch_us(ts) - epoch_us(lag(ts) OVER " +
+      "(PARTITION BY user_id ORDER BY ts, event_id)) AS gap_us FROM e), " +
+      s"s AS (SELECT *, sum(CASE WHEN gap_us IS NULL OR gap_us > $SessionGapUs " +
+      "THEN 1 ELSE 0 END) OVER (PARTITION BY user_id ORDER BY ts, event_id " +
+      "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sess FROM g), " +
+      "p AS (SELECT user_id, sess, CAST(count(*) AS BIGINT) AS n_events, " +
+      "array_to_string(list_slice(list(event_type ORDER BY ts, event_id), 1, 3), '>') AS path " +
+      "FROM s GROUP BY user_id, sess) " +
+      "SELECT path, CAST(count(*) AS BIGINT) AS n_sessions, " +
+      "CAST(sum(n_events) AS BIGINT) AS n_events " +
+      "FROM p GROUP BY path ORDER BY n_sessions DESC, path LIMIT 20"
+
   /** q_case_when — CASE WHEN categorization (main.py:282,285-286). */
   private def caseWhen(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
@@ -697,6 +766,7 @@ object RelationalOps {
     QueryDef("q_join_asof", joinAsof, Some(AsofSql)),
     QueryDef("q_agg_quantile", aggQuantile, Some(QuantileSql)),
     QueryDef("q_win_dist", winDist, Some(WinDistSql)),
-    QueryDef("q_agg_grouping_sets", aggGroupingSets, Some(GroupingSetsSql))
+    QueryDef("q_agg_grouping_sets", aggGroupingSets, Some(GroupingSetsSql)),
+    QueryDef("q_funnel_paths", funnelPaths, Some(FunnelSql))
   )
 }

@@ -163,6 +163,23 @@ class PlanShapeSpec extends SparkSpec {
     assert(p.contains("shingle_hashes"), p)
   }
 
+  test("q_funnel_paths: session agg reuses the window's user_id partitioning") {
+    val p = plan("q_funnel_paths")
+    // one exchange for the per-user window (the session agg rides it: hash
+    // on user_id co-locates every (user_id, sess) group), one for the tiny
+    // path ranking — and the top-20 is a TakeOrdered, not a global sort
+    assert("Exchange hashpartitioning".r.findAllIn(p).size == 2, p)
+    assert(!p.contains("Exchange rangepartitioning"), p)
+    assert(p.contains("TakeOrderedAndProject"), p)
+  }
+
+  test("q_profile_table: distinct agg shuffles on the distributed (col, v) key") {
+    val p = plan("q_profile_table")
+    // two-phase distinct: partial on (col_name, v), final on col_name —
+    // never a per-column global aggregate
+    assert("Exchange hashpartitioning".r.findAllIn(p).size == 2, p)
+  }
+
   test("q_source_filter broadcasts the stats and prunes the stats scan") {
     val p = plan("q_source_filter")
     assert(p.contains("BroadcastHashJoin"), p)
