@@ -64,6 +64,28 @@ object Sinks {
       .option("header", "true")
       .csv(path)
 
+  /** The trainer-facing corpus export: hive-partitioned parquet keyed by
+    * the curation columns, so the training read path (`…/split=train`)
+    * touches only its own directories — partition pruning does the split
+    * selection, no filter scan over the full corpus. Rows are
+    * repartitioned on the partition keys first (one shuffle) so each
+    * (split, lang) directory is written by the tasks that own it — without
+    * this, every task appends a file to every directory and a 1000-task
+    * write creates 1000 × |partitions| small files — and sorted within
+    * partitions by `orderCol` for a deterministic, delta-friendly layout.
+    */
+  def writeCorpusShards(
+      df: DataFrame,
+      path: String,
+      partitionCols: Seq[String] = Seq("split", "lang"),
+      orderCol: String = "doc_id"): Unit =
+    df.repartition(partitionCols.map(col): _*)
+      .sortWithinPartitions(col(orderCol))
+      .write
+      .mode(SaveMode.Overwrite)
+      .partitionBy(partitionCols: _*)
+      .parquet(path)
+
   /** The email text report (main.py:388-406): the 7 report fields rendered
     * into one text blob, as a single-row DataFrame (delivery is out of
     * engine scope).

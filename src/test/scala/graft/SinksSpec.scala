@@ -65,6 +65,46 @@ class SinksSpec extends SparkSpec {
     assert(lines.tail.head.startsWith("0,event_id,user_id,event_type"))
   }
 
+  test("writeCorpusShards: hive layout, pruned reads, deterministic rerun") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("graft_shards").toFile
+    val path = dir.getAbsolutePath + "/corpus"
+    val curated = T(spark, sf, "documents")
+      .select(
+        $"doc_id",
+        $"lang",
+        $"n_chars",
+        when(pmod(graft.ops.Hashing.h32(concat($"doc_id".cast("string"), lit("|split"))), lit(100L)) < 80, "train")
+          .otherwise("valid")
+          .as("split"))
+    Sinks.writeCorpusShards(curated, path)
+    // hive directory layout: split=*/lang=* on disk
+    val splitDirs = new java.io.File(path).listFiles().filter(_.isDirectory).map(_.getName)
+    assert(splitDirs.toSet == Set("split=train", "split=valid"), splitDirs.toSeq)
+    val langDirs = new java.io.File(path + "/split=train").listFiles()
+      .filter(_.isDirectory).map(_.getName)
+    assert(langDirs.forall(_.startsWith("lang=")) && langDirs.length >= 2, langDirs.toSeq)
+    // the training read path is partition-pruned: the split predicate is a
+    // PartitionFilter on the scan, and only train directories are read
+    val train = spark.read.parquet(path).filter($"split" === "train")
+    val plan = train.queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters: [isnotnull(split"), plan)
+    assert(train.count() == curated.filter($"split" === "train").count())
+    // full round trip and overwrite idempotence
+    Sinks.writeCorpusShards(curated, path)
+    val back = spark.read.parquet(path)
+    assert(back.count() == curated.count())
+    assert(
+      back.select("doc_id").except(curated.select("doc_id")).count() == 0 &&
+        curated.select("doc_id").except(back.select("doc_id")).count() == 0)
+    // each (split, lang) directory holds exactly one file: the
+    // repartition-before-write bounds file count at one per owning task
+    val leafFiles = new java.io.File(path + "/split=train").listFiles()
+      .filter(_.isDirectory)
+      .map(d => d.listFiles().count(_.getName.endsWith(".parquet")))
+    assert(leafFiles.forall(_ == 1), leafFiles.toSeq)
+  }
+
   test("renderTextReport renders the 7 fields (main.py:388-406)") {
     val txt = Sinks
       .renderTextReport(ReportOps.aggDaily(spark, sf))
