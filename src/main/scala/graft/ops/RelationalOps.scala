@@ -503,6 +503,44 @@ object RelationalOps {
       "(o_orderstatus), (o_orderpriority), ()) " +
       "ORDER BY status, priority"
 
+  /** q_sql_agg — the TPC-H Q1 pricing summary through the `spark.sql`
+    * entry point: the same Catalyst plan the DataFrame API produces, but
+    * declared in ANSI SQL with a named parameter (`:maxq`), proving the
+    * SQL surface end-to-end — view resolution, parameter binding, decimal
+    * arithmetic, multi-aggregate grouping. Analysis is eager, so the temp
+    * view lives only for the `sql()` call and is dropped before returning:
+    * the query function stays pure (no session state escapes). Decimal
+    * casts follow the graft.X portability rules shared with the DataFrame
+    * twin (q_join_inner's revenue idiom).
+    */
+  private def sqlAgg(s: SparkSession, d: String): DataFrame = {
+    T(s, d, "lineitem").createOrReplaceTempView("graft_sql_lineitem")
+    try
+      s.sql(
+        """SELECT l_returnflag, l_linestatus,
+          |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+          |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_base_price,
+          |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) *
+          |           CAST(1 - l_discount AS DECIMAL(18,2))) AS DOUBLE) AS sum_disc_price,
+          |  COUNT(*) AS count_order
+          |FROM graft_sql_lineitem
+          |WHERE l_quantity <= :maxq
+          |GROUP BY l_returnflag, l_linestatus
+          |ORDER BY l_returnflag, l_linestatus""".stripMargin,
+        Map("maxq" -> 45))
+    finally s.catalog.dropTempView("graft_sql_lineitem")
+  }
+
+  private val SqlAggSql =
+    "SELECT l_returnflag, l_linestatus, " +
+      "CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty, " +
+      "CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_base_price, " +
+      "CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * " +
+      "CAST(1 - l_discount AS DECIMAL(18,2))) AS DOUBLE) AS sum_disc_price, " +
+      "CAST(COUNT(*) AS BIGINT) AS count_order " +
+      "FROM lineitem WHERE l_quantity <= 45 " +
+      "GROUP BY l_returnflag, l_linestatus ORDER BY l_returnflag, l_linestatus"
+
   /** Gap after which a user's next event starts a new session (µs). 8 h
     * against the testdata's ~7 h median inter-event gap splits activity
     * into real multi-event sessions.
@@ -767,6 +805,7 @@ object RelationalOps {
     QueryDef("q_agg_quantile", aggQuantile, Some(QuantileSql)),
     QueryDef("q_win_dist", winDist, Some(WinDistSql)),
     QueryDef("q_agg_grouping_sets", aggGroupingSets, Some(GroupingSetsSql)),
-    QueryDef("q_funnel_paths", funnelPaths, Some(FunnelSql))
+    QueryDef("q_funnel_paths", funnelPaths, Some(FunnelSql)),
+    QueryDef("q_sql_agg", sqlAgg, Some(SqlAggSql))
   )
 }

@@ -231,6 +231,25 @@ class OperatorSemanticsSpec extends SparkSpec {
     out.unpersist()
   }
 
+  test("q_sql_agg equals its DataFrame twin and leaks no temp view") {
+    import spark.implicits._
+    val out = q("q_sql_agg")
+    // same result as the DataFrame-API formulation of the same query
+    val twin = T(spark, sf, "lineitem")
+      .filter($"l_quantity" <= 45)
+      .groupBy($"l_returnflag", $"l_linestatus")
+      .agg(
+        sum($"l_quantity".cast("decimal(18,2)")).cast("double").as("sum_qty"),
+        sum($"l_extendedprice".cast("decimal(18,2)")).cast("double").as("sum_base_price"),
+        sum($"l_extendedprice".cast("decimal(18,2)") *
+          (lit(1) - $"l_discount").cast("decimal(18,2)")).cast("double").as("sum_disc_price"),
+        count(lit(1)).as("count_order"))
+      .orderBy($"l_returnflag", $"l_linestatus")
+    assert(out.collect().toSeq == twin.collect().toSeq)
+    // the view lives only inside the sql() call: no session state escapes
+    assert(!spark.catalog.tableExists("graft_sql_lineitem"))
+  }
+
   test("q_source_filter keeps exactly the under-threshold sources, whole") {
     import spark.implicits._
     val docs = T(spark, sf, "documents")
