@@ -88,4 +88,42 @@ class StreamingCorpusSpec extends SparkSpec {
     val second = runStream(dir, "graft_corpus_out_b")
     assert(first == second)
   }
+
+  test("partitioned streaming file sink: hive layout, exactly-once restart") {
+    import spark.implicits._
+    val dir = stage()
+    val sink = Files.createTempDirectory("graft_corpus_sink").toString + "/out"
+    val ckpt = Files.createTempDirectory("graft_corpus_sink_ckpt").toString
+    // the continuous version of Sinks.writeCorpusShards: curated survivors
+    // land as hive-partitioned parquet, the checkpoint + _spark_metadata
+    // pair making the append transactional
+    def run(): Unit = {
+      val q = StreamOps
+        .liftCorpusPipeline(spark, dir)
+        .writeStream
+        .outputMode("append")
+        .format("parquet")
+        .partitionBy("split", "lang")
+        .option("path", sink)
+        .option("checkpointLocation", ckpt)
+        .start()
+      try q.processAllAvailable()
+      finally q.stop()
+    }
+    run()
+    val n1 = spark.read.parquet(sink).count()
+    assert(n1 > 0)
+    val dirs = new java.io.File(sink).listFiles()
+      .filter(_.isDirectory).map(_.getName).filterNot(_.startsWith("_"))
+    assert(dirs.nonEmpty && dirs.toSet.subsetOf(Set("split=train", "split=valid", "split=test")), dirs.toSeq)
+    // restarting from the SAME checkpoint with no new input must append
+    // nothing: the sink log already records the committed batch
+    run()
+    assert(spark.read.parquet(sink).count() == n1)
+    // and the trainer's read path is partition-pruned, exactly like the
+    // batch export
+    val plan = spark.read.parquet(sink).filter($"split" === "train")
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters: [isnotnull(split"), plan)
+  }
 }
