@@ -67,3 +67,37 @@ object Vec {
 
   def norm2Sql(a: String): String = dotSql(a, a)
 }
+
+/** Manual key-salting for skewed equi-joins — the explicit tool for skew
+  * that is known a priori or that AQE cannot see (AQE skew-splitting only
+  * fires on sort-merge shuffle stages of the final plan; a streaming join
+  * or a first-run stage without runtime stats gets no help). The skewed
+  * fact side derives a deterministic salt in [0, salts) from a
+  * high-cardinality column; the dim side is replicated once per salt
+  * value, so every (key, salt) fact row meets exactly one replica of its
+  * key's dim row and the hot key's rows spread across `salts` reduce keys
+  * instead of one. Equality with the unsalted join and the key-space
+  * split are both spec-proven (SaltedJoinSpec).
+  */
+object Skew {
+  import org.apache.spark.sql.DataFrame
+
+  /** Column name reserved for the salt during the join. */
+  private val SaltCol = "__graft_salt"
+
+  def saltedJoin(
+      fact: DataFrame,
+      dim: DataFrame,
+      keys: Seq[String],
+      salts: Int,
+      factSaltSource: Column): DataFrame = {
+    require(salts > 0, "salts must be positive")
+    val salted = fact.withColumn(
+      SaltCol,
+      pmod(xxhash64(factSaltSource), lit(salts.toLong)).cast("int"))
+    val replicated = dim.withColumn(
+      SaltCol,
+      explode(array((0 until salts).map(i => lit(i)): _*)))
+    salted.join(replicated, keys :+ SaltCol).drop(SaltCol)
+  }
+}
