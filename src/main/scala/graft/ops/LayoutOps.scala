@@ -108,6 +108,28 @@ object LayoutOps {
       .parquet(path)
   }
 
+  /** Small-file compaction — the other half of lakehouse `OPTIMIZE`: a
+    * streaming ingest (one file per micro-batch per partition) or an
+    * over-parallel write leaves thousands of KB-scale files whose open/
+    * footer overhead dominates the scan; compaction rewrites them into
+    * `ceil(rows / targetRowsPerFile)` evenly-sized files (round-robin
+    * repartition — no key skew by construction). Returns the file count
+    * written. Production beats on bytes, not rows; rows are the testable
+    * proxy with the same mechanics. Content equality and the file-count
+    * bound are spec-proven (LayoutSpec).
+    */
+  def compact(
+      spark: SparkSession,
+      inDir: String,
+      outDir: String,
+      targetRowsPerFile: Long): Int = {
+    val df = spark.read.parquet(inDir)
+    val n = df.count()
+    val files = math.max(1L, (n + targetRowsPerFile - 1) / targetRowsPerFile).toInt
+    df.repartition(files).write.mode("overwrite").parquet(outDir)
+    files
+  }
+
   val defs: Seq[QueryDef] = Seq(
     QueryDef("q_layout_zorder", layoutZorder, Some(ZorderSql)))
 }

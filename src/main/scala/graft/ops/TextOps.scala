@@ -256,6 +256,45 @@ object TextOps {
       "'\\+?[0-9][0-9 ()-]{6,}[0-9]', '<PHONE>', 'g') AS clean " +
       "FROM documents ORDER BY doc_id"
 
+  /** q_text_clean — control-character and whitespace normalization, the
+    * first pass of every corpus-cleaning recipe: strip ASCII control
+    * characters to spaces, collapse whitespace runs, trim. Synthetic dirt
+    * (tabs, CRLF, double spaces) is appended per row so the rules
+    * demonstrably fire on every document; character classes are literal
+    * so Java regex and RE2 agree. The cleaned text is pinned by md5 +
+    * lengths rather than hauled to the output — the operator is pure
+    * map-side, the sort is oracle-only.
+    */
+  private def textClean(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    docs(s, d)
+      .select(
+        $"doc_id",
+        concat($"text", lit("\tmess\r\n  end  ")).as("raw"))
+      .select(
+        $"doc_id",
+        length($"raw").as("n_raw"),
+        trim(
+          regexp_replace(
+            regexp_replace($"raw", "[\\t\\r\\n\\x00-\\x08\\x0B\\x0C\\x0E-\\x1F]", " "),
+            "  +",
+            " ")).as("clean"))
+      .select(
+        $"doc_id",
+        $"n_raw",
+        length($"clean").as("n_clean"),
+        md5($"clean").as("clean_md5"))
+      .orderBy("doc_id")
+  }
+
+  private val CleanSql =
+    "SELECT doc_id, n_raw, CAST(length(clean) AS BIGINT) AS n_clean, md5(clean) AS clean_md5 " +
+      "FROM (SELECT doc_id, CAST(length(raw) AS BIGINT) AS n_raw, " +
+      "trim(regexp_replace(regexp_replace(raw, " +
+      "'[\\t\\r\\n\\x00-\\x08\\x0B\\x0C\\x0E-\\x1F]', ' ', 'g'), '  +', ' ', 'g')) AS clean " +
+      "FROM (SELECT doc_id, text || chr(9) || 'mess' || chr(13) || chr(10) || '  end  ' AS raw " +
+      "FROM documents)) ORDER BY doc_id"
+
   /** q_text_repetition — intra-document repetition filter, the
     * Gopher/C4-style corpus-quality signal the per-doc family lacked:
     * duplicate-bigram fraction (what share of adjacent pairs is a repeat)
@@ -398,6 +437,7 @@ object TextOps {
     QueryDef("q_text_ngrams", textNgrams, Some(NgramsSql)),
     QueryDef("q_text_keyterms", textKeyterms, Some(KeytermsSql)),
     QueryDef("q_text_redact", textRedact, Some(RedactSql)),
+    QueryDef("q_text_clean", textClean, Some(CleanSql)),
     QueryDef("q_text_repetition", textRepetition, Some(RepetitionSql)),
     QueryDef("q_text_chunk", textChunk, Some(ChunkSql))
   )

@@ -65,4 +65,24 @@ class LayoutSpec extends SparkSpec {
     // layout's row-group stats exclude most of it
     assert(zScanned * 2 < rScanned, s"z=$zScanned shuffled=$rScanned")
   }
+
+  test("compact rewrites a many-small-files table into the target file count") {
+    import spark.implicits._
+    val smallDir = "/tmp/graft-test/small_files"
+    val bigDir = "/tmp/graft-test/compacted"
+    val docs = T(spark, sf, "documents")
+    // simulate the streaming-ingest aftermath: one tiny file per partition
+    docs.repartition(64).write.mode("overwrite").parquet(smallDir)
+    def parquetFiles(dir: String) =
+      new java.io.File(dir).listFiles().count(_.getName.endsWith(".parquet"))
+    assert(parquetFiles(smallDir) == 64)
+    val written = graft.ops.LayoutOps.compact(spark, smallDir, bigDir, targetRowsPerFile = 200L)
+    // 500 docs at 200 rows/file → 3 files, evenly sized by round-robin
+    assert(written == 3 && parquetFiles(bigDir) == 3)
+    val back = spark.read.parquet(bigDir)
+    assert(back.count() == docs.count())
+    assert(
+      back.select("doc_id").except(docs.select("doc_id")).count() == 0 &&
+        docs.select("doc_id").except(back.select("doc_id")).count() == 0)
+  }
 }
