@@ -167,6 +167,37 @@ object TextOps {
       "CAST(ceil(n_chars / 4) AS BIGINT) AS est_bpe_tokens " +
       "FROM documents ORDER BY doc_id"
 
+  /** The GPT-2-style pre-tokenizer alternation, lookahead-free so Java
+    * regex and RE2 produce identical matches: a letter run, a digit run,
+    * or a punctuation run (each with an optional leading space), else a
+    * single whitespace. What a real BPE tokenizer would merge within —
+    * counting the matches is the honest subword-budget estimate the
+    * bytes/4 heuristic (q_text_count_tokens) approximates.
+    */
+  private val PreTokenPattern = " ?\\p{L}+| ?\\p{N}+| ?[^\\s\\p{L}\\p{N}]+|\\s"
+
+  /** q_text_pretokens — BPE-regex pre-tokenization count per document
+    * (the charter's "BPE-ish regex" token counting): `regexp_count` of
+    * the pre-tokenizer alternation, alongside the whitespace count for
+    * calibration. Pure map-side; the regex engine runs inside the scan
+    * stage.
+    */
+  private def textPretokens(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    docs(s, d)
+      .select(
+        $"doc_id",
+        regexp_count($"text", lit(PreTokenPattern)).as("n_pre_tokens"),
+        size(split($"text", " ")).as("n_ws_tokens"))
+      .orderBy("doc_id")
+  }
+
+  private val PretokensSql =
+    "SELECT doc_id, CAST(len(regexp_extract_all(text, " +
+      "' ?\\p{L}+| ?\\p{N}+| ?[^\\s\\p{L}\\p{N}]+|\\s')) AS INTEGER) AS n_pre_tokens, " +
+      "CAST(len(string_split(text, ' ')) AS INTEGER) AS n_ws_tokens " +
+      "FROM documents ORDER BY doc_id"
+
   /** q_text_ngrams — corpus bigram frequency, top-20: the n-gram language
     * model / contamination-check primitive. Adjacent-pair expansion is one
     * fused map-side pass per row ([[graft.expr.BigramConcat]] — the
@@ -438,6 +469,7 @@ object TextOps {
     QueryDef("q_text_keyterms", textKeyterms, Some(KeytermsSql)),
     QueryDef("q_text_redact", textRedact, Some(RedactSql)),
     QueryDef("q_text_clean", textClean, Some(CleanSql)),
+    QueryDef("q_text_pretokens", textPretokens, Some(PretokensSql)),
     QueryDef("q_text_repetition", textRepetition, Some(RepetitionSql)),
     QueryDef("q_text_chunk", textChunk, Some(ChunkSql))
   )
