@@ -19,7 +19,12 @@ class DeterminismSpec extends SparkSpec {
     "q_dedup_lsh",
     "q_sim_topk",
     "q_text_fingerprint",
-    "q_agg_rollup")
+    "q_agg_rollup",
+    // round-7 ops whose mechanics are exactly what partition-count
+    // invariance guards: the funnel's collect_list is unordered until the
+    // array_sort, the quota rank must not depend on input partitioning
+    "q_funnel_paths",
+    "q_sample_quota")
 
   test("identical results at shuffle.partitions = 4 vs 13") {
     for (n <- names) {
