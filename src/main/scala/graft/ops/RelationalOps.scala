@@ -610,6 +610,42 @@ object RelationalOps {
       "CAST(sum(n_events) AS BIGINT) AS n_events " +
       "FROM p GROUP BY path ORDER BY n_sessions DESC, path LIMIT 20"
 
+  /** q_cohort_retention — first-touch cohort analysis (the product-
+    * analytics retention triangle): each user's cohort is the day of
+    * their first event; each (cohort day, day offset) cell counts the
+    * distinct users still active that many days later. The first-touch
+    * day comes from a min-over-user window rather than an agg + self-join,
+    * so the heavy side shuffles ONCE on user_id; the distinct-user count
+    * then aggregates ≤ |days|² tiny cells. Day arithmetic is integer
+    * date-diffs — no date truncation semantics to diverge cross-engine.
+    * (Day granularity matches the testdata's 30-day span; a production
+    * deployment would bucket to weeks by integer-dividing the offsets.)
+    */
+  private def cohortRetention(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val w = Window.partitionBy($"user_id")
+    T(s, d, "events")
+      .select($"user_id", to_date($"ts").as("day"))
+      .withColumn("cohort_day", min($"day").over(w))
+      .select(
+        datediff($"cohort_day", lit("2024-01-01").cast("date"))
+          .cast("long")
+          .as("cohort_day"),
+        datediff($"day", $"cohort_day").cast("long").as("day_offset"),
+        $"user_id")
+      .groupBy($"cohort_day", $"day_offset")
+      .agg(countDistinct($"user_id").as("n_users"))
+      .orderBy($"cohort_day", $"day_offset")
+  }
+
+  private val CohortSql =
+    "WITH e AS (SELECT user_id, CAST(CAST(ts AS TIMESTAMP) AS DATE) AS day FROM events), " +
+      "f AS (SELECT user_id, day, min(day) OVER (PARTITION BY user_id) AS cohort_day FROM e) " +
+      "SELECT CAST(date_diff('day', DATE '2024-01-01', cohort_day) AS BIGINT) AS cohort_day, " +
+      "CAST(date_diff('day', cohort_day, day) AS BIGINT) AS day_offset, " +
+      "CAST(count(DISTINCT user_id) AS BIGINT) AS n_users " +
+      "FROM f GROUP BY 1, 2 ORDER BY cohort_day, day_offset"
+
   /** q_case_when — CASE WHEN categorization (main.py:282,285-286). */
   private def caseWhen(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
@@ -806,6 +842,7 @@ object RelationalOps {
     QueryDef("q_win_dist", winDist, Some(WinDistSql)),
     QueryDef("q_agg_grouping_sets", aggGroupingSets, Some(GroupingSetsSql)),
     QueryDef("q_funnel_paths", funnelPaths, Some(FunnelSql)),
-    QueryDef("q_sql_agg", sqlAgg, Some(SqlAggSql))
+    QueryDef("q_sql_agg", sqlAgg, Some(SqlAggSql)),
+    QueryDef("q_cohort_retention", cohortRetention, Some(CohortSql))
   )
 }

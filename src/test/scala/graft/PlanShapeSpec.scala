@@ -180,6 +180,15 @@ class PlanShapeSpec extends SparkSpec {
     assert("Exchange hashpartitioning".r.findAllIn(p).size == 2, p)
   }
 
+  test("q_cohort_retention: events shuffle once for the first-touch window") {
+    val p = plan("q_cohort_retention")
+    // user_id window exchange + the tiny distinct-agg exchange; the heavy
+    // event rows move exactly once
+    assert("Exchange hashpartitioning".r.findAllIn(p).size == 2, p)
+    // and the scan reads only (ts, user_id)
+    assert(p.contains("ReadSchema: struct<ts:bigint,user_id:bigint>"), p)
+  }
+
   test("q_source_filter broadcasts the stats and prunes the stats scan") {
     val p = plan("q_source_filter")
     assert(p.contains("BroadcastHashJoin"), p)
