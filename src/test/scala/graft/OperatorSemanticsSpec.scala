@@ -250,6 +250,69 @@ class OperatorSemanticsSpec extends SparkSpec {
     assert(!spark.catalog.tableExists("graft_sql_lineitem"))
   }
 
+  test("q_funnel_paths matches an independent driver-side sessionization") {
+    import spark.implicits._
+    val gapUs = 8L * 3600 * 1000000L
+    // independent recompute in plain Scala from the raw events
+    val raw = T(spark, sf, "events")
+      .select($"event_id", $"user_id", unix_micros($"ts").as("us"), $"event_type")
+      .collect()
+      .map(r => (r.getAs[Long]("event_id"), r.getAs[Long]("user_id"),
+        r.getAs[Long]("us"), r.getAs[String]("event_type")))
+    val expected = raw
+      .groupBy(_._2)
+      .values
+      .flatMap { evs =>
+        val ordered = evs.sortBy(e => (e._3, e._1))
+        // split into sessions at gaps > gapUs
+        val sessions = ordered.foldLeft(Vector.empty[Vector[(Long, Long, Long, String)]]) {
+          case (acc, e) =>
+            if (acc.nonEmpty && e._3 - acc.last.last._3 <= gapUs)
+              acc.init :+ (acc.last :+ e)
+            else acc :+ Vector(e)
+        }
+        sessions.map(sess => (sess.take(3).map(_._4).mkString(">"), sess.length.toLong))
+      }
+      .toSeq
+      .groupBy(_._1)
+      .map { case (path, xs) => (path, xs.size.toLong, xs.map(_._2).sum) }
+      .toSeq
+      .sortBy(x => (-x._2, x._1))
+      .take(20)
+    val got = q("q_funnel_paths").collect()
+      .map(r => (r.getAs[String]("path"), r.getAs[Long]("n_sessions"), r.getAs[Long]("n_events")))
+      .toSeq
+    assert(got == expected)
+  }
+
+  test("q_cohort_retention matches an independent driver-side recompute") {
+    import spark.implicits._
+    val rows = T(spark, sf, "events")
+      .select($"user_id", to_date($"ts").cast("string").as("day"))
+      .collect()
+      .map(r => (r.getAs[Long]("user_id"), java.time.LocalDate.parse(r.getAs[String]("day"))))
+    val origin = java.time.LocalDate.parse("2024-01-01")
+    val firstTouch = rows.groupBy(_._1).map { case (u, xs) => u -> xs.map(_._2).min }
+    val expected = rows
+      .map { case (u, day) =>
+        val c = firstTouch(u)
+        (java.time.temporal.ChronoUnit.DAYS.between(origin, c),
+          java.time.temporal.ChronoUnit.DAYS.between(c, day), u)
+      }
+      .distinct
+      .groupBy(x => (x._1, x._2))
+      .map { case ((c, o), xs) => (c, o, xs.map(_._3).distinct.size.toLong) }
+      .toSeq
+      .sorted
+    val got = q("q_cohort_retention").collect()
+      .map(r => (r.getAs[Long]("cohort_day"), r.getAs[Long]("day_offset"), r.getAs[Long]("n_users")))
+      .toSeq
+    assert(got == expected)
+    // every user appears in offset 0 of their own cohort
+    val day0 = got.filter(_._2 == 0L).map(_._3).sum
+    assert(day0 == firstTouch.size.toLong)
+  }
+
   test("q_source_filter keeps exactly the under-threshold sources, whole") {
     import spark.implicits._
     val docs = T(spark, sf, "documents")
