@@ -86,6 +86,26 @@ object Sinks {
       .partitionBy(partitionCols: _*)
       .parquet(path)
 
+  /** Continuous form of [[writeCorpusShards]]: an append-mode parquet
+    * stream writer with the same hive partitioning, ready to `.start()`.
+    * The checkpoint + `_spark_metadata` pair make each micro-batch append
+    * transactional — a restart from the same checkpoint never re-writes a
+    * committed batch (proven across restarts in StreamingCorpusSpec).
+    * Compaction of the resulting per-batch small files is
+    * [[LayoutOps.compact]]'s job, run as periodic maintenance.
+    */
+  def corpusShardsStreamWriter(
+      df: DataFrame,
+      path: String,
+      checkpoint: String,
+      partitionCols: Seq[String] = Seq("split", "lang")): org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
+    df.writeStream
+      .outputMode("append")
+      .format("parquet")
+      .partitionBy(partitionCols: _*)
+      .option("path", path)
+      .option("checkpointLocation", checkpoint)
+
   /** The email text report (main.py:388-406): the 7 report fields rendered
     * into one text blob, as a single-row DataFrame (delivery is out of
     * engine scope).

@@ -98,14 +98,8 @@ class StreamingCorpusSpec extends SparkSpec {
     // land as hive-partitioned parquet, the checkpoint + _spark_metadata
     // pair making the append transactional
     def run(): Unit = {
-      val q = StreamOps
-        .liftCorpusPipeline(spark, dir)
-        .writeStream
-        .outputMode("append")
-        .format("parquet")
-        .partitionBy("split", "lang")
-        .option("path", sink)
-        .option("checkpointLocation", ckpt)
+      val q = graft.ops.Sinks
+        .corpusShardsStreamWriter(StreamOps.liftCorpusPipeline(spark, dir), sink, ckpt)
         .start()
       try q.processAllAvailable()
       finally q.stop()
