@@ -284,12 +284,82 @@ object IngestOps {
       "min(v) AS min_v, max(v) AS max_v " +
       "FROM u GROUP BY col_name ORDER BY col_name"
 
+  /** q_expect_constraints — declarative data-quality expectations (the
+    * Deequ / dbt-tests primitive a production pipeline gates loads on):
+    * each constraint is evaluated distributedly and reports its violation
+    * count — key uniqueness (count − distinct), not-null, domain
+    * membership, value range, and cross-table referential integrity
+    * (an anti-join count). Single-table checks fold into ONE aggregate
+    * pass over events; the referential check is its own slim anti-join
+    * (orderkey/custkey columns only). A load gate reads one tiny frame
+    * and fails on any nonzero row.
+    */
+  private def expectConstraints(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    // the testdata satisfies every constraint, so (house style, cf.
+    // q_text_redact) one synthetic violation per rule is unioned in —
+    // each check provably fires and the expected output is all-ones
+    val dirt = Seq(
+      (1L, Option(1L), "click", 1.0d), // duplicates existing event_id 1
+      (-1L, Option.empty[Long], "click", 1.0d), // null user_id
+      (-2L, Option(1L), "hover", 1.0d), // outside the event_type domain
+      (-3L, Option(1L), "click", -5.0d) // negative value
+    ).toDF("event_id", "user_id", "event_type", "value")
+    val ev = T(s, d, "events")
+      .select($"event_id", $"user_id", $"event_type", $"value")
+      .unionByName(dirt)
+    val single = ev.select(
+      (count(lit(1)) - countDistinct($"event_id")).as("dup_event_id"),
+      sum(when($"user_id".isNull, 1L).otherwise(0L)).as("null_user_id"),
+      sum(when(!$"event_type".isin("click", "error", "purchase", "signup", "view"), 1L)
+        .otherwise(0L)).as("bad_event_type"),
+      sum(when($"value" < 0d, 1L).otherwise(0L)).as("negative_value"))
+    val unpivoted = single.select(
+      explode(
+        map(
+          lit("dup_event_id"), $"dup_event_id",
+          lit("null_user_id"), $"null_user_id",
+          lit("bad_event_type"), $"bad_event_type",
+          lit("negative_value"), $"negative_value"))
+        .as(Seq("check_name", "n_violations")))
+    val orphanOrders = T(s, d, "orders")
+      .select($"o_custkey")
+      .unionByName(Seq(-99L).toDF("o_custkey")) // synthetic orphan key
+      .join(T(s, d, "customer").select($"c_custkey"), $"o_custkey" === $"c_custkey", "left_anti")
+      .agg(count(lit(1)).as("n_violations"))
+      .select(lit("orphan_order_custkey").as("check_name"), $"n_violations")
+    unpivoted
+      .unionByName(orphanOrders)
+      .orderBy("check_name")
+  }
+
+  private val ExpectSql =
+    "WITH ev AS (SELECT event_id, user_id, event_type, value FROM events " +
+      "UNION ALL SELECT * FROM (VALUES " +
+      "(CAST(1 AS BIGINT), CAST(1 AS BIGINT), 'click', CAST(1.0 AS DOUBLE)), " +
+      "(-1, NULL, 'click', 1.0), (-2, 1, 'hover', 1.0), (-3, 1, 'click', -5.0)) " +
+      "AS t(event_id, user_id, event_type, value)), " +
+      "s AS (SELECT CAST(count(*) - count(DISTINCT event_id) AS BIGINT) AS dup_event_id, " +
+      "CAST(sum(CASE WHEN user_id IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS null_user_id, " +
+      "CAST(sum(CASE WHEN event_type NOT IN ('click','error','purchase','signup','view') " +
+      "THEN 1 ELSE 0 END) AS BIGINT) AS bad_event_type, " +
+      "CAST(sum(CASE WHEN value < 0 THEN 1 ELSE 0 END) AS BIGINT) AS negative_value FROM ev), " +
+      "o AS (SELECT o_custkey FROM orders UNION ALL SELECT CAST(-99 AS BIGINT)), " +
+      "u AS (SELECT 'dup_event_id' AS check_name, dup_event_id AS n_violations FROM s " +
+      "UNION ALL SELECT 'null_user_id', null_user_id FROM s " +
+      "UNION ALL SELECT 'bad_event_type', bad_event_type FROM s " +
+      "UNION ALL SELECT 'negative_value', negative_value FROM s " +
+      "UNION ALL SELECT 'orphan_order_custkey', CAST(count(*) AS BIGINT) FROM o " +
+      "WHERE o_custkey NOT IN (SELECT c_custkey FROM customer)) " +
+      "SELECT check_name, n_violations FROM u ORDER BY check_name"
+
   val defs: Seq[QueryDef] = Seq(
     QueryDef(
       "q_src_scan",
       srcScan,
       Some(s"SELECT $EventCols FROM events ORDER BY event_id")),
     QueryDef("q_profile_table", profileTable, Some(ProfileSql)),
+    QueryDef("q_expect_constraints", expectConstraints, Some(ExpectSql)),
     QueryDef(
       "q_window_7d",
       window7d,
