@@ -40,6 +40,27 @@ object IngestOps {
       .option("timestampFormat", "yyyy-MM-dd'T'HH:mm:ss.SSSSSSXXX")
       .json(path)
 
+  /** CSV ingest — the second wire format (the reference's sheet grid,
+    * main.py:254-264, is CSV-shaped): schema-enforced, PERMISSIVE, with
+    * the corrupt-record side channel materialized as a column so rejects
+    * are observable downstream exactly like q_filter_rejects — a
+    * malformed line nulls its typed fields and lands its raw text in
+    * `_corrupt`, never failing the job. Exercised by CsvSourceSpec.
+    */
+  def readCsvEvents(s: SparkSession, path: String): DataFrame =
+    s.read
+      .schema(
+        "event_id BIGINT, ts TIMESTAMP, user_id BIGINT, event_type STRING, " +
+          "value DOUBLE, props STRING, _corrupt STRING")
+      .option("mode", "PERMISSIVE")
+      .option("columnNameOfCorruptRecord", "_corrupt")
+      .option("header", "true")
+      .option("timestampFormat", "yyyy-MM-dd'T'HH:mm:ss.SSSSSSXXX")
+      // props holds JSON with embedded commas/quotes: write side quotes it,
+      // read side must honor RFC-4180 escaping
+      .option("escape", "\"")
+      .csv(path)
+
   /** q_window_7d — rolling 7-day extraction window (DAYS_BACK=7,
     * main.py:25,104-111): [as-of+1d − 7d, ∞) on event time.
     */
