@@ -1,0 +1,49 @@
+package graft
+
+/** Registry-wide plan anti-pattern sweep: builds (without executing) the
+  * physical plan of EVERY registered batch query and rejects the two
+  * shapes that kill a 100 TB run — a cartesian product, and a
+  * broadcast-nested-loop join anywhere one wasn't deliberately chosen.
+  * The allowlist is exactly the similarity queries that crossJoin a
+  * broadcast single-row probe/codebook (a ≤16-row side by construction —
+  * the documented design, not an accident); everything else must plan
+  * equi-joins. A new query that accidentally plans a BNLJ fails here
+  * before it ever reaches the bench.
+  */
+class PlanHygieneSpec extends SparkSpec {
+
+  /** The exact queries whose plan carries a BroadcastNestedLoopJoin: the
+    * single-row broadcast probe / codebook crossJoins
+    * (SimilarityOps.scala:87,294,314,366,443). Kept as an EXACT set, not
+    * an allowlist — a query leaving the set (plan improved) must be
+    * removed here just as a query entering it must be justified.
+    */
+  private val BnljExpected = Set(
+    "q_sim_topk",
+    "q_sim_ivf",
+    "q_sim_ivf_batch",
+    "q_sim_ivf_trained")
+
+  private lazy val plans: Map[String, String] =
+    SparkEntry.queries.keys.toSeq.sorted.map { name =>
+      name -> SparkEntry
+        .queries(name)(spark, sf)
+        .queryExecution
+        .executedPlan
+        .toString
+    }.toMap
+
+  test("no cartesian product in any registered query plan") {
+    val offenders = plans.collect {
+      case (n, p) if p.contains("CartesianProduct") => n
+    }
+    assert(offenders.isEmpty, s"cartesian products in: $offenders")
+  }
+
+  test("broadcast-nested-loop joins are exactly the single-row-probe set") {
+    val have = plans.collect {
+      case (n, p) if p.contains("BroadcastNestedLoopJoin") => n
+    }.toSet
+    assert(have == BnljExpected, s"BNLJ set drifted: got $have")
+  }
+}
