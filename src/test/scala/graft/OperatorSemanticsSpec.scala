@@ -250,6 +250,28 @@ class OperatorSemanticsSpec extends SparkSpec {
     assert(!spark.catalog.tableExists("graft_sql_lineitem"))
   }
 
+  test("q_profile_table distinct counts agree with the dedup family") {
+    import spark.implicits._
+    // profile the documents table through the same rendering scheme the
+    // events profile uses, and pin its text-distinct count to what
+    // q_dedup_exact independently computes: the md5 dedup survivor count
+    // IS the number of distinct texts
+    val distinctTexts = T(spark, sf, "documents")
+      .select(countDistinct($"text")).head().getLong(0)
+    assert(distinctTexts == q("q_dedup_exact").count())
+    // and the events profile's own invariants: per-column n_rows all equal
+    // the table size, key column fully distinct, no nulls anywhere
+    val prof = q("q_profile_table").collect()
+      .map(r => r.getAs[String]("col_name") ->
+        (r.getAs[Long]("n_rows"), r.getAs[Long]("n_null"), r.getAs[Long]("n_distinct")))
+      .toMap
+    val nEvents = T(spark, sf, "events").count()
+    assert(prof.values.forall(_._1 == nEvents))
+    assert(prof("event_id")._3 == nEvents, "key column must be fully distinct")
+    assert(prof.values.forall(_._2 == 0L), "testdata has no nulls")
+    assert(prof("event_type")._3 == 5L)
+  }
+
   test("q_funnel_paths matches an independent driver-side sessionization") {
     import spark.implicits._
     val gapUs = 8L * 3600 * 1000000L
