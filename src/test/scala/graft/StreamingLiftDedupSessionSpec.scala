@@ -97,6 +97,50 @@ class StreamingLiftDedupSessionSpec extends SparkSpec {
     assert(runOnce("graft_md5_out2") == streamKeys)
   }
 
+  test("md5 dedup state carries ACROSS micro-batches: later dups suppressed") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("graft_stream_docs_mb")
+    Files.copy(
+      Paths.get(s"$sf/documents.parquet"),
+      dir.resolve("documents.parquet"),
+      StandardCopyOption.REPLACE_EXISTING)
+    val q = StreamOps
+      .liftDedupExact(spark, dir.toString)
+      .writeStream
+      .outputMode("append")
+      .format("memory")
+      .queryName("graft_md5_mb")
+      .option("checkpointLocation", Files.createTempDirectory("graft_ckpt_mb").toString)
+      .start()
+    try {
+      q.processAllAvailable() // micro-batch 1: the full corpus
+      val count1 = spark.table("graft_md5_mb").count()
+      assert(count1 > 0)
+      // micro-batch 2, arriving while batch-1 state is live: 10 re-id'd
+      // COPIES of existing texts (new doc_ids, same content hash) plus 5
+      // genuinely new texts — only the 5 may come out the other side
+      val docs = T(spark, sf, "documents")
+      val dups = docs.orderBy("doc_id").limit(10)
+        .withColumn("doc_id", $"doc_id" + 1000000L)
+      val news = docs.orderBy("doc_id").limit(5)
+        .withColumn("doc_id", $"doc_id" + 1000500L)
+        .withColumn("text", concat($"text", lit(" fresh-"), $"doc_id"))
+      val batch2 = dups.unionByName(news).select(docs.columns.map(col): _*)
+      val tmp = Files.createTempDirectory("graft_mb2").toString + "/out"
+      batch2.coalesce(1).write.parquet(tmp)
+      val part = new java.io.File(tmp).listFiles()
+        .filter(_.getName.endsWith(".parquet")).head
+      Files.move(part.toPath, dir.resolve("batch2.parquet"))
+      q.processAllAvailable() // micro-batch 2 against carried state
+      val out = spark.table("graft_md5_mb")
+      assert(out.count() == count1 + 5, s"got ${out.count()}, want ${count1 + 5}")
+      // the survivors of batch 2 are exactly the 5 new-text doc_ids
+      val late = out.filter($"doc_id" >= 1000000L)
+        .select("doc_id").as[Long].collect().sorted.toSeq
+      assert(late.length == 5 && late.forall(_ >= 1000500L), late.toString)
+    } finally q.stop()
+  }
+
   test("stream-stream interval join emits exactly the batch q_stream_join pairs") {
     val dir = stageEvents()
     val q = StreamOps
