@@ -141,6 +141,57 @@ class StreamingLiftDedupSessionSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("md5 dedup drops rows older than the advanced watermark (late-data contract)") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("graft_stream_docs_late")
+    Files.copy(
+      Paths.get(s"$sf/documents.parquet"),
+      dir.resolve("documents.parquet"),
+      StandardCopyOption.REPLACE_EXISTING)
+    val q = StreamOps
+      .liftDedupExact(spark, dir.toString)
+      .writeStream
+      .outputMode("append")
+      .format("memory")
+      .queryName("graft_md5_late")
+      .option("checkpointLocation", Files.createTempDirectory("graft_ckpt_late").toString)
+      .start()
+    try {
+      q.processAllAvailable() // batch 1: the corpus
+      val count1 = spark.table("graft_md5_late").count()
+      val docs = T(spark, sf, "documents")
+      def stage(df: org.apache.spark.sql.DataFrame, name: String): Unit = {
+        val tmp = Files.createTempDirectory("graft_late_tmp").toString + "/out"
+        df.coalesce(1).write.parquet(tmp)
+        val part = new java.io.File(tmp).listFiles()
+          .filter(_.getName.endsWith(".parquet")).head
+        Files.move(part.toPath, dir.resolve(name))
+      }
+      // batch 2: a sentinel ~57 days ahead (ingest_ts = origin + doc_id
+      // seconds) — new text, so it passes, and the watermark jumps to
+      // sentinel − 7 days, far past every batch-1 timestamp
+      stage(
+        docs.orderBy("doc_id").limit(1)
+          .withColumn("doc_id", lit(5000000L))
+          .withColumn("text", lit("sentinel far-future text")),
+        "sentinel.parquet")
+      q.processAllAvailable()
+      assert(spark.table("graft_md5_late").count() == count1 + 1)
+      // batch 3: a GENUINELY NEW text whose event time (doc_id 600 →
+      // origin + 600 s) is now far below the watermark: the late-data
+      // contract says it must be dropped, not emitted
+      stage(
+        docs.orderBy("doc_id").limit(1)
+          .withColumn("doc_id", lit(600L))
+          .withColumn("text", lit("late but never seen before")),
+        "late.parquet")
+      q.processAllAvailable()
+      assert(
+        spark.table("graft_md5_late").count() == count1 + 1,
+        "late row must be dropped by the watermark, not emitted")
+    } finally q.stop()
+  }
+
   test("stream-stream interval join emits exactly the batch q_stream_join pairs") {
     val dir = stageEvents()
     val q = StreamOps
