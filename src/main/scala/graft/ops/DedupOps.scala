@@ -225,6 +225,15 @@ object DedupOps {
     */
   private val CcMaxIters = 25
 
+  /** Contracted-edge count below which the closure finishes on the driver
+    * (local union-find + broadcast remap) instead of running further
+    * full-label-frame hook rounds: 100k (label, label) pairs ≈ 1.6 MB —
+    * bounded model state, the k-means-collect scale the design already
+    * accepts. The loop is unchanged above the bound, so adversarial
+    * graphs that never contract below it still run the distributed path.
+    */
+  private val CcDriverFinishEdges = 100000L
+
   /** One pointer-jumping step: label(v) ← label(label(v)) via a hash
     * self-join of the label frame against itself as a lut — over the node
     * set, never the edges. One step per loop round: measured on the sf0.1
@@ -335,6 +344,50 @@ object DedupOps {
           .repartition($"src") // keep next round's hook join co-partitioned
           .localCheckpoint(eager = false)
         edgesLeft = curEdges.count() // materializes next + curEdges: one job
+        if (edgesLeft > 0 && edgesLeft <= CcDriverFinishEdges) {
+          // The contracted edge set — the remaining INTER-cluster links
+          // between label roots — now fits in driver model state (≤ 1.6 MB
+          // at the bound, the k-means-collect scale). Finish the merges
+          // with one local union-find and broadcast the root remap back,
+          // instead of paying further full-label-frame hook rounds for a
+          // vanishing edge set: each such round costs a frame-wide
+          // aggregate + self-join regardless of how few edges remain.
+          // Transitivity is exactly what the union-find closes, so this is
+          // the same fixpoint the loop would reach; min-root union keeps
+          // the component-min label semantics. Chains not touched by these
+          // merges still resolve in the jump-only phase below.
+          val local = curEdges.collect().map(r => (r.getLong(0), r.getLong(1)))
+          val parent = scala.collection.mutable.Map.empty[Long, Long]
+          def find(x: Long): Long = {
+            var r = x
+            while (parent.getOrElse(r, r) != r) r = parent(r)
+            var c = x
+            while (parent.getOrElse(c, c) != c) {
+              val n = parent(c); parent(c) = r; c = n
+            }
+            r
+          }
+          local.foreach { case (a, b) =>
+            val (ra, rb) = (find(a), find(b))
+            if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+          }
+          val remap = local
+            .flatMap { case (a, b) => Seq(a, b) }
+            .distinct
+            .map(x => (x, find(x)))
+            .filter { case (x, r) => x != r }
+            .toSeq
+          if (remap.nonEmpty) {
+            val m = remap.toDF("mfrom", "mto")
+            labels = labels
+              .join(broadcast(m), labels("label") === m("mfrom"), "left")
+              .select($"id", coalesce($"mto", $"label").as("label"))
+              .localCheckpoint(eager = false)
+          }
+          if (sys.props.contains("graft.cc.debug"))
+            println(f"[cc] iter ${iter + 1} driver-finish edges=$edgesLeft merged=${remap.size}")
+          edgesLeft = 0L
+        }
         if (sys.props.contains("graft.cc.debug"))
           println(f"[cc] iter ${iter + 1} hook edges=$edgesLeft t=${(System.nanoTime() - tRound) / 1e9}%.2f")
       } else {
