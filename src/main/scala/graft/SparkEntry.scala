@@ -13,7 +13,7 @@ object SparkEntry {
     IngestOps.defs ++ ReportOps.defs ++ RelationalOps.defs ++
       ScalarOps.defs ++ StreamOps.defs ++ DedupOps.defs ++
       SimilarityOps.defs ++ TextOps.defs ++ MultimodalOps.defs ++
-      CurationOps.defs ++ LayoutOps.defs
+      CurationOps.defs ++ LayoutOps.defs ++ TemporalOps.defs
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

@@ -1,0 +1,250 @@
+package graft.ops
+
+import graft.{QueryDef, T, X}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Tier C temporal-analytics family: the time-series operations a
+  * warehouse-grade engine layers over an event log — gap-filled daily
+  * series, slowly-changing-dimension (SCD2) history, gaps-and-islands
+  * streaks, and snapshot diffing. The reference's analytics layer slices
+  * a day at a time (/root/reference/main.py:280,288); these are the
+  * standard generalizations of that slice to full temporal series, built
+  * as window functions over the natural partition key so each query is
+  * one or two hash-shuffles regardless of corpus size.
+  */
+object TemporalOps {
+
+  private def events(s: SparkSession, d: String) = T(s, d, "events")
+
+  // ---------------------------------------------------------------------
+  // q_ts_gapfill
+  // ---------------------------------------------------------------------
+
+  /** q_ts_gapfill — per-user daily series with a generated date spine and
+    * forward fill: each user's days between their first and last active
+    * day, a gap marker for absent days, and the last observed daily value
+    * carried forward. The spine is `sequence(min_day, max_day)` exploded
+    * from the per-user agg — generated map-side from two dates per user,
+    * never materialized wider than the output. Shuffle economics at
+    * 100 TB: the daily agg, the spine join, and the fill window all key
+    * on user_id (the join adds day, a refinement), so the plan is the
+    * daily hash-agg exchange plus one user_id window exchange; the fill
+    * itself is a running `last(ignoreNulls)` inside the window — no
+    * self-join, no per-day driver loop. Day sums are exact decimal
+    * (graft.X.dsum2) so the carried value is bit-identical cross-engine.
+    */
+  private def tsGapfill(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val daily = events(s, d)
+      .select($"user_id", to_date($"ts").as("day"), $"value")
+      .groupBy($"user_id", $"day")
+      .agg(count(lit(1)).as("n_events"), X.dsum2($"value").as("day_value"))
+    val spine = daily
+      .groupBy($"user_id")
+      .agg(min($"day").as("d0"), max($"day").as("d1"))
+      .select(
+        $"user_id",
+        explode(sequence($"d0", $"d1", expr("interval 1 day"))).as("day"))
+    val w = Window
+      .partitionBy($"user_id")
+      .orderBy($"day")
+      .rowsBetween(Window.unboundedPreceding, 0)
+    spine
+      .join(daily, Seq("user_id", "day"), "left")
+      .select(
+        $"user_id",
+        $"day",
+        $"n_events".isNull.as("is_gap"),
+        coalesce($"n_events", lit(0L)).as("n_events"),
+        last($"day_value", ignoreNulls = true).over(w).as("filled_value"))
+      .orderBy($"user_id", $"day")
+  }
+
+  private val GapfillSql =
+    "WITH e AS (SELECT user_id, CAST(CAST(ts AS TIMESTAMP) AS DATE) AS day, value FROM events), " +
+      "daily AS (SELECT user_id, day, CAST(count(*) AS BIGINT) AS n_events, " +
+      "CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS day_value FROM e GROUP BY 1, 2), " +
+      "spine AS (SELECT user_id, CAST(unnest(generate_series(CAST(d0 AS TIMESTAMP), " +
+      "CAST(d1 AS TIMESTAMP), INTERVAL 1 DAY)) AS DATE) AS day " +
+      "FROM (SELECT user_id, min(day) AS d0, max(day) AS d1 FROM daily GROUP BY 1)), " +
+      "j AS (SELECT s.user_id, s.day, d.n_events, d.day_value " +
+      "FROM spine s LEFT JOIN daily d USING (user_id, day)) " +
+      "SELECT user_id, day, n_events IS NULL AS is_gap, " +
+      "CAST(coalesce(n_events, 0) AS BIGINT) AS n_events, " +
+      "last_value(day_value IGNORE NULLS) OVER (PARTITION BY user_id ORDER BY day " +
+      "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS filled_value " +
+      "FROM j ORDER BY user_id, day"
+
+  // ---------------------------------------------------------------------
+  // q_scd2_history
+  // ---------------------------------------------------------------------
+
+  /** q_scd2_history — type-2 slowly-changing-dimension build: each user's
+    * engagement tier (a CASE ladder over event value) collapsed into
+    * [valid_from, valid_to) intervals — one row per tier *change*, with a
+    * version counter and an open-ended current row. This is the standard
+    * dimension-history pattern (detect-change via lag, interval-close via
+    * lead) expressed as two windows over the SAME (user_id × time) sort,
+    * so Catalyst plans ONE exchange + ONE sort for the whole build; no
+    * MERGE loop, no per-key driver pass. Ordering ties break on event_id,
+    * making the history retry- and partitioning-invariant.
+    */
+  private def scd2History(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val w = Window.partitionBy($"user_id").orderBy($"ts", $"event_id")
+    val wc = Window.partitionBy($"user_id").orderBy($"ts")
+    val tiers = events(s, d)
+      .select(
+        $"user_id",
+        $"event_id",
+        $"ts",
+        when($"value" >= 90, "high")
+          .when($"value" >= 50, "mid")
+          .otherwise("low")
+          .as("tier"))
+      .withColumn("prev_tier", lag($"tier", 1).over(w))
+      .filter($"prev_tier".isNull || $"prev_tier" =!= $"tier")
+    tiers
+      .select(
+        $"user_id",
+        row_number().over(wc).cast("long").as("version"),
+        $"tier",
+        $"ts".as("valid_from"),
+        lead($"ts", 1).over(wc).as("valid_to"))
+      .withColumn("is_current", $"valid_to".isNull)
+      .orderBy($"user_id", $"version")
+  }
+
+  private val Scd2Sql =
+    "WITH e AS (SELECT user_id, event_id, CAST(ts AS TIMESTAMP) AS ts, " +
+      "CASE WHEN value >= 90 THEN 'high' WHEN value >= 50 THEN 'mid' ELSE 'low' END AS tier " +
+      "FROM events), " +
+      "c AS (SELECT *, lag(tier) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_tier FROM e), " +
+      "ch AS (SELECT user_id, ts, tier FROM c WHERE prev_tier IS NULL OR prev_tier <> tier) " +
+      "SELECT user_id, CAST(row_number() OVER w AS BIGINT) AS version, tier, " +
+      "ts AS valid_from, lead(ts) OVER w AS valid_to, lead(ts) OVER w IS NULL AS is_current " +
+      "FROM ch WINDOW w AS (PARTITION BY user_id ORDER BY ts) ORDER BY user_id, version"
+
+  // ---------------------------------------------------------------------
+  // q_win_islands
+  // ---------------------------------------------------------------------
+
+  /** q_win_islands — gaps-and-islands: each user's maximal runs of
+    * consecutive active days (the streak primitive behind retention and
+    * engagement scoring), reduced to the per-user longest streak plus
+    * streak/active-day counts. Uses the classic anchor trick — day minus
+    * row_number is constant within a run — so streak detection is one
+    * window + one agg, both keyed on user_id; the distinct-day prepass is
+    * the only other exchange. Longest-streak ties resolve to the earliest
+    * start, keeping the pick deterministic under any partitioning.
+    */
+  private def winIslands(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val days = events(s, d)
+      .select($"user_id", to_date($"ts").as("day"))
+      .distinct()
+    val anchored = days.withColumn(
+      "anchor",
+      date_sub(
+        $"day",
+        row_number()
+          .over(Window.partitionBy($"user_id").orderBy($"day"))))
+    val streaks = anchored
+      .groupBy($"user_id", $"anchor")
+      .agg(
+        count(lit(1)).as("streak_len"),
+        min($"day").as("streak_start"),
+        max($"day").as("streak_end"))
+    val pu = Window.partitionBy($"user_id")
+    streaks
+      .withColumn("n_streaks", count(lit(1)).over(pu))
+      .withColumn("n_active_days", sum($"streak_len").over(pu))
+      .withColumn(
+        "rn",
+        row_number().over(
+          pu.orderBy($"streak_len".desc, $"streak_start".asc)))
+      .filter($"rn" === 1)
+      .select(
+        $"user_id",
+        $"streak_len".as("best_len"),
+        $"streak_start".as("best_start"),
+        $"streak_end".as("best_end"),
+        $"n_streaks",
+        $"n_active_days")
+      .orderBy($"user_id")
+  }
+
+  private val IslandsSql =
+    "WITH d AS (SELECT DISTINCT user_id, CAST(CAST(ts AS TIMESTAMP) AS DATE) AS day FROM events), " +
+      "r AS (SELECT user_id, day, day - CAST(row_number() OVER " +
+      "(PARTITION BY user_id ORDER BY day) AS INTEGER) AS anchor FROM d), " +
+      "s AS (SELECT user_id, anchor, CAST(count(*) AS BIGINT) AS streak_len, " +
+      "min(day) AS streak_start, max(day) AS streak_end FROM r GROUP BY 1, 2), " +
+      "k AS (SELECT user_id, streak_len, streak_start, streak_end, " +
+      "CAST(count(*) OVER (PARTITION BY user_id) AS BIGINT) AS n_streaks, " +
+      "CAST(sum(streak_len) OVER (PARTITION BY user_id) AS BIGINT) AS n_active_days, " +
+      "row_number() OVER (PARTITION BY user_id ORDER BY streak_len DESC, streak_start ASC) AS rn FROM s) " +
+      "SELECT user_id, streak_len AS best_len, streak_start AS best_start, " +
+      "streak_end AS best_end, n_streaks, n_active_days FROM k WHERE rn = 1 ORDER BY user_id"
+
+  // ---------------------------------------------------------------------
+  // q_snapshot_diff
+  // ---------------------------------------------------------------------
+
+  /** q_snapshot_diff — CDC-style diff of two per-customer snapshots (order
+    * count + exact revenue for 2000 vs 2001), classifying every key as
+    * added / removed / changed / same. The change-data-capture primitive
+    * for feeds without a transaction log: both snapshots aggregate from
+    * the same scan (Catalyst prunes each side's dates into the parquet
+    * scan), then a single full-outer hash join on the key aligns them —
+    * both sides arrive hash-partitioned on o_custkey from their aggs, so
+    * the join adds no exchange. Value equality is on exact decimal sums,
+    * so 'same' vs 'changed' is bit-deterministic cross-engine.
+    */
+  private def snapshotDiff(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    def snap(yr: Int, n: String, t: String): DataFrame =
+      T(s, d, "orders")
+        .filter(year($"o_orderdate") === yr)
+        .groupBy($"o_custkey")
+        .agg(count(lit(1)).as(n), X.dsum2($"o_totalprice").as(t))
+    val a = snap(2000, "n_old", "total_old")
+    val b = snap(2001, "n_new", "total_new")
+    a.join(b, Seq("o_custkey"), "full_outer")
+      .select(
+        $"o_custkey",
+        when($"n_old".isNull, "added")
+          .when($"n_new".isNull, "removed")
+          .when($"total_old" =!= $"total_new" || $"n_old" =!= $"n_new", "changed")
+          .otherwise("same")
+          .as("status"),
+        coalesce($"n_old", lit(0L)).as("n_old"),
+        coalesce($"n_new", lit(0L)).as("n_new"),
+        coalesce($"total_old", lit(0.0d)).as("total_old"),
+        coalesce($"total_new", lit(0.0d)).as("total_new"))
+      .orderBy($"o_custkey")
+  }
+
+  private val SnapshotDiffSql =
+    "WITH a AS (SELECT o_custkey, CAST(count(*) AS BIGINT) AS n_old, " +
+      "CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total_old " +
+      "FROM orders WHERE year(CAST(o_orderdate AS TIMESTAMP)) = 2000 GROUP BY 1), " +
+      "b AS (SELECT o_custkey, CAST(count(*) AS BIGINT) AS n_new, " +
+      "CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total_new " +
+      "FROM orders WHERE year(CAST(o_orderdate AS TIMESTAMP)) = 2001 GROUP BY 1) " +
+      "SELECT coalesce(a.o_custkey, b.o_custkey) AS o_custkey, " +
+      "CASE WHEN a.o_custkey IS NULL THEN 'added' WHEN b.o_custkey IS NULL THEN 'removed' " +
+      "WHEN a.total_old <> b.total_new OR a.n_old <> b.n_new THEN 'changed' ELSE 'same' END AS status, " +
+      "CAST(coalesce(a.n_old, 0) AS BIGINT) AS n_old, CAST(coalesce(b.n_new, 0) AS BIGINT) AS n_new, " +
+      "coalesce(a.total_old, CAST(0.0 AS DOUBLE)) AS total_old, " +
+      "coalesce(b.total_new, CAST(0.0 AS DOUBLE)) AS total_new " +
+      "FROM a FULL JOIN b ON a.o_custkey = b.o_custkey ORDER BY o_custkey"
+
+  val defs: Seq[QueryDef] = Seq(
+    QueryDef("q_ts_gapfill", tsGapfill, Some(GapfillSql)),
+    QueryDef("q_scd2_history", scd2History, Some(Scd2Sql)),
+    QueryDef("q_win_islands", winIslands, Some(IslandsSql)),
+    QueryDef("q_snapshot_diff", snapshotDiff, Some(SnapshotDiffSql)))
+}
