@@ -242,8 +242,50 @@ object CurationOps {
       "FROM documents d JOIN ranked r ON d.doc_id = r.doc_id " +
       s"WHERE r.rn <= $QuotaPerLang ORDER BY d.lang, r.rn"
 
+  /** Weight scale: keep-probability = min(1, n_chars / 400) expressed as
+    * integer basis points so the threshold compare is pure integer
+    * arithmetic (no double rounding to diverge cross-engine): 10000/400
+    * = 25 basis points per char.
+    */
+  private val WeightBps = 10000L
+  private val BpsPerChar = 25L
+
+  /** q_sample_weighted — deterministic weighted Bernoulli sampling: keep a
+    * document with probability proportional to its length (clipped at 1),
+    * the curriculum/importance-sampling knob that up-weights long
+    * documents the way q_sample_mix up-weights languages. Keep iff the
+    * salted md5 bucket falls under `min(10000, n_chars·25)` basis points
+    * — a pure integer function of (doc_id, n_chars), so the selected set
+    * is invariant under retries, partitioning, and engine, unlike
+    * rand()-thresholded sampling. Entirely map-side: the weight ladder
+    * and hash evaluate inside the scan stage, ZERO shuffles at any scale
+    * (the orderBy exists only for the oracle compare). The sf0.01 data
+    * exercises both branches: 146 docs clip at weight 1.0, the rest keep
+    * a fractional weight.
+    */
+  private def sampleWeighted(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val threshold = least(lit(WeightBps), $"n_chars" * BpsPerChar)
+    docs(s, d)
+      .filter(pmod(hkey("wsample"), lit(WeightBps)) < threshold)
+      .select(
+        $"doc_id",
+        $"lang",
+        $"n_chars",
+        (threshold.cast("bigint") / lit(WeightBps.toDouble)).as("keep_weight"))
+      .orderBy($"doc_id")
+  }
+
+  private val WeightedSql =
+    s"SELECT doc_id, lang, n_chars, " +
+      s"CAST(least($WeightBps, n_chars * $BpsPerChar) AS BIGINT) / ${WeightBps.toDouble} AS keep_weight " +
+      "FROM documents " +
+      s"WHERE ${hkeySql("wsample")} % $WeightBps < least($WeightBps, n_chars * $BpsPerChar) " +
+      "ORDER BY doc_id"
+
   val defs: Seq[QueryDef] = Seq(
     QueryDef("q_sample_mix", sampleMix, Some(MixSql)),
+    QueryDef("q_sample_weighted", sampleWeighted, Some(WeightedSql)),
     QueryDef("q_pack_sequences", packSequences, Some(PackSql)),
     QueryDef("q_source_filter", sourceFilter, Some(SourceFilterSql)),
     QueryDef("q_sample_quota", sampleQuota, Some(QuotaSql)))

@@ -1,7 +1,7 @@
 package graft.ops
 
-import graft.{QueryDef, T}
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import graft.{QueryDef, T, X}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -660,6 +660,113 @@ object RelationalOps {
       .orderBy("event_id")
   }
 
+  /** Histogram bucket geometry: [0, 500k) order totals in 20 equal bins. */
+  private val HistLo = 0.0
+  private val HistWidth = 25000.0
+  private val HistBins = 20
+
+  /** q_agg_histogram — fixed-width numeric histogram of order totals (the
+    * distribution-profiling primitive behind every size/price/length
+    * dashboard): bucket index by IEEE floor division, clamped into
+    * [0, bins), with per-bucket count and exact decimal sum. One map-side
+    * projection + one hash aggregate over ≤ bins+ε tiny groups — the
+    * whole histogram costs one scan at any corpus size. The bucket index
+    * is computed with the same `floor(x / width)` double arithmetic in
+    * both engines (DuckDB has no `width_bucket`; floor-division is the
+    * portable spelling and is exact for these magnitudes).
+    */
+  private def aggHistogram(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    T(s, d, "orders")
+      .select(
+        least(
+          greatest(floor($"o_totalprice" / HistWidth), lit(HistLo)),
+          lit(HistBins - 1.0))
+          .cast("long")
+          .as("bucket"),
+        $"o_totalprice")
+      .groupBy($"bucket")
+      .agg(
+        count(lit(1)).as("n"),
+        X.dsum2($"o_totalprice").as("total"))
+      .select(
+        $"bucket",
+        ($"bucket" * HistWidth).cast("double").as("bucket_lo"),
+        $"n",
+        $"total")
+      .orderBy($"bucket")
+  }
+
+  private val HistogramSql =
+    "WITH b AS (SELECT CAST(least(greatest(floor(o_totalprice / 25000.0), 0), 19) AS BIGINT) AS bucket, " +
+      "o_totalprice FROM orders) " +
+      "SELECT bucket, CAST(bucket * 25000.0 AS DOUBLE) AS bucket_lo, " +
+      "CAST(count(*) AS BIGINT) AS n, " +
+      "CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total " +
+      "FROM b GROUP BY 1, 2 ORDER BY bucket"
+
+  /** q_join_fuzzy — edit-distance-1 fuzzy self-join on customer names via
+    * SymSpell-style deletion neighborhoods: each name emits its L+1
+    * one-char-deletion variants (plus itself), candidates are pairs
+    * sharing a variant, and an exact `levenshtein ≤ 1` filter removes the
+    * false positives (two different deletions meeting at the same
+    * string). Losslessness is a theorem — a substitution pair shares the
+    * both-sides deletion at the edited index, an indel pair shares the
+    * original itself — and FuzzyJoinSpec re-proves it against the O(n²)
+    * brute force. Why not prefix/suffix blocking: every c_name shares the
+    * literal "Customer#" prefix, so a prefix block is a disguised cross
+    * join; deletion variants are near-unique keys, so the candidate join
+    * is skew-free BY CONSTRUCTION — |rows|×(L+1) keys through one
+    * hash-shuffle at any scale. The k_a < k_b guard keeps each pair once.
+    */
+  private def joinFuzzy(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    def variants(name: Column): Column =
+      array_distinct(
+        concat(
+          transform(
+            sequence(lit(0), length(name) - 1),
+            i => concat(
+              name.substr(lit(1), i),
+              name.substr(i + lit(2), length(name)))),
+          array(name)))
+    val v = T(s, d, "customer")
+      .select(
+        $"c_custkey",
+        $"c_nationkey",
+        $"c_name",
+        explode(variants($"c_name")).as("variant"))
+    val a = v.select(
+      $"c_custkey".as("k_a"), $"c_nationkey".as("nat_a"),
+      $"c_name".as("name_a"), $"variant")
+    val b = v.select(
+      $"c_custkey".as("k_b"), $"c_name".as("name_b"), $"variant")
+    a.join(b, Seq("variant"))
+      .filter($"k_a" < $"k_b")
+      .select($"k_a", $"k_b", $"nat_a", $"name_a", $"name_b")
+      .distinct()
+      .filter(levenshtein($"name_a", $"name_b") <= 1)
+      .groupBy($"nat_a".as("c_nationkey"))
+      .agg(
+        count(lit(1)).as("n_pairs"),
+        min(concat($"name_a", lit("|"), $"name_b")).as("example_pair"))
+      .orderBy($"c_nationkey")
+  }
+
+  private val FuzzySql =
+    "WITH v AS (SELECT c_custkey, c_nationkey, c_name, " +
+      "unnest(list_distinct(list_append(" +
+      "list_transform(generate_series(0, length(c_name) - 1), " +
+      "i -> substr(c_name, 1, i) || substr(c_name, i + 2)), c_name))) AS variant " +
+      "FROM customer), " +
+      "p AS (SELECT DISTINCT a.c_custkey AS k_a, b.c_custkey AS k_b, " +
+      "a.c_nationkey AS nat_a, a.c_name AS name_a, b.c_name AS name_b " +
+      "FROM v a JOIN v b ON a.variant = b.variant AND a.c_custkey < b.c_custkey), " +
+      "m AS (SELECT * FROM p WHERE levenshtein(name_a, name_b) <= 1) " +
+      "SELECT nat_a AS c_nationkey, CAST(count(*) AS BIGINT) AS n_pairs, " +
+      "min(concat(name_a, '|', name_b)) AS example_pair " +
+      "FROM m GROUP BY 1 ORDER BY c_nationkey"
+
   val defs: Seq[QueryDef] = Seq(
     QueryDef(
       "q_join_inner",
@@ -843,6 +950,8 @@ object RelationalOps {
     QueryDef("q_agg_grouping_sets", aggGroupingSets, Some(GroupingSetsSql)),
     QueryDef("q_funnel_paths", funnelPaths, Some(FunnelSql)),
     QueryDef("q_sql_agg", sqlAgg, Some(SqlAggSql)),
-    QueryDef("q_cohort_retention", cohortRetention, Some(CohortSql))
+    QueryDef("q_cohort_retention", cohortRetention, Some(CohortSql)),
+    QueryDef("q_agg_histogram", aggHistogram, Some(HistogramSql)),
+    QueryDef("q_join_fuzzy", joinFuzzy, Some(FuzzySql))
   )
 }

@@ -444,6 +444,51 @@ object TextOps {
       "LEAST(chunk_id * 28 + 32, len(tk))), ' ') AS chunk " +
       "FROM e ORDER BY doc_id, chunk_id"
 
+  /** Postings kept per token in the sampled index. */
+  private val PostingsCap = 20
+
+  /** q_index_inverted — inverted-index build (token → exact document
+    * frequency + the first [[PostingsCap]] doc_ids): the retrieval-side
+    * complement of the similarity family. ONE sort-based window pass does
+    * everything: `count over (partition token)` is the exact df,
+    * `row_number over (partition token order doc_id)` selects the
+    * lexicographically-first postings SAMPLE, and only those ≤ cap rows
+    * reach the collect. That shape is deliberate for 100 TB: a naive
+    * `collect_list(doc_id)` holds a stop-word's entire posting list
+    * (millions of ids) in one aggregation buffer, while a window sort
+    * spills to disk and the per-group state after the filter is ≤ cap
+    * rows — bounded memory no matter how skewed the token distribution.
+    * Postings render as a comma-joined string, identical cross-engine.
+    */
+  private def indexInverted(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val w = Window.partitionBy($"token")
+    val tok = docs(s, d)
+      .select(
+        $"doc_id",
+        explode(array_distinct(split(lower($"text"), " "))).as("token"))
+      .filter($"token".rlike("^[a-z0-9]{3,}$"))
+    tok
+      .withColumn("df", count(lit(1)).over(w))
+      .withColumn("rn", row_number().over(w.orderBy($"doc_id")))
+      .filter($"rn" <= PostingsCap)
+      .groupBy($"token")
+      .agg(
+        max($"df").as("df"),
+        array_join(sort_array(collect_list($"doc_id")), ",").as("postings"))
+      .orderBy($"token")
+  }
+
+  private val InvertedSql =
+    "WITH tok AS (SELECT DISTINCT doc_id, " +
+      "unnest(list_distinct(string_split(lower(text), ' '))) AS token FROM documents), " +
+      "ft AS (SELECT doc_id, token FROM tok WHERE regexp_full_match(token, '[a-z0-9]{3,}')), " +
+      "r AS (SELECT doc_id, token, CAST(count(*) OVER (PARTITION BY token) AS BIGINT) AS df, " +
+      "row_number() OVER (PARTITION BY token ORDER BY doc_id) AS rn FROM ft) " +
+      s"SELECT token, max(df) AS df, " +
+      "array_to_string(list_sort(list(doc_id)), ',') AS postings " +
+      s"FROM r WHERE rn <= $PostingsCap GROUP BY token ORDER BY token"
+
   val defs: Seq[QueryDef] = Seq(
     QueryDef(
       "q_text_tokens",
@@ -471,6 +516,7 @@ object TextOps {
     QueryDef("q_text_clean", textClean, Some(CleanSql)),
     QueryDef("q_text_pretokens", textPretokens, Some(PretokensSql)),
     QueryDef("q_text_repetition", textRepetition, Some(RepetitionSql)),
-    QueryDef("q_text_chunk", textChunk, Some(ChunkSql))
+    QueryDef("q_text_chunk", textChunk, Some(ChunkSql)),
+    QueryDef("q_index_inverted", indexInverted, Some(InvertedSql))
   )
 }

@@ -163,6 +163,52 @@ class PlanShapeSpec extends SparkSpec {
     assert(p.contains("shingle_hashes"), p)
   }
 
+  test("q_index_inverted: df window, rn filter and final agg ride ONE token exchange") {
+    val p = plan("q_index_inverted")
+    // window partition-by token is the only hash exchange; the groupBy(token)
+    // after the rn≤cap filter reuses it, so the bounded-postings design costs
+    // one shuffle total (+ the oracle sort)
+    assert("Exchange hashpartitioning".r.findAllIn(p).size == 1, p)
+    assert("Exchange rangepartitioning".r.findAllIn(p).size == 1, p)
+  }
+
+  test("q_sample_weighted is map-side: the only exchange is the oracle sort") {
+    val p = plan("q_sample_weighted")
+    assert("Exchange".r.findAllIn(p).size == 1, p)
+    assert(p.contains("rangepartitioning"), p)
+  }
+
+  test("q_agg_histogram is one scan + one tiny agg") {
+    val p = plan("q_agg_histogram")
+    assert("Exchange hashpartitioning".r.findAllIn(p).size == 1, p)
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
+  test("q_join_fuzzy joins on the variant equi-key, never a nested loop") {
+    val p = plan("q_join_fuzzy")
+    assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"), p)
+    assert(p.toLowerCase.contains("variant"), p)
+  }
+
+  test("q_scd2_history: both windows share one user_id exchange") {
+    val p = plan("q_scd2_history")
+    assert("Exchange hashpartitioning".r.findAllIn(p).size == 1, p)
+  }
+
+  test("q_snapshot_diff: the full-outer join reuses the snapshot aggs' partitioning") {
+    val p = plan("q_snapshot_diff")
+    // one exchange per snapshot agg; the join on o_custkey adds none
+    assert("Exchange hashpartitioning".r.findAllIn(p).size == 2, p)
+    assert(p.contains("FullOuter"), p)
+  }
+
+  test("q_win_islands: streak agg and per-user windows ride the window exchanges") {
+    val p = plan("q_win_islands")
+    // distinct (user, day) + the user_id window; the (user, anchor) agg and
+    // both per-user windows reuse the user_id partitioning
+    assert("Exchange hashpartitioning".r.findAllIn(p).size == 2, p)
+  }
+
   test("q_funnel_paths: session agg reuses the window's user_id partitioning") {
     val p = plan("q_funnel_paths")
     // one exchange for the per-user window (the session agg rides it: hash
