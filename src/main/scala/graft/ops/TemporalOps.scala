@@ -242,9 +242,134 @@ object TemporalOps {
       "coalesce(b.total_new, CAST(0.0 AS DOUBLE)) AS total_new " +
       "FROM a FULL JOIN b ON a.o_custkey = b.o_custkey ORDER BY o_custkey"
 
+  // ---------------------------------------------------------------------
+  // q_ts_anomaly
+  // ---------------------------------------------------------------------
+
+  /** q_ts_anomaly — z-score anomaly flags over each event type's daily
+    * volume series (the monitoring primitive: "did ingest spike or crater
+    * today?"). Statistical moments are EXACT integer arithmetic — daily
+    * counts are integers, so Σn and Σn² are exact BIGINTs and the sample
+    * variance is the single division `(days·Σn² − (Σn)²) / (days·(days−1))`
+    * — followed only by IEEE-exact ops (division, sqrt, subtraction), so
+    * the z-scores are bit-identical cross-engine with no rounding ladder.
+    * The per-type stats frame is |types| rows joined back broadcast; the
+    * daily agg is the only real shuffle at any scale.
+    */
+  private def tsAnomaly(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val daily = events(s, d)
+      .select($"event_type", to_date($"ts").as("day"))
+      .groupBy($"event_type", $"day")
+      .agg(count(lit(1)).as("n"))
+    val stats = daily
+      .groupBy($"event_type")
+      .agg(
+        count(lit(1)).as("days"),
+        sum($"n").as("s1"),
+        sum($"n" * $"n").as("s2"))
+    val mean = $"s1".cast("double") / $"days".cast("double")
+    val variance =
+      ($"days" * $"s2" - $"s1" * $"s1").cast("double") /
+        ($"days" * ($"days" - 1)).cast("double")
+    val z = ($"n" - mean) / sqrt(variance)
+    daily
+      .join(broadcast(stats), Seq("event_type"))
+      .select(
+        $"event_type",
+        $"day",
+        $"n",
+        mean.as("mean_n"),
+        z.as("z"),
+        (abs(z) > 2.0).as("is_anomaly"))
+      .orderBy($"event_type", $"day")
+  }
+
+  private val AnomalySql =
+    "WITH d AS (SELECT event_type, CAST(CAST(ts AS TIMESTAMP) AS DATE) AS day, " +
+      "CAST(count(*) AS BIGINT) AS n FROM events GROUP BY 1, 2), " +
+      "s AS (SELECT event_type, CAST(count(*) AS BIGINT) AS days, " +
+      "CAST(sum(n) AS BIGINT) AS s1, CAST(sum(n * n) AS BIGINT) AS s2 FROM d GROUP BY 1) " +
+      "SELECT d.event_type, d.day, d.n, " +
+      "CAST(s1 AS DOUBLE) / CAST(days AS DOUBLE) AS mean_n, " +
+      "(d.n - CAST(s1 AS DOUBLE) / CAST(days AS DOUBLE)) / " +
+      "sqrt(CAST(days * s2 - s1 * s1 AS DOUBLE) / CAST(days * (days - 1) AS DOUBLE)) AS z, " +
+      "abs((d.n - CAST(s1 AS DOUBLE) / CAST(days AS DOUBLE)) / " +
+      "sqrt(CAST(days * s2 - s1 * s1 AS DOUBLE) / CAST(days * (days - 1) AS DOUBLE))) > 2.0 AS is_anomaly " +
+      "FROM d JOIN s USING (event_type) ORDER BY d.event_type, d.day"
+
+  // ---------------------------------------------------------------------
+  // q_merge_upsert
+  // ---------------------------------------------------------------------
+
+  /** Every 100th delta key is re-keyed past the customer range to exercise
+    * the not-matched (insert) branch on FK-complete testdata.
+    */
+  private val InsertKeyOffset = 10000000L
+
+  /** q_merge_upsert — MERGE INTO semantics (the lakehouse upsert, apply
+    * side of the CDC pair whose detect side is q_snapshot_diff): target
+    * customers merged with a change feed (2001 order revenue per
+    * customer), matched rows updating their balance, unmatched source
+    * rows inserting, untouched target rows kept — every row tagged with
+    * its action. Declaratively a single full-outer hash join: both sides
+    * arrive hash-partitioned on the key from their own aggregates, so
+    * MERGE costs ONE co-partitioned join at any scale — no row-by-row
+    * driver loop, and deterministic (re-running the merge on the same
+    * inputs yields the identical table, the idempotence a lakehouse
+    * MERGE promises). Balance math is exact decimal, emitted as DOUBLE.
+    */
+  private def mergeUpsert(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val delta = T(s, d, "orders")
+      .filter(year($"o_orderdate") === 2001)
+      .groupBy($"o_custkey".as("k"))
+      .agg(count(lit(1)).as("n_orders"), X.dsum2($"o_totalprice").as("rev"))
+    val src = delta
+      .unionByName(
+        delta
+          .filter($"k" % 100 === 0)
+          .select(($"k" + InsertKeyOffset).as("k"), $"n_orders", $"rev"))
+      .withColumnRenamed("k", "sk")
+    val tgt = T(s, d, "customer")
+      .select($"c_custkey".as("k"), $"c_name", $"c_acctbal")
+    tgt
+      .join(src, $"k" === $"sk", "full_outer")
+      .select(
+        coalesce($"k", $"sk").as("c_custkey"),
+        when($"k".isNull, "insert")
+          .when($"sk".isNull, "keep")
+          .otherwise("update")
+          .as("action"),
+        coalesce($"c_name", concat(lit("NEW#"), $"sk".cast("string"))).as("c_name"),
+        (coalesce($"c_acctbal", lit(0.0d)).cast("decimal(18,2)") +
+          coalesce($"rev", lit(0.0d)).cast("decimal(18,2)"))
+          .cast("double")
+          .as("new_acctbal"),
+        coalesce($"n_orders", lit(0L)).as("n_new_orders"))
+      .orderBy($"c_custkey")
+  }
+
+  private val MergeUpsertSql =
+    "WITH delta AS (SELECT o_custkey AS k, CAST(count(*) AS BIGINT) AS n_orders, " +
+      "CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS rev " +
+      "FROM orders WHERE year(CAST(o_orderdate AS TIMESTAMP)) = 2001 GROUP BY 1), " +
+      s"src AS (SELECT k, n_orders, rev FROM delta UNION ALL " +
+      s"SELECT k + $InsertKeyOffset, n_orders, rev FROM delta WHERE k % 100 = 0), " +
+      "t AS (SELECT c_custkey AS k, c_name, c_acctbal FROM customer) " +
+      "SELECT coalesce(t.k, s.k) AS c_custkey, " +
+      "CASE WHEN t.k IS NULL THEN 'insert' WHEN s.k IS NULL THEN 'keep' ELSE 'update' END AS action, " +
+      "coalesce(t.c_name, concat('NEW#', CAST(s.k AS VARCHAR))) AS c_name, " +
+      "CAST(CAST(coalesce(t.c_acctbal, 0.0) AS DECIMAL(18,2)) + " +
+      "CAST(coalesce(s.rev, 0.0) AS DECIMAL(18,2)) AS DOUBLE) AS new_acctbal, " +
+      "CAST(coalesce(s.n_orders, 0) AS BIGINT) AS n_new_orders " +
+      "FROM t FULL JOIN src s ON t.k = s.k ORDER BY c_custkey"
+
   val defs: Seq[QueryDef] = Seq(
     QueryDef("q_ts_gapfill", tsGapfill, Some(GapfillSql)),
     QueryDef("q_scd2_history", scd2History, Some(Scd2Sql)),
     QueryDef("q_win_islands", winIslands, Some(IslandsSql)),
-    QueryDef("q_snapshot_diff", snapshotDiff, Some(SnapshotDiffSql)))
+    QueryDef("q_snapshot_diff", snapshotDiff, Some(SnapshotDiffSql)),
+    QueryDef("q_ts_anomaly", tsAnomaly, Some(AnomalySql)),
+    QueryDef("q_merge_upsert", mergeUpsert, Some(MergeUpsertSql)))
 }

@@ -49,6 +49,25 @@ class IndexHistogramSpec extends SparkSpec {
     assert(out.find(_.getAs[Long]("bucket") == 3L).map(_.getAs[Long]("n")).contains(b3))
   }
 
+  test("chi-square cells reconcile with their marginals") {
+    import spark.implicits._
+    val out = q("q_stat_chisq").collect()
+    assert(out.nonEmpty)
+    out.foreach(r => assert(r.getAs[Double]("contribution") >= 0.0))
+    val grand = out.map(_.getAs[Long]("obs")).sum.toDouble
+    // expected-under-independence sums back to the observed marginals
+    out.groupBy(_.getAs[String]("event_type")).foreach { case (_, rows) =>
+      val rowN = rows.map(_.getAs[Long]("obs")).sum.toDouble
+      assert(math.abs(rows.map(_.getAs[Double]("expected")).sum - rowN) < 1e-6)
+    }
+    out.groupBy(_.getAs[Int]("dow")).foreach { case (dow, rows) =>
+      assert(dow >= 0 && dow <= 6)
+      val colN = rows.map(_.getAs[Long]("obs")).sum.toDouble
+      assert(math.abs(rows.map(_.getAs[Double]("expected")).sum - colN) < 1e-6)
+    }
+    assert(math.abs(out.map(_.getAs[Double]("expected")).sum - grand) < 1e-6)
+  }
+
   test("weighted sample is deterministic and honors its own threshold") {
     import spark.implicits._
     val out = q("q_sample_weighted").cache()

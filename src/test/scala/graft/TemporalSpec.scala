@@ -199,6 +199,52 @@ class TemporalSpec extends SparkSpec {
     assert(out == Map(1L -> "same", 2L -> "changed", 3L -> "removed", 4L -> "added"))
   }
 
+  // -------------------------------------------------------------------
+  // q_ts_anomaly
+  // -------------------------------------------------------------------
+
+  test("anomaly z-scores match an independent local recompute") {
+    import spark.implicits._
+    val out = q("q_ts_anomaly").collect()
+    assert(out.nonEmpty)
+    // recompute one event type's stats from the emitted daily counts
+    val byType = out.groupBy(_.getAs[String]("event_type"))
+    byType.foreach { case (_, rows) =>
+      val ns = rows.map(_.getAs[Long]("n").toDouble)
+      val days = ns.length
+      val mean = ns.sum / days
+      val varS = ns.map(x => (x - mean) * (x - mean)).sum / (days - 1)
+      rows.foreach { r =>
+        val z = (r.getAs[Long]("n") - mean) / math.sqrt(varS)
+        assert(math.abs(z - r.getAs[Double]("z")) < 1e-9)
+        assert(r.getAs[Boolean]("is_anomaly") == (math.abs(r.getAs[Double]("z")) > 2.0))
+      }
+    }
+  }
+
+  // -------------------------------------------------------------------
+  // q_merge_upsert
+  // -------------------------------------------------------------------
+
+  test("merge upsert is idempotent and each action keeps its contract") {
+    import spark.implicits._
+    val out = q("q_merge_upsert").cache()
+    // deterministic: re-running the merge yields the identical table
+    assert(out.except(q("q_merge_upsert")).count() == 0)
+    // every target key survives the merge exactly once
+    val tgtKeys = T(spark, sf, "customer").select($"c_custkey")
+    assert(tgtKeys.except(out.select($"c_custkey")).count() == 0)
+    assert(out.groupBy($"c_custkey").count().filter($"count" > 1).count() == 0)
+    // inserts are the synthetic off-range keys with fabricated names
+    assert(out.filter($"action" === "insert" &&
+      (!$"c_name".startsWith("NEW#") || $"n_new_orders" === 0)).count() == 0)
+    assert(out.filter($"action" === "insert" && $"c_custkey" < 10000000L).count() == 0)
+    // kept rows took no delta; updated rows took one
+    assert(out.filter($"action" === "keep" && $"n_new_orders" =!= 0).count() == 0)
+    assert(out.filter($"action" === "update" && $"n_new_orders" === 0).count() == 0)
+    out.unpersist()
+  }
+
   test("snapshot diff statuses are consistent with their own counts") {
     import spark.implicits._
     val out = q("q_snapshot_diff").cache()
