@@ -53,6 +53,47 @@ object Sinks {
     toWrite.write.mode(SaveMode.Append).jdbc(url, table, props)
   }
 
+  /** Keyed UPSERT into a JDBC table (the apply side of CDC — streaming
+    * complement of [[graft.ops.TemporalOps]]' q_merge_upsert): staged rows
+    * REPLACE existing rows with the same key, untouched existing rows are
+    * kept, new keys insert. Implemented as merge-then-overwrite — existing
+    * minus staged keys (left-anti) union staged, materialized BEFORE the
+    * overwrite drops the table it was read from (the persist+count is
+    * load-bearing: the JDBC read is lazy, so without it the overwrite
+    * would destroy its own input). Idempotent by construction: applying
+    * the same staged batch twice converges to the same table — the
+    * exactly-once story for an update-mode stream, where retried batches
+    * re-offer rows. Sized for DIMENSION-scale targets (the merged table
+    * passes through the cluster); a fact-scale target wants the DB's own
+    * MERGE with this same keyed contract.
+    */
+  def upsertSnapshotJdbc(
+      staged: DataFrame,
+      url: String,
+      table: String,
+      keys: Seq[String],
+      props: java.util.Properties = new java.util.Properties): Unit = {
+    val spark = staged.sparkSession
+    val existing =
+      try {
+        val df = spark.read.jdbc(url, table, props)
+        df.schema // force resolution: absent table throws here
+        Some(df)
+      } catch { case _: Exception => None }
+    existing match {
+      case None =>
+        staged.write.mode(SaveMode.ErrorIfExists).jdbc(url, table, props)
+      case Some(e) =>
+        val merged = e
+          .join(staged.select(keys.map(col): _*), keys, "left_anti")
+          .unionByName(staged)
+          .persist()
+        merged.count() // materialize: see doc comment
+        try merged.write.mode(SaveMode.Overwrite).jdbc(url, table, props)
+        finally merged.unpersist()
+    }
+  }
+
   /** The destructive sheet snapshot (clear + update, main.py:254-264):
     * header row + stable column order + full overwrite. coalesce(1) matches
     * the single-grid sink; a real table sink would keep partitioning.

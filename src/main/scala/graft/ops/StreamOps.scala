@@ -309,6 +309,44 @@ object StreamOps {
       eventsStream(s, sourceDir).filter($"event_type" === "click"))
   }
 
+  /** Streaming lift of the per-user running totals in UPDATE mode — the
+    * change feed a CDC-apply sink consumes: each micro-batch emits only
+    * the (user_id, n) rows whose cumulative count CHANGED in that batch.
+    * Pair with [[upsertStreamWriter]] to maintain a keyed dimension table
+    * that converges to the batch `groupBy(user_id).count()` (proven by
+    * StreamingUpsertSpec across staged micro-batches and a fresh-
+    * checkpoint rerun).
+    */
+  def liftUserCounts(
+      s: SparkSession,
+      sourceDir: String,
+      options: Map[String, String] = Map.empty): DataFrame = {
+    import s.implicits._
+    eventsStream(s, sourceDir, options)
+      .groupBy($"user_id")
+      .agg(count(lit(1)).as("n"))
+  }
+
+  /** update-mode stream → keyed JDBC upsert: the streaming CDC-apply.
+    * Each micro-batch's changed rows go through
+    * [[Sinks.upsertSnapshotJdbc]], whose replace-by-key idempotence makes
+    * batch retries and full reprocessing converge instead of duplicate —
+    * the update-sink counterpart of the append sink
+    * StreamingPipelineSpec proves.
+    */
+  def upsertStreamWriter(
+      df: DataFrame,
+      url: String,
+      table: String,
+      keys: Seq[String],
+      checkpoint: String): org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
+    df.writeStream
+      .outputMode("update")
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        Sinks.upsertSnapshotJdbc(batch, url, table, keys)
+      }
+
   /** Custom-state streaming via `flatMapGroupsWithState` — the API tier
     * below the built-in window/dedup operators, for state machines the
     * built-ins can't express. Demonstrated here as per-user lifetime event
