@@ -127,6 +127,31 @@ object Sinks {
       .partitionBy(partitionCols: _*)
       .parquet(path)
 
+  /** JSONL (one JSON object per line) form of [[writeCorpusShards]] — the
+    * wire format most training-data loaders consume directly. Same layout
+    * contract as the parquet shards: hive-partitioned by (split, lang),
+    * repartitioned on the partition keys so each leaf directory is owned
+    * by its own tasks (bounded file counts), rows sorted within partitions
+    * for a deterministic, diff-friendly export. Field order in each JSON
+    * line is the DataFrame schema order — stable across runs — and gzip
+    * keeps the text format's size honest at corpus scale (a splittable
+    * codec or sized shards keeps re-reads parallel; the consumer here is
+    * a trainer streaming shards, not a query engine).
+    */
+  def writeJsonlShards(
+      df: DataFrame,
+      path: String,
+      partitionCols: Seq[String] = Seq("split", "lang"),
+      orderCol: String = "doc_id",
+      compression: String = "gzip"): Unit =
+    df.repartition(partitionCols.map(col): _*)
+      .sortWithinPartitions(col(orderCol))
+      .write
+      .mode(SaveMode.Overwrite)
+      .partitionBy(partitionCols: _*)
+      .option("compression", compression)
+      .json(path)
+
   /** Continuous form of [[writeCorpusShards]]: an append-mode parquet
     * stream writer with the same hive partitioning, ready to `.start()`.
     * The checkpoint + `_spark_metadata` pair make each micro-batch append

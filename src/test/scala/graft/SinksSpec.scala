@@ -105,6 +105,45 @@ class SinksSpec extends SparkSpec {
     assert(leafFiles.forall(_ == 1), leafFiles.toSeq)
   }
 
+  test("writeJsonlShards: gzip JSONL leaves, exact round trip, stable line format") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("graft_jsonl").toFile
+    val path = dir.getAbsolutePath + "/corpus"
+    val curated = T(spark, sf, "documents")
+      .select(
+        $"doc_id",
+        $"lang",
+        $"text",
+        when(pmod(graft.ops.Hashing.h32(concat($"doc_id".cast("string"), lit("|split"))), lit(100L)) < 80, "train")
+          .otherwise("valid")
+          .as("split"))
+    Sinks.writeJsonlShards(curated, path)
+    // hive layout with gzip'd .json leaves
+    val splitDirs = new java.io.File(path).listFiles().filter(_.isDirectory).map(_.getName)
+    assert(splitDirs.toSet == Set("split=train", "split=valid"), splitDirs.toSeq)
+    val leaf = new java.io.File(path + "/split=train").listFiles().filter(_.isDirectory).head
+    val files = leaf.listFiles()
+      .filter(f => f.getName.contains(".json") && !f.getName.startsWith("."))
+    assert(files.length == 1 && files.head.getName.endsWith(".gz"), files.map(_.getName).toSeq)
+    // exact round trip through the json reader (schema from the writer)
+    val back = spark.read
+      .schema("doc_id LONG, text STRING, lang STRING, split STRING")
+      .json(path)
+    assert(back.count() == curated.count())
+    assert(back.select("doc_id", "text").except(curated.select("doc_id", "text")).count() == 0)
+    // a raw line is one self-contained JSON object with schema-ordered keys
+    val in = new java.io.BufferedReader(new java.io.InputStreamReader(
+      new java.util.zip.GZIPInputStream(new java.io.FileInputStream(files.head))))
+    val line = try in.readLine() finally in.close()
+    assert(line.startsWith("{\"doc_id\":"), line.take(60))
+    assert(line.contains("\"text\":"), line.take(60))
+    // overwrite idempotence
+    Sinks.writeJsonlShards(curated, path)
+    assert(spark.read
+      .schema("doc_id LONG, text STRING, lang STRING, split STRING")
+      .json(path).count() == curated.count())
+  }
+
   test("renderTextReport renders the 7 fields (main.py:388-406)") {
     val txt = Sinks
       .renderTextReport(ReportOps.aggDaily(spark, sf))
