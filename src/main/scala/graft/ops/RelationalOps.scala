@@ -705,6 +705,33 @@ object RelationalOps {
       "CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total " +
       "FROM b GROUP BY 1, 2 ORDER BY bucket"
 
+  /** q_agg_listagg — ordered string aggregation (the warehouse LISTAGG /
+    * string_agg surface): each user's distinct event types as one sorted
+    * comma-joined string. Built as `collect_set → sort_array → array_join`
+    * — order-insensitive to partial-agg combining, so the rendered string
+    * is retry- and partition-invariant (a raw LISTAGG without WITHIN
+    * GROUP ordering is not). State per group is bounded by the DISTINCT
+    * value domain (|event types|), the only shape at which a
+    * string-aggregation belongs in a 100 TB plan — unbounded LISTAGGs
+    * want the q_index_inverted window-sample treatment instead.
+    */
+  private def aggListagg(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    T(s, d, "events")
+      .groupBy($"user_id")
+      .agg(
+        array_join(sort_array(collect_set($"event_type")), ",").as("types_used"),
+        countDistinct($"event_type").as("n_types"),
+        count(lit(1)).as("n_events"))
+      .orderBy($"user_id")
+  }
+
+  private val ListaggSql =
+    "SELECT user_id, array_to_string(list_sort(list(DISTINCT event_type)), ',') AS types_used, " +
+      "CAST(count(DISTINCT event_type) AS BIGINT) AS n_types, " +
+      "CAST(count(*) AS BIGINT) AS n_events " +
+      "FROM events GROUP BY user_id ORDER BY user_id"
+
   /** q_stat_chisq — chi-square contingency table over (event type ×
     * ISO weekday): observed vs expected-under-independence counts plus
     * each cell's χ² contribution — the statistical-dependence screen an
@@ -1013,6 +1040,7 @@ object RelationalOps {
     QueryDef("q_cohort_retention", cohortRetention, Some(CohortSql)),
     QueryDef("q_agg_histogram", aggHistogram, Some(HistogramSql)),
     QueryDef("q_join_fuzzy", joinFuzzy, Some(FuzzySql)),
-    QueryDef("q_stat_chisq", statChisq, Some(ChisqSql))
+    QueryDef("q_stat_chisq", statChisq, Some(ChisqSql)),
+    QueryDef("q_agg_listagg", aggListagg, Some(ListaggSql))
   )
 }

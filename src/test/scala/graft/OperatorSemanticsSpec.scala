@@ -25,6 +25,27 @@ class OperatorSemanticsSpec extends SparkSpec {
     assert(out(2).getBoolean(0) == true)
   }
 
+  test("q_agg_listagg renders sorted distinct types, partition-invariantly") {
+    import spark.implicits._
+    val out = q("q_agg_listagg").cache()
+    val rows = out.collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val types = r.getAs[String]("types_used").split(",")
+      assert(types.toSeq == types.sorted.toSeq) // rendered order is total
+      assert(types.distinct.length == types.length)
+      assert(types.length.toLong == r.getAs[Long]("n_types"))
+    }
+    // partition-invariance: a different physical layout renders identically
+    val repartitioned = T(spark, sf, "events")
+      .repartition(7)
+      .groupBy($"user_id")
+      .agg(array_join(sort_array(collect_set($"event_type")), ",").as("types_used"))
+    assert(out.select($"user_id", $"types_used")
+      .except(repartitioned).count() == 0)
+    out.unpersist()
+  }
+
   test("q_filter_valid + q_filter_rejects partition the input exactly") {
     val total = q("q_src_scan").count()
     assert(q("q_filter_valid").count() + q("q_filter_rejects").count() == total)
