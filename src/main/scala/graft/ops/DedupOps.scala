@@ -972,7 +972,15 @@ object DedupOps {
     * final job is one small join + one aggregate + the output sort —
     * every stage is a map or one keyed shuffle at any corpus size.
     */
-  private def pipelineCorpus2(s: SparkSession, d: String): DataFrame = {
+  /** The kept universe of the production corpus build — quality gate →
+    * exact dedup → near-dup cluster closure (keep iff representative) →
+    * deterministic split assignment — one (doc_id, lang, n_chars, split)
+    * row per surviving document. q_pipeline_corpus2 is its accounting;
+    * CorpusExportSpec drives it through [[Sinks.writeJsonlShards]] and
+    * proves the exported shards reconcile with that accounting, closing
+    * the pipeline → export → trainer read-back loop.
+    */
+  private[graft] def corpusKept(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
     val wMd5 = Window.partitionBy(md5($"text")).orderBy($"doc_id")
     val bucket = pmod(h32($"doc_id".cast("string")), lit(100L))
@@ -991,12 +999,18 @@ object DedupOps {
     ccAssign(s, pairs, gated.select($"doc_id", $"lang", $"n_chars"))
       .filter($"cluster_id" === $"doc_id")
       .select(
+        $"doc_id",
         $"lang",
         $"n_chars",
         when(bucket < 80, "train")
           .when(bucket < 90, "valid")
           .otherwise("test")
           .as("split"))
+  }
+
+  private def pipelineCorpus2(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    corpusKept(s, d)
       .groupBy($"split", $"lang")
       .agg(count(lit(1)).as("n_docs"), sum($"n_chars").as("sum_chars"))
       .orderBy("split", "lang")
