@@ -25,40 +25,40 @@ object TemporalOps {
   /** q_ts_gapfill — per-user daily series with a generated date spine and
     * forward fill: each user's days between their first and last active
     * day, a gap marker for absent days, and the last observed daily value
-    * carried forward. The spine is `sequence(min_day, max_day)` exploded
-    * from the per-user agg — generated map-side from two dates per user,
-    * never materialized wider than the output. Shuffle economics at
-    * 100 TB: the daily agg, the spine join, and the fill window all key
-    * on user_id (the join adds day, a refinement), so the plan is the
-    * daily hash-agg exchange plus one user_id window exchange; the fill
-    * itself is a running `last(ignoreNulls)` inside the window — no
-    * self-join, no per-day driver loop. Day sums are exact decimal
-    * (graft.X.dsum2) so the carried value is bit-identical cross-engine.
+    * carried forward. NO spine join: each daily row emits ITSELF plus the
+    * gap days up to (exclusive) the user's next active day — `sequence
+    * (day, lead(day) − 1)` exploded — each generated day carrying its
+    * origin row's value, which IS the forward fill. Shuffle economics at
+    * 100 TB: the daily hash agg and one user_id window — the classic
+    * spine formulation (per-user min/max agg + spine explode + left join
+    * + running `last(ignoreNulls)`) pays two more exchanges and shuffles
+    * the whole spine through the join; this one materializes nothing
+    * wider than the output. Day sums are exact decimal (graft.X.dsum2)
+    * so the carried value is bit-identical cross-engine.
     */
   private def tsGapfill(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
-    val daily = events(s, d)
+    val w = Window.partitionBy($"user_id").orderBy($"day")
+    events(s, d)
       .select($"user_id", to_date($"ts").as("day"), $"value")
       .groupBy($"user_id", $"day")
       .agg(count(lit(1)).as("n_events"), X.dsum2($"value").as("day_value"))
-    val spine = daily
-      .groupBy($"user_id")
-      .agg(min($"day").as("d0"), max($"day").as("d1"))
+      .withColumn(
+        "run_end",
+        coalesce(date_sub(lead($"day", 1).over(w), 1), $"day"))
       .select(
         $"user_id",
-        explode(sequence($"d0", $"d1", expr("interval 1 day"))).as("day"))
-    val w = Window
-      .partitionBy($"user_id")
-      .orderBy($"day")
-      .rowsBetween(Window.unboundedPreceding, 0)
-    spine
-      .join(daily, Seq("user_id", "day"), "left")
+        $"day".as("obs_day"),
+        $"n_events",
+        $"day_value",
+        explode(sequence($"day", $"run_end", expr("interval 1 day")))
+          .as("day"))
       .select(
         $"user_id",
         $"day",
-        $"n_events".isNull.as("is_gap"),
-        coalesce($"n_events", lit(0L)).as("n_events"),
-        last($"day_value", ignoreNulls = true).over(w).as("filled_value"))
+        ($"day" =!= $"obs_day").as("is_gap"),
+        when($"day" === $"obs_day", $"n_events").otherwise(lit(0L)).as("n_events"),
+        $"day_value".as("filled_value"))
       .orderBy($"user_id", $"day")
   }
 

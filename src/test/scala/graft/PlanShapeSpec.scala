@@ -190,6 +190,15 @@ class PlanShapeSpec extends SparkSpec {
     assert(p.toLowerCase.contains("variant"), p)
   }
 
+  test("q_ts_gapfill: no spine join — daily agg + ONE fill window, then the sort") {
+    val p = plan("q_ts_gapfill")
+    // lead-bounded sequence explode makes each daily row emit its own gap
+    // days: the (user, day) agg + the user window are the only hash
+    // exchanges, and there is no join operator at all
+    assert("Exchange hashpartitioning".r.findAllIn(p).size == 2, p)
+    assert(!p.contains("Join"), p)
+  }
+
   test("q_scd2_history: both windows share one user_id exchange") {
     val p = plan("q_scd2_history")
     assert("Exchange hashpartitioning".r.findAllIn(p).size == 1, p)

@@ -45,40 +45,38 @@ class TemporalSpec extends SparkSpec {
     val df = Seq(
       (1L, Timestamp.valueOf("2024-03-01 10:00:00"), 10.0),
       (1L, Timestamp.valueOf("2024-03-01 12:00:00"), 2.5),
-      // 2024-03-02 and 03 absent → two gap days
+      // 2024-03-02 and 03 absent -> two gap days
       (1L, Timestamp.valueOf("2024-03-04 09:00:00"), 7.0))
       .toDF("user_id", "ts", "value")
-    df.createOrReplaceTempView("t_gap")
-    try {
-      val daily = df
-        .select($"user_id", to_date($"ts").as("day"), $"value")
-        .groupBy($"user_id", $"day")
-        .agg(count(lit(1)).as("n_events"), X.dsum2($"value").as("day_value"))
-      val spine = daily
-        .groupBy($"user_id")
-        .agg(min($"day").as("d0"), max($"day").as("d1"))
-        .select(
-          $"user_id",
-          explode(sequence($"d0", $"d1", expr("interval 1 day"))).as("day"))
-      val w = org.apache.spark.sql.expressions.Window
-        .partitionBy($"user_id")
-        .orderBy($"day")
-        .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
-      val out = spine
-        .join(daily, Seq("user_id", "day"), "left")
-        .select(
-          $"day",
-          $"n_events".isNull.as("is_gap"),
-          last($"day_value", ignoreNulls = true).over(w).as("filled"))
-        .orderBy($"day")
-        .collect()
-      assert(out.length == 4)
-      assert(out.map(_.getAs[Boolean]("is_gap")).toSeq ==
-        Seq(false, true, true, false))
-      // day 1 sums both events; the two gap days carry it; day 4 replaces it
-      assert(out.map(_.getAs[Double]("filled")).toSeq ==
-        Seq(12.5, 12.5, 12.5, 7.0))
-    } finally spark.catalog.dropTempView("t_gap")
+    // the operator's formulation: each daily row emits itself + its gap
+    // days via lead-bounded sequence explode, carrying its own value
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy($"user_id")
+      .orderBy($"day")
+    val out = df
+      .select($"user_id", to_date($"ts").as("day"), $"value")
+      .groupBy($"user_id", $"day")
+      .agg(count(lit(1)).as("n_events"), X.dsum2($"value").as("day_value"))
+      .withColumn(
+        "run_end",
+        coalesce(date_sub(lead($"day", 1).over(w), 1), $"day"))
+      .select(
+        $"day".as("obs_day"),
+        $"day_value",
+        explode(sequence($"day", $"run_end", expr("interval 1 day")))
+          .as("day"))
+      .select(
+        $"day",
+        ($"day" =!= $"obs_day").as("is_gap"),
+        $"day_value".as("filled"))
+      .orderBy($"day")
+      .collect()
+    assert(out.length == 4)
+    assert(out.map(_.getAs[Boolean]("is_gap")).toSeq ==
+      Seq(false, true, true, false))
+    // day 1 sums both events; the two gap days carry it; day 4 replaces it
+    assert(out.map(_.getAs[Double]("filled")).toSeq ==
+      Seq(12.5, 12.5, 12.5, 7.0))
   }
 
   // -------------------------------------------------------------------
