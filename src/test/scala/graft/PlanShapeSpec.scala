@@ -199,6 +199,26 @@ class PlanShapeSpec extends SparkSpec {
     assert(!p.contains("Join"), p)
   }
 
+  test("q_ts_anomaly broadcasts the per-type stats back to the daily frame") {
+    val p = plan("q_ts_anomaly")
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("SortMergeJoin") && !p.contains("CartesianProduct"), p)
+  }
+
+  test("q_stat_chisq computes marginals as window sums — no joins at all") {
+    val p = plan("q_stat_chisq")
+    assert(!p.contains("Join"), p)
+    // one hash exchange builds the cell frame; everything after runs over
+    // the tiny |types|*7 frame
+    assert("Exchange hashpartitioning".r.findAllIn(p).size == 1, p)
+  }
+
+  test("q_merge_upsert is one full-outer join, never a nested loop") {
+    val p = plan("q_merge_upsert")
+    assert(p.contains("FullOuter"), p)
+    assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"), p)
+  }
+
   test("q_scd2_history: both windows share one user_id exchange") {
     val p = plan("q_scd2_history")
     assert("Exchange hashpartitioning".r.findAllIn(p).size == 1, p)
