@@ -705,6 +705,41 @@ object RelationalOps {
       "CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total " +
       "FROM b GROUP BY 1, 2 ORDER BY bucket"
 
+  /** 24 hours in microseconds: the trailing-window span. */
+  private val DayUs = 86400000000L
+
+  /** q_win_range — RANGE-frame window (value-based frame bounds, the
+    * capability ROWS frames can't express): each event's trailing-24-hour
+    * count and exact-decimal value sum per user. The frame is an integer
+    * µs interval over `unix_micros(ts)` — RANGE over a numeric key is the
+    * one formulation whose tie semantics (all peers of the current value
+    * join the frame) and bounds arithmetic are identical cross-engine,
+    * where interval-typed frames invite calendar edge cases. One user_id
+    * window exchange does all the work at any scale; the per-row frame is
+    * bounded by a day's events per user, not corpus size.
+    */
+  private def winRange(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val w = Window
+      .partitionBy($"user_id")
+      .orderBy(unix_micros($"ts"))
+      .rangeBetween(-DayUs, 0)
+    T(s, d, "events")
+      .select(
+        $"event_id",
+        $"user_id",
+        count(lit(1)).over(w).as("n_24h"),
+        sum($"value".cast("decimal(18,2)")).over(w).cast("double").as("sum_24h"))
+      .orderBy($"event_id")
+  }
+
+  private val WinRangeSql =
+    "SELECT event_id, user_id, CAST(count(*) OVER w AS BIGINT) AS n_24h, " +
+      "CAST(sum(CAST(value AS DECIMAL(18,2))) OVER w AS DOUBLE) AS sum_24h " +
+      "FROM (SELECT event_id, user_id, epoch_us(CAST(ts AS TIMESTAMP)) AS tus, value FROM events) " +
+      s"WINDOW w AS (PARTITION BY user_id ORDER BY tus RANGE BETWEEN $DayUs PRECEDING AND CURRENT ROW) " +
+      "ORDER BY event_id"
+
   /** q_agg_listagg — ordered string aggregation (the warehouse LISTAGG /
     * string_agg surface): each user's distinct event types as one sorted
     * comma-joined string. Built as `collect_set → sort_array → array_join`
@@ -1041,6 +1076,7 @@ object RelationalOps {
     QueryDef("q_agg_histogram", aggHistogram, Some(HistogramSql)),
     QueryDef("q_join_fuzzy", joinFuzzy, Some(FuzzySql)),
     QueryDef("q_stat_chisq", statChisq, Some(ChisqSql)),
-    QueryDef("q_agg_listagg", aggListagg, Some(ListaggSql))
+    QueryDef("q_agg_listagg", aggListagg, Some(ListaggSql)),
+    QueryDef("q_win_range", winRange, Some(WinRangeSql))
   )
 }

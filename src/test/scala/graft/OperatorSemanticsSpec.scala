@@ -25,6 +25,26 @@ class OperatorSemanticsSpec extends SparkSpec {
     assert(out(2).getBoolean(0) == true)
   }
 
+  test("q_win_range frame is time-bounded, inclusive, and tie-complete") {
+    import spark.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val df = Seq(
+      (1L, 0L),                  // t0
+      (2L, 3600L * 1000000),     // +1h
+      (3L, 25L * 3600 * 1000000), // +25h: t0 has aged out, +1h is exactly
+      (4L, 25L * 3600 * 1000000)) // on the 24h bound (inclusive) + a tie
+      .toDF("event_id", "tus")
+    val w = Window.orderBy($"tus").rangeBetween(-86400000000L, 0)
+    val out = df
+      .select($"event_id", count(lit(1)).over(w).as("n"))
+      .orderBy($"event_id")
+      .collect()
+      .map(_.getAs[Long]("n"))
+    // +25h frame = [+1h, +25h]: the +1h row (inclusive bound), both tied
+    // rows (RANGE peers always co-frame), not t0
+    assert(out.toSeq == Seq(1L, 2L, 3L, 3L))
+  }
+
   test("q_agg_listagg renders sorted distinct types, partition-invariantly") {
     import spark.implicits._
     val out = q("q_agg_listagg").cache()
