@@ -94,7 +94,10 @@ object TemporalOps {
   private def scd2History(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
     val w = Window.partitionBy($"user_id").orderBy($"ts", $"event_id")
-    val wc = Window.partitionBy($"user_id").orderBy($"ts")
+    // change rows keep the event_id tie-break too: (user_id, ts) is unique
+    // in today's testdata, but version numbering must not silently become
+    // engine-arbitrary if that ever changes
+    val wc = Window.partitionBy($"user_id").orderBy($"ts", $"event_id")
     val tiers = events(s, d)
       .select(
         $"user_id",
@@ -122,10 +125,10 @@ object TemporalOps {
       "CASE WHEN value >= 90 THEN 'high' WHEN value >= 50 THEN 'mid' ELSE 'low' END AS tier " +
       "FROM events), " +
       "c AS (SELECT *, lag(tier) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_tier FROM e), " +
-      "ch AS (SELECT user_id, ts, tier FROM c WHERE prev_tier IS NULL OR prev_tier <> tier) " +
+      "ch AS (SELECT user_id, event_id, ts, tier FROM c WHERE prev_tier IS NULL OR prev_tier <> tier) " +
       "SELECT user_id, CAST(row_number() OVER w AS BIGINT) AS version, tier, " +
       "ts AS valid_from, lead(ts) OVER w AS valid_to, lead(ts) OVER w IS NULL AS is_current " +
-      "FROM ch WINDOW w AS (PARTITION BY user_id ORDER BY ts) ORDER BY user_id, version"
+      "FROM ch WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id) ORDER BY user_id, version"
 
   // ---------------------------------------------------------------------
   // q_win_islands
@@ -272,7 +275,11 @@ object TemporalOps {
     val variance =
       ($"days" * $"s2" - $"s1" * $"s1").cast("double") /
         ($"days" * ($"days" - 1)).cast("double")
-    val z = ($"n" - mean) / sqrt(variance)
+    // guard the degenerate series (constant counts, or a single day):
+    // an unguarded 0/0 yields NaN, and the two engines ORDER NaN
+    // differently (Spark: NaN > 2 is false; DuckDB: NaN sorts greatest),
+    // so the guard is a cross-engine-correctness requirement, not polish
+    val z = when($"days" > 1 && variance > 0, ($"n" - mean) / sqrt(variance))
     daily
       .join(broadcast(stats), Seq("event_type"))
       .select(
@@ -281,7 +288,7 @@ object TemporalOps {
         $"n",
         mean.as("mean_n"),
         z.as("z"),
-        (abs(z) > 2.0).as("is_anomaly"))
+        coalesce(abs(z) > 2.0, lit(false)).as("is_anomaly"))
       .orderBy($"event_type", $"day")
   }
 
@@ -292,10 +299,12 @@ object TemporalOps {
       "CAST(sum(n) AS BIGINT) AS s1, CAST(sum(n * n) AS BIGINT) AS s2 FROM d GROUP BY 1) " +
       "SELECT d.event_type, d.day, d.n, " +
       "CAST(s1 AS DOUBLE) / CAST(days AS DOUBLE) AS mean_n, " +
+      "CASE WHEN days > 1 AND days * s2 - s1 * s1 > 0 THEN " +
       "(d.n - CAST(s1 AS DOUBLE) / CAST(days AS DOUBLE)) / " +
-      "sqrt(CAST(days * s2 - s1 * s1 AS DOUBLE) / CAST(days * (days - 1) AS DOUBLE)) AS z, " +
+      "sqrt(CAST(days * s2 - s1 * s1 AS DOUBLE) / CAST(days * (days - 1) AS DOUBLE)) END AS z, " +
+      "coalesce(CASE WHEN days > 1 AND days * s2 - s1 * s1 > 0 THEN " +
       "abs((d.n - CAST(s1 AS DOUBLE) / CAST(days AS DOUBLE)) / " +
-      "sqrt(CAST(days * s2 - s1 * s1 AS DOUBLE) / CAST(days * (days - 1) AS DOUBLE))) > 2.0 AS is_anomaly " +
+      "sqrt(CAST(days * s2 - s1 * s1 AS DOUBLE) / CAST(days * (days - 1) AS DOUBLE))) > 2.0 END, false) AS is_anomaly " +
       "FROM d JOIN s USING (event_type) ORDER BY d.event_type, d.day"
 
   // ---------------------------------------------------------------------
