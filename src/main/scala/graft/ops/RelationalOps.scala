@@ -705,6 +705,59 @@ object RelationalOps {
       "CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total " +
       "FROM b GROUP BY 1, 2 ORDER BY bucket"
 
+  /** q_stat_corr — per-group Pearson correlation (quantity vs price per
+    * return flag) from EXACT decimal moments: Σx, Σy, Σx², Σy², Σxy are
+    * all fixed-scale decimal sums (exact for 2-decimal inputs), cast to
+    * double only at the end, where the correlation formula is pure IEEE
+    * arithmetic (×, −, ÷, √) evaluated as the identical expression tree
+    * in both engines — so the coefficient is bit-deterministic without a
+    * rounding ladder, unlike the engines' native `corr`, whose streaming
+    * co-moment updates are order-dependent. One hash aggregate computes
+    * all five moments in a single pass (map-side partials); the same
+    * degenerate-series guard as q_ts_anomaly (zero variance → NULL, not a
+    * NaN the engines order differently). Agrees with native `corr` to
+    * displayed precision (spec-pinned).
+    */
+  private def statCorr(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val x = $"l_quantity".cast("decimal(18,2)")
+    val y = $"l_extendedprice".cast("decimal(18,2)")
+    val m = T(s, d, "lineitem")
+      .groupBy($"l_returnflag")
+      .agg(
+        count(lit(1)).as("n"),
+        sum(x).cast("double").as("sx"),
+        sum(y).cast("double").as("sy"),
+        sum(x * x).cast("double").as("sxx"),
+        sum(y * y).cast("double").as("syy"),
+        sum(x * y).cast("double").as("sxy"))
+    val nd = $"n".cast("double")
+    val vx = nd * $"sxx" - $"sx" * $"sx"
+    val vy = nd * $"syy" - $"sy" * $"sy"
+    m.select(
+      $"l_returnflag",
+      $"n",
+      when($"n" > 1 && vx > 0 && vy > 0,
+        (nd * $"sxy" - $"sx" * $"sy") / (sqrt(vx) * sqrt(vy)))
+        .as("corr_qty_price"))
+      .orderBy($"l_returnflag")
+  }
+
+  private val CorrSql =
+    "WITH m AS (SELECT l_returnflag, CAST(count(*) AS BIGINT) AS n, " +
+      "CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sx, " +
+      "CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sy, " +
+      "CAST(sum(CAST(l_quantity AS DECIMAL(18,2)) * CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sxx, " +
+      "CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) * CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS syy, " +
+      "CAST(sum(CAST(l_quantity AS DECIMAL(18,2)) * CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sxy " +
+      "FROM lineitem GROUP BY 1) " +
+      "SELECT l_returnflag, n, " +
+      "CASE WHEN n > 1 AND CAST(n AS DOUBLE) * sxx - sx * sx > 0 " +
+      "AND CAST(n AS DOUBLE) * syy - sy * sy > 0 THEN " +
+      "(CAST(n AS DOUBLE) * sxy - sx * sy) / " +
+      "(sqrt(CAST(n AS DOUBLE) * sxx - sx * sx) * sqrt(CAST(n AS DOUBLE) * syy - sy * sy)) END AS corr_qty_price " +
+      "FROM m ORDER BY l_returnflag"
+
   /** 24 hours in microseconds: the trailing-window span. */
   private val DayUs = 86400000000L
 
@@ -1077,6 +1130,7 @@ object RelationalOps {
     QueryDef("q_join_fuzzy", joinFuzzy, Some(FuzzySql)),
     QueryDef("q_stat_chisq", statChisq, Some(ChisqSql)),
     QueryDef("q_agg_listagg", aggListagg, Some(ListaggSql)),
-    QueryDef("q_win_range", winRange, Some(WinRangeSql))
+    QueryDef("q_win_range", winRange, Some(WinRangeSql)),
+    QueryDef("q_stat_corr", statCorr, Some(CorrSql))
   )
 }

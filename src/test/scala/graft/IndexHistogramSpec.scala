@@ -49,6 +49,26 @@ class IndexHistogramSpec extends SparkSpec {
     assert(out.find(_.getAs[Long]("bucket") == 3L).map(_.getAs[Long]("n")).contains(b3))
   }
 
+  test("exact-moment correlation agrees with Spark's native corr") {
+    import spark.implicits._
+    val out = q("q_stat_corr").collect()
+      .map(r => r.getAs[String]("l_returnflag") -> r.getAs[Double]("corr_qty_price"))
+      .toMap
+    val native = T(spark, sf, "lineitem")
+      .groupBy($"l_returnflag")
+      .agg(corr($"l_quantity", $"l_extendedprice").as("c"))
+      .collect()
+      .map(r => r.getAs[String]("l_returnflag") -> r.getAs[Double]("c"))
+      .toMap
+    assert(out.keySet == native.keySet && out.nonEmpty)
+    // the exact-moment formula and the streaming co-moment path agree to
+    // float tolerance; only the former is bit-stable cross-engine
+    out.foreach { case (k, v) =>
+      assert(math.abs(v - native(k)) < 1e-9, s"$k: $v vs ${native(k)}")
+      assert(v >= -1.0 && v <= 1.0)
+    }
+  }
+
   test("chi-square cells reconcile with their marginals") {
     import spark.implicits._
     val out = q("q_stat_chisq").collect()
