@@ -309,6 +309,27 @@ object StreamOps {
       eventsStream(s, sourceDir).filter($"event_type" === "click"))
   }
 
+  /** Stream-static join — the third join mode next to the batch joins and
+    * the watermarked stream-stream interval join: each micro-batch of the
+    * event stream equi-joins a STATIC dimension snapshot (per-user first
+    * active day, computed once from the batch table). Stream-static joins
+    * are STATELESS — no watermark, no join state store; the static side
+    * is just re-planned per micro-batch, and at dimension scale Spark
+    * broadcasts it — so enrichment-by-dimension costs no streaming state
+    * at all, which is why a production pipeline prefers this over a
+    * stream-stream join whenever one side is slowly-changing.
+    * StreamStaticJoinSpec proves batch ≡ stream row sets.
+    */
+  def liftStreamStaticJoin(s: SparkSession, sourceDir: String): DataFrame = {
+    import s.implicits._
+    val userDim = T(s, sourceDir, "events")
+      .groupBy($"user_id")
+      .agg(min(to_date($"ts")).as("cohort_day"))
+    eventsStream(s, sourceDir)
+      .select($"event_id", $"user_id", $"event_type")
+      .join(userDim, Seq("user_id"))
+  }
+
   /** Streaming lift of the per-user running totals in UPDATE mode — the
     * change feed a CDC-apply sink consumes: each micro-batch emits only
     * the (user_id, n) rows whose cumulative count CHANGED in that batch.

@@ -374,11 +374,73 @@ object TemporalOps {
       "CAST(coalesce(s.n_orders, 0) AS BIGINT) AS n_new_orders " +
       "FROM t FULL JOIN src s ON t.k = s.k ORDER BY c_custkey"
 
+  // ---------------------------------------------------------------------
+  // q_stat_linreg
+  // ---------------------------------------------------------------------
+
+  /** q_stat_linreg — least-squares trend per event type (is daily volume
+    * trending up or down? — the capacity-planning primitive over the
+    * monitoring series q_ts_anomaly flags). Every moment is an EXACT
+    * BIGINT — x is an integer day index, y an integer daily count, so Σx,
+    * Σy, Σx², Σxy and both numerators/denominators are exact integer
+    * arithmetic; the ONLY floating-point operations are the two final
+    * divisions, evaluated identically in both engines. Same shuffle
+    * economics as q_ts_anomaly: one daily hash agg, then a |types|-row
+    * moment aggregate; same degenerate-series guard (constant x → NULL
+    * slope, not an engine-ordered NaN).
+    */
+  private def statLinreg(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val daily = events(s, d)
+      .select(
+        $"event_type",
+        datediff(to_date($"ts"), lit("2024-01-01").cast("date"))
+          .cast("long")
+          .as("x"))
+      .groupBy($"event_type", $"x")
+      .agg(count(lit(1)).as("y"))
+    val m = daily
+      .groupBy($"event_type")
+      .agg(
+        count(lit(1)).as("n"),
+        sum($"x").as("sx"),
+        sum($"y").as("sy"),
+        sum($"x" * $"x").as("sxx"),
+        sum($"x" * $"y").as("sxy"))
+    val den = $"n" * $"sxx" - $"sx" * $"sx"
+    val slope = ($"n" * $"sxy" - $"sx" * $"sy").cast("double") / den.cast("double")
+    m.select(
+      $"event_type",
+      $"n",
+      when($"n" > 1 && den > 0, slope).as("slope"),
+      when(
+        $"n" > 1 && den > 0,
+        ($"sy".cast("double") - slope * $"sx".cast("double")) /
+          $"n".cast("double")).as("intercept"))
+      .orderBy($"event_type")
+  }
+
+  private val LinregSql =
+    "WITH d AS (SELECT event_type, CAST(date_diff('day', DATE '2024-01-01', " +
+      "CAST(CAST(ts AS TIMESTAMP) AS DATE)) AS BIGINT) AS x, " +
+      "CAST(count(*) AS BIGINT) AS y FROM events GROUP BY event_type, x), " +
+      "m AS (SELECT event_type, CAST(count(*) AS BIGINT) AS n, " +
+      "CAST(sum(x) AS BIGINT) AS sx, CAST(sum(y) AS BIGINT) AS sy, " +
+      "CAST(sum(x*x) AS BIGINT) AS sxx, CAST(sum(x*y) AS BIGINT) AS sxy FROM d GROUP BY 1) " +
+      "SELECT event_type, n, " +
+      "CASE WHEN n > 1 AND n * sxx - sx * sx > 0 THEN " +
+      "CAST(n * sxy - sx * sy AS DOUBLE) / CAST(n * sxx - sx * sx AS DOUBLE) END AS slope, " +
+      "CASE WHEN n > 1 AND n * sxx - sx * sx > 0 THEN " +
+      "(CAST(sy AS DOUBLE) - CAST(n * sxy - sx * sy AS DOUBLE) / " +
+      "CAST(n * sxx - sx * sx AS DOUBLE) * CAST(sx AS DOUBLE)) / CAST(n AS DOUBLE) END AS intercept " +
+      "FROM m ORDER BY event_type"
+
   val defs: Seq[QueryDef] = Seq(
     QueryDef("q_ts_gapfill", tsGapfill, Some(GapfillSql)),
     QueryDef("q_scd2_history", scd2History, Some(Scd2Sql)),
     QueryDef("q_win_islands", winIslands, Some(IslandsSql)),
     QueryDef("q_snapshot_diff", snapshotDiff, Some(SnapshotDiffSql)),
     QueryDef("q_ts_anomaly", tsAnomaly, Some(AnomalySql)),
-    QueryDef("q_merge_upsert", mergeUpsert, Some(MergeUpsertSql)))
+    QueryDef("q_merge_upsert", mergeUpsert, Some(MergeUpsertSql)),
+    QueryDef("q_stat_linreg", statLinreg, Some(LinregSql)))
 }

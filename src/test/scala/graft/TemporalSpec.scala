@@ -221,6 +221,43 @@ class TemporalSpec extends SparkSpec {
   }
 
   // -------------------------------------------------------------------
+  // q_stat_linreg
+  // -------------------------------------------------------------------
+
+  test("linreg recovers an exact line exactly, and matches a local refit") {
+    import spark.implicits._
+    // y = 3x + 7 on integer moments: the fit is EXACT, not approximate
+    val line = Seq.tabulate(10)(i => (i.toLong, 3L * i + 7)).toDF("x", "y")
+    val m = line.agg(
+      count(lit(1)).as("n"), sum($"x").as("sx"), sum($"y").as("sy"),
+      sum($"x" * $"x").as("sxx"), sum($"x" * $"y").as("sxy")).head()
+    val (n, sx, sy, sxx, sxy) =
+      (m.getLong(0), m.getLong(1), m.getLong(2), m.getLong(3), m.getLong(4))
+    val slope = (n * sxy - sx * sy).toDouble / (n * sxx - sx * sx).toDouble
+    val intercept = (sy.toDouble - slope * sx.toDouble) / n.toDouble
+    assert(slope == 3.0 && intercept == 7.0)
+    // the registered query agrees with an independent local least-squares
+    val out = q("q_stat_linreg").collect()
+    assert(out.nonEmpty)
+    val daily = T(spark, sf, "events")
+      .select($"event_type",
+        datediff(to_date($"ts"), lit("2024-01-01").cast("date")).cast("long").as("x"))
+      .groupBy($"event_type", $"x").agg(count(lit(1)).as("y"))
+      .collect()
+      .groupBy(_.getAs[String]("event_type"))
+    out.foreach { r =>
+      val pts = daily(r.getAs[String]("event_type"))
+        .map(p => (p.getAs[Long]("x").toDouble, p.getAs[Long]("y").toDouble))
+      val nn = pts.length.toDouble
+      val (lsx, lsy) = (pts.map(_._1).sum, pts.map(_._2).sum)
+      val lsxx = pts.map(p => p._1 * p._1).sum
+      val lsxy = pts.map(p => p._1 * p._2).sum
+      val ref = (nn * lsxy - lsx * lsy) / (nn * lsxx - lsx * lsx)
+      assert(math.abs(r.getAs[Double]("slope") - ref) < 1e-9)
+    }
+  }
+
+  // -------------------------------------------------------------------
   // q_merge_upsert
   // -------------------------------------------------------------------
 
