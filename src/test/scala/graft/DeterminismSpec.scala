@@ -24,7 +24,19 @@ class DeterminismSpec extends SparkSpec {
     // invariance guards: the funnel's collect_list is unordered until the
     // array_sort, the quota rank must not depend on input partitioning
     "q_funnel_paths",
-    "q_sample_quota")
+    "q_sample_quota",
+    // temporal/retrieval family: SCD2 version numbering rides a window
+    // sort, the fuzzy join dedups a multiplicity-bearing candidate set,
+    // the inverted index samples postings through a window rank, listagg
+    // renders a collected set, and the exact-moment stats must not see
+    // partial-agg combine order
+    "q_scd2_history",
+    "q_join_fuzzy",
+    "q_index_inverted",
+    "q_agg_listagg",
+    "q_merge_upsert",
+    "q_stat_corr",
+    "q_ts_gapfill")
 
   test("identical results at shuffle.partitions = 4 vs 13") {
     for (n <- names) {
