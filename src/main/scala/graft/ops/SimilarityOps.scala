@@ -22,8 +22,8 @@ object SimilarityOps {
     * real deployments would draw the hyperplanes once and broadcast them,
     * and scale bits with log(corpus) so bucket occupancy stays bounded.
     */
-  private val SignBits = 8
-  private def bucketCol = {
+  private[graft] val SignBits = 8
+  private[graft] def bucketCol = {
     (0 until SignBits)
       .map(j =>
         when(element_at(col("embedding"), j + 1) > 0f, lit(1L << j)).otherwise(lit(0L)))

@@ -330,6 +330,58 @@ object StreamOps {
       .join(userDim, Seq("user_id"))
   }
 
+  /** Continuous retrieval — the streaming ANN lift: a stream of probe
+    * embeddings multi-probes the STATIC sign-LSH-bucketed corpus (the
+    * q_sim_ann index shape) as a stream-static equi-join on the bucket
+    * key. Each probe expands map-side to its bucket + the 8 Hamming-1
+    * neighbor buckets (the recall repair q_sim_ann uses), joins the
+    * bucketed corpus, and emits (probe_id, hit_id, cos ≥ τ) — entirely
+    * STATELESS: no watermark, no join state, the index is re-planned (and
+    * at dimension scale broadcast) per micro-batch, so retrieval latency
+    * is one micro-batch and state is zero regardless of probe volume.
+    * The cosine runs in the same fused DotProduct kernel as the batch
+    * family; StreamStaticJoinSpec's sibling proof
+    * (StreamingRetrievalSpec) pins stream ≡ batch hit sets.
+    */
+  def liftSimRetrieve(
+      s: SparkSession,
+      corpusDir: String,
+      probesDir: String,
+      minCos: Double = 0.2): DataFrame = {
+    import s.implicits._
+    val corpus = T(s, corpusDir, "embeddings")
+      .select(
+        $"vec_id",
+        $"embedding",
+        Vec.norm2($"embedding").as("n2"),
+        SimilarityOps.bucketCol.as("bucket"))
+    val probes = s.readStream
+      .schema(T(s, corpusDir, "embeddings").schema)
+      .parquet(probesDir)
+      .select(
+        $"vec_id".as("probe_id"),
+        $"embedding".as("p"),
+        Vec.norm2($"embedding").as("pn2"),
+        SimilarityOps.bucketCol.as("pb"))
+      .select(
+        $"probe_id",
+        $"p",
+        $"pn2",
+        explode(
+          array(
+            $"pb" +: (0 until SimilarityOps.SignBits)
+              .map(j => $"pb".bitwiseXOR(lit(1L << j))): _*)).as("bucket"))
+    probes
+      .join(corpus, Seq("bucket"))
+      .filter($"vec_id" =!= $"probe_id")
+      .select(
+        $"probe_id",
+        $"vec_id",
+        graft.X.r6(Vec.cosine(Vec.dot($"embedding", $"p"), $"n2", $"pn2"))
+          .as("cos"))
+      .filter($"cos" >= minCos)
+  }
+
   /** Streaming lift of the per-user running totals in UPDATE mode — the
     * change feed a CDC-apply sink consumes: each micro-batch emits only
     * the (user_id, n) rows whose cumulative count CHANGED in that batch.
