@@ -435,6 +435,75 @@ object TemporalOps {
       "CAST(n * sxx - sx * sx AS DOUBLE) * CAST(sx AS DOUBLE)) / CAST(n AS DOUBLE) END AS intercept " +
       "FROM m ORDER BY event_type"
 
+  // ---------------------------------------------------------------------
+  // q_ts_decompose
+  // ---------------------------------------------------------------------
+
+  /** q_ts_decompose — classical additive decomposition of each type's
+    * daily series: trend (centered 7-day moving average), seasonal (mean
+    * weekday deviation from trend), residual — with the identity
+    * n ≡ trend + seasonal + residual holding EXACTLY (spec-asserted).
+    * Cross-engine float discipline: a naive `avg(n − trend)` sums doubles
+    * in partition order, which the engines need not share; instead the
+    * trend is floor-rounded to 6 dp (graft.X.r6) and CARRIED AS
+    * DECIMAL(18,6), so the weekday deviations sum exactly and
+    * order-independently, and the residual is pure decimal subtraction.
+    * Two window passes over the tiny per-type daily frame (|types|×days
+    * rows) after the one real shuffle (the daily agg).
+    */
+  private def tsDecompose(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val daily = events(s, d)
+      .select($"event_type", to_date($"ts").as("day"))
+      .groupBy($"event_type", $"day")
+      .agg(count(lit(1)).as("n"))
+    val w7 = Window
+      .partitionBy($"event_type")
+      .orderBy($"day")
+      .rowsBetween(-3, 3)
+    val t = daily
+      .withColumn("dow", weekday($"day"))
+      .withColumn(
+        "trend6",
+        graft.X
+          .r6(sum($"n").over(w7).cast("double") /
+            count(lit(1)).over(w7).cast("double"))
+          .cast("decimal(18,6)"))
+    val wd = Window.partitionBy($"event_type", $"dow")
+    t.withColumn(
+      "seasonal6",
+      graft.X
+        .r6(sum($"n".cast("decimal(18,6)") - $"trend6").over(wd).cast("double") /
+          count(lit(1)).over(wd).cast("double"))
+        .cast("decimal(18,6)"))
+      .select(
+        $"event_type",
+        $"day",
+        $"n",
+        $"trend6".cast("double").as("trend"),
+        $"seasonal6".cast("double").as("seasonal"),
+        ($"n".cast("decimal(18,6)") - $"trend6" - $"seasonal6")
+          .cast("double")
+          .as("residual"))
+      .orderBy($"event_type", $"day")
+  }
+
+  private val DecomposeSql =
+    "WITH d AS (SELECT event_type, CAST(CAST(ts AS TIMESTAMP) AS DATE) AS day, " +
+      "CAST(count(*) AS BIGINT) AS n FROM events GROUP BY 1, 2), " +
+      "t AS (SELECT event_type, day, n, CAST(isodow(day) - 1 AS INTEGER) AS dow, " +
+      "CAST(floor(CAST(sum(n) OVER w AS DOUBLE) / CAST(count(*) OVER w AS DOUBLE) * 1e6 + 0.5) / 1e6 " +
+      "AS DECIMAL(18,6)) AS trend6 " +
+      "FROM d WINDOW w AS (PARTITION BY event_type ORDER BY day ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING)), " +
+      "s AS (SELECT *, CAST(floor(CAST(sum(CAST(n AS DECIMAL(18,6)) - trend6) " +
+      "OVER (PARTITION BY event_type, dow) AS DOUBLE) / " +
+      "CAST(count(*) OVER (PARTITION BY event_type, dow) AS DOUBLE) * 1e6 + 0.5) / 1e6 " +
+      "AS DECIMAL(18,6)) AS seasonal6 FROM t) " +
+      "SELECT event_type, day, n, CAST(trend6 AS DOUBLE) AS trend, " +
+      "CAST(seasonal6 AS DOUBLE) AS seasonal, " +
+      "CAST(CAST(n AS DECIMAL(18,6)) - trend6 - seasonal6 AS DOUBLE) AS residual " +
+      "FROM s ORDER BY event_type, day"
+
   val defs: Seq[QueryDef] = Seq(
     QueryDef("q_ts_gapfill", tsGapfill, Some(GapfillSql)),
     QueryDef("q_scd2_history", scd2History, Some(Scd2Sql)),
@@ -442,5 +511,6 @@ object TemporalOps {
     QueryDef("q_snapshot_diff", snapshotDiff, Some(SnapshotDiffSql)),
     QueryDef("q_ts_anomaly", tsAnomaly, Some(AnomalySql)),
     QueryDef("q_merge_upsert", mergeUpsert, Some(MergeUpsertSql)),
-    QueryDef("q_stat_linreg", statLinreg, Some(LinregSql)))
+    QueryDef("q_stat_linreg", statLinreg, Some(LinregSql)),
+    QueryDef("q_ts_decompose", tsDecompose, Some(DecomposeSql)))
 }

@@ -221,6 +221,50 @@ class TemporalSpec extends SparkSpec {
   }
 
   // -------------------------------------------------------------------
+  // q_ts_decompose
+  // -------------------------------------------------------------------
+
+  test("decomposition identity holds exactly and components reconcile") {
+    import spark.implicits._
+    val out = q("q_ts_decompose").cache()
+    val rows = out.collect()
+    assert(rows.nonEmpty)
+    // n == trend + seasonal + residual EXACTLY (decimal arithmetic, not
+    // float accumulation, produced the components)
+    rows.foreach { r =>
+      val n = r.getAs[Long]("n").toDouble
+      val sum = r.getAs[Double]("trend") +
+        r.getAs[Double]("seasonal") + r.getAs[Double]("residual")
+      assert(math.abs(n - sum) < 1e-9, s"identity broke: $n vs $sum")
+    }
+    // seasonal is constant within (type, weekday)
+    val bad = out
+      .withColumn("dow", weekday($"day"))
+      .groupBy($"event_type", $"dow")
+      .agg(countDistinct($"seasonal").as("k"))
+      .filter($"k" > 1)
+    assert(bad.count() == 0)
+    // trend equals an independent 7-day centered average (to the 6dp
+    // rounding the operator applies)
+    val daily = T(spark, sf, "events")
+      .select($"event_type", to_date($"ts").as("day"))
+      .groupBy($"event_type", $"day").agg(count(lit(1)).as("n"))
+      .collect()
+      .groupBy(_.getAs[String]("event_type"))
+    rows.take(50).foreach { r =>
+      val series = daily(r.getAs[String]("event_type"))
+        .sortBy(_.getAs[java.sql.Date]("day").toString)
+      val i = series.indexWhere(
+        _.getAs[java.sql.Date]("day").toString ==
+          r.getAs[java.sql.Date]("day").toString)
+      val window = series.slice(math.max(0, i - 3), math.min(series.length, i + 4))
+      val ref = window.map(_.getAs[Long]("n")).sum.toDouble / window.length
+      assert(math.abs(r.getAs[Double]("trend") - ref) < 1e-6)
+    }
+    out.unpersist()
+  }
+
+  // -------------------------------------------------------------------
   // q_stat_linreg
   // -------------------------------------------------------------------
 
