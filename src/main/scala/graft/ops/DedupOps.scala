@@ -134,6 +134,26 @@ object DedupOps {
     * collapsed by the final distinct (identical i/sz both times); being a
     * shuffle join, a hot band bucket splits under AQE skew handling.
     */
+  /** Band rows of a (doc_id, lang, th, n) sets frame: one (band_idx,
+    * band_val) row per document per band, carrying lang/n/th for the
+    * downstream candidate join + exact-Jaccard verify. Shared by the
+    * self-join pair pipeline ([[bandedJaccardPairs]]) and the persisted
+    * band-bucket index ([[buildDedupIndex]] / [[applyDedupDelta]]).
+    */
+  private[graft] def bandRows(sets: DataFrame): DataFrame = {
+    import sets.sparkSession.implicits._
+    val sig = sets
+      .select($"doc_id", $"lang", $"n", $"th", graft.expr.MinHashLanes($"th").as("lanes"))
+      .select(Seq($"doc_id", $"lang", $"n", $"th") ++ mhCols: _*)
+    sig.select(
+      $"doc_id",
+      $"lang",
+      $"n",
+      $"th",
+      posexplode(array((0 until NearBands).map(nearBandCol): _*))
+        .as(Seq("band_idx", "band_val")))
+  }
+
   private[graft] def bandedJaccardPairs(
       s: SparkSession,
       sets: DataFrame,
@@ -141,16 +161,7 @@ object DedupOps {
       den: Int,
       ordered: Boolean = true): DataFrame = {
     import s.implicits._
-    val sig = sets
-      .select($"doc_id", $"lang", $"n", $"th", graft.expr.MinHashLanes($"th").as("lanes"))
-      .select(Seq($"doc_id", $"lang", $"n", $"th") ++ mhCols: _*)
-    val bands = sig.select(
-      $"doc_id",
-      $"lang",
-      $"n",
-      $"th",
-      posexplode(array((0 until NearBands).map(nearBandCol): _*))
-        .as(Seq("band_idx", "band_val")))
+    val bands = bandRows(sets)
     val verified = bands
       .as("a")
       .join(
@@ -439,20 +450,28 @@ object DedupOps {
     * cluster_id). The oracle computes the identical closure as a DuckDB
     * recursive CTE over the identical pair set.
     */
-  private def dedupCc(s: SparkSession, d: String): DataFrame = {
+  /** The full-rebuild closure over an arbitrary (doc_id, lang, text)
+    * frame: exact-dup collapse → banded pairs over reps → min-label
+    * closure, returning (doc_id, cluster_id) unsorted. [[dedupCc]]
+    * decorates it with cluster_size + sort; IncrementalDedupSpec runs it
+    * over base ∪ delta as the ground truth that [[applyDedupDelta]]'s
+    * index-only assignment must reproduce.
+    *
+    * Exact-duplicate collapse before the pair graph: docs with identical
+    * (lang, text) are mutual near-dups by construction (J = 1, identical
+    * signatures ⇒ same band buckets), so an exact group is always a
+    * subset of one component, and pairing is a function of (lang, token
+    * set) alone — the rep graph is exactly the quotient of the full pair
+    * graph. Closing over one representative per group (rep = min doc_id,
+    * so min-rep labels ≡ min-doc_id labels) and mapping members back
+    * shrinks both nodes AND edges quadratically in group size — identical
+    * copies are precisely what a near-dup corpus is full of, and without
+    * the collapse each k-copy group contributes k(k-1)/2 edges that the
+    * closure loop re-shuffles every round.
+    */
+  private[graft] def fullAssign(s: SparkSession, docsDf: DataFrame): DataFrame = {
     import s.implicits._
-    // Exact-duplicate collapse before the pair graph: docs with identical
-    // (lang, text) are mutual near-dups by construction (J = 1, identical
-    // signatures ⇒ same band buckets), so an exact group is always a
-    // subset of one component, and pairing is a function of (lang, token
-    // set) alone — the rep graph is exactly the quotient of the full pair
-    // graph. Closing over one representative per group (rep = min doc_id,
-    // so min-rep labels ≡ min-doc_id labels) and mapping members back
-    // shrinks both nodes AND edges quadratically in group size — identical
-    // copies are precisely what a near-dup corpus is full of, and without
-    // the collapse each k-copy group contributes k(k-1)/2 edges that the
-    // closure loop re-shuffles every round.
-    val grouped = docs(s, d)
+    val grouped = docsDf
       .select($"doc_id", $"lang", $"text",
         md5(coalesce($"text", lit(""))).as("h"))
       .withColumn("rep",
@@ -465,11 +484,18 @@ object DedupOps {
         graft.expr.TokenHashes(coalesce($"text", lit("")), sortedDistinct = true)
           .as("th"))
       .select($"doc_id", $"lang", $"th", size($"th").as("n"))
-    connectedComponents(
+    ccAssign(
       s,
       bandedJaccardPairs(s, repToks, 9, 10, ordered = false)
         .select($"a_id", $"b_id"),
       grouped.select($"doc_id", $"rep"))
+  }
+
+  private def dedupCc(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    fullAssign(s, docs(s, d))
+      .withColumn("cluster_size", count(lit(1)).over(Window.partitionBy($"cluster_id")))
+      .orderBy($"doc_id")
   }
 
   private val CcSql =
@@ -484,6 +510,181 @@ object DedupOps {
       "SELECT doc_id, cluster_id, " +
       "count(*) OVER (PARTITION BY cluster_id) AS cluster_size " +
       "FROM asgn ORDER BY doc_id"
+
+  /** The persisted dedup-index state of an incremental corpus build — what
+    * a daily 100 TB ingest keeps between batches instead of re-closing the
+    * whole corpus (the reference's own loop is incremental by design:
+    * overlapping 7-day re-extract + idempotent sink, main.py:104-105,202).
+    * Two frames, both parquet-friendly:
+    *
+    *  - md5 index: one row per distinct (lang, md5(text)) group of the
+    *    base corpus with the group's resolved `cluster_id` — the exact-dup
+    *    lookup a new batch anti-joins before any band work.
+    *  - band index: one row per base REP (exact-dup collapse) per MinHash
+    *    band — (band_idx, band_val, lang, n, th, cluster_id) — carrying
+    *    the sorted token hashes so candidate verification is index-local:
+    *    a probe batch never re-reads or re-tokenizes the base corpus.
+    *
+    * Scale shape: both indexes are linear in DISTINCT base content (reps,
+    * not rows), the band index is the natural partition layout
+    * (`partitionBy(band_idx)` on write), and the apply side touches only
+    * the band buckets the new batch hashes into.
+    */
+  private[graft] def buildDedupIndex(
+      s: SparkSession,
+      base: DataFrame): (DataFrame, DataFrame) = {
+    import s.implicits._
+    val grouped = base
+      .select($"doc_id", $"lang", $"text", md5(coalesce($"text", lit(""))).as("h"))
+      .withColumn("rep", min($"doc_id").over(Window.partitionBy($"lang", $"h")))
+    val repToks = grouped
+      .filter($"doc_id" === $"rep")
+      .select(
+        $"doc_id",
+        $"lang",
+        graft.expr.TokenHashes(coalesce($"text", lit("")), sortedDistinct = true)
+          .as("th"))
+      .select($"doc_id", $"lang", $"th", size($"th").as("n"))
+    // the base closure — the same quotient-graph shape as q_dedup_cc
+    val labels = ccAssign(
+      s,
+      bandedJaccardPairs(s, repToks, 9, 10, ordered = false)
+        .select($"a_id", $"b_id"),
+      grouped.select($"doc_id", $"rep"))
+    val repLabels = labels.select($"doc_id".as("rid"), $"cluster_id")
+    val md5Index = grouped
+      .filter($"doc_id" === $"rep")
+      .select($"lang", $"h", $"doc_id".as("rid"))
+      .join(repLabels, "rid")
+      .select($"lang", $"h", $"cluster_id")
+    val bandIndex = bandRows(repToks)
+      .withColumnRenamed("doc_id", "rid")
+      .join(repLabels, "rid")
+      .select($"band_idx", $"band_val", $"lang", $"n", $"th", $"cluster_id")
+    (md5Index, bandIndex)
+  }
+
+  /** Incremental near-dedup apply: assign every document of a NEW batch a
+    * cluster over (base ∪ delta) using only the persisted index state —
+    * never the base corpus itself. Assumes batch doc_ids are greater than
+    * all base doc_ids (monotone ingest ids — the reference's serial
+    * PK shape), so every pre-existing cluster keeps its label and the
+    * delta assignment equals the full rebuild restricted to delta rows
+    * (IncrementalDedupSpec proves this; the q_dedup_incr oracle IS the
+    * full rebuild, so the correctness gate re-proves it every round).
+    *
+    * Steps, each a keyed shuffle or map: (1) exact-dup collapse within the
+    * batch; (2) batch reps equi-join the md5 index — an exact content match
+    * attaches to its cluster with zero band work; (3) md5-unmatched reps
+    * band-join ONLY the persisted band buckets (equi-join on
+    * (band_idx, band_val, lang) + the lossless size bound) and verify
+    * exact Jaccard ≥ 0.9 against the index-carried token hashes;
+    * (4) batch-internal near-dup pairs from the same banded self-join as
+    * q_dedup_near; (5) one closure over the delta-sized graph, where base
+    * clusters are terminal nodes (their label is the component min by the
+    * id-monotonicity invariant). Edges through md5-matched reps to other
+    * batch docs are NOT needed: an exact match shares its base rep's token
+    * set, so any batch doc near it band-matches the index directly.
+    */
+  /** Verified (probe doc → base cluster) attachments of a probe sets
+    * frame against the persisted band index: equi-join on
+    * (band_idx, band_val, lang) + the lossless size bound, exact Jaccard
+    * ≥ 0.9 via the index-carried token hashes. The candidate key is the
+    * band bucket, so probe cost is bounded by bucket co-occurrence — the
+    * apply side never sees base rows outside the buckets it hashes into
+    * (plan-asserted: equi-join + the codegen'd merge-walk verify, no
+    * nested loop).
+    */
+  private[graft] def indexProbePairs(
+      s: SparkSession,
+      probeToks: DataFrame,
+      bandIndex: DataFrame): DataFrame = {
+    import s.implicits._
+    bandRows(probeToks)
+      .as("a")
+      .join(
+        bandIndex.as("b").hint("shuffle_hash"),
+        $"a.band_idx" === $"b.band_idx" && $"a.band_val" === $"b.band_val" &&
+          $"a.lang" === $"b.lang" &&
+          $"a.n" * 10 >= $"b.n" * 9 && $"b.n" * 10 >= $"a.n" * 9)
+      .select(
+        $"a.doc_id".as("a_id"),
+        $"b.cluster_id".as("b_id"),
+        graft.expr.SortedIntersectCount($"a.th", $"b.th").as("i"),
+        ($"a.n" + $"b.n").as("sz"))
+      .distinct()
+      .filter($"i".cast("double") / ($"sz" - $"i").cast("double") >= 0.9)
+      .select($"a_id", $"b_id")
+      .distinct()
+  }
+
+  private[graft] def applyDedupDelta(
+      s: SparkSession,
+      delta: DataFrame,
+      md5Index: DataFrame,
+      bandIndex: DataFrame): DataFrame = {
+    import s.implicits._
+    val grouped = delta
+      .select($"doc_id", $"lang", $"text", md5(coalesce($"text", lit(""))).as("h"))
+      .withColumn("rep", min($"doc_id").over(Window.partitionBy($"lang", $"h")))
+    val reps = grouped
+      .filter($"doc_id" === $"rep")
+      .select($"doc_id", $"lang", $"text", $"h")
+    val md5Edges = reps
+      .join(md5Index, Seq("lang", "h"))
+      .select($"doc_id".as("a_id"), $"cluster_id".as("b_id"))
+    val unmatched = reps.join(md5Index, Seq("lang", "h"), "left_anti")
+    val deltaToks = hashedToksOf(unmatched.select($"doc_id", $"lang", $"text"))
+    val vsIndex = indexProbePairs(s, deltaToks, bandIndex)
+    val deltaPairs = bandedJaccardPairs(s, deltaToks, 9, 10, ordered = false)
+      .select($"a_id", $"b_id")
+    ccAssign(
+      s,
+      md5Edges.union(vsIndex).union(deltaPairs),
+      grouped.select($"doc_id", $"rep"))
+  }
+
+  /** q_dedup_incr — incremental near-dedup of a new batch against the
+    * persisted index of an already-deduped base corpus: the shape a daily
+    * ingest actually runs, vs q_dedup_cc's full rebuild. The newest 10% of
+    * documents by id (ids above ⌊9·max/10⌋ — monotone ingest ids make the
+    * id order the arrival order) form the batch; the rest is the base whose
+    * index ([[buildDedupIndex]]) stands in for yesterday's persisted state.
+    * Output: (doc_id, cluster_id) for every batch document — cluster_id is
+    * a base cluster when the doc joins existing content, else the min
+    * batch id of its new cluster — plus is_new_cluster. The oracle is the
+    * FULL rebuild over base ∪ delta restricted to delta rows, so the
+    * hash-checked contract is precisely delta-apply ≡ full rebuild.
+    */
+  private def dedupIncr(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val all = docs(s, d).select($"doc_id", $"lang", $"text")
+    val thrDf = all.agg(expr("(max(doc_id) * 9) div 10").as("thr"))
+    val withThr = all.crossJoin(broadcast(thrDf))
+    val base = withThr.filter($"doc_id" <= $"thr").select($"doc_id", $"lang", $"text")
+    val delta = withThr.filter($"doc_id" > $"thr").select($"doc_id", $"lang", $"text")
+    val (md5Index, bandIndex) = buildDedupIndex(s, base)
+    applyDedupDelta(s, delta, md5Index, bandIndex)
+      .crossJoin(broadcast(thrDf))
+      .select(
+        $"doc_id",
+        $"cluster_id",
+        ($"cluster_id" > $"thr").as("is_new_cluster"))
+      .orderBy($"doc_id")
+  }
+
+  private val IncrSql =
+    "WITH RECURSIVE thr AS (SELECT (max(doc_id) * 9) // 10 AS t FROM documents), " +
+      s"$NearCtes, " +
+      "edges AS (SELECT a_id AS src, b_id AS dst FROM pairs " +
+      "UNION ALL SELECT b_id, a_id FROM pairs), " +
+      "reach(id, r) AS (SELECT src, src FROM edges " +
+      "UNION SELECT e.src, r.r FROM edges e JOIN reach r ON r.id = e.dst), " +
+      "lbl AS (SELECT id, min(r) AS cluster_id FROM reach GROUP BY id), " +
+      "asgn AS (SELECT d.doc_id, coalesce(l.cluster_id, d.doc_id) AS cluster_id " +
+      "FROM documents d LEFT JOIN lbl l ON l.id = d.doc_id) " +
+      "SELECT doc_id, cluster_id, cluster_id > (SELECT t FROM thr) AS is_new_cluster " +
+      "FROM asgn WHERE doc_id > (SELECT t FROM thr) ORDER BY doc_id"
 
   /** q_dedup_ngram — n-gram (3-token shingle) Jaccard near-dup: the
     * order-sensitive dedup variant (unigram sets can't tell a permuted
@@ -1058,6 +1259,7 @@ object DedupOps {
           "ORDER BY doc_id")),
     QueryDef("q_dedup_near", dedupNear, Some(NearSql)),
     QueryDef("q_dedup_cc", dedupCc, Some(CcSql)),
+    QueryDef("q_dedup_incr", dedupIncr, Some(IncrSql)),
     QueryDef("q_split_contamination", splitContamination, Some(ContaminationSql)),
     QueryDef("q_dedup_ngram", dedupNgram, Some(NgramSql)),
     QueryDef("q_dedup_minhash", dedupMinhash, Some(MinhashSql)),

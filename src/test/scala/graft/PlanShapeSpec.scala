@@ -55,6 +55,27 @@ class PlanShapeSpec extends SparkSpec {
     assert(p.contains("sorted_intersect_count"), p)
   }
 
+  test("q_dedup_incr: every index join is an equi-join, not a nested loop") {
+    // the final job: no cartesian anywhere (the only nested-loop joins are
+    // the one-row broadcast thr attachments, the accepted crossJoin shape)
+    val p = plan("q_dedup_incr")
+    assert(!p.contains("CartesianProduct"), p)
+    // the probe-vs-index band join (checkpointed out of the final plan by
+    // the closure) asserted on its own frame: equi-keyed shuffle join +
+    // the codegen'd merge-walk verify, never a nested loop
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val docs = T(spark, sf, "documents").select($"doc_id", $"lang", $"text")
+    val (_, bandIndex) = ops.DedupOps.buildDedupIndex(spark, docs.filter($"doc_id" <= 40))
+    val probe = ops.DedupOps.indexProbePairs(
+      spark,
+      ops.DedupOps.hashedToksOf(docs.filter($"doc_id" > 40)),
+      bandIndex)
+    val pp = probe.queryExecution.executedPlan.toString
+    assert(!pp.contains("CartesianProduct") && !pp.contains("BroadcastNestedLoopJoin"), pp)
+    assert(pp.contains("sorted_intersect_count"), pp)
+  }
+
   test("q_dedup_embed and q_sim_cosine use the codegen'd dot kernel, no nested loop") {
     Seq("q_dedup_embed", "q_sim_cosine").foreach { q =>
       val p = plan(q)
