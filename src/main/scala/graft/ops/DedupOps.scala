@@ -618,11 +618,28 @@ object DedupOps {
       .distinct()
   }
 
-  private[graft] def applyDedupDelta(
+  /** The per-batch graph pieces shared by [[applyDedupDelta]] (assignment
+    * only) and [[applyDedupDeltaFull]] (assignment + index maintenance):
+    * batch exact-dup collapse, md5-index edges, band-index edges, and the
+    * batch-internal banded pairs. `checkpointToks` eagerly checkpoints the
+    * tokenized unmatched reps when the caller consumes them more than
+    * twice (the maintenance path reads them a third time for the new band
+    * rows).
+    */
+  private case class DeltaGraph(
+      grouped: DataFrame,
+      unmatched: DataFrame,
+      deltaToks: DataFrame,
+      md5Edges: DataFrame,
+      vsIndex: DataFrame,
+      deltaPairs: DataFrame)
+
+  private def deltaGraph(
       s: SparkSession,
       delta: DataFrame,
       md5Index: DataFrame,
-      bandIndex: DataFrame): DataFrame = {
+      bandIndex: DataFrame,
+      checkpointToks: Boolean): DeltaGraph = {
     import s.implicits._
     val grouped = delta
       .select($"doc_id", $"lang", $"text", md5(coalesce($"text", lit(""))).as("h"))
@@ -634,14 +651,94 @@ object DedupOps {
       .join(md5Index, Seq("lang", "h"))
       .select($"doc_id".as("a_id"), $"cluster_id".as("b_id"))
     val unmatched = reps.join(md5Index, Seq("lang", "h"), "left_anti")
-    val deltaToks = hashedToksOf(unmatched.select($"doc_id", $"lang", $"text"))
+    val toks0 = hashedToksOf(unmatched.select($"doc_id", $"lang", $"text"))
+    val deltaToks = if (checkpointToks) toks0.localCheckpoint(eager = true) else toks0
     val vsIndex = indexProbePairs(s, deltaToks, bandIndex)
     val deltaPairs = bandedJaccardPairs(s, deltaToks, 9, 10, ordered = false)
       .select($"a_id", $"b_id")
+    DeltaGraph(grouped, unmatched, deltaToks, md5Edges, vsIndex, deltaPairs)
+  }
+
+  private[graft] def applyDedupDelta(
+      s: SparkSession,
+      delta: DataFrame,
+      md5Index: DataFrame,
+      bandIndex: DataFrame): DataFrame = {
+    import s.implicits._
+    val g = deltaGraph(s, delta, md5Index, bandIndex, checkpointToks = false)
     ccAssign(
       s,
-      md5Edges.union(vsIndex).union(deltaPairs),
-      grouped.select($"doc_id", $"rep"))
+      g.md5Edges.union(g.vsIndex).union(g.deltaPairs),
+      g.grouped.select($"doc_id", $"rep"))
+  }
+
+  /** [[applyDedupDelta]] plus INDEX MAINTENANCE — the full per-batch step
+    * of a continuous ingest: returns (assignment, updated md5 index,
+    * updated band index) such that the updated index is semantically
+    * `buildDedupIndex(base ∪ batch)` — without ever reading the base
+    * corpus. Three pieces beyond the assignment:
+    *
+    *  - merge remap: a batch doc can BRIDGE two base clusters; the closure
+    *    runs over a universe extended with the touched base-cluster nodes,
+    *    so their final labels fall out of the same pass, and index rows of
+    *    a merged cluster are rewritten to the surviving (smaller) label —
+    *    a broadcast join against the batch-bounded remap set.
+    *  - new md5 groups: every batch (lang, md5) group absent from the
+    *    index is added under its rep's final cluster.
+    *  - new band rows: the md5-unmatched reps' band rows under their final
+    *    clusters (an exact match adds no band rows — its token set is
+    *    already indexed under its base rep).
+    *
+    * With monotone batch ids this makes sequential apply ≡ one-shot apply
+    * ≡ full rebuild, inductively batch over batch
+    * (StreamingIncrDedupSpec proves the chain end-to-end, including a
+    * probe in batch k+1 hitting content first seen in batch k and a
+    * post-bridge probe hitting remapped rows).
+    */
+  private[graft] def applyDedupDeltaFull(
+      s: SparkSession,
+      delta: DataFrame,
+      md5Index: DataFrame,
+      bandIndex: DataFrame): (DataFrame, DataFrame, DataFrame) = {
+    import s.implicits._
+    val g = deltaGraph(s, delta, md5Index, bandIndex, checkpointToks = true)
+    // checkpoint the index-edge set: consumed by the closure AND (as the
+    // touched-cluster list) by the universe extension + remap split below
+    val baseEdges = g.md5Edges.union(g.vsIndex).localCheckpoint(eager = true)
+    val uni = g.grouped
+      .select($"doc_id", lit(false).as("is_base"), $"rep")
+      .unionByName(
+        baseEdges
+          .select($"b_id".as("doc_id"))
+          .distinct()
+          .select($"doc_id", lit(true).as("is_base"), $"doc_id".as("rep")))
+    val assigned = ccAssign(s, baseEdges.union(g.deltaPairs), uni)
+      .localCheckpoint(eager = true) // read four times below
+    val assign = assigned.filter(!$"is_base").select($"doc_id", $"cluster_id")
+    // base-cluster labels only move DOWN to another base cluster (batch
+    // ids are all larger), so the remap set is (old base label -> smaller
+    // base label) and bounded by the batch's touched clusters
+    val remap = assigned
+      .filter($"is_base" && $"doc_id" =!= $"cluster_id")
+      .select($"doc_id".as("old_cid"), $"cluster_id".as("new_cid"))
+    def remapped(idx: DataFrame, cols: Seq[String]): DataFrame =
+      idx
+        .join(broadcast(remap), idx("cluster_id") === remap("old_cid"), "left")
+        .select(cols.map(idx(_)) :+ coalesce($"new_cid", idx("cluster_id")).as("cluster_id"): _*)
+    val assignLut = assign.select($"doc_id".as("rid"), $"cluster_id")
+    val md5New = g.unmatched
+      .select($"lang", $"h", $"doc_id".as("rid"))
+      .join(assignLut, "rid")
+      .select($"lang", $"h", $"cluster_id")
+    val bandNew = bandRows(g.deltaToks)
+      .withColumnRenamed("doc_id", "rid")
+      .join(assignLut, "rid")
+      .select($"band_idx", $"band_val", $"lang", $"n", $"th", $"cluster_id")
+    (
+      assign,
+      remapped(md5Index, Seq("lang", "h")).unionByName(md5New),
+      remapped(bandIndex, Seq("band_idx", "band_val", "lang", "n", "th"))
+        .unionByName(bandNew))
   }
 
   /** q_dedup_incr — incremental near-dedup of a new batch against the

@@ -400,6 +400,109 @@ object StreamOps {
       .agg(count(lit(1)).as("n"))
   }
 
+  /** Versions present in a continuous-dedup index directory: `v<N>`
+    * subdirectories, each a complete self-consistent snapshot (md5 set +
+    * band buckets + that batch's assignments).
+    */
+  private def indexVersions(s: SparkSession, indexDir: String): Seq[Long] = {
+    val path = new org.apache.hadoop.fs.Path(indexDir)
+    val fs = path.getFileSystem(s.sparkContext.hadoopConfiguration)
+    if (!fs.exists(path)) Seq.empty
+    else
+      fs.listStatus(path)
+        .toSeq
+        .filter(_.isDirectory)
+        .map(_.getPath.getName)
+        .collect { case n if n.startsWith("v") && n.drop(1).nonEmpty && n.drop(1).forall(_.isDigit) => n.drop(1).toLong }
+  }
+
+  /** Seed the continuous-dedup index: build the base corpus's persisted
+    * state ([[DedupOps.buildDedupIndex]]) and write it as version v0 —
+    * the snapshot micro-batch 0 reads. Band rows are hive-partitioned on
+    * band_idx, the index's natural layout.
+    */
+  def seedDedupIndex(s: SparkSession, base: DataFrame, indexDir: String): Unit = {
+    val (md5Index, bandIndex) = DedupOps.buildDedupIndex(s, base)
+    md5Index.write
+      .mode(org.apache.spark.sql.SaveMode.Overwrite)
+      .parquet(s"$indexDir/v0/md5_index")
+    bandIndex.write
+      .mode(org.apache.spark.sql.SaveMode.Overwrite)
+      .partitionBy("band_idx")
+      .parquet(s"$indexDir/v0/band_index")
+  }
+
+  /** Continuous incremental near-dedup — the streaming form of
+    * q_dedup_incr: each micro-batch runs the FULL incremental semantics
+    * ([[DedupOps.applyDedupDeltaFull]] — md5 set probe, band-join against
+    * the persisted buckets, batch-internal banded pairs, one batch-sized
+    * closure) against the latest index snapshot, then commits batch
+    * assignments AND the updated index as ONE new versioned directory.
+    *
+    * Exactly-once without a transaction log: batch b reads the largest
+    * version ≤ b and writes everything to `v(b+1)` — a fresh directory,
+    * so no write ever overwrites its own input (the read-own-writes
+    * hazard a merge-in-place would have), and a RETRIED batch re-reads
+    * the same input versions and deterministically overwrites the same
+    * output directory. Version gaps from empty batches are skipped on
+    * read. Index maintenance makes later batches match content first
+    * seen in earlier ones (and re-labels rows of base clusters a bridge
+    * doc merged), which is what makes sequential micro-batch apply equal
+    * the one-shot batch rebuild — StreamingIncrDedupSpec proves the
+    * chain against [[DedupOps.fullAssign]] ground truth.
+    *
+    * Scale note: each version is a full index snapshot — correct and
+    * idempotent, but at warehouse scale the md5/band rewrites want a
+    * format with MERGE/compaction (the band-partitioned layout carries
+    * over unchanged); the assignment dirs are already append-only
+    * per-batch increments.
+    */
+  def incrDedupStreamWriter(
+      docs: DataFrame,
+      indexDir: String,
+      checkpoint: String): org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
+    docs.writeStream
+      .outputMode("append")
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        if (!batch.isEmpty) {
+          val sess = batch.sparkSession
+          val vers = indexVersions(sess, indexDir).filter(_ <= batchId)
+          require(
+            vers.nonEmpty,
+            s"dedup index at $indexDir has no seed version <= $batchId (run seedDedupIndex)")
+          val cur = s"$indexDir/v${vers.max}"
+          val md5Index = sess.read.parquet(s"$cur/md5_index")
+          val bandIndex = sess.read
+            .parquet(s"$cur/band_index")
+            .select("band_idx", "band_val", "lang", "n", "th", "cluster_id")
+          val (assign, md5Out, bandOut) = DedupOps.applyDedupDeltaFull(
+            sess,
+            batch.select("doc_id", "lang", "text"),
+            md5Index,
+            bandIndex)
+          val next = s"$indexDir/v${batchId + 1}"
+          assign.write
+            .mode(org.apache.spark.sql.SaveMode.Overwrite)
+            .parquet(s"$next/assign")
+          md5Out.write
+            .mode(org.apache.spark.sql.SaveMode.Overwrite)
+            .parquet(s"$next/md5_index")
+          bandOut.write
+            .mode(org.apache.spark.sql.SaveMode.Overwrite)
+            .partitionBy("band_idx")
+            .parquet(s"$next/band_index")
+        }
+        ()
+      }
+
+  /** All (doc_id, cluster_id) assignments the continuous dedup has
+    * committed: the union of every version's per-batch assignment dir
+    * (v0 is the seed and has none).
+    */
+  def readDedupAssignments(s: SparkSession, indexDir: String): DataFrame =
+    s.read.parquet(s"$indexDir/v*/assign")
+
   /** update-mode stream → keyed JDBC upsert: the streaming CDC-apply.
     * Each micro-batch's changed rows go through
     * [[Sinks.upsertSnapshotJdbc]], whose replace-by-key idempotence makes
