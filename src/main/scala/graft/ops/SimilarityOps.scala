@@ -262,7 +262,7 @@ object SimilarityOps {
     * step of a real IVF build (sort_array pins the order — collect_list
     * alone is partition-order-dependent).
     */
-  private def codebookRow(cents: DataFrame): DataFrame = {
+  private[graft] def codebookRow(cents: DataFrame): DataFrame = {
     import cents.sparkSession.implicits._
     cents.groupBy().agg(
       sort_array(collect_list(struct($"c_id", $"c", $"cn2"))).as("cb"))
@@ -278,7 +278,7 @@ object SimilarityOps {
     * projection broke janino after Spark's method splitting and silently
     * ran interpreted — the fused expression is one short WSCG block.)
     */
-  private def scoredCol =
+  private[graft] def scoredCol =
     graft.expr.CodebookScores(col("embedding"), col("n2"), col("cb"))
 
   /** IVF probe: assign every vector to its best cell, search the probe
@@ -491,6 +491,194 @@ object SimilarityOps {
       "SELECT *, row_number() OVER (PARTITION BY probe_id ORDER BY cos DESC, vec_id) AS rn2 " +
       "FROM cand) WHERE rn2 <= 10 ORDER BY probe_id, cos DESC, vec_id"
 
+  /** Build/serve split for retrieval — the persisted index a serving tier
+    * reads, vs the in-session index the q_sim_batch/q_sim_ivf_batch
+    * queries rebuild per run. Build: the corpus hive-partitioned on its
+    * index key (sign-LSH bucket / IVF cell — each bucket directory is one
+    * posting list) plus, for IVF, the codebook as a k-row parquet. Serve:
+    * a probe batch resolves its probe keys FIRST (≤ 9·|probes| buckets /
+    * nprobe·|probes| cells — bounded model state, collected like a
+    * codebook), so the index scan carries a LITERAL partition filter:
+    * only the probed directories are listed, opened, or read — the
+    * partition-pruning contract LayoutSpec proves for z-order, applied to
+    * the retrieval path (plan-asserted via PartitionFilters + inputFiles
+    * in ServeIndexSpec / PlanShapeSpec).
+    */
+  private[graft] def serveRoot(d: String): String =
+    s"${System.getProperty("java.io.tmpdir")}/graft_serve_${math.abs(d.hashCode)}"
+
+  private[graft] def writeAnnIndex(s: SparkSession, d: String, path: String): Unit = {
+    import s.implicits._
+    emb(s, d)
+      .select(
+        $"vec_id",
+        $"embedding",
+        Vec.norm2($"embedding").as("n2"),
+        bucketCol.as("bucket"))
+      .write
+      .mode(org.apache.spark.sql.SaveMode.Overwrite)
+      .partitionBy("bucket")
+      .parquet(path)
+  }
+
+  /** Serve a probe frame (probe_id, p, pn2, pbucket — already multi-probe
+    * exploded) from a persisted ANN index: statically pruned scan of the
+    * probed bucket directories, broadcast probes, per-probe top-k.
+    */
+  private[graft] def serveAnnBatch(
+      s: SparkSession,
+      indexPath: String,
+      probes: DataFrame): DataFrame = {
+    import s.implicits._
+    val idx = s.read.parquet(indexPath)
+    val probeBuckets =
+      probes.select($"pbucket").distinct().collect().map(_.get(0)).toSeq
+    val w = Window.partitionBy($"probe_id").orderBy($"cos".desc, $"vec_id")
+    idx
+      .filter($"bucket".isin(probeBuckets: _*))
+      .join(broadcast(probes), $"bucket" === $"pbucket" && $"vec_id" =!= $"probe_id")
+      .select(
+        $"probe_id",
+        $"vec_id",
+        X.r6(Vec.cosine(Vec.dot($"embedding", $"p"), $"n2", $"pn2")).as("cos"))
+      .withColumn("rn", row_number().over(w))
+      .filter($"rn" <= 10)
+      .select($"probe_id", $"vec_id", $"cos")
+      .orderBy($"probe_id", $"cos".desc, $"vec_id")
+  }
+
+  /** The q_sim_batch probe frame: probe table rows exploded to their
+    * Hamming-1 multi-probe bucket lists.
+    */
+  private def batchProbeFrame(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    emb(s, d)
+      .select(
+        $"vec_id",
+        $"embedding",
+        Vec.norm2($"embedding").as("n2"),
+        bucketCol.as("bucket"))
+      .filter($"vec_id" < BatchProbes)
+      .select(
+        $"vec_id".as("probe_id"),
+        $"embedding".as("p"),
+        $"n2".as("pn2"),
+        explode(
+          array(
+            $"bucket" +:
+              (0 until SignBits).map(j => $"bucket".bitwiseXOR(lit(1L << j))): _*))
+          .as("pbucket"))
+  }
+
+  /** The distinct bucket ids the standard batch probe set touches —
+    * exactly the literal partition filter [[serveAnnBatch]] pushes;
+    * exposed so ServeIndexSpec can assert the probed set is a strict
+    * subset of the index's bucket directories.
+    */
+  private[graft] def serveProbedBuckets(s: SparkSession, d: String): Seq[Any] =
+    batchProbeFrame(s, d).select(col("pbucket")).distinct().collect().map(_.get(0)).toSeq
+
+  /** q_sim_served — q_sim_batch's result served from the PERSISTED bucket
+    * index: build writes the bucket-partitioned corpus, serve reads back
+    * only the probed bucket directories (literal PartitionFilters — the
+    * scan never lists the other ~96% of the index). Same output contract
+    * and oracle as q_sim_batch: persisting and pruning must not change a
+    * single hit.
+    */
+  private def simServed(s: SparkSession, d: String): DataFrame = {
+    val path = s"${serveRoot(d)}/ann"
+    writeAnnIndex(s, d, path)
+    serveAnnBatch(s, path, batchProbeFrame(s, d))
+  }
+
+  private[graft] def writeIvfIndex(s: SparkSession, d: String, path: String): Unit = {
+    import s.implicits._
+    val e =
+      emb(s, d).select($"vec_id", $"embedding", Vec.norm2($"embedding").as("n2"))
+    val cents = e
+      .filter($"vec_id" < IvfCells)
+      .select($"vec_id".as("c_id"), $"embedding".as("c"), $"n2".as("cn2"))
+    writeIvfIndexFrom(s, e, cents, path)
+  }
+
+  /** IVF build with an arbitrary codebook (the stand-in cents for the
+    * oracle-checked query; a [[trainCodebook]] result in ServeIndexSpec's
+    * trained round trip): cell-assigned corpus partitioned by cell + the
+    * codebook itself, both parquet.
+    */
+  private[graft] def writeIvfIndexFrom(
+      s: SparkSession,
+      e: DataFrame,
+      cents: DataFrame,
+      path: String): Unit = {
+    import s.implicits._
+    e.crossJoin(broadcast(codebookRow(cents)))
+      .select(
+        $"vec_id",
+        $"embedding",
+        $"n2",
+        (-array_max(scoredCol).getField("nid")).as("cell"))
+      .write
+      .mode(org.apache.spark.sql.SaveMode.Overwrite)
+      .partitionBy("cell")
+      .parquet(s"$path/cells")
+    cents.write
+      .mode(org.apache.spark.sql.SaveMode.Overwrite)
+      .parquet(s"$path/codebook")
+  }
+
+  /** Serve a probe frame from a persisted IVF index: the probes rank their
+    * top-nprobe cells against the READ-BACK codebook (broadcast, map-side
+    * scoring — the serving tier holds only the k×dim codebook), then the
+    * cell-partitioned corpus is scanned with a literal cell filter.
+    */
+  private[graft] def serveIvfBatch(
+      s: SparkSession,
+      indexPath: String,
+      probeVecs: DataFrame): DataFrame = {
+    import s.implicits._
+    val cbRead = s.read.parquet(s"$indexPath/codebook")
+    val probeCells = probeVecs
+      .crossJoin(broadcast(codebookRow(cbRead)))
+      .select(
+        $"vec_id".as("probe_id"),
+        $"embedding".as("p"),
+        $"n2".as("pn2"),
+        explode(slice(reverse(array_sort(scoredCol)), 1, NProbe)).as("sc"))
+      .select($"probe_id", $"p", $"pn2", (-$"sc.nid").as("pcell"))
+    val pcells =
+      probeCells.select($"pcell").distinct().collect().map(_.get(0)).toSeq
+    val idx = s.read.parquet(s"$indexPath/cells")
+    val w = Window.partitionBy($"probe_id").orderBy($"cos".desc, $"vec_id")
+    idx
+      .filter($"cell".isin(pcells: _*))
+      .join(broadcast(probeCells), $"cell" === $"pcell" && $"vec_id" =!= $"probe_id")
+      .select(
+        $"probe_id",
+        $"vec_id",
+        $"cell".cast("long").as("cell"),
+        X.r6(Vec.cosine(Vec.dot($"embedding", $"p"), $"n2", $"pn2")).as("cos"))
+      .withColumn("rn", row_number().over(w))
+      .filter($"rn" <= 10)
+      .select($"probe_id", $"vec_id", $"cell", $"cos")
+      .orderBy($"probe_id", $"cos".desc, $"vec_id")
+  }
+
+  /** q_sim_ivf_served — q_sim_ivf_batch's result served from the PERSISTED
+    * inverted file: build writes the cell-partitioned corpus + codebook,
+    * serve reads back only the probed cell directories. Same output
+    * contract and oracle as q_sim_ivf_batch.
+    */
+  private def simIvfServed(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val path = s"${serveRoot(d)}/ivf"
+    writeIvfIndex(s, d, path)
+    val probeVecs = emb(s, d)
+      .select($"vec_id", $"embedding", Vec.norm2($"embedding").as("n2"))
+      .filter($"vec_id" < BatchProbes)
+    serveIvfBatch(s, path, probeVecs)
+  }
+
   /** q_multimodal — heterogeneous-column join: text metadata × vector
     * table, predicates on both sides (SURVEY §2 Tier C).
     */
@@ -565,6 +753,8 @@ object SimilarityOps {
     QueryDef("q_sim_fetch", simFetch, Some(FetchSql)),
     QueryDef("q_sim_ivf", simIvf, Some(IvfSql)),
     QueryDef("q_sim_ivf_batch", simIvfBatch, Some(IvfBatchSql)),
+    QueryDef("q_sim_served", simServed, Some(BatchSql)),
+    QueryDef("q_sim_ivf_served", simIvfServed, Some(IvfBatchSql)),
     QueryDef("q_sim_ivf_trained", simIvfTrained, None),
     QueryDef(
       "q_multimodal",

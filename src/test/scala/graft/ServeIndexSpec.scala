@@ -1,0 +1,91 @@
+package graft
+
+import java.nio.file.Files
+
+import graft.ops.{SimilarityOps, Vec}
+import org.apache.spark.sql.functions._
+
+/** Build/serve split for retrieval: the persisted bucket/cell indexes must
+  * serve byte-identical results to the in-session batch queries, the probe
+  * scan must be statically pruned to the probed directories, and the
+  * TRAINED IVF codebook must round-trip through parquet exactly.
+  */
+class ServeIndexSpec extends SparkSpec {
+
+  private def rows(df: org.apache.spark.sql.DataFrame): Seq[String] =
+    df.collect().map(_.toString).toSeq
+
+  test("q_sim_served / q_sim_ivf_served equal their in-session batch twins") {
+    assert(
+      rows(SparkEntry.queries("q_sim_served")(spark, sf)) ===
+        rows(SparkEntry.queries("q_sim_batch")(spark, sf)))
+    assert(
+      rows(SparkEntry.queries("q_sim_ivf_served")(spark, sf)) ===
+        rows(SparkEntry.queries("q_sim_ivf_batch")(spark, sf)
+          .select(col("probe_id"), col("vec_id"), col("cell").cast("long").as("cell"), col("cos"))))
+  }
+
+  test("the served scan carries a literal partition filter over probed buckets") {
+    val p = SparkEntry.queries("q_sim_served")(spark, sf)
+      .queryExecution.executedPlan.toString
+    assert(
+      "PartitionFilters: \\[[^\\]]*bucket[^\\]]*(INSET|IN \\()".r.findFirstIn(p).isDefined,
+      p)
+    // directory-level proof: the index holds more bucket directories than
+    // the probe set touches, so a pruned listing reads a strict subset
+    val idxDir = s"${SimilarityOps.serveRoot(sf)}/ann"
+    val fs = new org.apache.hadoop.fs.Path(idxDir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val bucketDirs = fs
+      .listStatus(new org.apache.hadoop.fs.Path(idxDir))
+      .count(_.getPath.getName.startsWith("bucket="))
+    import spark.implicits._
+    val probed = SimilarityOps
+      .serveProbedBuckets(spark, sf)
+    assert(probed.nonEmpty && probed.size < bucketDirs,
+      s"probed ${probed.size} of $bucketDirs bucket dirs")
+  }
+
+  test("trained IVF codebook round-trips exactly and serves from disk") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("graft_serve_trained").toString
+    val e = T(spark, sf, "embeddings")
+      .select($"vec_id", $"embedding", Vec.norm2($"embedding").as("n2"))
+    val cb = SimilarityOps.trainCodebook(e, 16, iters = 4)
+    val cents = cb.toDF("c_id", "c").select($"c_id", $"c", Vec.norm2($"c").as("cn2"))
+    SimilarityOps.writeIvfIndexFrom(spark, e, cents, dir)
+    // float centroids survive parquet bit-exactly
+    val cbBack = spark.read.parquet(s"$dir/codebook")
+      .orderBy("c_id").select("c_id", "c")
+      .as[(Long, Seq[Float])].collect().toSeq
+    assert(cbBack === cb.map { case (id, c) => (id, c.toSeq) })
+    // serving the trained index from disk equals the same search composed
+    // in memory (cell assignment + probe ranking + top-k, no parquet)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy($"probe_id").orderBy($"cos".desc, $"vec_id")
+    val assigned = e
+      .crossJoin(broadcast(SimilarityOps.codebookRow(cents)))
+      .select($"vec_id", $"embedding", $"n2", SimilarityOps.scoredCol.as("scored"))
+    val cells = assigned.select(
+      $"vec_id", $"embedding", $"n2",
+      (-array_max($"scored").getField("nid")).as("cell"))
+    val probeCells = assigned
+      .filter($"vec_id" < 5)
+      .select(
+        $"vec_id".as("probe_id"), $"embedding".as("p"), $"n2".as("pn2"),
+        explode(slice(reverse(array_sort($"scored")), 1, 2)).as("sc"))
+      .select($"probe_id", $"p", $"pn2", (-$"sc.nid").as("pcell"))
+    val expected = cells
+      .join(broadcast(probeCells), $"cell" === $"pcell" && $"vec_id" =!= $"probe_id")
+      .select(
+        $"probe_id", $"vec_id", $"cell".cast("long").as("cell"),
+        graft.X.r6(Vec.cosine(Vec.dot($"embedding", $"p"), $"n2", $"pn2")).as("cos"))
+      .withColumn("rn", row_number().over(w))
+      .filter($"rn" <= 10)
+      .select($"probe_id", $"vec_id", $"cell", $"cos")
+      .orderBy($"probe_id", $"cos".desc, $"vec_id")
+    val served = SimilarityOps.serveIvfBatch(spark, dir, e.filter($"vec_id" < 5))
+    assert(rows(served) === rows(expected))
+    assert(served.count() > 0)
+  }
+}
