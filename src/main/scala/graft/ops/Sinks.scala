@@ -34,6 +34,31 @@ object Sinks {
     * a production deployment keeps the reference's unique index on the key
     * so concurrent writers degrade to the DB constraint, not duplicates.
     */
+  /** Explicit existence probe over plain JDBC: a zero-row SELECT against
+    * the table. ONLY the SQL-standard 42-class (syntax error / undefined
+    * object — Derby 42X05, Postgres 42P01) maps to "absent"; connectivity,
+    * auth, and driver failures (08/28/xx-class) rethrow instead of
+    * masquerading as a missing table and turning a transient outage into
+    * a confusing create-path failure downstream.
+    */
+  private def tableExists(
+      url: String,
+      table: String,
+      props: java.util.Properties): Boolean = {
+    val conn = java.sql.DriverManager.getConnection(url, props)
+    try {
+      val st = conn.createStatement()
+      try {
+        st.executeQuery(s"SELECT 1 FROM $table WHERE 1=0").close()
+        true
+      } finally st.close()
+    } catch {
+      case e: java.sql.SQLException
+          if Option(e.getSQLState).exists(_.startsWith("42")) =>
+        false
+    } finally conn.close()
+  }
+
   def idempotentAppendJdbc(
       staged: DataFrame,
       url: String,
@@ -42,11 +67,8 @@ object Sinks {
       props: java.util.Properties = new java.util.Properties): Unit = {
     val spark = staged.sparkSession
     val existing =
-      try {
-        val df = spark.read.jdbc(url, table, props)
-        df.schema // force resolution: absent table throws here
-        Some(df)
-      } catch { case _: Exception => None }
+      if (tableExists(url, table, props)) Some(spark.read.jdbc(url, table, props))
+      else None
     val toWrite = existing
       .map(e => idempotentAppend(e, staged, keys))
       .getOrElse(staged)
@@ -58,14 +80,21 @@ object Sinks {
     * REPLACE existing rows with the same key, untouched existing rows are
     * kept, new keys insert. Implemented as merge-then-overwrite — existing
     * minus staged keys (left-anti) union staged, materialized BEFORE the
-    * overwrite drops the table it was read from (the persist+count is
-    * load-bearing: the JDBC read is lazy, so without it the overwrite
-    * would destroy its own input). Idempotent by construction: applying
-    * the same staged batch twice converges to the same table — the
-    * exactly-once story for an update-mode stream, where retried batches
-    * re-offer rows. Sized for DIMENSION-scale targets (the merged table
-    * passes through the cluster); a fact-scale target wants the DB's own
-    * MERGE with this same keyed contract.
+    * overwrite drops the table it was read from. The materialization is
+    * `localCheckpoint(eager)`, which SEVERS the JDBC lineage — unlike a
+    * cache (whose evicted/lost blocks silently recompute from the
+    * by-then-truncated table, losing rows), a lost checkpoint block fails
+    * the job, which a driver retry converges by idempotence. Residual
+    * caveat, documented: the drop-then-write is not atomic — a driver
+    * crash mid-overwrite leaves a partial table until the retry; a
+    * zero-downtime deployment stages into a temp table and swaps, which
+    * needs DB-specific DDL this engine-side sink deliberately avoids.
+    * Idempotent by construction: applying the same staged batch twice
+    * converges to the same table — the exactly-once story for an
+    * update-mode stream, where retried batches re-offer rows. Sized for
+    * DIMENSION-scale targets (the merged table passes through the
+    * cluster); a fact-scale target wants the DB's own MERGE with this
+    * same keyed contract.
     */
   def upsertSnapshotJdbc(
       staged: DataFrame,
@@ -74,23 +103,15 @@ object Sinks {
       keys: Seq[String],
       props: java.util.Properties = new java.util.Properties): Unit = {
     val spark = staged.sparkSession
-    val existing =
-      try {
-        val df = spark.read.jdbc(url, table, props)
-        df.schema // force resolution: absent table throws here
-        Some(df)
-      } catch { case _: Exception => None }
-    existing match {
-      case None =>
-        staged.write.mode(SaveMode.ErrorIfExists).jdbc(url, table, props)
-      case Some(e) =>
-        val merged = e
-          .join(staged.select(keys.map(col): _*), keys, "left_anti")
-          .unionByName(staged)
-          .persist()
-        merged.count() // materialize: see doc comment
-        try merged.write.mode(SaveMode.Overwrite).jdbc(url, table, props)
-        finally merged.unpersist()
+    if (!tableExists(url, table, props)) {
+      staged.write.mode(SaveMode.ErrorIfExists).jdbc(url, table, props)
+    } else {
+      val e = spark.read.jdbc(url, table, props)
+      val merged = e
+        .join(staged.select(keys.map(col): _*), keys, "left_anti")
+        .unionByName(staged)
+        .localCheckpoint(true) // sever JDBC lineage: see doc comment
+      merged.write.mode(SaveMode.Overwrite).jdbc(url, table, props)
     }
   }
 

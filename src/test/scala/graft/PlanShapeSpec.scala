@@ -226,12 +226,25 @@ class PlanShapeSpec extends SparkSpec {
     assert(!p.contains("SortMergeJoin") && !p.contains("CartesianProduct"), p)
   }
 
-  test("q_stat_chisq computes marginals as window sums — no joins at all") {
-    val p = plan("q_stat_chisq")
-    assert(!p.contains("Join"), p)
-    // one hash exchange builds the cell frame; everything after runs over
-    // the tiny |types|*7 frame
-    assert("Exchange hashpartitioning".r.findAllIn(p).size == 1, p)
+  test("q_stat_chisq: marginals are window sums, grand total a one-row broadcast") {
+    val df = SparkEntry.queries("q_stat_chisq")(spark, sf)
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString
+    // no data-sized join: row/col marginals stay window sums over the tiny
+    // cell frame; the grand total attaches as a one-row broadcast (which
+    // also keeps the suite log free of partition-less WindowExec warnings)
+    assert(!p.contains("SortMergeJoin") && !p.contains("ShuffledHashJoin") &&
+      !p.contains("CartesianProduct"), p)
+    // ONE exchange sees event-sized data (the partial-agg cell build, on
+    // the (type, dow) pair key); the grand-total branch REUSES it instead
+    // of rescanning events, and the window exchanges move the bounded
+    // |types|*7 frame
+    val finalSection = p.split("== Initial Plan ==").head
+    val cellExchanges = finalSection.linesIterator.count(l =>
+      l.contains("Exchange hashpartitioning(event_type") && l.contains("dow") &&
+        !l.contains("ReusedExchange"))
+    assert(cellExchanges == 1, finalSection)
+    assert(finalSection.contains("ReusedExchange"), finalSection)
   }
 
   test("q_merge_upsert is one full-outer join, never a nested loop") {

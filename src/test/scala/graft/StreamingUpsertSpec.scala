@@ -45,8 +45,13 @@ class StreamingUpsertSpec extends SparkSpec {
 
     // two halves of the events table staged as separate RAW files (ts as
     // raw nanos longs, the wire format eventsStream expects) so the same
-    // user's count must RISE across micro-batches (update, not append)
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    // user's count must RISE across micro-batches (update, not append);
+    // the session-wide nanos flag is restored in the finally below so no
+    // other suite inherits it by test order
+    val nanosKey = "spark.sql.legacy.parquet.nanosAsLong"
+    val nanosPrev = spark.conf.getOption(nanosKey)
+    spark.conf.set(nanosKey, "true")
+    try {
     val raw = spark.read.parquet(s"$sf/events.parquet")
 
     def stage(cond: org.apache.spark.sql.Column, name: String): Unit = {
@@ -95,5 +100,11 @@ class StreamingUpsertSpec extends SparkSpec {
     val after3 = spark.read.jdbc(url, "user_counts", props)
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
     assert(after3 == batch)
+    } finally {
+      nanosPrev match {
+        case Some(v) => spark.conf.set(nanosKey, v)
+        case None => spark.conf.unset(nanosKey)
+      }
+    }
   }
 }
