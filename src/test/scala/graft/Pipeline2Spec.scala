@@ -99,4 +99,49 @@ class Pipeline2Spec extends SparkSpec {
     val n = "Exchange".r.findAllIn(p).size
     assert(n <= 5, s"expected <= 5 exchanges in the final job, got $n:\n$p")
   }
+
+  test("q_pipeline_corpus2 whole-run shuffle budget across ALL jobs") {
+    // The final-job plan above can't see the checkpointed stages (gate,
+    // band self-join, closure rounds), so this counts what actually RAN:
+    // every stage that wrote shuffle records, across every job the query
+    // triggers, scoped by job group. Measured 23 at sf0.001 — the gate
+    // md5 window, the ONE band-join exchange (reuse keeps it one), the
+    // slim pair distinct, per-round closure joins over the contracted
+    // edge set, and the final join/agg/sort. A breach means a checkpoint
+    // moved (gate or pairs re-computing per consumer) or the band join's
+    // exchange reuse broke — each of which re-runs data-sized work.
+    val group = s"p2-budget-${System.nanoTime()}"
+    val shuffleStages = java.util.concurrent.ConcurrentHashMap.newKeySet[Int]()
+    val groupStages = java.util.concurrent.ConcurrentHashMap.newKeySet[Int]()
+    val listener = new org.apache.spark.scheduler.SparkListener {
+      override def onJobStart(j: org.apache.spark.scheduler.SparkListenerJobStart): Unit =
+        if (group == j.properties.getProperty("spark.jobGroup.id"))
+          j.stageInfos.foreach(si => groupStages.add(si.stageId))
+      override def onStageCompleted(
+          sc: org.apache.spark.scheduler.SparkListenerStageCompleted): Unit = {
+        val m = sc.stageInfo.taskMetrics
+        if (m != null && m.shuffleWriteMetrics.recordsWritten > 0)
+          shuffleStages.add(sc.stageInfo.stageId)
+      }
+    }
+    spark.sparkContext.addSparkListener(listener)
+    try {
+      spark.sparkContext.setJobGroup(group, "pipeline2 shuffle budget")
+      try q("q_pipeline_corpus2").collect()
+      finally spark.sparkContext.clearJobGroup()
+      // listener events are async; stage completions land within the join
+      Thread.sleep(2000)
+      val paid = shuffleStages.asScala.toSet
+        .intersect(groupStages.asScala.toSet).size
+      assert(paid > 0, "listener captured nothing — scoping broke")
+      assert(paid <= 26, s"shuffle-writing stages across the whole run: $paid (budget 26)")
+    } finally spark.sparkContext.removeSparkListener(listener)
+  }
+
+  private implicit class SetAsScala[T](s: java.util.Set[T]) {
+    def asScala: Iterable[T] = {
+      import scala.jdk.CollectionConverters._
+      s.iterator().asScala.toSeq
+    }
+  }
 }
