@@ -515,6 +515,11 @@ object SimilarityOps {
         $"embedding",
         Vec.norm2($"embedding").as("n2"),
         bucketCol.as("bucket"))
+      // repartition on the partition key (the writeCorpusShards rule):
+      // without it every task appends a file to every bucket directory —
+      // tasks × 256 small files; with it each posting list is owned by
+      // the tasks that wrote it
+      .repartition($"bucket")
       .write
       .mode(org.apache.spark.sql.SaveMode.Overwrite)
       .partitionBy("bucket")
@@ -618,6 +623,7 @@ object SimilarityOps {
         $"embedding",
         $"n2",
         (-array_max(scoredCol).getField("nid")).as("cell"))
+      .repartition($"cell") // one writer set per cell dir, not tasks×cells
       .write
       .mode(org.apache.spark.sql.SaveMode.Overwrite)
       .partitionBy("cell")

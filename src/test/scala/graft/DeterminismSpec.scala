@@ -36,7 +36,16 @@ class DeterminismSpec extends SparkSpec {
     "q_agg_listagg",
     "q_merge_upsert",
     "q_stat_corr",
-    "q_ts_gapfill")
+    "q_ts_gapfill",
+    // round-8 ops: the incremental closure mixes a driver union-find
+    // finish with distributed hook rounds (partition count must not
+    // change which path runs the same labels), the served variants read
+    // back partitioned indexes they just wrote, and the sketch-merge
+    // booleans ride register merges that must be combine-order-free
+    "q_dedup_incr",
+    "q_sim_served",
+    "q_sim_ivf_served",
+    "q_agg_sketch_merge")
 
   test("identical results at shuffle.partitions = 4 vs 13") {
     for (n <- names) {

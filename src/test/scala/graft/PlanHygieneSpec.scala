@@ -22,7 +22,14 @@ class PlanHygieneSpec extends SparkSpec {
     "q_sim_topk",
     "q_sim_ivf",
     "q_sim_ivf_batch",
-    "q_sim_ivf_trained")
+    "q_sim_ivf_trained",
+    // r8 one-row attaches: the IVF codebook row read back from the
+    // persisted index, q_dedup_incr's max-id threshold frame (twice:
+    // base/delta split + the is_new_cluster flag), and q_stat_chisq's
+    // grand-total row (replacing the partition-less window)
+    "q_sim_ivf_served",
+    "q_dedup_incr",
+    "q_stat_chisq")
 
   private lazy val plans: Map[String, String] =
     SparkEntry.queries.keys.toSeq.sorted.map { name =>
