@@ -1077,14 +1077,12 @@ object DedupOps {
   private[graft] def embBandedCandidates(emb: DataFrame): DataFrame =
     bandedCandidates(emb, array((0 until EmbBands).map(embBandCol): _*))
 
-  /** The exact-cosine verify half shared by both embed-dedup variants:
-    * fetch vectors back for the slim candidate pairs, one codegen'd dot per
-    * pair, keep cos ≥ 0.4.
+  /** The exact-cosine verify half shared by the embed-dedup variants:
+    * fetch vectors back for the slim candidate pairs from `e`
+    * (vec_id, embedding, n2), one codegen'd dot per pair, keep cos ≥ 0.4.
     */
-  private def verifyCosinePairs(s: SparkSession, d: String, cand: DataFrame): DataFrame = {
-    import s.implicits._
-    val e = T(s, d, "embeddings")
-      .select($"vec_id", $"embedding", Vec.norm2($"embedding").as("n2"))
+  private[graft] def verifyCosinePairsFrom(e: DataFrame, cand: DataFrame): DataFrame = {
+    import e.sparkSession.implicits._
     cand
       .join(e.select($"vec_id".as("a_id"), $"embedding".as("ea"), $"n2".as("n2a")), "a_id")
       .join(e.select($"vec_id".as("b_id"), $"embedding".as("eb"), $"n2".as("n2b")), "b_id")
@@ -1094,6 +1092,14 @@ object DedupOps {
         Vec.cosine(Vec.dot($"ea", $"eb"), $"n2a", $"n2b").as("cos"))
       .filter($"cos" >= 0.4)
       .orderBy("a_id", "b_id")
+  }
+
+  private def verifyCosinePairs(s: SparkSession, d: String, cand: DataFrame): DataFrame = {
+    import s.implicits._
+    verifyCosinePairsFrom(
+      T(s, d, "embeddings")
+        .select($"vec_id", $"embedding", Vec.norm2($"embedding").as("n2")),
+      cand)
   }
 
   private def dedupEmbed(s: SparkSession, d: String): DataFrame = {
@@ -1119,6 +1125,113 @@ object DedupOps {
       s"${Vec.dotSql("ea.embedding", "eb.embedding")} / (sqrt(ea.n2) * sqrt(eb.n2)) AS cos " +
       "FROM cand c JOIN e ea ON ea.vec_id = c.a_id JOIN e eb ON eb.vec_id = c.b_id) " +
       "WHERE cos >= 0.4 ORDER BY a_id, b_id"
+  }
+
+  /** The persisted EMBEDDING dedup index — the vector-modality sibling of
+    * [[buildDedupIndex]]: one row per base vector per sign-LSH band
+    * (band_idx, band_val, vec_id, embedding, n2), hive-partitionable on
+    * band_idx. The vector and its norm ride in the index so probe
+    * verification is index-local — a new batch never re-reads the base
+    * embedding store. Linear in base vectors × bands; at serve time only
+    * the band buckets the batch hashes into are touched.
+    */
+  private[graft] def buildEmbedIndex(s: SparkSession, base: DataFrame): DataFrame = {
+    import s.implicits._
+    base.select(
+      $"vec_id",
+      $"embedding",
+      Vec.norm2($"embedding").as("n2"),
+      posexplode(array((0 until EmbBands).map(embBandCol): _*))
+        .as(Seq("band_idx", "band_val")))
+  }
+
+  /** Incremental embedding near-dup apply: all cos ≥ 0.4 pairs a NEW
+    * batch forms with (base ∪ batch), computed from the persisted band
+    * index alone. Two legs, both banded equi-joins: batch bands probe the
+    * index (base-batch pairs, verified against the index-carried vectors)
+    * and the batch self-joins its own bands (batch-internal pairs, the
+    * q_dedup_embed shape on the small side). Pairs emit as (a_id < b_id),
+    * and with monotone ingest ids every pair touching the batch has its
+    * larger id in the batch — so the result is EXACTLY the full rebuild's
+    * pair set restricted to b_id > threshold, which is what the oracle
+    * computes. No closure is involved (the pair contract), so the
+    * equality is exact, with no banding-recall corridor.
+    */
+  private[graft] def applyEmbedDelta(
+      s: SparkSession,
+      delta: DataFrame,
+      embedIndex: DataFrame): DataFrame = {
+    import s.implicits._
+    val d = delta.select(
+      $"vec_id",
+      $"embedding",
+      Vec.norm2($"embedding").as("n2"))
+    val dBands = d.select(
+      $"vec_id",
+      $"embedding",
+      $"n2",
+      posexplode(array((0 until EmbBands).map(embBandCol): _*))
+        .as(Seq("band_idx", "band_val")))
+    val vsBase = dBands
+      .as("a")
+      .join(
+        embedIndex.as("b").hint("shuffle_hash"),
+        $"a.band_idx" === $"b.band_idx" && $"a.band_val" === $"b.band_val")
+      .select($"b.vec_id".as("a_id"), $"a.vec_id".as("b_id"))
+      .distinct()
+      .join(embedIndex.select($"vec_id".as("a_id"), $"embedding".as("ea"), $"n2".as("n2a")).distinct(), "a_id")
+      .join(d.select($"vec_id".as("b_id"), $"embedding".as("eb"), $"n2".as("n2b")), "b_id")
+      .select(
+        $"a_id",
+        $"b_id",
+        Vec.cosine(Vec.dot($"ea", $"eb"), $"n2a", $"n2b").as("cos"))
+      .filter($"cos" >= 0.4)
+    val internal = verifyCosinePairsFrom(
+      d,
+      bandedCandidates(delta.select($"vec_id", $"embedding"),
+        array((0 until EmbBands).map(embBandCol): _*)))
+    vsBase.unionByName(internal).orderBy("a_id", "b_id")
+  }
+
+  /** q_dedup_embed_incr — incremental embedding near-dup against the
+    * persisted band index: the vector-modality q_dedup_incr. Newest 10%
+    * of vec_ids = the batch; the rest is the base whose index stands in
+    * for yesterday's persisted state. Output: every cos ≥ 0.4 pair the
+    * batch forms with base ∪ batch. The oracle is the FULL q_dedup_embed
+    * pair set restricted to b_id above the threshold — the hash check is
+    * the delta ≡ rebuild identity, exact (pair contract, no closure).
+    */
+  private def dedupEmbedIncr(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val all = T(s, d, "embeddings").select($"vec_id", $"embedding")
+    // 50/50 split (vs q_dedup_incr's 90/10): embedding near-pairs are two
+    // orders sparser than token near-dups on this corpus, and the half
+    // split is the smallest batch that exercises BOTH apply legs (index
+    // probe + batch-internal) at every tested sf — the backfill-wave
+    // scenario rather than the daily trickle
+    val thrDf = all.agg(expr("max(vec_id) div 2").as("thr"))
+    val withThr = all.crossJoin(broadcast(thrDf))
+    val base = withThr.filter($"vec_id" <= $"thr").select($"vec_id", $"embedding")
+    val delta = withThr.filter($"vec_id" > $"thr").select($"vec_id", $"embedding")
+    applyEmbedDelta(s, delta, buildEmbedIndex(s, base))
+  }
+
+  private val EmbedIncrSql = {
+    val bandUnion = (0 until EmbBands)
+      .map(j => s"SELECT vec_id, $j AS band_idx, ${embBandSql(j)} AS band_val FROM embeddings")
+      .mkString(" UNION ALL ")
+    "WITH thr AS (SELECT max(vec_id) // 2 AS t FROM embeddings), " +
+      s"e AS (SELECT vec_id, embedding, ${Vec.norm2Sql("embedding")} AS n2 " +
+      "FROM embeddings), " +
+      s"bands AS ($bandUnion), " +
+      "cand AS (SELECT DISTINCT a.vec_id AS a_id, b.vec_id AS b_id " +
+      "FROM bands a JOIN bands b ON a.band_idx = b.band_idx AND a.band_val = b.band_val " +
+      "AND a.vec_id < b.vec_id) " +
+      "SELECT a_id, b_id, cos FROM (" +
+      "SELECT c.a_id, c.b_id, " +
+      s"${Vec.dotSql("ea.embedding", "eb.embedding")} / (sqrt(ea.n2) * sqrt(eb.n2)) AS cos " +
+      "FROM cand c JOIN e ea ON ea.vec_id = c.a_id JOIN e eb ON eb.vec_id = c.b_id) " +
+      "WHERE cos >= 0.4 AND b_id > (SELECT t FROM thr) ORDER BY a_id, b_id"
   }
 
   /** q_dedup_embed_rh — the production sign-LSH: k SEEDED random
@@ -1363,6 +1476,7 @@ object DedupOps {
     QueryDef("q_dedup_lsh", dedupLsh, Some(LshSql)),
     QueryDef("q_dedup_simhash", dedupSimhash, Some(SimhashSql)),
     QueryDef("q_dedup_embed", dedupEmbed, Some(EmbedSql)),
+    QueryDef("q_dedup_embed_incr", dedupEmbedIncr, Some(EmbedIncrSql)),
     QueryDef("q_dedup_embed_rh", dedupEmbedRh, Some(EmbedRhSql))
   )
 }
