@@ -404,7 +404,10 @@ object StreamOps {
     * subdirectories, each a complete self-consistent snapshot (md5 set +
     * band buckets + that batch's assignments).
     */
-  private def indexVersions(s: SparkSession, indexDir: String): Seq[Long] = {
+  private def indexVersions(
+      s: SparkSession,
+      indexDir: String,
+      requiring: String = ""): Seq[Long] = {
     val path = new org.apache.hadoop.fs.Path(indexDir)
     val fs = path.getFileSystem(s.sparkContext.hadoopConfiguration)
     if (!fs.exists(path)) Seq.empty
@@ -414,6 +417,33 @@ object StreamOps {
         .filter(_.isDirectory)
         .map(_.getPath.getName)
         .collect { case n if n.startsWith("v") && n.drop(1).nonEmpty && n.drop(1).forall(_.isDigit) => n.drop(1).toLong }
+        .filter(v =>
+          requiring.isEmpty ||
+            fs.exists(new org.apache.hadoop.fs.Path(s"$indexDir/v$v/$requiring")))
+  }
+
+  /** Maintenance for the versioned continuous-dedup indexes: drop the
+    * SUPERSEDED index snapshots (md5/band state of all but the newest
+    * `keep` versions), never the per-batch outputs (assign / pairs dirs
+    * stay — they are the committed product, each written exactly once).
+    * The writers pick their read version among versions that still HAVE
+    * index state, so a restart after pruning reads the newest surviving
+    * snapshot. At warehouse scale this is the compaction cadence that
+    * bounds the dir to O(keep) index copies.
+    */
+  def pruneDedupIndexVersions(
+      s: SparkSession,
+      indexDir: String,
+      keep: Int = 2): Unit = {
+    val fs = new org.apache.hadoop.fs.Path(indexDir)
+      .getFileSystem(s.sparkContext.hadoopConfiguration)
+    val withIndex = indexVersions(s, indexDir, requiring = "band_index").sorted
+    withIndex.dropRight(math.max(keep, 1)).foreach { v =>
+      Seq("band_index", "md5_index").foreach { sub =>
+        val p = new org.apache.hadoop.fs.Path(s"$indexDir/v$v/$sub")
+        if (fs.exists(p)) fs.delete(p, true)
+      }
+    }
   }
 
   /** Seed the continuous-dedup index: build the base corpus's persisted
@@ -467,7 +497,8 @@ object StreamOps {
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         if (!batch.isEmpty) {
           val sess = batch.sparkSession
-          val vers = indexVersions(sess, indexDir).filter(_ <= batchId)
+          val vers = indexVersions(sess, indexDir, requiring = "band_index")
+            .filter(_ <= batchId)
           require(
             vers.nonEmpty,
             s"dedup index at $indexDir has no seed version <= $batchId (run seedDedupIndex)")
@@ -502,6 +533,70 @@ object StreamOps {
     */
   def readDedupAssignments(s: SparkSession, indexDir: String): DataFrame =
     s.read.parquet(s"$indexDir/v*/assign")
+
+  /** Seed the continuous EMBEDDING-dedup index: the base corpus's
+    * sign-LSH band rows ([[DedupOps.buildEmbedIndex]]) as version v0.
+    */
+  def seedEmbedIndex(s: SparkSession, base: DataFrame, indexDir: String): Unit =
+    DedupOps
+      .buildEmbedIndex(s, base)
+      .write
+      .mode(org.apache.spark.sql.SaveMode.Overwrite)
+      .partitionBy("band_idx")
+      .parquet(s"$indexDir/v0/band_index")
+
+  /** Continuous incremental EMBEDDING near-dup — the vector-modality
+    * sibling of [[incrDedupStreamWriter]], structurally simpler because
+    * the contract is PAIRS, not clusters: no labels can move, so index
+    * maintenance is a pure append of the batch's band rows (no remap
+    * pass), and sequential micro-batch apply ≡ one-shot rebuild holds
+    * directly — batch b emits exactly the full pair set's rows whose
+    * larger id lands in batch b (monotone ingest ids). Same versioned
+    * exactly-once shape: batch b reads the largest version ≤ b, writes
+    * pairs + the appended index to the fresh `v(b+1)` directory, retries
+    * overwrite deterministically. StreamingEmbedIncrSpec proves the
+    * cross-batch union equals the one-shot rebuild, including a pair
+    * whose two sides arrive in different micro-batches.
+    */
+  def incrEmbedDedupStreamWriter(
+      vecs: DataFrame,
+      indexDir: String,
+      checkpoint: String): org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
+    vecs.writeStream
+      .outputMode("append")
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        if (!batch.isEmpty) {
+          val sess = batch.sparkSession
+          val vers = indexVersions(sess, indexDir, requiring = "band_index")
+            .filter(_ <= batchId)
+          require(
+            vers.nonEmpty,
+            s"embed index at $indexDir has no seed version <= $batchId (run seedEmbedIndex)")
+          val cur = s"$indexDir/v${vers.max}"
+          val bandIndex = sess.read
+            .parquet(s"$cur/band_index")
+            .select("vec_id", "embedding", "n2", "band_idx", "band_val")
+          val b = batch.select("vec_id", "embedding")
+          val pairs = DedupOps.applyEmbedDelta(sess, b, bandIndex)
+          val next = s"$indexDir/v${batchId + 1}"
+          pairs.write
+            .mode(org.apache.spark.sql.SaveMode.Overwrite)
+            .parquet(s"$next/pairs")
+          bandIndex
+            .unionByName(DedupOps.buildEmbedIndex(sess, b)
+              .select("vec_id", "embedding", "n2", "band_idx", "band_val"))
+            .write
+            .mode(org.apache.spark.sql.SaveMode.Overwrite)
+            .partitionBy("band_idx")
+            .parquet(s"$next/band_index")
+        }
+        ()
+      }
+
+  /** All near-dup pairs the continuous embedding dedup has committed. */
+  def readEmbedPairs(s: SparkSession, indexDir: String): DataFrame =
+    s.read.parquet(s"$indexDir/v*/pairs")
 
   /** update-mode stream → keyed JDBC upsert: the streaming CDC-apply.
     * Each micro-batch's changed rows go through
