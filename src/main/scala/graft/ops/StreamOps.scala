@@ -292,6 +292,24 @@ object StreamOps {
           .as("split"))
   }
 
+  /** Streaming lift of q_agg_sketch_merge's build side — per-day HLL user
+    * sketches maintained CONTINUOUSLY: the same Datasketches binary state
+    * the batch rollup persists, produced as streaming aggregation state
+    * (constant-size per (day, type) group, evicted by the 7-day
+    * watermark). Downstream, the emitted day sketches union exactly as
+    * the batch-built ones do — register-wise max is associative whether
+    * the partial came from a batch job or a micro-batch — which is what
+    * StreamingSketchSpec pins: union(streamed day sketches) estimates ≡
+    * the batch whole-data sketch, per event type.
+    */
+  def liftSketchRollup(s: SparkSession, sourceDir: String): DataFrame = {
+    import s.implicits._
+    eventsStream(s, sourceDir)
+      .groupBy(window($"ts", "1 day"), $"event_type")
+      .agg(hll_sketch_agg($"user_id").as("sk"))
+      .select($"window.start".as("day"), $"event_type", $"sk")
+  }
+
   /** Streaming lift of q_stream_join — a stream-stream interval join:
     * both sides carry the 7-day watermark from [[eventsStream]] (the
     * event-time metadata survives the per-side renames), and the

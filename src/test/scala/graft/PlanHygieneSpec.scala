@@ -29,6 +29,7 @@ class PlanHygieneSpec extends SparkSpec {
     // grand-total row (replacing the partition-less window)
     "q_sim_ivf_served",
     "q_dedup_incr",
+    "q_dedup_embed_incr", // same one-row threshold frame as q_dedup_incr
     "q_stat_chisq")
 
   private lazy val plans: Map[String, String] =
