@@ -285,6 +285,51 @@ object DedupOps {
     // (~3 s of pure planning at sf0.1, measured). Checkpointing here pays
     // the pair job once and makes every loop plan a flat LogicalRDD.
     val pairs = rawEdges.toDF("a_id", "b_id").localCheckpoint(eager = true)
+    // Pre-loop driver fast-path, same bounded-model-state rule as the
+    // in-loop finish: the pair set is already materialized, so its count
+    // is free — and when the WHOLE verified pair set fits the driver
+    // bound (≤ 1.6 MB at 100k pairs, the k-means-collect scale), the
+    // closure is one local union-find + one broadcast remap instead of
+    // hook rounds whose per-round fixed cost (frame-wide aggregate +
+    // self-join + checkpoint) dwarfs graphs this small. Identical
+    // fixpoint: min-root union ≡ min-label propagation. Above the bound
+    // nothing changes — the distributed loop below runs as before (and
+    // stays exercised by ScaleSpec's 10× graphs and the sf0.1 family).
+    val pairCount = pairs.count()
+    if (pairCount <= CcDriverFinishEdges) {
+      val local = pairs.collect().map(r => (r.getLong(0), r.getLong(1)))
+      val parent = scala.collection.mutable.Map.empty[Long, Long]
+      def find(x: Long): Long = {
+        var r = x
+        while (parent.getOrElse(r, r) != r) r = parent(r)
+        var c = x
+        while (parent.getOrElse(c, c) != c) {
+          val n = parent(c); parent(c) = r; c = n
+        }
+        r
+      }
+      local.foreach { case (a, b) =>
+        val (ra, rb) = (find(a), find(b))
+        if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+      }
+      val remap = local
+        .flatMap { case (a, b) => Seq(a, b) }
+        .distinct
+        .map(x => (x, find(x)))
+        .filter { case (x, r) => x != r }
+        .toSeq
+      if (sys.props.contains("graft.cc.debug"))
+        println(f"[cc] driver fast-path pairs=$pairCount merged=${remap.size} t=${(System.nanoTime() - tEnter) / 1e9}%.2f")
+      val carriedFp = universe.columns.filterNot(_ == "rep").map(uni(_))
+      return if (remap.isEmpty)
+        uni.select(carriedFp.toSeq :+ uni("rep").as("cluster_id"): _*)
+      else {
+        val m = remap.toDF("mfrom", "mto")
+        uni
+          .join(broadcast(m), uni("rep") === m("mfrom"), "left")
+          .select(carriedFp.toSeq :+ coalesce($"mto", uni("rep")).as("cluster_id"): _*)
+      }
+    }
     // hash-partitioned on src for round 1's neighbor join; NOT persisted —
     // with edge contraction the full edge set is joined exactly once
     // (round 2 onward runs over the contracted set), so caching it would
