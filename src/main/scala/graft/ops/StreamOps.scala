@@ -292,6 +292,34 @@ object StreamOps {
           .as("split"))
   }
 
+  /** Streaming lift of q_expect_constraints' ROW-LEVEL rules — the
+    * at-ingest quarantine channel: every event carries its violation list
+    * (null key, domain membership, value range — the stateless subset;
+    * key uniqueness and referential integrity are corpus-global, so they
+    * stay in the periodic batch audit q_expect_constraints runs). A sink
+    * routes empty-violation rows onward and quarantines the rest — the
+    * Deequ-style row gate, STATELESS at any ingest rate: no watermark
+    * interaction, no state store, identical verdicts for a row whether
+    * it arrives in a backfill batch or on the stream
+    * (StreamingExpectationsSpec pins stream ≡ batch verdict sets).
+    */
+  def liftExpectations(s: SparkSession, sourceDir: String): DataFrame = {
+    import s.implicits._
+    eventsStream(s, sourceDir)
+      .select(
+        $"event_id",
+        $"user_id",
+        $"event_type",
+        $"value",
+        array_compact(
+          array(
+            when($"user_id".isNull, "null_user_id"),
+            when(
+              !$"event_type".isin("click", "error", "purchase", "signup", "view"),
+              "bad_event_type"),
+            when($"value" < 0d, "negative_value"))).as("violations"))
+  }
+
   /** Streaming lift of q_agg_sketch_merge's build side — per-day HLL user
     * sketches maintained CONTINUOUSLY: the same Datasketches binary state
     * the batch rollup persists, produced as streaming aggregation state

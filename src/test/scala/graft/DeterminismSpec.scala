@@ -45,7 +45,8 @@ class DeterminismSpec extends SparkSpec {
     "q_dedup_incr",
     "q_sim_served",
     "q_sim_ivf_served",
-    "q_agg_sketch_merge")
+    "q_agg_sketch_merge",
+    "q_dedup_embed_incr")
 
   test("identical results at shuffle.partitions = 4 vs 13") {
     for (n <- names) {
