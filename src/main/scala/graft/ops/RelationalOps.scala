@@ -191,19 +191,26 @@ object RelationalOps {
   /** q_agg_sketch_merge — sketch state as DATA, the reason sketches exist
     * at 100 TB: per-day HLL sketches (Datasketches binary state via
     * `hll_sketch_agg`, persistable as a parquet binary column) are
-    * re-aggregated with `hll_union_agg` across days, and the merged
-    * estimate must equal the whole-data sketch EXACTLY — register-wise
-    * max is associative, so partitioning the data by day and unioning the
-    * partial sketches is lossless by construction. This is the warehouse
+    * re-aggregated with `hll_union_agg` across days — the warehouse
     * rollup primitive: yesterday's sketches never recompute, a new day
     * unions in as constant-size state.
     *
-    * The output is the CONTRACT, not the engine-specific estimates:
-    * merge_exact (merged ≡ whole-data sketch) and err_ok (merged estimate
-    * within 5% of exact distinct — ~3σ at the default lgK=12) next to the
+    * What mergeability does and does NOT promise, measured: the union of
+    * the day sketches sees the same value set as a whole-data sketch, but
+    * the ESTIMATES need not match bitwise — Datasketches reads a
+    * sparse-input union through the HIP estimator while a dense
+    * direct-built sketch reads the composite estimator, so above sparse
+    * cardinalities the two paths diverge within the sketch's own rsd
+    * (observed at sf0.1: 1488 vs 1480-1499 on 1500 exact). Exact equality
+    * IS guaranteed like-for-like (same day partitioning, either engine
+    * mode — StreamingSketchSpec pins stream-built ≡ batch-built day
+    * rollups). The contract emitted here is therefore bounded divergence:
+    * merge_ok (merged within max(2, 2%) of the whole-data estimate —
+    * far inside rsd, catches any real merge corruption) and err_ok
+    * (merged within 5% of exact distinct, ~3σ at lgK=12) beside the
     * oracle-checkable exact columns, so the DuckDB hash gate re-proves
-    * mergeability and the error bound every round; SketchMergeSpec adds
-    * the parquet persist/union round trip on the binary sketch column.
+    * both bounds every round; SketchMergeSpec adds the parquet
+    * persist/union round trip on the binary sketch column.
     */
   private def aggSketchMerge(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
@@ -227,7 +234,9 @@ object RelationalOps {
         $"event_type",
         $"n_days",
         $"exact_users",
-        ($"merged_users" === $"whole_users").as("merge_exact"),
+        (abs($"merged_users" - $"whole_users") <=
+          greatest(lit(2L), ($"whole_users".cast("double") * 0.02).cast("long")))
+          .as("merge_ok"),
         (abs($"merged_users" - $"exact_users") <=
           greatest(lit(1L), ($"exact_users".cast("double") * 0.05).cast("long")))
           .as("err_ok"))
@@ -237,7 +246,7 @@ object RelationalOps {
   private val SketchMergeSql =
     "SELECT event_type, CAST(count(DISTINCT CAST(ts AS DATE)) AS BIGINT) AS n_days, " +
       "count(DISTINCT user_id) AS exact_users, " +
-      "true AS merge_exact, true AS err_ok " +
+      "true AS merge_ok, true AS err_ok " +
       "FROM events GROUP BY event_type ORDER BY event_type"
 
   /** q_agg_topk — per-group top-k via the custom mergeable

@@ -5,36 +5,51 @@ import java.nio.file.Files
 import org.apache.spark.sql.functions._
 
 /** q_agg_sketch_merge — sketch state as data: per-day HLL sketches
-  * persisted as a parquet BINARY column, read back, unioned across days,
-  * and the merged estimate must equal the whole-data sketch exactly
-  * (register-wise max is associative). This is the property that turns a
-  * sketch from a per-query approximation into the warehouse rollup
-  * primitive — yesterday's state never recomputes.
+  * persisted as a parquet BINARY column, read back, unioned across days.
+  * Two layers of the mergeability contract, separated deliberately:
+  *
+  *  - EXACT like-for-like: the union over the round-tripped day sketches
+  *    equals the union over the in-memory day sketches bit-for-bit (the
+  *    persisted state IS the state);
+  *  - BOUNDED cross-path: the merged estimate tracks the whole-data
+  *    sketch within max(2, 2%) and exact distinct within 5%. Bitwise
+  *    equality with a direct-built sketch is NOT promised above sparse
+  *    cardinalities — Datasketches reads sparse-input unions through the
+  *    HIP estimator and dense direct sketches through the composite
+  *    estimator (measured at sf0.1: 1488 vs 1480-1499 on 1500 exact),
+  *    which is why the q_agg_sketch_merge contract is a corridor.
   */
 class SketchMergeSpec extends SparkSpec {
 
-  test("persisted per-day sketches union to the whole-data sketch exactly") {
+  test("persisted day sketches union identically to in-memory; bounds hold") {
     import spark.implicits._
     val ev = T(spark, sf, "events")
     val dir = Files.createTempDirectory("graft_sketch_state").toString
-    ev.groupBy(to_date($"ts").as("day"), $"event_type")
+    val daily = ev.groupBy(to_date($"ts").as("day"), $"event_type")
       .agg(hll_sketch_agg($"user_id").as("sk"))
-      .write.mode("overwrite").parquet(dir)
-    val merged = spark.read.parquet(dir)
+    daily.write.mode("overwrite").parquet(dir)
+    def unionEst(df: org.apache.spark.sql.DataFrame) = df
       .groupBy($"event_type")
       .agg(hll_sketch_estimate(hll_union_agg($"sk")).as("m"))
+    // exact layer: parquet round trip changes nothing
+    val fromDisk = unionEst(spark.read.parquet(dir))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val inMem = unionEst(daily)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(fromDisk === inMem)
+    // bounded layer: merged vs whole-data sketch and vs exact distinct
     val whole = ev.groupBy($"event_type")
       .agg(
         hll_sketch_estimate(hll_sketch_agg($"user_id")).as("w"),
         countDistinct($"user_id").as("exact"))
-    val joined = merged.join(whole, "event_type").collect()
-    assert(joined.nonEmpty)
-    joined.foreach { r =>
-      assert(r.getAs[Long]("m") === r.getAs[Long]("w"),
-        s"merged != whole for ${r.getString(0)}")
-      val exact = r.getAs[Long]("exact").toDouble
-      assert(math.abs(r.getAs[Long]("m") - exact) <= math.max(1d, exact * 0.05),
-        s"estimate off >5% for ${r.getString(0)}")
+      .collect().map(r => (r.getString(0), (r.getLong(1), r.getLong(2)))).toMap
+    assert(inMem.nonEmpty)
+    inMem.foreach { case (t, m) =>
+      val (w, exact) = whole(t)
+      assert(math.abs(m - w) <= math.max(2d, w * 0.02),
+        s"merged $m drifted from whole-data sketch $w for $t")
+      assert(math.abs(m - exact) <= math.max(1d, exact * 0.05),
+        s"estimate $m off >5% from exact $exact for $t")
     }
   }
 
@@ -42,7 +57,7 @@ class SketchMergeSpec extends SparkSpec {
     val out = SparkEntry.queries("q_agg_sketch_merge")(spark, sf).collect()
     assert(out.nonEmpty)
     out.foreach { r =>
-      assert(r.getAs[Boolean]("merge_exact"), r.toString)
+      assert(r.getAs[Boolean]("merge_ok"), r.toString)
       assert(r.getAs[Boolean]("err_ok"), r.toString)
     }
   }

@@ -7,9 +7,12 @@ import org.apache.spark.sql.functions._
 
 /** Continuous sketch rollup ([[StreamOps.liftSketchRollup]]): per-day HLL
   * sketches built as STREAMING aggregation state must union to exactly
-  * the batch whole-data sketch — the mergeable-state contract of
-  * q_agg_sketch_merge holding across the batch/stream boundary, so a
-  * warehouse can roll up days regardless of which engine mode built them.
+  * what the BATCH-BUILT day sketches union to — like-for-like states, so
+  * equality is exact and the engine mode that built a day is invisible to
+  * the rollup. (Equality against a direct whole-data sketch is NOT the
+  * contract: sparse-input unions and dense direct sketches read different
+  * Datasketches estimators — see q_agg_sketch_merge / SketchMergeSpec —
+  * so that comparison is bounded, asserted here against exact distinct.)
   */
 class StreamingSketchSpec extends SparkSpec {
 
@@ -22,7 +25,7 @@ class StreamingSketchSpec extends SparkSpec {
     dir.toString
   }
 
-  test("streamed day sketches union to the batch whole-data sketch exactly") {
+  test("streamed day sketches union exactly like batch-built day sketches") {
     import spark.implicits._
     val q = StreamOps
       .liftSketchRollup(spark, stage())
@@ -40,19 +43,24 @@ class StreamingSketchSpec extends SparkSpec {
         .table("graft_sketch_out")
         .groupBy($"event_type")
         .agg(hll_sketch_estimate(hll_union_agg($"sk")).as("streamed_users"))
-      val batch = T(spark, sf, "events")
+      // like-for-like: the batch side builds the SAME per-day sketches
+      // and unions them the same way — exact equality expected
+      val batchDaily = T(spark, sf, "events")
+        .groupBy(window($"ts", "1 day"), $"event_type")
+        .agg(hll_sketch_agg($"user_id").as("sk"))
         .groupBy($"event_type")
-        .agg(
-          hll_sketch_estimate(hll_sketch_agg($"user_id")).as("batch_users"),
-          countDistinct($"user_id").as("exact"))
-      val joined = streamed.join(batch, "event_type").collect()
+        .agg(hll_sketch_estimate(hll_union_agg($"sk")).as("batch_users"))
+      val exact = T(spark, sf, "events")
+        .groupBy($"event_type")
+        .agg(countDistinct($"user_id").as("exact"))
+      val joined = streamed.join(batchDaily, "event_type").join(exact, "event_type").collect()
       assert(joined.nonEmpty)
       joined.foreach { r =>
         assert(r.getAs[Long]("streamed_users") === r.getAs[Long]("batch_users"),
-          s"stream-built union != batch sketch for ${r.getString(0)}")
-        val exact = r.getAs[Long]("exact").toDouble
+          s"stream-built day rollup != batch-built day rollup for ${r.getString(0)}")
+        val ex = r.getAs[Long]("exact").toDouble
         assert(
-          math.abs(r.getAs[Long]("streamed_users") - exact) <= math.max(1d, exact * 0.05),
+          math.abs(r.getAs[Long]("streamed_users") - ex) <= math.max(1d, ex * 0.05),
           s"estimate off >5% for ${r.getString(0)}")
       }
     } finally q.stop()
