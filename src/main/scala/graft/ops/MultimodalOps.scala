@@ -4,12 +4,123 @@ import graft.{QueryDef, T}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
-/** Tier C multimodal plumbing (charter): media as opaque binary columns
-  * with typed metadata, decode/feature-extraction behind a narrow stub.
-  * The Spark-side shape is real — binary payloads, a deterministic
-  * decode UDF returning a typed struct, per-partition batching — while the
-  * actual codec (image/audio libs absent in this environment) is the one
-  * stubbed step, clearly marked in [[decodeStub]].
+/** Real image codec kernels over JDK-only `javax.imageio` (headless PNG).
+  *
+  * The engine's multimodal contract is "media as opaque binary columns,
+  * decode/feature/resize as per-row kernels". The testdata ships no media
+  * files, so the payload is *synthesized in-engine*: each document's UTF-8
+  * bytes become an 8-bit grayscale raster (fixed width 16, row-major,
+  * zero-padded tail) which is PNG-encoded. The decode side then runs a
+  * REAL `ImageIO` decode — magic-number check, IDAT inflate, defilter —
+  * and computes features from the recovered raster. Because PNG is
+  * lossless and the raster is a deterministic function of the text, the
+  * DuckDB oracle can recompute every output from `text` arithmetic
+  * without a PNG decoder: any codec bug (wrong stride, dropped filter
+  * byte, truncated row) breaks the hash gate.
+  *
+  * [[MultimodalCodecSpec]] additionally pins `decode(encode(x)) == x`
+  * bit-exactly on adversarial rasters (all 256 byte values, 1-pixel,
+  * non-multiple-of-width lengths).
+  */
+object MediaCodec extends Serializable {
+  System.setProperty("java.awt.headless", "true")
+
+  /** Fixed raster width: documents average a few hundred bytes, giving
+    * small multi-row images that still exercise row defiltering.
+    */
+  val Width = 16
+
+  /** Output side of the resize kernel (nearest-neighbor to 8×8). */
+  val OutW = 8
+  val OutH = 8
+
+  def rows(nBytes: Int): Int = math.max(1, (nBytes + Width - 1) / Width)
+
+  /** bytes → grayscale PNG (row-major, width 16, zero-padded tail). */
+  def encodePng(bytes: Array[Byte]): Array[Byte] = {
+    import java.awt.image.{BufferedImage, DataBufferByte}
+    val h = rows(bytes.length)
+    val img = new BufferedImage(Width, h, BufferedImage.TYPE_BYTE_GRAY)
+    val buf = img.getRaster.getDataBuffer.asInstanceOf[DataBufferByte].getData
+    System.arraycopy(bytes, 0, buf, 0, bytes.length) // tail stays 0
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", bos)
+    bos.toByteArray
+  }
+
+  final case class Raster(width: Int, height: Int, pixels: Array[Byte])
+
+  /** PNG → raster via a real ImageIO decode. Reads samples through the
+    * Raster API (not the backing array) so it is correct for any
+    * ImageIO-supported layout, not just TYPE_BYTE_GRAY.
+    */
+  def decodePng(png: Array[Byte]): Raster = {
+    val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(png))
+    require(img != null, "not a decodable image payload")
+    val (w, h) = (img.getWidth, img.getHeight)
+    val px = new Array[Byte](w * h)
+    val r = img.getRaster
+    var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) { px(y * w + x) = r.getSample(x, y, 0).toByte; x += 1 }
+      y += 1
+    }
+    Raster(w, h, px)
+  }
+
+  /** Nearest-neighbor resample: out(x,y) = in(x*w/tw, y*h/th) — the
+    * standard floor-index mapping, exact in integer arithmetic.
+    */
+  def resizeNearest(in: Raster, tw: Int, th: Int): Array[Byte] = {
+    val out = new Array[Byte](tw * th)
+    var y = 0
+    while (y < th) {
+      val sy = y * in.height / th
+      var x = 0
+      while (x < tw) {
+        out(y * tw + x) = in.pixels(sy * in.width + x * in.width / tw)
+        x += 1
+      }
+      y += 1
+    }
+    out
+  }
+
+  final case class MediaFeatures(
+      width: Int, height: Int, px_sum: Long, px_min: Int, px_max: Int)
+
+  /** Decode + featurize: true dimensions and pixel statistics of the
+    * decoded raster (padding pixels included — they are part of the
+    * image).
+    */
+  def features(png: Array[Byte]): MediaFeatures = {
+    val d = decodePng(png)
+    var sum = 0L; var mn = 255; var mx = 0
+    var i = 0
+    while (i < d.pixels.length) {
+      val v = d.pixels(i) & 0xff
+      sum += v; if (v < mn) mn = v; if (v > mx) mx = v
+      i += 1
+    }
+    MediaFeatures(d.width, d.height, sum, mn, mx)
+  }
+
+  final case class Resized(
+      orig_w: Int, orig_h: Int, new_w: Int, new_h: Int, data: Array[Byte])
+
+  def resize(png: Array[Byte]): Resized = {
+    val d = decodePng(png)
+    Resized(d.width, d.height, OutW, OutH, resizeNearest(d, OutW, OutH))
+  }
+}
+
+/** Tier C multimodal operators (charter): media as opaque binary columns
+  * with typed metadata; decode / feature-extract / resize as real
+  * per-row image kernels over [[MediaCodec]] (JDK `javax.imageio`, no
+  * external libs). The two codec UDFs are the only interpreted hops;
+  * everything around them (projection, hex formatting, ordering) stays
+  * columnar and codegen'd.
   */
 object MultimodalOps {
 
@@ -37,89 +148,78 @@ object MultimodalOps {
       .orderBy("doc_id")
   }
 
-  /** STUB of the real media decode — deterministic fake features from the
-    * payload bytes. A real deployment swaps the body for an image/audio
-    * codec; the signature (bytes in, typed struct out) and the Spark
-    * plumbing around it are the real design.
-    */
-  case class MediaFeatures(n_codepoints: Long, checksum: Long)
-  def decodeStub(bytes: Array[Byte]): MediaFeatures = {
-    val text = new String(bytes, java.nio.charset.StandardCharsets.UTF_8)
-    var sum = 0L
-    text.codePoints().forEach(cp => sum += cp)
-    MediaFeatures(text.codePointCount(0, text.length).toLong, sum % 9973L)
-  }
+  private val pngUdf = udf(MediaCodec.encodePng _)
+  private val featuresUdf = udf(MediaCodec.features _)
+  private val resizeUdf = udf(MediaCodec.resize _)
 
-  private val decodeUdf = udf(decodeStub _)
-
-  /** q_mm_features — decode-and-featurize over the binary column: the
-    * extract step of an image/audio pipeline, with the codec stubbed. The
-    * UDF is the one interpreted hop; everything around it stays columnar.
+  /** q_mm_features — encode-decode-featurize over the binary column: the
+    * payload becomes a real grayscale PNG, a real ImageIO decode recovers
+    * the raster, and the features are its true dimensions + pixel stats.
+    * The oracle recomputes the same stats from the text arithmetic
+    * (raster ≡ UTF-8 bytes zero-padded to a multiple of 16), so the hash
+    * gate proves the codec round-trip.
     */
   private def mmFeatures(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
     docs(s, d)
-      .select($"doc_id", decodeUdf(payload).as("f"))
+      .select($"doc_id", featuresUdf(pngUdf(payload)).as("f"))
       .select(
         $"doc_id",
-        $"f.n_codepoints".as("n_codepoints"),
-        $"f.checksum".as("checksum"))
+        $"f.width".as("width"),
+        $"f.height".as("height"),
+        $"f.px_sum".as("px_sum"),
+        $"f.px_min".as("px_min"),
+        $"f.px_max".as("px_max"))
       .orderBy("doc_id")
   }
 
-  /** Oracle recomputes the stub arithmetic on the character stream (the
-    * testdata text is ASCII, so codepoints == bytes).
+  /** Oracle: the raster is the ASCII byte stream zero-padded to h×16, so
+    * px_sum = Σ ascii, px_max = max ascii, and px_min is 0 whenever the
+    * pad is non-empty (n not a multiple of 16), else min ascii.
     */
   private val FeaturesSql =
-    "SELECT doc_id, CAST(length(text) AS BIGINT) AS n_codepoints, " +
+    "SELECT doc_id, 16 AS width, " +
+      "CAST(ceil(octet_length(encode(text))/16.0) AS INTEGER) AS height, " +
       "list_reduce(list_prepend(CAST(0 AS BIGINT), " +
       "list_transform(string_split(text, ''), c -> CAST(ascii(c) AS BIGINT))), " +
-      "(a, v) -> a + v) % 9973 AS checksum " +
+      "(a, v) -> a + v) AS px_sum, " +
+      "CASE WHEN octet_length(encode(text)) % 16 = 0 THEN " +
+      "CAST(list_aggregate(list_transform(string_split(text, ''), c -> ascii(c)), 'min') AS INTEGER) " +
+      "ELSE 0 END AS px_min, " +
+      "CAST(list_aggregate(list_transform(string_split(text, ''), c -> ascii(c)), 'max') AS INTEGER) AS px_max " +
       "FROM documents ORDER BY doc_id"
 
-  /** STUB of a real media resize — deterministic byte-stride downsample to
-    * ≤ 64 bytes. A real deployment swaps the body for an image resampler
-    * (bilinear/Lanczos over decoded pixels); the signature (bytes + target
-    * size in, bytes out) and the Spark plumbing are the real design.
-    */
-  private val ResizeTarget = 64
-  def resizeStub(bytes: Array[Byte], target: Int): Array[Byte] = {
-    val step = (bytes.length + target - 1) / target // ceil — step ≥ 1 for n ≥ 1
-    if (bytes.length <= target) bytes
-    else Array.range(0, bytes.length, step).map(bytes(_))
-  }
-
-  private val resizeUdf = udf(resizeStub _)
-
-  /** q_mm_resize — resize step of an image pipeline over the binary
-    * column: per-row kernel bytes→bytes with a size contract, metadata
-    * (original size, stride, new size) carried alongside. Map-side only.
+  /** q_mm_resize — real resize: decode the PNG, nearest-neighbor resample
+    * the raster to 8×8, emit the 64 resampled pixels as hex. The oracle
+    * replays the floor-index mapping (src = (y·h/8)·16 + x·2) on the text
+    * bytes, so a stride or rounding bug in the resampler breaks the hash.
     */
   private def mmResize(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
     docs(s, d)
-      .select($"doc_id", resizeUdf(payload, lit(ResizeTarget)).as("r"), length(payload).as("orig_bytes"))
+      .select($"doc_id", resizeUdf(pngUdf(payload)).as("r"))
       .select(
         $"doc_id",
-        $"orig_bytes",
-        length($"r").as("new_bytes"),
-        lower(hex($"r")).as("preview_hex"))
+        $"r.orig_w".as("orig_w"),
+        $"r.orig_h".as("orig_h"),
+        $"r.new_w".as("new_w"),
+        $"r.new_h".as("new_h"),
+        lower(hex($"r.data")).as("preview_hex"))
       .orderBy("doc_id")
   }
 
-  /** Oracle recomputes the stride on the character stream (ASCII text ⇒
-    * bytes ≡ chars).
-    */
-  private val ResizeSql = {
-    val step = s"CAST(ceil(len(text) / ${ResizeTarget}.0) AS BIGINT)"
-    "SELECT doc_id, orig_bytes, CAST(octet_length(encode(r)) AS INTEGER) AS new_bytes, " +
-      "lower(hex(encode(r))) AS preview_hex FROM (" +
-      "SELECT doc_id, CAST(octet_length(encode(text)) AS INTEGER) AS orig_bytes, " +
-      s"CASE WHEN len(text) <= $ResizeTarget THEN text ELSE " +
-      s"list_reduce(list_transform(generate_series(1, len(text), $step), i -> text[i]), " +
-      "(a, b) -> a || b) END AS r " +
-      "FROM documents) ORDER BY doc_id"
-  }
+  private val ResizeSql =
+    "WITH b AS (SELECT doc_id, " +
+      "list_transform(string_split(text, ''), c -> ascii(c)) AS px, " +
+      "octet_length(encode(text)) AS n, " +
+      "CAST(ceil(octet_length(encode(text))/16.0) AS BIGINT) AS h FROM documents) " +
+      "SELECT doc_id, 16 AS orig_w, CAST(h AS INTEGER) AS orig_h, " +
+      "8 AS new_w, 8 AS new_h, " +
+      "lower(list_reduce(list_transform(generate_series(0, 63), i -> " +
+      "lpad(to_hex(CASE WHEN (((i // 8) * h) // 8) * 16 + ((i % 8) * 2) + 1 <= n " +
+      "THEN px[CAST((((i // 8) * h) // 8) * 16 + ((i % 8) * 2) + 1 AS INTEGER)] " +
+      "ELSE 0 END), 2, '0')), (a, v) -> a || v)) AS preview_hex " +
+      "FROM b ORDER BY doc_id"
 
   /** q_mm_sample — frame-sampling analog: every 10th token of the payload
     * stream (for video this is the keyframe stride; the indexing pattern is

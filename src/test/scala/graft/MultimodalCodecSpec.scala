@@ -1,0 +1,78 @@
+package graft
+
+import graft.ops.MediaCodec
+
+/** Pins the real-image-codec contract behind q_mm_features / q_mm_resize:
+  * a genuine PNG round-trip (encode → ImageIO decode) is bit-exact on the
+  * raster, the payload really is PNG (magic number, not a pass-through),
+  * and the nearest-neighbor resampler matches an independent index-math
+  * replay. The DuckDB oracle proves the same end-to-end on the testdata;
+  * this spec covers the adversarial rasters the corpus can't contain
+  * (all 256 byte values, 1-byte payloads, non-multiple-of-width lengths).
+  */
+class MultimodalCodecSpec extends SparkSpec {
+
+  private def roundtrip(bytes: Array[Byte]): Unit = {
+    val png = MediaCodec.encodePng(bytes)
+    // real PNG container, not a pass-through
+    assert(png.take(4).map(_ & 0xff).toSeq == Seq(0x89, 0x50, 0x4e, 0x47))
+    val d = MediaCodec.decodePng(png)
+    assert(d.width == MediaCodec.Width)
+    assert(d.height == MediaCodec.rows(bytes.length))
+    val expected = bytes.padTo(d.width * d.height, 0.toByte)
+    assert(d.pixels.toSeq == expected.toSeq, s"n=${bytes.length}")
+  }
+
+  test("decode(encode(x)) is bit-exact: all 256 byte values") {
+    roundtrip(Array.tabulate(256)(_.toByte))
+  }
+
+  test("decode(encode(x)) is bit-exact: 1-byte and exact-row payloads") {
+    roundtrip(Array[Byte](0))
+    roundtrip(Array[Byte](-1)) // 0xff
+    roundtrip(Array.tabulate(16)(i => (i * 17).toByte)) // exactly one row
+    roundtrip(Array.tabulate(17)(i => (255 - i).toByte)) // one row + 1
+    roundtrip(Array.tabulate(160)(i => ((i * 31) % 256).toByte))
+  }
+
+  test("decode(encode(x)) is bit-exact: deterministic pseudo-random bytes") {
+    val rnd = new scala.util.Random(42)
+    for (n <- Seq(3, 33, 100, 1000)) {
+      val bytes = new Array[Byte](n)
+      rnd.nextBytes(bytes)
+      roundtrip(bytes)
+    }
+  }
+
+  test("nearest-neighbor resize matches independent index-math replay") {
+    val bytes = Array.tabulate(200)(i => ((i * 7 + 3) % 256).toByte)
+    val d = MediaCodec.decodePng(MediaCodec.encodePng(bytes))
+    val out = MediaCodec.resizeNearest(d, MediaCodec.OutW, MediaCodec.OutH)
+    for (y <- 0 until MediaCodec.OutH; x <- 0 until MediaCodec.OutW) {
+      val src = (y * d.height / 8) * d.width + (x * d.width / 8)
+      val want = if (src < bytes.length) bytes(src) else 0.toByte
+      assert(out(y * MediaCodec.OutW + x) == want, s"($x,$y)")
+    }
+  }
+
+  test("resize is identity-compatible: 8x8 input maps pixel i -> 2i stride") {
+    // h = 8 exactly when n = 128; then sy = y, sx = 2x — every other column
+    val bytes = Array.tabulate(128)(i => (i % 256).toByte)
+    val d = MediaCodec.decodePng(MediaCodec.encodePng(bytes))
+    assert(d.height == 8)
+    val out = MediaCodec.resizeNearest(d, 8, 8)
+    for (y <- 0 until 8; x <- 0 until 8)
+      assert((out(y * 8 + x) & 0xff) == ((y * 16 + 2 * x) % 256))
+  }
+
+  test("features computes true dims + pixel stats incl. zero padding") {
+    val bytes = Array.tabulate(20)(i => (i + 10).toByte) // 20 bytes -> 16x2, 12 pad zeros
+    val f = MediaCodec.features(MediaCodec.encodePng(bytes))
+    assert(f.width == 16 && f.height == 2)
+    assert(f.px_sum == (10 until 30).sum.toLong)
+    assert(f.px_min == 0) // padding participates
+    assert(f.px_max == 29)
+    val exact = MediaCodec.features(MediaCodec.encodePng(Array.tabulate(32)(i => (i + 5).toByte)))
+    assert(exact.px_min == 5) // no padding when n % 16 == 0
+  }
+}
