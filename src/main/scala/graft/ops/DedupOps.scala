@@ -746,6 +746,37 @@ object DedupOps {
       md5Index: DataFrame,
       bandIndex: DataFrame): (DataFrame, DataFrame, DataFrame) = {
     import s.implicits._
+    val (assign, remap, md5New, bandNew) =
+      applyDedupDeltaIncr(s, delta, md5Index, bandIndex)
+    def remapped(idx: DataFrame, cols: Seq[String]): DataFrame =
+      idx
+        .join(broadcast(remap), idx("cluster_id") === remap("old_cid"), "left")
+        .select(cols.map(idx(_)) :+ coalesce($"new_cid", idx("cluster_id")).as("cluster_id"): _*)
+    (
+      assign,
+      remapped(md5Index, Seq("lang", "h")).unionByName(md5New),
+      remapped(bandIndex, Seq("band_idx", "band_val", "lang", "n", "th"))
+        .unionByName(bandNew))
+  }
+
+  /** The O(batch) decomposition of [[applyDedupDeltaFull]] — what a
+    * continuous ingest actually COMMITS per batch, instead of a rewritten
+    * index: (assignment, merge remap, new md5 groups, new band rows).
+    * `assignment ∪ remap-applied-index ∪ increments` is semantically
+    * `buildDedupIndex(base ∪ batch)`, but every returned frame is bounded
+    * by the BATCH (touched clusters, new groups, new reps × bands), never
+    * the corpus — the append-only commit a versioned index layout wants.
+    * The remap set is the batch's cluster merges (old label → surviving
+    * smaller label); labels only move down and a remapped old label's
+    * rows leave the live index, so the accumulated log is a functional
+    * acyclic pointer forest that composes transitively on read.
+    */
+  private[graft] def applyDedupDeltaIncr(
+      s: SparkSession,
+      delta: DataFrame,
+      md5Index: DataFrame,
+      bandIndex: DataFrame): (DataFrame, DataFrame, DataFrame, DataFrame) = {
+    import s.implicits._
     val g = deltaGraph(s, delta, md5Index, bandIndex, checkpointToks = true)
     // checkpoint the index-edge set: consumed by the closure AND (as the
     // touched-cluster list) by the universe extension + remap split below
@@ -766,10 +797,6 @@ object DedupOps {
     val remap = assigned
       .filter($"is_base" && $"doc_id" =!= $"cluster_id")
       .select($"doc_id".as("old_cid"), $"cluster_id".as("new_cid"))
-    def remapped(idx: DataFrame, cols: Seq[String]): DataFrame =
-      idx
-        .join(broadcast(remap), idx("cluster_id") === remap("old_cid"), "left")
-        .select(cols.map(idx(_)) :+ coalesce($"new_cid", idx("cluster_id")).as("cluster_id"): _*)
     val assignLut = assign.select($"doc_id".as("rid"), $"cluster_id")
     val md5New = g.unmatched
       .select($"lang", $"h", $"doc_id".as("rid"))
@@ -779,11 +806,7 @@ object DedupOps {
       .withColumnRenamed("doc_id", "rid")
       .join(assignLut, "rid")
       .select($"band_idx", $"band_val", $"lang", $"n", $"th", $"cluster_id")
-    (
-      assign,
-      remapped(md5Index, Seq("lang", "h")).unionByName(md5New),
-      remapped(bandIndex, Seq("band_idx", "band_val", "lang", "n", "th"))
-        .unionByName(bandNew))
+    (assign, remap, md5New, bandNew)
   }
 
   /** q_dedup_incr — incremental near-dedup of a new batch against the

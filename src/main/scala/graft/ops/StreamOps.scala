@@ -508,30 +508,124 @@ object StreamOps {
       .parquet(s"$indexDir/v0/band_index")
   }
 
+  /** Transitive composition of the accumulated (old_cid → new_cid) merge
+    * log. Labels only ever move DOWN and a remapped old label's rows
+    * leave the live index (so an old key never reappears) — the log is a
+    * functional acyclic pointer forest, and pointer-doubling self-joins
+    * compose every chain in O(log depth) rounds over a frame that is
+    * O(cluster merges), not O(corpus).
+    */
+  private def composeRemap(remap: DataFrame): DataFrame = {
+    var r = remap
+      .select(col("old_cid"), col("new_cid"))
+      .localCheckpoint(eager = true)
+    var done = false
+    var hops = 0
+    while (!done && hops < 64) {
+      val b = r.select(col("old_cid").as("o2"), col("new_cid").as("n2"))
+      val j = r
+        .join(b, r("new_cid") === b("o2"), "left")
+        .select(
+          r("old_cid"),
+          coalesce(b("n2"), r("new_cid")).as("new_cid"),
+          b("n2").isNotNull.as("moved"))
+        .localCheckpoint(eager = true)
+      done = j.filter(col("moved")).isEmpty
+      r = j.select("old_cid", "new_cid")
+      hops += 1
+    }
+    r
+  }
+
+  /** Left-join remap application: rows whose cluster_id appears as an old
+    * label get the surviving one. No broadcast hint — the remap side is
+    * merge-bounded and AQE broadcasts it when small.
+    */
+  private def applyRemap(
+      df: DataFrame,
+      remap: DataFrame,
+      cols: Seq[String]): DataFrame =
+    df.join(remap, df("cluster_id") === remap("old_cid"), "left")
+      .select(
+        cols.map(df(_)) :+
+          coalesce(remap("new_cid"), df("cluster_id")).as("cluster_id"): _*)
+
+  private val Md5Cols = Seq("lang", "h")
+  private val BandCols = Seq("band_idx", "band_val", "lang", "n", "th")
+
+  /** Merge-on-read of the dedup index as of stream version `upTo`: the
+    * newest FULL snapshot ≤ upTo (the v0 seed or a
+    * [[compactDedupIndex]] rewrite) plus every later batch's O(batch)
+    * `md5_inc`/`band_inc` increments, with the remap log over the same
+    * version window composed transitively and applied. Increments carry
+    * labels current as of their own commit, so only LATER remaps can
+    * touch them — and applying a remap below a row's version is a no-op
+    * (old labels are dead keys) — which is why one window works for the
+    * whole union.
+    */
+  private[graft] def readDedupIndexState(
+      s: SparkSession,
+      indexDir: String,
+      upTo: Long): (DataFrame, DataFrame) = {
+    val snaps =
+      indexVersions(s, indexDir, requiring = "band_index").filter(_ <= upTo)
+    require(
+      snaps.nonEmpty,
+      s"dedup index at $indexDir has no snapshot version <= $upTo (run seedDedupIndex)")
+    val snapVer = snaps.max
+    def vers(sub: String): Seq[String] = indexVersions(s, indexDir, requiring = sub)
+      .filter(v => v > snapVer && v <= upTo)
+      .sorted
+      .map(v => s"$indexDir/v$v/$sub")
+    // each increment dir is its own partitioned root — read separately
+    // and union (fan-in is O(batches since last compaction) by contract)
+    def union(base: DataFrame, paths: Seq[String], cols: Seq[String]) =
+      (base +: paths.map(s.read.parquet(_)))
+        .map(_.select(cols.map(col): _*))
+        .reduce(_ unionByName _)
+    val md5 = union(
+      s.read.parquet(s"$indexDir/v$snapVer/md5_index"),
+      vers("md5_inc"),
+      Md5Cols :+ "cluster_id")
+    val band = union(
+      s.read.parquet(s"$indexDir/v$snapVer/band_index"),
+      vers("band_inc"),
+      BandCols :+ "cluster_id")
+    val remapPaths = vers("remap")
+    if (remapPaths.isEmpty) (md5, band)
+    else {
+      val r = composeRemap(s.read.parquet(remapPaths: _*))
+      (applyRemap(md5, r, Md5Cols), applyRemap(band, r, BandCols))
+    }
+  }
+
   /** Continuous incremental near-dedup — the streaming form of
-    * q_dedup_incr: each micro-batch runs the FULL incremental semantics
-    * ([[DedupOps.applyDedupDeltaFull]] — md5 set probe, band-join against
+    * q_dedup_incr: each micro-batch runs the full incremental semantics
+    * ([[DedupOps.applyDedupDeltaIncr]] — md5 set probe, band-join against
     * the persisted buckets, batch-internal banded pairs, one batch-sized
-    * closure) against the latest index snapshot, then commits batch
-    * assignments AND the updated index as ONE new versioned directory.
+    * closure) against the merge-on-read index state, then commits FOUR
+    * batch-bounded frames as one new versioned directory: `assign` (the
+    * batch's labels as of commit), `remap` (the batch's cluster merges),
+    * and the `md5_inc`/`band_inc` index increments. Bytes written per
+    * batch are O(batch) — the full index is never rewritten
+    * ([[compactDedupIndex]] is the periodic fold that bounds read
+    * fan-in); StreamingIncrDedupSpec asserts the exact increment row
+    * counts.
     *
-    * Exactly-once without a transaction log: batch b reads the largest
-    * version ≤ b and writes everything to `v(b+1)` — a fresh directory,
-    * so no write ever overwrites its own input (the read-own-writes
-    * hazard a merge-in-place would have), and a RETRIED batch re-reads
-    * the same input versions and deterministically overwrites the same
-    * output directory. Version gaps from empty batches are skipped on
-    * read. Index maintenance makes later batches match content first
-    * seen in earlier ones (and re-labels rows of base clusters a bridge
-    * doc merged), which is what makes sequential micro-batch apply equal
-    * the one-shot batch rebuild — StreamingIncrDedupSpec proves the
-    * chain against [[DedupOps.fullAssign]] ground truth.
+    * Exactly-once without a transaction log: batch b reads versions ≤ b
+    * and writes everything to `v(b+1)` — a fresh directory, so no write
+    * ever overwrites its own input, and a RETRIED batch re-reads the same
+    * input versions and deterministically overwrites the same output
+    * directory. Version gaps from empty batches are skipped on read.
     *
-    * Scale note: each version is a full index snapshot — correct and
-    * idempotent, but at warehouse scale the md5/band rewrites want a
-    * format with MERGE/compaction (the band-partitioned layout carries
-    * over unchanged); the assignment dirs are already append-only
-    * per-batch increments.
+    * Label semantics: `assign` dirs are immutable as-of-commit labels; a
+    * later batch's bridge doc may merge an earlier-committed cluster
+    * (batch-created or base) into a smaller one, and that merge lands in
+    * the remap log, which [[readDedupAssignments]] composes transitively
+    * — so the READ view always equals the one-shot full rebuild
+    * (StreamingIncrDedupSpec proves the chain against
+    * [[DedupOps.fullAssign]] ground truth, including a batch-1 cluster
+    * merged by a batch-2 bridge and a two-hop remap chain).
     */
   def incrDedupStreamWriter(
       docs: DataFrame,
@@ -543,17 +637,9 @@ object StreamOps {
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         if (!batch.isEmpty) {
           val sess = batch.sparkSession
-          val vers = indexVersions(sess, indexDir, requiring = "band_index")
-            .filter(_ <= batchId)
-          require(
-            vers.nonEmpty,
-            s"dedup index at $indexDir has no seed version <= $batchId (run seedDedupIndex)")
-          val cur = s"$indexDir/v${vers.max}"
-          val md5Index = sess.read.parquet(s"$cur/md5_index")
-          val bandIndex = sess.read
-            .parquet(s"$cur/band_index")
-            .select("band_idx", "band_val", "lang", "n", "th", "cluster_id")
-          val (assign, md5Out, bandOut) = DedupOps.applyDedupDeltaFull(
+          val (md5Index, bandIndex) =
+            readDedupIndexState(sess, indexDir, upTo = batchId)
+          val (assign, remap, md5New, bandNew) = DedupOps.applyDedupDeltaIncr(
             sess,
             batch.select("doc_id", "lang", "text"),
             md5Index,
@@ -562,23 +648,70 @@ object StreamOps {
           assign.write
             .mode(org.apache.spark.sql.SaveMode.Overwrite)
             .parquet(s"$next/assign")
-          md5Out.write
+          remap.write
             .mode(org.apache.spark.sql.SaveMode.Overwrite)
-            .parquet(s"$next/md5_index")
-          bandOut.write
+            .parquet(s"$next/remap")
+          md5New.write
+            .mode(org.apache.spark.sql.SaveMode.Overwrite)
+            .parquet(s"$next/md5_inc")
+          bandNew.write
             .mode(org.apache.spark.sql.SaveMode.Overwrite)
             .partitionBy("band_idx")
-            .parquet(s"$next/band_index")
+            .parquet(s"$next/band_inc")
         }
         ()
       }
 
-  /** All (doc_id, cluster_id) assignments the continuous dedup has
-    * committed: the union of every version's per-batch assignment dir
-    * (v0 is the seed and has none).
+  /** Fold the accumulated O(batch) increments into a fresh FULL snapshot
+    * at the newest committed version — the compaction leg of the
+    * append-only protocol, run while the stream is stopped. Drops the
+    * folded `*_inc` dirs (superseded by the snapshot); committed `assign`
+    * and `remap` dirs are never touched — assignments are immutable
+    * as-of-commit labels and the remap log is what resolves them forward.
+    * [[pruneDedupIndexVersions]] then bounds the dir to O(keep) full
+    * snapshots; together they cap merge-on-read fan-in at O(batches since
+    * last compaction).
     */
-  def readDedupAssignments(s: SparkSession, indexDir: String): DataFrame =
-    s.read.parquet(s"$indexDir/v*/assign")
+  def compactDedupIndex(s: SparkSession, indexDir: String): Unit = {
+    val committed = indexVersions(s, indexDir, requiring = "assign")
+    if (committed.isEmpty) return
+    val k = committed.max
+    if (indexVersions(s, indexDir, requiring = "band_index").max >= k) return
+    val (md5, band) = readDedupIndexState(s, indexDir, upTo = k)
+    md5.write
+      .mode(org.apache.spark.sql.SaveMode.Overwrite)
+      .parquet(s"$indexDir/v$k/md5_index")
+    band.write
+      .mode(org.apache.spark.sql.SaveMode.Overwrite)
+      .partitionBy("band_idx")
+      .parquet(s"$indexDir/v$k/band_index")
+    val fs = new org.apache.hadoop.fs.Path(indexDir)
+      .getFileSystem(s.sparkContext.hadoopConfiguration)
+    Seq("md5_inc", "band_inc").foreach { sub =>
+      indexVersions(s, indexDir, requiring = sub).filter(_ <= k).foreach { v =>
+        fs.delete(new org.apache.hadoop.fs.Path(s"$indexDir/v$v/$sub"), true)
+      }
+    }
+  }
+
+  /** All (doc_id, cluster_id) assignments the continuous dedup has
+    * committed — the union of every version's per-batch assignment dir
+    * (v0 is the seed and has none) — with the FULL remap log composed
+    * transitively and applied, so labels of clusters merged by later
+    * batches resolve to the surviving label and the view equals the
+    * one-shot rebuild at every point in time.
+    */
+  def readDedupAssignments(s: SparkSession, indexDir: String): DataFrame = {
+    val a = s.read.parquet(s"$indexDir/v*/assign")
+    val remapVers = indexVersions(s, indexDir, requiring = "remap")
+    if (remapVers.isEmpty) a
+    else {
+      val r = composeRemap(
+        s.read.parquet(remapVers.map(v => s"$indexDir/v$v/remap"): _*))
+      a.join(r, a("cluster_id") === r("old_cid"), "left")
+        .select(a("doc_id"), coalesce(r("new_cid"), a("cluster_id")).as("cluster_id"))
+    }
+  }
 
   /** Seed the continuous EMBEDDING-dedup index: the base corpus's
     * sign-LSH band rows ([[DedupOps.buildEmbedIndex]]) as version v0.
@@ -591,18 +724,47 @@ object StreamOps {
       .partitionBy("band_idx")
       .parquet(s"$indexDir/v0/band_index")
 
+  private val EmbedCols = Seq("vec_id", "embedding", "n2", "band_idx", "band_val")
+
+  /** Merge-on-read of the embedding index as of stream version `upTo`:
+    * newest full snapshot ≤ upTo plus later `band_inc` increments. No
+    * remap log — the pair contract has no labels to move.
+    */
+  private[graft] def readEmbedIndexState(
+      s: SparkSession,
+      indexDir: String,
+      upTo: Long): DataFrame = {
+    val snaps =
+      indexVersions(s, indexDir, requiring = "band_index").filter(_ <= upTo)
+    require(
+      snaps.nonEmpty,
+      s"embed index at $indexDir has no snapshot version <= $upTo (run seedEmbedIndex)")
+    val snapVer = snaps.max
+    val incs = indexVersions(s, indexDir, requiring = "band_inc")
+      .filter(v => v > snapVer && v <= upTo)
+      .sorted
+      .map(v => s"$indexDir/v$v/band_inc")
+    // partitioned roots must be read separately (fan-in bounded by
+    // compaction cadence)
+    (s"$indexDir/v$snapVer/band_index" +: incs)
+      .map(p => s.read.parquet(p).select(EmbedCols.map(col): _*))
+      .reduce(_ unionByName _)
+  }
+
   /** Continuous incremental EMBEDDING near-dup — the vector-modality
     * sibling of [[incrDedupStreamWriter]], structurally simpler because
     * the contract is PAIRS, not clusters: no labels can move, so index
     * maintenance is a pure append of the batch's band rows (no remap
-    * pass), and sequential micro-batch apply ≡ one-shot rebuild holds
+    * log), and sequential micro-batch apply ≡ one-shot rebuild holds
     * directly — batch b emits exactly the full pair set's rows whose
-    * larger id lands in batch b (monotone ingest ids). Same versioned
-    * exactly-once shape: batch b reads the largest version ≤ b, writes
-    * pairs + the appended index to the fresh `v(b+1)` directory, retries
-    * overwrite deterministically. StreamingEmbedIncrSpec proves the
-    * cross-batch union equals the one-shot rebuild, including a pair
-    * whose two sides arrive in different micro-batches.
+    * larger id lands in batch b (monotone ingest ids). Same append-only
+    * exactly-once shape: batch b reads the merged index ≤ b, writes its
+    * pairs + its OWN band rows only (`band_inc`, O(batch)) to the fresh
+    * `v(b+1)` directory; retries overwrite deterministically;
+    * [[compactEmbedIndex]] periodically folds increments into a full
+    * snapshot. StreamingEmbedIncrSpec proves the cross-batch union equals
+    * the one-shot rebuild, including a pair whose two sides arrive in
+    * different micro-batches.
     */
   def incrEmbedDedupStreamWriter(
       vecs: DataFrame,
@@ -614,31 +776,43 @@ object StreamOps {
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         if (!batch.isEmpty) {
           val sess = batch.sparkSession
-          val vers = indexVersions(sess, indexDir, requiring = "band_index")
-            .filter(_ <= batchId)
-          require(
-            vers.nonEmpty,
-            s"embed index at $indexDir has no seed version <= $batchId (run seedEmbedIndex)")
-          val cur = s"$indexDir/v${vers.max}"
-          val bandIndex = sess.read
-            .parquet(s"$cur/band_index")
-            .select("vec_id", "embedding", "n2", "band_idx", "band_val")
+          val bandIndex = readEmbedIndexState(sess, indexDir, upTo = batchId)
           val b = batch.select("vec_id", "embedding")
           val pairs = DedupOps.applyEmbedDelta(sess, b, bandIndex)
           val next = s"$indexDir/v${batchId + 1}"
           pairs.write
             .mode(org.apache.spark.sql.SaveMode.Overwrite)
             .parquet(s"$next/pairs")
-          bandIndex
-            .unionByName(DedupOps.buildEmbedIndex(sess, b)
-              .select("vec_id", "embedding", "n2", "band_idx", "band_val"))
+          DedupOps
+            .buildEmbedIndex(sess, b)
+            .select(EmbedCols.map(col): _*)
             .write
             .mode(org.apache.spark.sql.SaveMode.Overwrite)
             .partitionBy("band_idx")
-            .parquet(s"$next/band_index")
+            .parquet(s"$next/band_inc")
         }
         ()
       }
+
+  /** Compaction for the embedding index: fold `band_inc` increments into
+    * a full snapshot at the newest committed version and drop the folded
+    * dirs. Committed `pairs` outputs are never touched.
+    */
+  def compactEmbedIndex(s: SparkSession, indexDir: String): Unit = {
+    val committed = indexVersions(s, indexDir, requiring = "pairs")
+    if (committed.isEmpty) return
+    val k = committed.max
+    if (indexVersions(s, indexDir, requiring = "band_index").max >= k) return
+    readEmbedIndexState(s, indexDir, upTo = k).write
+      .mode(org.apache.spark.sql.SaveMode.Overwrite)
+      .partitionBy("band_idx")
+      .parquet(s"$indexDir/v$k/band_index")
+    val fs = new org.apache.hadoop.fs.Path(indexDir)
+      .getFileSystem(s.sparkContext.hadoopConfiguration)
+    indexVersions(s, indexDir, requiring = "band_inc").filter(_ <= k).foreach { v =>
+      fs.delete(new org.apache.hadoop.fs.Path(s"$indexDir/v$v/band_inc"), true)
+    }
+  }
 
   /** All near-dup pairs the continuous embedding dedup has committed. */
   def readEmbedPairs(s: SparkSession, indexDir: String): DataFrame =

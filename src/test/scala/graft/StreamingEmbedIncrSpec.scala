@@ -85,16 +85,24 @@ class StreamingEmbedIncrSpec extends SparkSpec {
       s"cross-batch pair found through the appended index: $got")
     assert(got.contains((0L, 100L)) && got.contains((1L, 201L)), got.toString)
 
-    // maintenance: pruning superseded index snapshots keeps every
-    // committed pair output and leaves the newest snapshot servable
-    StreamOps.pruneDedupIndexVersions(spark, indexDir, keep = 1)
-    assert(pairs(StreamOps.readEmbedPairs(spark, indexDir)) === got,
-      "pruning must never touch committed per-batch outputs")
-    val latest = spark.read.parquet(s"$indexDir/v2/band_index")
-    assert(latest.count() > 0, "newest index snapshot survives the prune")
+    // O(batch) commits: each batch writes only its own band rows
     val fs = new org.apache.hadoop.fs.Path(indexDir)
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
-    assert(!fs.exists(new org.apache.hadoop.fs.Path(s"$indexDir/v0/band_index")),
-      "superseded seed snapshot is dropped")
+    def exists(p: String) = fs.exists(new org.apache.hadoop.fs.Path(s"$indexDir/$p"))
+    assert(!exists("v1/band_index") && !exists("v2/band_index"),
+      "batches must not rewrite the full index")
+    assert(spark.read.parquet(s"$indexDir/v1/band_inc")
+      .select("vec_id").distinct().count() === 2, "batch-1 rows only")
+
+    // maintenance: compaction folds increments into a full snapshot and
+    // pruning drops the superseded seed — committed pairs never move
+    StreamOps.compactEmbedIndex(spark, indexDir)
+    assert(exists("v2/band_index") && !exists("v1/band_inc") && !exists("v2/band_inc"))
+    StreamOps.pruneDedupIndexVersions(spark, indexDir, keep = 1)
+    assert(pairs(StreamOps.readEmbedPairs(spark, indexDir)) === got,
+      "maintenance must never touch committed per-batch outputs")
+    val latest = spark.read.parquet(s"$indexDir/v2/band_index")
+    assert(latest.count() > 0, "newest index snapshot survives the prune")
+    assert(!exists("v0/band_index"), "superseded seed snapshot is dropped")
   }
 }

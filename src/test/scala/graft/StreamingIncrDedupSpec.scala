@@ -6,32 +6,36 @@ import graft.ops.{DedupOps, StreamOps}
 import org.apache.spark.sql.DataFrame
 
 /** Continuous incremental dedup ([[StreamOps.incrDedupStreamWriter]]):
-  * micro-batched apply-with-index-maintenance must produce, across ALL
-  * batches, exactly the assignment a one-shot full rebuild over
-  * base ∪ delta gives the delta rows — including the two effects only
-  * index maintenance can deliver:
+  * micro-batched apply with APPEND-ONLY index commits must produce,
+  * across all batches, exactly the assignment a one-shot full rebuild
+  * over base ∪ deltas gives the delta rows — including the effects only
+  * index maintenance + the remap log can deliver:
   *
-  *  - content first seen in batch k is matchable in batch k+1 (both the
-  *    exact md5 path against the appended group and the banded near path
-  *    against the appended band rows);
-  *  - a batch-k bridge doc merges two base clusters, and a batch-k+1 doc
-  *    near the MERGED side's content gets the surviving label (the index
-  *    remap in action).
+  *  - content first seen in batch k is matchable in batch k+1 (exact md5
+  *    path against the appended group, near path against appended bands);
+  *  - a batch doc bridges two base clusters → the merge lands in the
+  *    remap log and earlier-committed assignments READ BACK with the
+  *    surviving label;
+  *  - a later batch merges an EARLIER BATCH's own cluster into a base
+  *    cluster (the divergent case a snapshot-only design gets wrong);
+  *  - remaps CHAIN across batches (5→3 in batch 1, 3→1 in batch 2) and
+  *    readers compose them transitively.
   *
-  * Plus the exactly-once shape: versioned snapshot dirs, deterministic
-  * under a fresh checkpoint + fresh index rerun.
+  * Plus the scale contract: each batch commits O(batch) increments
+  * (exact row counts asserted — never a corpus rewrite), compaction
+  * folds them into a full snapshot without changing any read, and the
+  * stream resumes correctly from a compacted index. And the
+  * exactly-once shape: versioned dirs, deterministic under a fresh
+  * checkpoint + fresh index rerun.
   */
 class StreamingIncrDedupSpec extends SparkSpec {
 
-  private val A = (0 until 20).map(i => f"alpha$i%02d").mkString(" ")
-  private val Z = (0 until 20).map(i => f"zeta$i%02d")
-  private val X = Z.take(18).mkString(" ")
-  private val Y = (Z.take(16) ++ Z.drop(18)).mkString(" ")
-  private val Zt = Z.mkString(" ")
-  private val C = (0 until 10).map(i => f"gamma$i%02d").mkString(" ")
-  private val N = (0 until 10).map(i => f"nu$i%02d").mkString(" ")
-  private val Nperm = (0 until 10).reverse.map(i => f"nu$i%02d").mkString(" ")
-  private val Yperm = (Z.take(16) ++ Z.drop(18)).reverse.mkString(" ")
+  // token families: z* (the chain-merge family), m* (the batch-cluster
+  // family), g* (untouched control)
+  private def z(is: Seq[Int]) = is.map(i => f"zeta$i%02d").mkString(" ")
+  private def m(is: Seq[Int]) = is.map(i => f"mu$i%02d").mkString(" ")
+  private val G = (0 until 10).map(i => f"gamma$i%02d").mkString(" ")
+  private val F = "fresh unrelated delta content words entirely alone here"
 
   private def frame(rows: Seq[(Long, String)]): DataFrame = {
     import spark.implicits._
@@ -39,34 +43,66 @@ class StreamingIncrDedupSpec extends SparkSpec {
       .toDF("doc_id", "lang", "text", "source", "n_chars")
   }
 
+  // J(T1,T3) = J(T3,T5) = 16/20 = 0.8 — separate until bridged
   private lazy val base = frame(Seq(
-    0L -> A,
-    3L -> X, // clusters 3 and 4: J(X,Y)=0.8 — separate until bridged
-    4L -> Y,
-    5L -> C,
-    8L -> "solo eight unique words here"))
-
-  // batch 1: bridge + brand-new content; batch 2: probes content first
-  // seen in batch 1 (exact AND near) plus the remapped merged cluster
+    1L -> z(0 until 18), // T1
+    3L -> z(2 until 20), // T3
+    5L -> z(4 until 22), // T5
+    9L -> m(0 until 18), // M1
+    11L -> G))
+  // U1 = z02..z21: J=0.9 to BOTH T3 and T5 -> merges {3,5} -> remap 5→3
+  // Q  = m02..m19: J(Q,M1) = 0.8 -> NEW batch cluster 102
   private lazy val batch1 = frame(Seq(
-    100L -> Zt, // bridge: merges base clusters 3 and 4 -> 3
-    101L -> N, // new cluster 103? no - new cluster 101
-    102L -> "fresh new delta content alone"))
+    101L -> z(2 until 22),
+    102L -> m(2 until 20),
+    103L -> F))
+  // U2 = z00..z19: J=0.9 to T1 and T3 -> merges {1,3} -> remap 3→1 (chain!)
+  // WB = m00..m19: J=0.9 to M1 AND batch-1's Q -> merges {9,102} -> remap
+  //      102→9: batch-1's committed label 102 must READ BACK as 9
   private lazy val batch2 = frame(Seq(
-    200L -> N, // exact md5 match to batch-1 content -> 101
-    201L -> Nperm, // near match to batch-1 content through appended bands -> 101
-    202L -> Yperm, // near match to REMAPPED base rows (old cluster 4) -> 3
-    203L -> C)) // exact match to base content, untouched by the churn -> 5
+    200L -> z(0 until 20),
+    201L -> m(0 until 20),
+    202L -> F, // exact md5 match to batch-1 content -> 103
+    203L -> G)) // exact match to base content, untouched by the churn -> 11
+  // post-compaction: exact text of T5 (md5 group committed under 5,
+  // resolved 5→3→1 by the folded remaps) and a near match to batch-2
+  // content through the compacted snapshot
+  private lazy val batch3 = frame(Seq(
+    300L -> z(4 until 22),
+    301L -> z((0 until 16) ++ (18 until 20))))
 
-  private def runStream(srcDir: String, indexDir: String): Map[Long, Long] = {
-    StreamOps.seedDedupIndex(
-      spark, base.select("doc_id", "lang", "text"), indexDir)
+  private def stageFile(dir: String, df: DataFrame, name: String, mtime: Long): Unit = {
+    val fs = new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val tmp = s"$dir/_stage_$name"
+    df.coalesce(1).write.parquet(tmp)
+    val part = fs
+      .listStatus(new org.apache.hadoop.fs.Path(tmp))
+      .filter(_.getPath.getName.endsWith(".parquet"))
+      .head
+      .getPath
+    fs.mkdirs(new org.apache.hadoop.fs.Path(s"$dir/documents.parquet"))
+    fs.rename(part, new org.apache.hadoop.fs.Path(s"$dir/documents.parquet/$name.parquet"))
+    fs.delete(new org.apache.hadoop.fs.Path(tmp), true)
+    new java.io.File(s"$dir/documents.parquet/$name.parquet").setLastModified(mtime)
+  }
+
+  private def stageSource(): String = {
+    val dir = Files.createTempDirectory("graft_incr_src").toString
+    // one parquet FILE per micro-batch, ordered: the file source picks
+    // oldest-modified first and maxFilesPerTrigger=1 splits the triggers
+    stageFile(dir, batch1, "batch1", 1000000L)
+    stageFile(dir, batch2, "batch2", 2000000L)
+    dir
+  }
+
+  private def runStream(srcDir: String, indexDir: String, ckpt: String): Map[Long, Long] = {
     val q = StreamOps
       .incrDedupStreamWriter(
         StreamOps.docsStream(
           spark, s"$srcDir/documents.parquet", Map("maxFilesPerTrigger" -> "1")),
         indexDir,
-        Files.createTempDirectory("graft_incr_ckpt").toString)
+        ckpt)
       .start()
     try q.processAllAvailable()
     finally q.stop()
@@ -77,56 +113,86 @@ class StreamingIncrDedupSpec extends SparkSpec {
       .toMap
   }
 
-  private def stageSource(): String = {
-    val dir = Files.createTempDirectory("graft_incr_src").toString
-    val docs = s"$dir/documents.parquet"
-    batch1.coalesce(1).write.parquet(s"$dir/b1")
-    batch2.coalesce(1).write.parquet(s"$dir/b2")
-    // one parquet FILE per micro-batch, ordered: the file source picks
-    // oldest-modified first and maxFilesPerTrigger=1 splits the triggers
-    val fs = new org.apache.hadoop.fs.Path(dir)
-      .getFileSystem(spark.sparkContext.hadoopConfiguration)
-    fs.mkdirs(new org.apache.hadoop.fs.Path(docs))
-    def files(sub: String) = fs
-      .listStatus(new org.apache.hadoop.fs.Path(s"$dir/$sub"))
-      .filter(_.getPath.getName.endsWith(".parquet"))
-    files("b1").zipWithIndex.foreach { case (f, i) =>
-      fs.rename(f.getPath, new org.apache.hadoop.fs.Path(s"$docs/batch1_$i.parquet"))
-    }
-    files("b2").zipWithIndex.foreach { case (f, i) =>
-      fs.rename(f.getPath, new org.apache.hadoop.fs.Path(s"$docs/batch2_$i.parquet"))
-    }
-    fs.delete(new org.apache.hadoop.fs.Path(s"$dir/b1"), true)
-    fs.delete(new org.apache.hadoop.fs.Path(s"$dir/b2"), true)
-    new java.io.File(s"$docs/batch1_0.parquet").setLastModified(1000000L)
-    new java.io.File(s"$docs/batch2_0.parquet").setLastModified(2000000L)
-    dir
-  }
+  private def fullWant(dfs: Seq[DataFrame]): Map[Long, Long] = DedupOps
+    .fullAssign(
+      spark,
+      dfs.reduce(_ unionByName _).select("doc_id", "lang", "text"))
+    .collect()
+    .map(r => r.getLong(0) -> r.getLong(1))
+    .filter(_._1 >= 100L)
+    .toMap
 
-  test("sequential micro-batch apply equals the one-shot full rebuild") {
-    val got = runStream(
-      stageSource(), Files.createTempDirectory("graft_incr_idx").toString)
-    val want = DedupOps
-      .fullAssign(
-        spark,
-        base.unionByName(batch1).unionByName(batch2)
-          .select("doc_id", "lang", "text"))
+  test("append-only micro-batch chain equals the one-shot full rebuild") {
+    val src = stageSource()
+    val indexDir = Files.createTempDirectory("graft_incr_idx").toString
+    val ckpt = Files.createTempDirectory("graft_incr_ckpt").toString
+    StreamOps.seedDedupIndex(spark, base.select("doc_id", "lang", "text"), indexDir)
+    val got = runStream(src, indexDir, ckpt)
+    assert(got === fullWant(Seq(base, batch1, batch2)))
+    // the effects only index maintenance + the remap log can produce:
+    assert(got(202L) === 103L, "batch-2 exact match to batch-1 content")
+    assert(got(101L) === 1L,
+      "batch-1 doc committed with label 3, resolved through the 3→1 remap")
+    assert(got(102L) === 9L,
+      "batch-1's OWN cluster 102 merged into base 9 by a batch-2 bridge " +
+        "(stale without a persisted remap log)")
+    assert(got(201L) === 9L, "the bridge doc itself")
+    assert(got(203L) === 11L, "base content untouched by the churn keeps its label")
+
+    val fs = new org.apache.hadoop.fs.Path(indexDir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    def exists(p: String) = fs.exists(new org.apache.hadoop.fs.Path(s"$indexDir/$p"))
+    def rows(p: String) = spark.read.parquet(s"$indexDir/$p").count()
+
+    // O(batch) commits: increments only — exactly (unmatched reps × 2
+    // bands) band rows and (new md5 groups) rows; never a snapshot
+    assert(!exists("v1/band_index") && !exists("v2/band_index"),
+      "batches must not rewrite the full index")
+    assert(rows("v1/band_inc") === 3 * 2, "batch-1: U1, Q, F bands only")
+    assert(rows("v1/md5_inc") === 3)
+    assert(rows("v2/band_inc") === 2 * 2, "batch-2: U2, WB bands only (202/203 are md5 hits)")
+    assert(rows("v2/md5_inc") === 2)
+    // the persisted remap log carries exactly the merges
+    def remaps(p: String) = spark.read.parquet(s"$indexDir/$p")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toSet
+    assert(remaps("v1/remap") === Set(5L -> 3L))
+    assert(remaps("v2/remap") === Set(3L -> 1L, 102L -> 9L))
+
+    // compaction folds increments into a full snapshot; no read changes
+    StreamOps.compactDedupIndex(spark, indexDir)
+    assert(exists("v2/band_index") && exists("v2/md5_index"))
+    assert(!exists("v1/band_inc") && !exists("v2/band_inc") && !exists("v1/md5_inc"))
+    assert(exists("v1/remap") && exists("v1/assign"), "assign/remap dirs are permanent")
+    val afterCompact = StreamOps
+      .readDedupAssignments(spark, indexDir)
       .collect()
       .map(r => r.getLong(0) -> r.getLong(1))
-      .filter(_._1 >= 100L)
       .toMap
-    assert(got === want)
-    // the effects only index maintenance can produce:
-    assert(got(200L) === 101L, "batch-2 exact match to batch-1 content")
-    assert(got(201L) === 101L, "batch-2 near match through batch-1's appended bands")
-    assert(got(202L) === 3L, "batch-2 near match to rows remapped by the batch-1 bridge")
-    assert(got(203L) === 5L, "base content untouched by the churn keeps its label")
+    assert(afterCompact === got)
+    // the folded snapshot carries RESOLVED labels (5→3→1 composed)
+    val md5Labels = spark.read.parquet(s"$indexDir/v2/md5_index")
+      .collect().map(r => r.getAs[Long]("cluster_id")).toSet
+    assert(!md5Labels.contains(5L) && !md5Labels.contains(3L) && !md5Labels.contains(102L),
+      s"dead labels must not survive compaction: $md5Labels")
+
+    // the stream resumes from the compacted snapshot (same checkpoint)
+    stageFile(src, batch3, "batch3", 3000000L)
+    val resumed = runStream(src, indexDir, ckpt)
+    assert(resumed === fullWant(Seq(base, batch1, batch2, batch3)))
+    assert(resumed(300L) === 1L,
+      "exact md5 probe of a group committed under 5: compaction folded 5→3→1")
+    assert(resumed(301L) === 1L, "near probe through the compacted bands")
   }
 
   test("fresh checkpoint + fresh index rerun reproduces the assignment exactly") {
     val src = stageSource()
-    val first = runStream(src, Files.createTempDirectory("graft_incr_idx").toString)
-    val second = runStream(src, Files.createTempDirectory("graft_incr_idx").toString)
+    def run(): Map[Long, Long] = {
+      val idx = Files.createTempDirectory("graft_incr_idx").toString
+      StreamOps.seedDedupIndex(spark, base.select("doc_id", "lang", "text"), idx)
+      runStream(src, idx, Files.createTempDirectory("graft_incr_ckpt").toString)
+    }
+    val first = run()
+    val second = run()
     assert(first === second)
     assert(first.nonEmpty)
   }
