@@ -504,8 +504,13 @@ object SimilarityOps {
     * the retrieval path (plan-asserted via PartitionFilters + inputFiles
     * in ServeIndexSpec / PlanShapeSpec).
     */
-  private[graft] def serveRoot(d: String): String =
-    s"${System.getProperty("java.io.tmpdir")}/graft_serve_${math.abs(d.hashCode)}"
+  private[graft] def serveRoot(s: SparkSession, d: String): String = {
+    // keyed by applicationId so concurrent runs over the same dataset
+    // never race on SaveMode.Overwrite, and by the sanitized dataset
+    // path (not its hashCode) so distinct datasets never collide
+    val tag = d.replaceAll("[^A-Za-z0-9._-]", "_")
+    s"${System.getProperty("java.io.tmpdir")}/graft_serve_${s.sparkContext.applicationId}/$tag"
+  }
 
   private[graft] def writeAnnIndex(s: SparkSession, d: String, path: String): Unit = {
     import s.implicits._
@@ -591,7 +596,7 @@ object SimilarityOps {
     * single hit.
     */
   private def simServed(s: SparkSession, d: String): DataFrame = {
-    val path = s"${serveRoot(d)}/ann"
+    val path = s"${serveRoot(s, d)}/ann"
     writeAnnIndex(s, d, path)
     serveAnnBatch(s, path, batchProbeFrame(s, d))
   }
@@ -677,7 +682,7 @@ object SimilarityOps {
     */
   private def simIvfServed(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
-    val path = s"${serveRoot(d)}/ivf"
+    val path = s"${serveRoot(s, d)}/ivf"
     writeIvfIndex(s, d, path)
     val probeVecs = emb(s, d)
       .select($"vec_id", $"embedding", Vec.norm2($"embedding").as("n2"))

@@ -489,6 +489,209 @@ object TextOps {
       "array_to_string(list_sort(list(doc_id)), ',') AS postings " +
       s"FROM r WHERE rn <= $PostingsCap GROUP BY token ORDER BY token"
 
+  // ---- lexical retrieval: BM25 over the inverted-index family ---------
+
+  /** The fixed multi-term benchmark query set: common-term conjunctions,
+    * a rare+common mix ('dup' is the corpus's only low-df term), a
+    * missing-term query (scoring must ignore it, not null out), and a
+    * single rare term (exercises the score tie → doc_id tie-break).
+    */
+  private[graft] val Bm25Queries: Seq[(Int, String)] = Seq(
+    1 -> "vector", 1 -> "hash", 1 -> "join",
+    2 -> "dup", 2 -> "spark",
+    3 -> "customer", 3 -> "window", 3 -> "slow", 3 -> "fast",
+    4 -> "merge", 4 -> "zzzmissing",
+    5 -> "dup")
+
+  private val Bm25TopK = 10
+
+  /** Term-shard count for the served postings index. Sized so the fixed
+    * query set prunes >80% of directories at test scale; production sizes
+    * this to O(thousands) so a shard is one task's worth of postings.
+    */
+  private val Bm25Shards = 64
+
+  /** BM25 scoring core over a (query_id, term, tf, dl, df, n, l) hit
+    * frame — k1 = 1.2, b = 0.75, with Lucene-style rational idf
+    * (N − df + ½)/(df + ½) instead of its log (house rule: no cross-libm
+    * transcendentals; the surrogate is monotone in df so per-term
+    * discrimination is preserved and the score stays exactly portable).
+    * Clearing denominators gives one integer-exact ratio per term:
+    *   score = 22·tf·L·(2N − 2df + 1) / [(2df + 1)·(10·tf·L + 3·L + 9·dl·N)]
+    * computed in decimal(38,0) (exact to 38 digits — room for 100 TB
+    * corpora where BIGINT products would wrap), ONE IEEE division, r6,
+    * then an order-independent decimal(18,6) sum per (query, doc) — the
+    * q_ts_anomaly ladder: exact integer moments, then IEEE ÷ and round.
+    */
+  private def bm25Score(hits: DataFrame): DataFrame = {
+    def d38(c: Column) = c.cast("decimal(38,0)")
+    val num = d38(lit(22) * col("tf")) * d38(col("l")) *
+      d38(lit(2) * col("n") - lit(2) * col("df") + lit(1))
+    val den = d38(lit(2) * col("df") + lit(1)) *
+      (d38(lit(10) * col("tf")) * d38(col("l")) +
+        d38(lit(3) * col("l")) + d38(lit(9) * col("dl")) * d38(col("n")))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("score").desc, col("doc_id"))
+    hits
+      .withColumn("sc", graft.X.r6(num.cast("double") / den.cast("double")))
+      .groupBy(col("query_id"), col("doc_id"))
+      .agg(
+        sum(col("sc").cast("decimal(18,6)")).cast("double").as("score"),
+        count(lit(1)).as("n_terms"))
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= Bm25TopK)
+      .select(col("query_id"), col("rank"), col("doc_id"), col("score"), col("n_terms"))
+      .orderBy(col("query_id"), col("rank"))
+  }
+
+  /** The corpus-side frames BM25 needs: per-(doc, query-term) tf, per-doc
+    * token length, per-query-term df, and the one-row (N, L) stats frame.
+    * tf/df are restricted to query terms up front (broadcast semi of an
+    * 11-term frame), so at 100 TB only matching postings ever shuffle;
+    * dl/stats are full-corpus single-pass aggregates.
+    */
+  private def bm25Tokens(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    docs(s, d)
+      .select($"doc_id", explode(split(lower($"text"), " ")).as("term"))
+      .filter($"term".rlike("^[a-z0-9]{3,}$"))
+  }
+
+  private def bm25Frames(
+      s: SparkSession,
+      d: String): (DataFrame, DataFrame, DataFrame, DataFrame) = {
+    import s.implicits._
+    val qterms = Bm25Queries.map(_._2).distinct.toDF("term")
+    val ft = bm25Tokens(s, d)
+    val tf = ft
+      .join(broadcast(qterms), Seq("term"))
+      .groupBy($"doc_id", $"term")
+      .agg(count(lit(1)).as("tf"))
+    val dfreq = tf.groupBy($"term").agg(count(lit(1)).as("df"))
+    val dl = ft.groupBy($"doc_id").agg(count(lit(1)).as("dl"))
+    val stats = ft
+      .agg(count(lit(1)).as("l"))
+      .crossJoin(broadcast(docs(s, d).agg(count(lit(1)).as("n"))))
+    (tf, dfreq, dl, stats)
+  }
+
+  /** q_index_bm25 — multi-term BM25 retrieval: the query a user of the
+    * inverted index (q_index_inverted) actually asks. Each benchmark
+    * query scores every doc containing ≥1 of its terms and keeps the
+    * top-10 by (score DESC, doc_id). Shuffle budget: tf by (doc, term),
+    * dl by doc, the score-sum by (query, doc), and a tiny per-query rank
+    * window — everything else is broadcast. df arrives via a broadcast
+    * join of the ≤|query terms| df rows.
+    */
+  private def indexBm25(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val (tf, dfreq, dl, stats) = bm25Frames(s, d)
+    val q = Bm25Queries.toDF("query_id", "term")
+    val hits = tf
+      .join(broadcast(q), Seq("term"))
+      .join(broadcast(dfreq), Seq("term"))
+      .join(dl, Seq("doc_id"))
+      .crossJoin(broadcast(stats))
+    bm25Score(hits)
+  }
+
+  /** q_index_bm25_served — q_index_bm25 answered from a PERSISTED
+    * postings index, mirroring q_sim_served's build/serve split for the
+    * lexical side. Build: (term, doc_id, tf, dl) postings — dl
+    * denormalized in, so serving never joins the doc-length table —
+    * hive-partitioned on tshard = pmod(hash(term), 64), plus a one-row
+    * (N, L) stats parquet. Serve: the query terms' shard ids (≤ 11
+    * values, collected like probe buckets — bounded model state) become a
+    * LITERAL partition filter, so the scan lists only the probed
+    * directories; scoring is identical. Same output and oracle as
+    * q_index_bm25: persistence and pruning must not change a single hit.
+    */
+  private def indexBm25Served(s: SparkSession, d: String): DataFrame = {
+    val path = writeBm25Index(s, d)
+    serveBm25(s, path)
+  }
+
+  private[graft] def writeBm25Index(s: SparkSession, d: String): String = {
+    import s.implicits._
+    val path = SimilarityOps.serveRoot(s, d) + "/bm25"
+    val ft = bm25Tokens(s, d)
+    // the FULL vocabulary's postings — an index build is query-independent
+    val tf = ft.groupBy($"doc_id", $"term").agg(count(lit(1)).as("tf"))
+    val dl = ft.groupBy($"doc_id").agg(count(lit(1)).as("dl"))
+    val stats = ft
+      .agg(count(lit(1)).as("l"))
+      .crossJoin(broadcast(docs(s, d).agg(count(lit(1)).as("n"))))
+    tf.join(dl, Seq("doc_id"))
+      .select(
+        $"term", $"doc_id", $"tf", $"dl",
+        pmod(hash($"term"), lit(Bm25Shards)).as("tshard"))
+      // own each shard directory's files (writeCorpusShards rule)
+      .repartition($"tshard")
+      .write
+      .mode(org.apache.spark.sql.SaveMode.Overwrite)
+      .partitionBy("tshard")
+      .parquet(s"$path/postings")
+    stats.write
+      .mode(org.apache.spark.sql.SaveMode.Overwrite)
+      .parquet(s"$path/stats")
+    path
+  }
+
+  private[graft] def serveBm25(s: SparkSession, path: String): DataFrame = {
+    import s.implicits._
+    val q = Bm25Queries.toDF("query_id", "term")
+    val shards = bm25ProbedShards(s)
+    val postings = s.read
+      .parquet(s"$path/postings")
+      .filter($"tshard".isin(shards: _*))
+    val dfreq = postings.groupBy($"term").agg(count(lit(1)).as("df"))
+    val hits = postings
+      .join(broadcast(q), Seq("term"))
+      .join(broadcast(dfreq.join(broadcast(q.select($"term").distinct()), Seq("term"))), Seq("term"))
+      .crossJoin(broadcast(s.read.parquet(s"$path/stats")))
+    bm25Score(hits)
+  }
+
+  /** The distinct shard ids the fixed query set probes — the literal
+    * partition filter [[serveBm25]] pushes; exposed so ServeIndexSpec can
+    * assert the probed set is a strict subset of the shard directories.
+    */
+  private[graft] def bm25ProbedShards(s: SparkSession): Seq[Any] = {
+    import s.implicits._
+    Bm25Queries.map(_._2).distinct.toDF("term")
+      .select(pmod(hash($"term"), lit(Bm25Shards)))
+      .distinct().collect().map(_.get(0)).toSeq
+  }
+
+  private val Bm25ValuesSql =
+    Bm25Queries.map { case (id, t) => s"($id,'$t')" }.mkString(",")
+
+  private val Bm25Sql =
+    s"WITH q(query_id, term) AS (VALUES $Bm25ValuesSql), " +
+      "tok AS (SELECT doc_id, unnest(string_split(lower(text),' ')) AS term FROM documents), " +
+      "ft AS (SELECT doc_id, term FROM tok WHERE regexp_full_match(term,'[a-z0-9]{3,}')), " +
+      "tf AS (SELECT doc_id, term, CAST(count(*) AS BIGINT) AS tf FROM ft " +
+      "WHERE term IN (SELECT term FROM q) GROUP BY doc_id, term), " +
+      "dl AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS dl FROM ft GROUP BY doc_id), " +
+      "dfreq AS (SELECT term, CAST(count(*) AS BIGINT) AS df FROM tf GROUP BY term), " +
+      "stats AS (SELECT (SELECT CAST(count(*) AS BIGINT) FROM documents) AS n, " +
+      "(SELECT CAST(count(*) AS BIGINT) FROM ft) AS l), " +
+      "hit AS (SELECT q.query_id, tf.doc_id, tf.tf, dl.dl, dfreq.df, s.n, s.l " +
+      "FROM q JOIN tf ON tf.term = q.term JOIN dl ON dl.doc_id = tf.doc_id " +
+      "JOIN dfreq ON dfreq.term = tf.term CROSS JOIN stats s), " +
+      "ts AS (SELECT query_id, doc_id, " +
+      "floor(CAST(CAST(22*tf AS HUGEINT)*l*(2*n - 2*df + 1) AS DOUBLE) " +
+      "/ CAST(CAST(2*df + 1 AS HUGEINT)*(10*tf*l + 3*l + 9*dl*n) AS DOUBLE) " +
+      "* 1e6 + 0.5) / 1e6 AS sc FROM hit), " +
+      "scored AS (SELECT query_id, doc_id, " +
+      "CAST(sum(CAST(sc AS DECIMAL(18,6))) AS DOUBLE) AS score, " +
+      "CAST(count(*) AS BIGINT) AS n_terms FROM ts GROUP BY query_id, doc_id), " +
+      "ranked AS (SELECT query_id, doc_id, score, n_terms, " +
+      "row_number() OVER (PARTITION BY query_id ORDER BY score DESC, doc_id) AS rank " +
+      "FROM scored) " +
+      s"SELECT query_id, CAST(rank AS BIGINT) AS rank, doc_id, score, n_terms " +
+      s"FROM ranked WHERE rank <= $Bm25TopK ORDER BY query_id, rank"
+
   val defs: Seq[QueryDef] = Seq(
     QueryDef(
       "q_text_tokens",
@@ -517,6 +720,8 @@ object TextOps {
     QueryDef("q_text_pretokens", textPretokens, Some(PretokensSql)),
     QueryDef("q_text_repetition", textRepetition, Some(RepetitionSql)),
     QueryDef("q_text_chunk", textChunk, Some(ChunkSql)),
-    QueryDef("q_index_inverted", indexInverted, Some(InvertedSql))
+    QueryDef("q_index_inverted", indexInverted, Some(InvertedSql)),
+    QueryDef("q_index_bm25", indexBm25, Some(Bm25Sql)),
+    QueryDef("q_index_bm25_served", indexBm25Served, Some(Bm25Sql))
   )
 }

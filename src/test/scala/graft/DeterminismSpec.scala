@@ -46,7 +46,8 @@ class DeterminismSpec extends SparkSpec {
     "q_sim_served",
     "q_sim_ivf_served",
     "q_agg_sketch_merge",
-    "q_dedup_embed_incr")
+    "q_dedup_embed_incr",
+    "q_index_bm25_served") // reads back the index it just wrote (bm25 itself runs)
 
   test("identical results at shuffle.partitions = 4 vs 13") {
     for (n <- names) {

@@ -30,7 +30,10 @@ class PlanHygieneSpec extends SparkSpec {
     "q_sim_ivf_served",
     "q_dedup_incr",
     "q_dedup_embed_incr", // same one-row threshold frame as q_dedup_incr
-    "q_stat_chisq")
+    "q_stat_chisq",
+    // r9: BM25's one-row (N, L) corpus-stats attach (TextOps.bm25Frames)
+    "q_index_bm25",
+    "q_index_bm25_served")
 
   private lazy val plans: Map[String, String] =
     SparkEntry.queries.keys.toSeq.sorted.map { name =>

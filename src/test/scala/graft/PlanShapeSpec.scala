@@ -314,4 +314,18 @@ class PlanShapeSpec extends SparkSpec {
     // scan must not read text/source/n_chars
     assert(p.contains("ReadSchema: struct<doc_id:bigint,lang:string>"), p)
   }
+
+  test("q_index_bm25: postings prune via broadcast semi; df/stats attach broadcast") {
+    val p = plan("q_index_bm25")
+    // the 11-term query frame, the df rows and the one-row (N, L) stats all
+    // arrive broadcast — the only shuffles move matching postings, doc
+    // lengths, and the per-(query, doc) score sum
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("SortMergeJoin"), p)
+    assert(!p.contains("CartesianProduct"), p)
+    // six: tf (doc,term), df (term), dl (doc), the tf⋈dl doc_id side,
+    // the (query, doc) score sum, the per-query rank window
+    assert("Exchange hashpartitioning".r.findAllIn(p).size == 6, p)
+    assert("Exchange rangepartitioning".r.findAllIn(p).size == 1, p)
+  }
 }

@@ -187,6 +187,199 @@ class ScaleSpec extends SparkSpec {
     assertLinear("q_join_fuzzy")
   }
 
+  // ---- the incremental family at 10x -------------------------------
+
+  private val ZFamilies = 40
+  private val ZBase = 20000000L
+  private val BatchBase = 30000000L
+
+  private def zText(f: Int, is: Seq[Int]) =
+    is.map(i => f"zf$f%02dt$i%02d").mkString(" ")
+
+  /** 40 disjoint two-cluster token families planted in the base: each
+    * holds docs z00..z17 and z02..z19 (J = 0.8 — separate), waiting for
+    * a batch bridge z00..z19 (J = 0.9 to both).
+    */
+  private def zBaseDocs(): DataFrame = {
+    import spark.implicits._
+    (0 until ZFamilies)
+      .flatMap { f =>
+        Seq(
+          (ZBase + f * 2, "en", zText(f, 0 until 18)),
+          (ZBase + f * 2 + 1, "en", zText(f, 2 until 20)))
+      }
+      .toDF("doc_id", "lang", "text")
+  }
+
+  /** The planted batch (ids above every base id — the monotone-ingest
+    * invariant): bridges for every z family, exact copies and
+    * drop-last-token near variants of replica content, and fresh docs.
+    */
+  private def incrBatch(): DataFrame = {
+    import spark.implicits._
+    val bridges = (0 until ZFamilies)
+      .map(f => (BatchBase + f, "en", zText(f, 0 until 20)))
+      .toDF("doc_id", "lang", "text")
+    val exact = tagDocs(0)
+      .filter($"doc_id" % 37 === 0)
+      .select(($"doc_id" + lit(BatchBase + 1000000L)).as("doc_id"), $"lang", $"text")
+    val near = tagDocs(5)
+      .filter($"doc_id" % 41 === 0 && size(split($"text", " ")) >= 12)
+      .select(
+        ($"doc_id" + lit(BatchBase + 2000000L)).as("doc_id"),
+        $"lang",
+        concat_ws(" ", expr("slice(split(text, ' '), 1, size(split(text, ' ')) - 1)"))
+          .as("text"))
+    val fresh = spark.range(150)
+      .select(
+        ($"id" + lit(BatchBase + 3000000L)).as("doc_id"),
+        lit("en").as("lang"),
+        concat(lit("freshscale"), $"id", lit("solo unseen material")).as("text"))
+    bridges.unionByName(exact).unionByName(near).unionByName(fresh)
+  }
+
+  private def assignMap(df: DataFrame): Map[Long, Long] =
+    df.select("doc_id", "cluster_id").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+
+  /** q_dedup_incr's engine at 10x: the APPLY side must (a) equal the full
+    * rebuild restricted to batch rows — with planted exact, near, and
+    * bridge paths all firing against the persisted index — (b) keep its
+    * equi-join plan shape, and (c) cost a fraction of the rebuild and
+    * stay flat as the BASE grows 10x (batch-sized work, not base-sized).
+    */
+  test("incremental dedup at 10x: delta == rebuild, apply is batch-sized") {
+    import spark.implicits._
+    import graft.ops.DedupOps
+    val base1 = tagDocs(0).select($"doc_id", $"lang", $"text").unionByName(zBaseDocs())
+    val base10 = (0 until Replicas)
+      .map(k => tagDocs(k).select($"doc_id", $"lang", $"text"))
+      .reduce(_ unionByName _)
+      .unionByName(zBaseDocs())
+    val batch = incrBatch().localCheckpoint(eager = true)
+
+    def materializedIndex(base: DataFrame): (DataFrame, DataFrame) = {
+      val (m, b) = DedupOps.buildDedupIndex(spark, base)
+      (m.localCheckpoint(eager = true), b.localCheckpoint(eager = true))
+    }
+    val (md51, band1) = materializedIndex(base1)
+    val (md510, band10) = materializedIndex(base10)
+
+    // (a) identity at 10x, planted paths firing
+    val got = assignMap(DedupOps.applyDedupDelta(spark, batch, md510, band10))
+    val want = assignMap(
+      DedupOps.fullAssign(spark, base10.unionByName(batch))
+        .filter($"doc_id" >= BatchBase))
+    assert(got === want, "delta-apply diverged from the full rebuild at 10x")
+    val bridgeIds = (0 until ZFamilies).map(f => BatchBase + f)
+    // A J~0.89 bridge rides each base doc with P(band hit) ~ 0.86 under
+    // 2 bands of 4 rows, so a fixed seeded fraction of families miss one
+    // side — identical in both compared paths (the identity above is the
+    // correctness claim; these prove the closure path fires at 10x).
+    val bridgeAttached =
+      bridgeIds.count(f => got(f) < ZBase + (f - BatchBase) * 2 + 2)
+    val bridgeClosed =
+      bridgeIds.count(f => got(f) === ZBase + (f - BatchBase) * 2)
+    assert(bridgeAttached >= (ZFamilies * 9) / 10,
+      s"bridges attach to their families: $bridgeAttached/$ZFamilies")
+    assert(bridgeClosed >= (ZFamilies * 6) / 10,
+      s"bridges close their family to the min base id: $bridgeClosed/$ZFamilies")
+    val exactIds = got.keys.filter(id => id >= BatchBase + 1000000L && id < BatchBase + 2000000L)
+    assert(exactIds.nonEmpty && exactIds.forall(got(_) < ZBase),
+      "exact copies attach to replica clusters through the md5 index")
+    val nearIds = got.keys.filter(id => id >= BatchBase + 2000000L && id < BatchBase + 3000000L).toSeq
+    val nearHits = nearIds.count(got(_) < ZBase)
+    // J ~= 11/12 near-variants ride 2 bands of 4 rows: ~8% banding misses
+    // are expected MinHash behavior (identical in both compared paths)
+    assert(nearIds.size > 50 && nearHits >= (nearIds.size * 8) / 10,
+      s"near variants attach through the band index: $nearHits/${nearIds.size}")
+    val freshIds = got.keys.filter(_ >= BatchBase + 3000000L)
+    assert(freshIds.forall(id => got(id) >= BatchBase), "fresh docs form new clusters")
+
+    // (b) plan shape: the index probe stays a shuffled equi-join
+    val probePlan = DedupOps
+      .indexProbePairs(spark, DedupOps.hashedToksOf(batch), band10)
+      .queryExecution.executedPlan.toString
+    assert(!probePlan.contains("CartesianProduct") &&
+      !probePlan.contains("BroadcastNestedLoopJoin"), probePlan)
+    assert(probePlan.contains("ShuffledHashJoin"), probePlan)
+
+    // (c) apply is batch-sized: warm, then compare against the rebuild
+    // and against the same apply over the 1x index
+    def applyOn(m: DataFrame, b: DataFrame): Unit =
+      DedupOps.applyDedupDelta(spark, batch, m, b).foreach(_ => ())
+    applyOn(md51, band1) // warmup
+    val tApply1 = timed(applyOn(md51, band1))
+    val tApply10 = timed(applyOn(md510, band10))
+    val tRebuild10 = timed(
+      DedupOps.fullAssign(spark, base10.unionByName(batch)).foreach(_ => ()))
+    info(f"incr text: apply1x=$tApply1%.1fs apply10x=$tApply10%.1fs rebuild10x=$tRebuild10%.1fs")
+    assert(tApply10 <= 0.6 * math.max(tRebuild10, 1.0),
+      f"apply should be a fraction of the rebuild: $tApply10%.1fs vs $tRebuild10%.1fs")
+    assert(tApply10 <= 4.0 * math.max(tApply1, 1.0),
+      f"apply must scale with the batch, not the base: 1x=$tApply1%.1fs 10x=$tApply10%.1fs")
+  }
+
+  /** q_dedup_embed_incr's engine at 10x: same three claims for the
+    * vector modality (pair contract — identity is exact, no closure).
+    * Replicas are cyclic dimension shifts: norms and within-replica
+    * similarities are preserved exactly, cross-replica cosines scatter.
+    */
+  test("incremental embed dedup at 10x: delta == rebuild, apply is batch-sized") {
+    import spark.implicits._
+    import graft.ops.{DedupOps, Vec}
+    val EmbBatchBase = 1000000L
+    def replica(k: Int): DataFrame = T(spark, Sf01, "embeddings")
+      .select(
+        ($"vec_id" + lit(k * 2000L)).as("vec_id"),
+        (if (k == 0) $"embedding"
+         else expr(s"concat(slice(embedding, ${k + 1}, ${64 - k}), slice(embedding, 1, $k))"))
+          .as("embedding"))
+    val base1 = replica(0)
+    val base10 = (0 until Replicas).map(replica).reduce(_ unionByName _)
+    // batch: exact copies of replica-3 vectors (cos = 1 pairs through the
+    // index) plus the shift-17 "fresh" family (scattered cosines)
+    val batch = replica(3)
+      .filter($"vec_id" % 7 === 0)
+      .select(($"vec_id" + lit(EmbBatchBase)).as("vec_id"), $"embedding")
+      .unionByName(
+        T(spark, Sf01, "embeddings").select(
+          ($"vec_id" + lit(EmbBatchBase + 100000L)).as("vec_id"),
+          expr("concat(slice(embedding, 18, 47), slice(embedding, 1, 17))").as("embedding")))
+      .localCheckpoint(eager = true)
+
+    val idx1 = DedupOps.buildEmbedIndex(spark, base1).localCheckpoint(eager = true)
+    val idx10 = DedupOps.buildEmbedIndex(spark, base10).localCheckpoint(eager = true)
+
+    def pairSet(df: DataFrame): Set[(Long, Long)] =
+      df.select("a_id", "b_id").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val got = pairSet(DedupOps.applyEmbedDelta(spark, batch, idx10))
+    val all = base10.unionByName(batch)
+    val want = pairSet(
+      DedupOps.verifyCosinePairsFrom(
+        all.select($"vec_id", $"embedding", Vec.norm2($"embedding").as("n2")),
+        DedupOps.embBandedCandidates(all))
+        .filter($"b_id" >= EmbBatchBase))
+    assert(got === want, "embed delta-apply diverged from the full rebuild at 10x")
+    assert(got.exists { case (a, b) => a < EmbBatchBase && b >= EmbBatchBase },
+      "index-probe pairs must fire (exact copies of replica-3 vectors)")
+
+    def applyOn(idx: DataFrame): Unit =
+      DedupOps.applyEmbedDelta(spark, batch, idx).foreach(_ => ())
+    applyOn(idx1) // warmup
+    val tApply1 = timed(applyOn(idx1))
+    val tApply10 = timed(applyOn(idx10))
+    val tRebuild10 = timed(
+      DedupOps.verifyCosinePairsFrom(
+        all.select($"vec_id", $"embedding", Vec.norm2($"embedding").as("n2")),
+        DedupOps.embBandedCandidates(all)).foreach(_ => ()))
+    info(f"incr embed: apply1x=$tApply1%.1fs apply10x=$tApply10%.1fs rebuild10x=$tRebuild10%.1fs")
+    assert(tApply10 <= 0.8 * math.max(tRebuild10, 1.0),
+      f"apply should undercut the rebuild: $tApply10%.1fs vs $tRebuild10%.1fs")
+    assert(tApply10 <= 4.0 * math.max(tApply1, 1.0),
+      f"apply must scale with the batch, not the base: 1x=$tApply1%.1fs 10x=$tApply10%.1fs")
+  }
+
   test("q_index_inverted at 10x: disjoint vocabularies, bounded postings, linear") {
     import spark.implicits._
     val (d1, d10) = dirs

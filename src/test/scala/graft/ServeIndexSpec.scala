@@ -33,7 +33,7 @@ class ServeIndexSpec extends SparkSpec {
       p)
     // directory-level proof: the index holds more bucket directories than
     // the probe set touches, so a pruned listing reads a strict subset
-    val idxDir = s"${SimilarityOps.serveRoot(sf)}/ann"
+    val idxDir = s"${SimilarityOps.serveRoot(spark, sf)}/ann"
     val fs = new org.apache.hadoop.fs.Path(idxDir)
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
     val bucketDirs = fs
@@ -44,6 +44,29 @@ class ServeIndexSpec extends SparkSpec {
       .serveProbedBuckets(spark, sf)
     assert(probed.nonEmpty && probed.size < bucketDirs,
       s"probed ${probed.size} of $bucketDirs bucket dirs")
+  }
+
+  test("q_index_bm25_served equals its in-session twin from a pruned scan") {
+    import graft.ops.TextOps
+    assert(
+      rows(SparkEntry.queries("q_index_bm25_served")(spark, sf)) ===
+        rows(SparkEntry.queries("q_index_bm25")(spark, sf)))
+    val p = SparkEntry.queries("q_index_bm25_served")(spark, sf)
+      .queryExecution.executedPlan.toString
+    assert(
+      "PartitionFilters: \\[[^\\]]*tshard[^\\]]*(INSET|IN \\()".r.findFirstIn(p).isDefined,
+      p)
+    // directory-level proof: the probed shard set is a strict subset of
+    // the index's shard directories
+    val idxDir = s"${SimilarityOps.serveRoot(spark, sf)}/bm25/postings"
+    val fs = new org.apache.hadoop.fs.Path(idxDir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val shardDirs = fs
+      .listStatus(new org.apache.hadoop.fs.Path(idxDir))
+      .count(_.getPath.getName.startsWith("tshard="))
+    val probed = TextOps.bm25ProbedShards(spark)
+    assert(probed.nonEmpty && probed.size < shardDirs,
+      s"probed ${probed.size} of $shardDirs shard dirs")
   }
 
   test("trained IVF codebook round-trips exactly and serves from disk") {
