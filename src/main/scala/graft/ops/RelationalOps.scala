@@ -779,27 +779,29 @@ object RelationalOps {
     * NaN the engines order differently). Agrees with native `corr` to
     * displayed precision (spec-pinned).
     *
-    * Precision ceiling: the x·y products are decimal(37,4) and their sum
-    * is capped at decimal(38,4), so exactness holds up to ~10 significant
-    * digits of Σxy headroom — ample for TPC-H-shaped 2-decimal columns at
-    * any tested sf, but a 100 TB aggregate of large-magnitude values can
-    * overflow the sum to NULL under non-ANSI Spark while DuckDB's 128-bit
-    * accumulator stays exact. At that scale, pre-scale to BIGINT
-    * fixed-point moments (the q_ts_anomaly idiom) instead.
+    * Scale path: inputs pre-scale to exact integer cents (BIGINT), so
+    * every per-row product is bounded by VALUE magnitude (≤ ~1e14 for
+    * price²), not corpus size, and the moment sums accumulate in
+    * decimal(38,0) (Spark) / HUGEINT (DuckDB) — 38 exact digits of
+    * headroom, enough for Σy² at ~1e12 rows where the former
+    * decimal(38,4) sum (34 integer digits, 4 wasted on scale) could
+    * overflow to NULL under non-ANSI Spark. Pearson correlation is
+    * scale-invariant, so the cent scaling cancels in the formula.
     */
   private def statCorr(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
-    val x = $"l_quantity".cast("decimal(18,2)")
-    val y = $"l_extendedprice".cast("decimal(18,2)")
+    val x = ($"l_quantity".cast("decimal(18,2)") * 100).cast("long")
+    val y = ($"l_extendedprice".cast("decimal(18,2)") * 100).cast("long")
+    def m38(c: Column) = sum(c.cast("decimal(38,0)")).cast("double")
     val m = T(s, d, "lineitem")
       .groupBy($"l_returnflag")
       .agg(
         count(lit(1)).as("n"),
-        sum(x).cast("double").as("sx"),
-        sum(y).cast("double").as("sy"),
-        sum(x * x).cast("double").as("sxx"),
-        sum(y * y).cast("double").as("syy"),
-        sum(x * y).cast("double").as("sxy"))
+        m38(x).as("sx"),
+        m38(y).as("sy"),
+        m38(x * x).as("sxx"),
+        m38(y * y).as("syy"),
+        m38(x * y).as("sxy"))
     val nd = $"n".cast("double")
     val vx = nd * $"sxx" - $"sx" * $"sx"
     val vy = nd * $"syy" - $"sy" * $"sy"
@@ -813,13 +815,17 @@ object RelationalOps {
   }
 
   private val CorrSql =
-    "WITH m AS (SELECT l_returnflag, CAST(count(*) AS BIGINT) AS n, " +
-      "CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sx, " +
-      "CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sy, " +
-      "CAST(sum(CAST(l_quantity AS DECIMAL(18,2)) * CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sxx, " +
-      "CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) * CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS syy, " +
-      "CAST(sum(CAST(l_quantity AS DECIMAL(18,2)) * CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sxy " +
-      "FROM lineitem GROUP BY 1) " +
+    "WITH c AS (SELECT l_returnflag, " +
+      "CAST(CAST(l_quantity AS DECIMAL(18,2)) * 100 AS BIGINT) AS x, " +
+      "CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS y " +
+      "FROM lineitem), " +
+      "m AS (SELECT l_returnflag, CAST(count(*) AS BIGINT) AS n, " +
+      "CAST(sum(CAST(x AS HUGEINT)) AS DOUBLE) AS sx, " +
+      "CAST(sum(CAST(y AS HUGEINT)) AS DOUBLE) AS sy, " +
+      "CAST(sum(CAST(x AS HUGEINT) * x) AS DOUBLE) AS sxx, " +
+      "CAST(sum(CAST(y AS HUGEINT) * y) AS DOUBLE) AS syy, " +
+      "CAST(sum(CAST(x AS HUGEINT) * y) AS DOUBLE) AS sxy " +
+      "FROM c GROUP BY 1) " +
       "SELECT l_returnflag, n, " +
       "CASE WHEN n > 1 AND CAST(n AS DOUBLE) * sxx - sx * sx > 0 " +
       "AND CAST(n AS DOUBLE) * syy - sy * sy > 0 THEN " +

@@ -45,6 +45,12 @@ object Sinks {
       url: String,
       table: String,
       props: java.util.Properties): Boolean = {
+    // spark.read.jdbc loads the 'driver' connection property explicitly;
+    // a raw DriverManager.getConnection does not — without this a driver
+    // supplied only via that property throws "No suitable driver" here
+    Option(props.getProperty("driver")).foreach { cls =>
+      java.lang.Class.forName(cls, true, Thread.currentThread.getContextClassLoader)
+    }
     val conn = java.sql.DriverManager.getConnection(url, props)
     try {
       val st = conn.createStatement()
@@ -56,7 +62,33 @@ object Sinks {
       case e: java.sql.SQLException
           if Option(e.getSQLState).exists(_.startsWith("42")) =>
         false
+      case e: java.sql.SQLException if Option(e.getSQLState).forall(s =>
+            !s.startsWith("08") && !s.startsWith("28")) =>
+        // driver reported the miss with a null or vendor SQLState (not a
+        // connectivity/auth failure, which still rethrows): ask the
+        // catalog directly instead of guessing from the state class
+        metaTableExists(conn.getMetaData, table)
     } finally conn.close()
+  }
+
+  /** DatabaseMetaData probe for drivers whose missing-table SQLState is
+    * vendor-specific: resolve the (schema-qualified) name case-robustly
+    * against the catalog's TABLE/VIEW listings.
+    */
+  private def metaTableExists(
+      md: java.sql.DatabaseMetaData,
+      table: String): Boolean = {
+    val (schema, name) = table.lastIndexOf('.') match {
+      case -1 => (null, table)
+      case i  => (table.substring(0, i), table.substring(i + 1))
+    }
+    def probe(s: String, n: String): Boolean = {
+      val rs = md.getTables(null, s, n, Array("TABLE", "VIEW"))
+      try rs.next() finally rs.close()
+    }
+    probe(schema, name) ||
+      probe(Option(schema).map(_.toUpperCase).orNull, name.toUpperCase) ||
+      probe(Option(schema).map(_.toLowerCase).orNull, name.toLowerCase)
   }
 
   def idempotentAppendJdbc(

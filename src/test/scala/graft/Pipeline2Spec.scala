@@ -129,8 +129,9 @@ class Pipeline2Spec extends SparkSpec {
       spark.sparkContext.setJobGroup(group, "pipeline2 shuffle budget")
       try q("q_pipeline_corpus2").collect()
       finally spark.sparkContext.clearJobGroup()
-      // listener events are async; stage completions land within the join
-      Thread.sleep(2000)
+      // listener events are async; deterministically drain the bus rather
+      // than sleeping (a loaded host can deliver completions late)
+      org.apache.spark.graftaccess.ListenerDrain.drain(spark.sparkContext, 60000)
       val paid = shuffleStages.asScala.toSet
         .intersect(groupStages.asScala.toSet).size
       assert(paid > 0, "listener captured nothing — scoping broke")
