@@ -1,5 +1,22 @@
 package graft
-import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Build/serve decompositions of the served/incremental queries: the
+  * composed registry queries charge index construction to every bench
+  * iteration, masking serve-latency regressions — the figure a retrieval
+  * or daily-ingest tier actually tracks. Build runs once per bench
+  * (amortized across days in production); serve is the tracked metric.
+  * BenchSplitSpec pins each serve's rows ≡ the composed query's.
+  */
+object BenchSplits {
+  def of(s: SparkSession, d: String): Seq[(String, (() => Unit, () => DataFrame))] =
+    Seq(
+      "q_sim_served" -> ops.SimilarityOps.simServedSplit(s, d),
+      "q_sim_ivf_served" -> ops.SimilarityOps.simIvfServedSplit(s, d),
+      "q_index_bm25_served" -> ops.TextOps.bm25Split(s, d),
+      "q_dedup_incr" -> ops.DedupOps.dedupIncrSplit(s, d),
+      "q_dedup_embed_incr" -> ops.DedupOps.embedIncrSplit(s, d))
+}
 
 object Bench {
   def main(args: Array[String]): Unit = {
@@ -90,8 +107,34 @@ object Bench {
       val n = samples(name).size
       if (n == 0 || n == iters) None else Some(jstr(name) + ":" + n)
     }.mkString("{", ",", "}")
+    // Build/serve sub-timings: build once (timed), one untimed serve to
+    // absorb file-listing first-touch, then `iters` timed serves, median.
+    // The headline per-query numbers above stay the composed queries, so
+    // they remain comparable across rounds; "serve" here is the tracked
+    // serve-latency metric.
+    val splitEntries = BenchSplits.of(spark, sfDir).flatMap {
+      case (name, (build, serve)) =>
+        try {
+          val b0 = System.nanoTime()
+          build()
+          val tb = (System.nanoTime() - b0) / 1e9
+          def serveOnce(): Double = {
+            val t0 = System.nanoTime()
+            serve().write.mode("overwrite").format("noop").save()
+            (System.nanoTime() - t0) / 1e9
+          }
+          serveOnce()
+          val ts = (1 to iters).map(_ => serveOnce()).sorted
+          Some(jstr(name) + s""":{"build":$tb,"serve":${ts(ts.size / 2)}}""")
+        } catch {
+          case e: Throwable =>
+            System.err.println(s"[bench] split $name: $e")
+            None
+        }
+    }
+    val splitsJson = splitEntries.mkString("{", ",", "}")
     val total = results.map(_._2).sum
-    val full = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errs,"partial_samples":$counts,"sf":"$sfDir","iterations":$iters}"""
+    val full = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errs,"partial_samples":$counts,"splits":$splitsJson,"sf":"$sfDir","iterations":$iters}"""
     println(full)
     // The harness snapshots only the TAIL of stdout; the full line above is
     // one long JSON record whose head (including "value") can fall outside

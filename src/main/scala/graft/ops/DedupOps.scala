@@ -1,7 +1,7 @@
 package graft.ops
 
 import graft.{QueryDef, T}
-import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SaveMode, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -836,6 +836,55 @@ object DedupOps {
         $"cluster_id",
         ($"cluster_id" > $"thr").as("is_new_cluster"))
       .orderBy($"doc_id")
+  }
+
+  /** Build/serve decomposition of q_dedup_incr for the bench's split
+    * timings: build writes the base md5/band index to parquet ONCE (the
+    * state a daily ingest already holds); serve applies the batch against
+    * the files — apply latency is the daily-ingest number, and the
+    * composed query's per-iteration in-session rebuild masks its
+    * regressions. BenchSplitSpec pins serve ≡ the composed query.
+    */
+  private[graft] def dedupIncrSplit(
+      s: SparkSession, d: String): (() => Unit, () => DataFrame) = {
+    import s.implicits._
+    val all = docs(s, d).select($"doc_id", $"lang", $"text")
+    val thrDf = all.agg(expr("(max(doc_id) * 9) div 10").as("thr"))
+    val withThr = all.crossJoin(broadcast(thrDf))
+    val base = withThr.filter($"doc_id" <= $"thr").select($"doc_id", $"lang", $"text")
+    val delta = withThr.filter($"doc_id" > $"thr").select($"doc_id", $"lang", $"text")
+    val root = SimilarityOps.serveRoot(s, d) + "/dedup_incr"
+    val build = () => {
+      val (md5Index, bandIndex) = buildDedupIndex(s, base)
+      md5Index.write.mode(SaveMode.Overwrite).parquet(s"$root/md5")
+      bandIndex.write.mode(SaveMode.Overwrite).parquet(s"$root/band")
+    }
+    val serve = () =>
+      applyDedupDelta(
+        s, delta, s.read.parquet(s"$root/md5"), s.read.parquet(s"$root/band"))
+        .crossJoin(broadcast(thrDf))
+        .select(
+          $"doc_id",
+          $"cluster_id",
+          ($"cluster_id" > $"thr").as("is_new_cluster"))
+        .orderBy($"doc_id")
+    (build, serve)
+  }
+
+  /** [[dedupIncrSplit]] for q_dedup_embed_incr (pair contract). */
+  private[graft] def embedIncrSplit(
+      s: SparkSession, d: String): (() => Unit, () => DataFrame) = {
+    import s.implicits._
+    val all = T(s, d, "embeddings").select($"vec_id", $"embedding")
+    val thrDf = all.agg(expr("max(vec_id) div 2").as("thr"))
+    val withThr = all.crossJoin(broadcast(thrDf))
+    val base = withThr.filter($"vec_id" <= $"thr").select($"vec_id", $"embedding")
+    val delta = withThr.filter($"vec_id" > $"thr").select($"vec_id", $"embedding")
+    val root = SimilarityOps.serveRoot(s, d) + "/embed_incr"
+    val build = () =>
+      buildEmbedIndex(s, base).write.mode(SaveMode.Overwrite).parquet(root)
+    val serve = () => applyEmbedDelta(s, delta, s.read.parquet(root))
+    (build, serve)
   }
 
   private val IncrSql =

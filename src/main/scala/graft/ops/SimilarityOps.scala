@@ -690,6 +690,34 @@ object SimilarityOps {
     serveIvfBatch(s, path, probeVecs)
   }
 
+  /** Build/serve decomposition of q_sim_served for the bench's split
+    * timings: the composed query charges index construction to every
+    * iteration, masking serve-latency regressions — the number a
+    * retrieval tier actually tracks. Build persists the bucket index
+    * once (amortized across days in production); serve answers the
+    * standard probe batch from it.
+    */
+  private[graft] def simServedSplit(
+      s: SparkSession, d: String): (() => Unit, () => DataFrame) = {
+    val path = s"${serveRoot(s, d)}/ann"
+    (() => writeAnnIndex(s, d, path),
+      () => serveAnnBatch(s, path, batchProbeFrame(s, d)))
+  }
+
+  /** [[simServedSplit]] for q_sim_ivf_served. */
+  private[graft] def simIvfServedSplit(
+      s: SparkSession, d: String): (() => Unit, () => DataFrame) = {
+    import s.implicits._
+    val path = s"${serveRoot(s, d)}/ivf"
+    (() => writeIvfIndex(s, d, path),
+      () => serveIvfBatch(
+        s,
+        path,
+        emb(s, d)
+          .select($"vec_id", $"embedding", Vec.norm2($"embedding").as("n2"))
+          .filter($"vec_id" < BatchProbes)))
+  }
+
   /** q_multimodal — heterogeneous-column join: text metadata × vector
     * table, predicates on both sides (SURVEY §2 Tier C).
     */

@@ -652,6 +652,15 @@ object TextOps {
     bm25Score(hits)
   }
 
+  /** Build/serve decomposition of q_index_bm25_served for the bench's
+    * split timings (SimilarityOps.simServedSplit rationale).
+    */
+  private[graft] def bm25Split(
+      s: SparkSession, d: String): (() => Unit, () => DataFrame) = {
+    val path = SimilarityOps.serveRoot(s, d) + "/bm25"
+    (() => { writeBm25Index(s, d); () }, () => serveBm25(s, path))
+  }
+
   /** The distinct shard ids the fixed query set probes — the literal
     * partition filter [[serveBm25]] pushes; exposed so ServeIndexSpec can
     * assert the probed set is a strict subset of the shard directories.
