@@ -550,12 +550,13 @@ object TextOps {
     * 11-term frame), so at 100 TB only matching postings ever shuffle;
     * dl/stats are full-corpus single-pass aggregates.
     */
-  private def bm25Tokens(s: SparkSession, d: String): DataFrame = {
-    import s.implicits._
-    docs(s, d)
-      .select($"doc_id", explode(split(lower($"text"), " ")).as("term"))
-      .filter($"term".rlike("^[a-z0-9]{3,}$"))
-  }
+  private def bm25TokensOf(docsDf: DataFrame): DataFrame =
+    docsDf
+      .select(col("doc_id"), explode(split(lower(col("text")), " ")).as("term"))
+      .filter(col("term").rlike("^[a-z0-9]{3,}$"))
+
+  private def bm25Tokens(s: SparkSession, d: String): DataFrame =
+    bm25TokensOf(docs(s, d))
 
   private def bm25Frames(
       s: SparkSession,
@@ -611,16 +612,20 @@ object TextOps {
     serveBm25(s, path)
   }
 
-  private[graft] def writeBm25Index(s: SparkSession, d: String): String = {
+  /** Write one GENERATION of the postings index from an arbitrary doc
+    * frame: (term, doc_id, tf, dl) for the FULL vocabulary (an index
+    * build is query-independent), term-sharded, plus that generation's
+    * one-row (n_docs, token-count) stats.
+    */
+  private[graft] def writeBm25IndexFrom(
+      s: SparkSession, docsDf: DataFrame, path: String): String = {
     import s.implicits._
-    val path = SimilarityOps.serveRoot(s, d) + "/bm25"
-    val ft = bm25Tokens(s, d)
-    // the FULL vocabulary's postings — an index build is query-independent
+    val ft = bm25TokensOf(docsDf)
     val tf = ft.groupBy($"doc_id", $"term").agg(count(lit(1)).as("tf"))
     val dl = ft.groupBy($"doc_id").agg(count(lit(1)).as("dl"))
     val stats = ft
       .agg(count(lit(1)).as("l"))
-      .crossJoin(broadcast(docs(s, d).agg(count(lit(1)).as("n"))))
+      .crossJoin(broadcast(docsDf.agg(count(lit(1)).as("n"))))
     tf.join(dl, Seq("doc_id"))
       .select(
         $"term", $"doc_id", $"tf", $"dl",
@@ -637,19 +642,60 @@ object TextOps {
     path
   }
 
-  private[graft] def serveBm25(s: SparkSession, path: String): DataFrame = {
+  private[graft] def writeBm25Index(s: SparkSession, d: String): String =
+    writeBm25IndexFrom(s, docs(s, d), SimilarityOps.serveRoot(s, d) + "/bm25")
+
+  /** Serve the fixed query set from one or more index GENERATIONS
+    * (merge-on-read): postings scans are each pruned to the probed
+    * shards, generations union (doc sets are disjoint by the ingest
+    * contract, so per-term df is the plain count over the union and
+    * corpus stats are the element-wise sum) — answering from base +
+    * increments must equal answering from a single rebuilt index.
+    */
+  private[graft] def serveBm25(s: SparkSession, paths: Seq[String]): DataFrame = {
     import s.implicits._
     val q = Bm25Queries.toDF("query_id", "term")
     val shards = bm25ProbedShards(s)
-    val postings = s.read
-      .parquet(s"$path/postings")
-      .filter($"tshard".isin(shards: _*))
+    val postings = paths
+      .map(p => s.read.parquet(s"$p/postings").filter($"tshard".isin(shards: _*)))
+      .reduce(_ unionByName _)
     val dfreq = postings.groupBy($"term").agg(count(lit(1)).as("df"))
+    val stats = paths
+      .map(p => s.read.parquet(s"$p/stats"))
+      .reduce(_ unionByName _)
+      .agg(sum($"l").as("l"), sum($"n").as("n"))
     val hits = postings
       .join(broadcast(q), Seq("term"))
       .join(broadcast(dfreq.join(broadcast(q.select($"term").distinct()), Seq("term"))), Seq("term"))
-      .crossJoin(broadcast(s.read.parquet(s"$path/stats")))
+      .crossJoin(broadcast(stats))
     bm25Score(hits)
+  }
+
+  private[graft] def serveBm25(s: SparkSession, path: String): DataFrame =
+    serveBm25(s, Seq(path))
+
+  /** q_index_bm25_incr — INCREMENTAL postings maintenance: the newest 10%
+    * of doc ids (monotone-ingest contract) are today's batch; the base
+    * generation stands in for yesterday's persisted index. The batch
+    * writes its OWN generation — O(batch) build work; the base
+    * generation's files are never rewritten or re-read — and serving
+    * merges generations on read ([[serveBm25]]'s union: disjoint doc
+    * sets make df a plain count and (N, L) an element-wise sum). The
+    * oracle is the FULL-corpus BM25, so the hash gate re-proves
+    * merge-on-read ≡ single rebuilt index every round — the lexical
+    * sibling of q_dedup_incr's delta ≡ rebuild theorem.
+    */
+  private def indexBm25Incr(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val root = SimilarityOps.serveRoot(s, d) + "/bm25incr"
+    val all = docs(s, d)
+    val thrDf = all.agg(expr("(max(doc_id) * 9) div 10").as("thr"))
+    val withThr = all.crossJoin(broadcast(thrDf))
+    writeBm25IndexFrom(
+      s, withThr.filter($"doc_id" <= $"thr").drop("thr"), s"$root/base")
+    writeBm25IndexFrom(
+      s, withThr.filter($"doc_id" > $"thr").drop("thr"), s"$root/inc")
+    serveBm25(s, Seq(s"$root/base", s"$root/inc"))
   }
 
   /** Build/serve decomposition of q_index_bm25_served for the bench's
@@ -659,6 +705,27 @@ object TextOps {
       s: SparkSession, d: String): (() => Unit, () => DataFrame) = {
     val path = SimilarityOps.serveRoot(s, d) + "/bm25"
     (() => { writeBm25Index(s, d); () }, () => serveBm25(s, path))
+  }
+
+  /** [[bm25Split]] for q_index_bm25_incr: build writes both generations;
+    * serve is the multi-generation merge-on-read — the retrieval-latency
+    * figure including the merge overhead a compaction would remove.
+    */
+  private[graft] def bm25IncrSplit(
+      s: SparkSession, d: String): (() => Unit, () => DataFrame) = {
+    import s.implicits._
+    val root = SimilarityOps.serveRoot(s, d) + "/bm25incr"
+    val build = () => {
+      val all = docs(s, d)
+      val thrDf = all.agg(expr("(max(doc_id) * 9) div 10").as("thr"))
+      val withThr = all.crossJoin(broadcast(thrDf))
+      writeBm25IndexFrom(
+        s, withThr.filter($"doc_id" <= $"thr").drop("thr"), s"$root/base")
+      writeBm25IndexFrom(
+        s, withThr.filter($"doc_id" > $"thr").drop("thr"), s"$root/inc")
+      ()
+    }
+    (build, () => serveBm25(s, Seq(s"$root/base", s"$root/inc")))
   }
 
   /** The distinct shard ids the fixed query set probes — the literal
@@ -731,6 +798,7 @@ object TextOps {
     QueryDef("q_text_chunk", textChunk, Some(ChunkSql)),
     QueryDef("q_index_inverted", indexInverted, Some(InvertedSql)),
     QueryDef("q_index_bm25", indexBm25, Some(Bm25Sql)),
-    QueryDef("q_index_bm25_served", indexBm25Served, Some(Bm25Sql))
+    QueryDef("q_index_bm25_served", indexBm25Served, Some(Bm25Sql)),
+    QueryDef("q_index_bm25_incr", indexBm25Incr, Some(Bm25Sql))
   )
 }

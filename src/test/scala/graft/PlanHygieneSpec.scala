@@ -33,7 +33,8 @@ class PlanHygieneSpec extends SparkSpec {
     "q_stat_chisq",
     // r9: BM25's one-row (N, L) corpus-stats attach (TextOps.bm25Frames)
     "q_index_bm25",
-    "q_index_bm25_served")
+    "q_index_bm25_served",
+    "q_index_bm25_incr")
 
   private lazy val plans: Map[String, String] =
     SparkEntry.queries.keys.toSeq.sorted.map { name =>

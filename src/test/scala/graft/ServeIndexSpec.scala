@@ -69,6 +69,32 @@ class ServeIndexSpec extends SparkSpec {
       s"probed ${probed.size} of $shardDirs shard dirs")
   }
 
+  test("q_index_bm25_incr: merge-on-read equals the full computation; the increment is batch-sized") {
+    assert(
+      rows(SparkEntry.queries("q_index_bm25_incr")(spark, sf)) ===
+        rows(SparkEntry.queries("q_index_bm25")(spark, sf)))
+    // the batch generation holds ~10% of the docs, so its postings ROWS
+    // must be a small fraction of the base generation's — the O(batch)
+    // maintenance claim (rows, not bytes: at spec scale per-file parquet
+    // footer overhead across 64 shard dirs floors the byte sizes)
+    val root = s"${SimilarityOps.serveRoot(spark, sf)}/bm25incr"
+    val postingsRows =
+      (sub: String) => spark.read.parquet(s"$root/$sub/postings").count()
+    val (base, inc) = (postingsRows("base"), postingsRows("inc"))
+    assert(inc > 0 && inc < base / 3, s"inc=$inc base=$base")
+    // and the base generation is never rewritten by the batch build: its
+    // newest file predates the increment's oldest
+    val fs = new org.apache.hadoop.fs.Path(root)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    def modTimes(sub: String): Seq[Long] = {
+      val it = fs.listFiles(new org.apache.hadoop.fs.Path(s"$root/$sub"), true)
+      val b = Seq.newBuilder[Long]
+      while (it.hasNext) { val f = it.next(); if (f.isFile) b += f.getModificationTime }
+      b.result()
+    }
+    assert(modTimes("base").max <= modTimes("inc").min)
+  }
+
   test("trained IVF codebook round-trips exactly and serves from disk") {
     import spark.implicits._
     val dir = Files.createTempDirectory("graft_serve_trained").toString
