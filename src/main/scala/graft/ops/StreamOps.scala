@@ -818,6 +818,112 @@ object StreamOps {
   def readEmbedPairs(s: SparkSession, indexDir: String): DataFrame =
     s.read.parquet(s"$indexDir/v*/pairs")
 
+  /** Seed the continuous LEXICAL index: the base corpus's postings
+    * generation ([[TextOps.writeBm25IndexFrom]]) as version v0's `full`
+    * snapshot.
+    */
+  def seedBm25Index(s: SparkSession, base: DataFrame, indexDir: String): Unit = {
+    TextOps.writeBm25IndexFrom(s, base, s"$indexDir/v0/full")
+    ()
+  }
+
+  /** Continuous lexical index maintenance — the streaming form of
+    * q_index_bm25_incr and the third modality of the continuous-index
+    * family (text bands, embedding bands, now postings). Structurally
+    * the simplest of the three: a postings build is generation-local and
+    * query-independent (doc sets are disjoint under the monotone-ingest
+    * contract), so each micro-batch writes its OWN `gen` generation
+    * without reading ANY prior state — O(batch) work and bytes per
+    * batch, no remap log, the base snapshot never re-read or rewritten.
+    * Serving ([[serveBm25Continuous]]) merges generations on read with
+    * the same union the batch query uses; [[compactBm25Index]] bounds
+    * the read fan-in.
+    *
+    * Exactly-once as the dedup writers: batch b writes the fresh
+    * directory v(b+1) — a retry deterministically overwrites the same
+    * output from the same input, and version gaps from empty batches
+    * are skipped on read.
+    */
+  def bm25IndexStreamWriter(
+      docs: DataFrame,
+      indexDir: String,
+      checkpoint: String): org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
+    docs.writeStream
+      .outputMode("append")
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        if (!batch.isEmpty) {
+          TextOps.writeBm25IndexFrom(
+            batch.sparkSession, batch, s"$indexDir/v${batchId + 1}/gen")
+        }
+        ()
+      }
+
+  /** The generation roots a continuous-lexical read merges: the newest
+    * `full` snapshot (seed or compaction) plus every later batch `gen`.
+    * Generations at or below the newest full are superseded (they are
+    * folded into it) — a compaction that crashed between its write and
+    * its deletes therefore leaves reads unchanged.
+    */
+  private[graft] def bm25GenerationRoots(
+      s: SparkSession,
+      indexDir: String): Seq[String] = {
+    val fulls = indexVersions(s, indexDir, requiring = "full")
+    require(
+      fulls.nonEmpty,
+      s"lexical index at $indexDir has no full snapshot (run seedBm25Index)")
+    val f = fulls.max
+    s"$indexDir/v$f/full" +:
+      indexVersions(s, indexDir, requiring = "gen")
+        .filter(_ > f)
+        .sorted
+        .map(v => s"$indexDir/v$v/gen")
+  }
+
+  /** Serve the fixed BM25 query set from the continuous index —
+    * merge-on-read over [[bm25GenerationRoots]] through the same
+    * [[TextOps.serveBm25]] union q_index_bm25_incr uses, so the streamed
+    * index answers exactly like a single rebuilt one.
+    */
+  def serveBm25Continuous(s: SparkSession, indexDir: String): DataFrame =
+    TextOps.serveBm25(s, bm25GenerationRoots(s, indexDir))
+
+  /** Compaction for the lexical index: fold the current generation roots
+    * into one `full` snapshot at the newest committed version (input
+    * sub-dirs differ from the output dir, so nothing overwrites its own
+    * input), then drop the superseded `gen` dirs. Union-preserving, so
+    * no read changes: df is derived at serve time and the one-row corpus
+    * stats are summed either way.
+    */
+  def compactBm25Index(s: SparkSession, indexDir: String): Unit = {
+    val roots = bm25GenerationRoots(s, indexDir)
+    if (roots.size > 1) {
+      val k = indexVersions(s, indexDir, requiring = "gen").max
+      roots
+        .map(p => s.read.parquet(s"$p/postings"))
+        .reduce(_ unionByName _)
+        .select(col("term"), col("doc_id"), col("tf"), col("dl"), col("tshard"))
+        .repartition(col("tshard"))
+        .write
+        .mode(org.apache.spark.sql.SaveMode.Overwrite)
+        .partitionBy("tshard")
+        .parquet(s"$indexDir/v$k/full/postings")
+      roots
+        .map(p => s.read.parquet(s"$p/stats"))
+        .reduce(_ unionByName _)
+        .agg(sum(col("l")).as("l"), sum(col("n")).as("n"))
+        .write
+        .mode(org.apache.spark.sql.SaveMode.Overwrite)
+        .parquet(s"$indexDir/v$k/full/stats")
+    }
+    val fs = new org.apache.hadoop.fs.Path(indexDir)
+      .getFileSystem(s.sparkContext.hadoopConfiguration)
+    val f = indexVersions(s, indexDir, requiring = "full").max
+    indexVersions(s, indexDir, requiring = "gen").filter(_ <= f).foreach { v =>
+      fs.delete(new org.apache.hadoop.fs.Path(s"$indexDir/v$v/gen"), true)
+    }
+  }
+
   /** update-mode stream → keyed JDBC upsert: the streaming CDC-apply.
     * Each micro-batch's changed rows go through
     * [[Sinks.upsertSnapshotJdbc]], whose replace-by-key idempotence makes
