@@ -52,6 +52,37 @@ class SinksSpec extends SparkSpec {
     assert(spark.read.jdbc(url, "attempts", new java.util.Properties).count() == 3)
   }
 
+  test("upsertSnapshotSwapJdbc: replace-by-key through an atomic staging swap (Derby)") {
+    import spark.implicits._
+    val db = Files.createTempDirectory("graft_derby_swap").resolve("db")
+    val url = s"jdbc:derby:$db;create=true"
+    val props = new java.util.Properties
+    // create path
+    Sinks.upsertSnapshotSwapJdbc(
+      Seq(("u1", 1L), ("u2", 2L)).toDF("user_id", "n"), url, "totals", Seq("user_id"))
+    // upsert: u2 replaced, u3 inserted, u1 kept — published via the swap
+    val batch = Seq(("u2", 20L), ("u3", 3L)).toDF("user_id", "n")
+    Sinks.upsertSnapshotSwapJdbc(batch, url, "totals", Seq("user_id"))
+    def state(): Map[String, Long] = spark.read.jdbc(url, "totals", props)
+      .as[(String, Long)].collect().toMap
+    assert(state() == Map("u1" -> 1L, "u2" -> 20L, "u3" -> 3L))
+    // the staging table does not outlive a successful publish (it was
+    // renamed into place, not copied)
+    intercept[Exception] {
+      spark.read.jdbc(url, "totals_swap_staging", props).count()
+    }
+    // re-applying the same batch converges (exactly-once under retries)
+    Sinks.upsertSnapshotSwapJdbc(batch, url, "totals", Seq("user_id"))
+    assert(state() == Map("u1" -> 1L, "u2" -> 20L, "u3" -> 3L))
+    // a crashed attempt's leftover staging table is reclaimed by the next
+    // run: plant one, then upsert again
+    Seq(("zz", 99L)).toDF("user_id", "n")
+      .write.jdbc(url, "totals_swap_staging", props)
+    Sinks.upsertSnapshotSwapJdbc(
+      Seq(("u4", 4L)).toDF("user_id", "n"), url, "totals", Seq("user_id"))
+    assert(state() == Map("u1" -> 1L, "u2" -> 20L, "u3" -> 3L, "u4" -> 4L))
+  }
+
   test("overwriteCsvSnapshot writes a single headered file, twice-runnable") {
     val dir = Files.createTempDirectory("graft_csv").toFile
     val path = dir.getAbsolutePath + "/snap"
