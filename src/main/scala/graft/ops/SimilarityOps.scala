@@ -30,7 +30,7 @@ object SimilarityOps {
       .reduce(_ + _)
   }
 
-  private val BucketSql = (0 until SignBits)
+  private[graft] val BucketSql = (0 until SignBits)
     .map(j => s"CASE WHEN embedding[${j + 1}] > 0 THEN ${1L << j} ELSE 0 END")
     .mkString(" + ")
 
@@ -135,7 +135,7 @@ object SimilarityOps {
       .limit(10)
   }
 
-  private val ProbeListSql =
+  private[graft] val ProbeListSql =
     ("bucket" +: (0 until SignBits).map(j => s"xor(bucket, ${1L << j})")).mkString(", ")
 
   /** Shared ANN CTE prefix (corpus with norms/buckets + the exploded

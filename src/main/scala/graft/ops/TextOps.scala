@@ -728,6 +728,80 @@ object TextOps {
     (build, () => serveBm25(s, Seq(s"$root/base", s"$root/inc")))
   }
 
+  /** q_retrieval_rrf — hybrid retrieval: reciprocal-rank fusion (k = 60)
+    * of the lexical BM25 ranking with a semantic vector leg seeded by
+    * pseudo-relevance feedback. The lexical leg is q_index_bm25's top-10;
+    * the semantic leg takes each query's best-ranked lexical hit that HAS
+    * an embedding as the feedback vector (a pure lookup — no float
+    * averaging, so the seed is exactly portable) and ranks the corpus by
+    * cosine through the same Hamming-1 multi-probe sign-bucket pruning as
+    * q_sim_batch; the fusion is sum over legs of r6(1/(60 + rank)) as an
+    * order-independent decimal(18,6) sum, top-10 by (rrf DESC, doc_id).
+    * Scale shape: the lexical leg is the audited BM25 plan; the
+    * embedding scan is bucket-pruned against a broadcast ≤ 9·|queries|
+    * probe frame (never an all-pairs cosine); the fusion join moves
+    * ≤ 10 rows per query per leg. The RRF contributions are reciprocals
+    * of small integers — rational, no transcendentals, same r6 ladder as
+    * every cross-engine score.
+    */
+  private def retrievalRrf(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val lex = indexBm25(s, d)
+      .select($"query_id", $"doc_id", $"rank".as("lex_rank"))
+    val e = T(s, d, "embeddings").select(
+      $"vec_id",
+      $"embedding",
+      Vec.norm2($"embedding").as("n2"),
+      SimilarityOps.bucketCol.as("bucket"))
+    val sw = Window.partitionBy($"query_id").orderBy($"lex_rank")
+    val seed = e
+      .join(broadcast(lex), e("vec_id") === lex("doc_id"))
+      .withColumn("sr", row_number().over(sw))
+      .filter($"sr" === 1)
+      .select(
+        $"query_id",
+        $"embedding".as("p"),
+        $"n2".as("pn2"),
+        explode(
+          array(
+            $"bucket" +:
+              (0 until SimilarityOps.SignBits)
+                .map(j => $"bucket".bitwiseXOR(lit(1L << j))): _*)).as("pbucket"))
+    val cw = Window.partitionBy($"query_id").orderBy($"cos".desc, $"vec_id")
+    val sem = e
+      .join(broadcast(seed), $"bucket" === $"pbucket")
+      .select(
+        $"query_id",
+        $"vec_id",
+        graft.X.r6(Vec.cosine(Vec.dot($"embedding", $"p"), $"n2", $"pn2")).as("cos"))
+      .withColumn("sem_rank", row_number().over(cw).cast("long"))
+      .filter($"sem_rank" <= RrfTopK)
+      .select($"query_id", $"vec_id".as("doc_id"), $"sem_rank")
+    // fusion as union + ONE hash aggregation on (query, doc) — the
+    // full-outer join formulation cannot broadcast (Spark falls back to a
+    // sort-merge join), while this shape is a single tiny shuffle of
+    // ≤ topK rows per query per leg with no sort
+    val fw = Window.partitionBy($"query_id").orderBy($"rrf".desc, $"doc_id")
+    lex
+      .select($"query_id", $"doc_id", $"lex_rank".as("r"), lit("lex").as("leg"))
+      .unionByName(
+        sem.select($"query_id", $"doc_id", $"sem_rank".as("r"), lit("sem").as("leg")))
+      .groupBy($"query_id", $"doc_id")
+      .agg(
+        max(when($"leg" === "lex", $"r")).as("lex_rank"),
+        max(when($"leg" === "sem", $"r")).as("sem_rank"),
+        sum(graft.X.r6(lit(1.0) / (lit(60) + $"r")).cast("decimal(18,6)"))
+          .cast("double")
+          .as("rrf"))
+      .withColumn("rank", row_number().over(fw).cast("long"))
+      .filter($"rank" <= RrfTopK)
+      .select($"query_id", $"rank", $"doc_id", $"rrf", $"lex_rank", $"sem_rank")
+      .orderBy($"query_id", $"rank")
+  }
+
+  private val RrfTopK = 10
+
+
   /** The distinct shard ids the fixed query set probes — the literal
     * partition filter [[serveBm25]] pushes; exposed so ServeIndexSpec can
     * assert the probed set is a strict subset of the shard directories.
@@ -742,7 +816,10 @@ object TextOps {
   private val Bm25ValuesSql =
     Bm25Queries.map { case (id, t) => s"($id,'$t')" }.mkString(",")
 
-  private val Bm25Sql =
+  /** The BM25 CTE chain up to the ranked frame — shared by Bm25Sql and
+    * RrfSql so the lexical leg is literally the same SQL in both oracles.
+    */
+  private val Bm25CoreCtes =
     s"WITH q(query_id, term) AS (VALUES $Bm25ValuesSql), " +
       "tok AS (SELECT doc_id, unnest(string_split(lower(text),' ')) AS term FROM documents), " +
       "ft AS (SELECT doc_id, term FROM tok WHERE regexp_full_match(term,'[a-z0-9]{3,}')), " +
@@ -764,9 +841,38 @@ object TextOps {
       "CAST(count(*) AS BIGINT) AS n_terms FROM ts GROUP BY query_id, doc_id), " +
       "ranked AS (SELECT query_id, doc_id, score, n_terms, " +
       "row_number() OVER (PARTITION BY query_id ORDER BY score DESC, doc_id) AS rank " +
-      "FROM scored) " +
-      s"SELECT query_id, CAST(rank AS BIGINT) AS rank, doc_id, score, n_terms " +
+      "FROM scored)"
+
+  private val Bm25Sql =
+    Bm25CoreCtes +
+      s" SELECT query_id, CAST(rank AS BIGINT) AS rank, doc_id, score, n_terms " +
       s"FROM ranked WHERE rank <= $Bm25TopK ORDER BY query_id, rank"
+
+  private val RrfSql =
+    Bm25CoreCtes +
+      s", lex AS (SELECT query_id, doc_id, CAST(rank AS BIGINT) AS lex_rank " +
+      s"FROM ranked WHERE rank <= $Bm25TopK), " +
+      s"e AS (SELECT vec_id, embedding, ${Vec.norm2Sql("embedding")} AS n2, " +
+      s"${SimilarityOps.BucketSql} AS bucket FROM embeddings), " +
+      "seeded AS (SELECT l.query_id, e.embedding AS p, e.n2 AS pn2, e.bucket AS bucket, " +
+      "row_number() OVER (PARTITION BY l.query_id ORDER BY l.lex_rank) AS sr " +
+      "FROM lex l JOIN e ON e.vec_id = l.doc_id), " +
+      s"probe AS (SELECT query_id, p, pn2, unnest([${SimilarityOps.ProbeListSql}]) AS pbucket " +
+      "FROM seeded WHERE sr = 1), " +
+      "scand AS (SELECT probe.query_id, e.vec_id, " +
+      s"floor((${Vec.dotSql("e.embedding", "p")} / (sqrt(e.n2) * sqrt(pn2))) " +
+      "* 1e6 + 0.5) / 1e6 AS cos FROM e JOIN probe ON e.bucket = probe.pbucket), " +
+      "sem AS (SELECT query_id, vec_id AS doc_id, CAST(row_number() OVER " +
+      "(PARTITION BY query_id ORDER BY cos DESC, vec_id) AS BIGINT) AS sem_rank " +
+      s"FROM scand QUALIFY sem_rank <= $RrfTopK), " +
+      "fused AS (SELECT coalesce(lex.query_id, sem.query_id) AS query_id, " +
+      "coalesce(lex.doc_id, sem.doc_id) AS doc_id, lex.lex_rank, sem.sem_rank, " +
+      "CAST(CAST(coalesce(floor(1e6/(60+lex.lex_rank)+0.5)/1e6, 0) AS DECIMAL(18,6)) " +
+      "+ CAST(coalesce(floor(1e6/(60+sem.sem_rank)+0.5)/1e6, 0) AS DECIMAL(18,6)) AS DOUBLE) AS rrf " +
+      "FROM lex FULL JOIN sem ON lex.query_id = sem.query_id AND lex.doc_id = sem.doc_id) " +
+      "SELECT query_id, CAST(row_number() OVER (PARTITION BY query_id " +
+      "ORDER BY rrf DESC, doc_id) AS BIGINT) AS rank, doc_id, rrf, lex_rank, sem_rank " +
+      s"FROM fused QUALIFY rank <= $RrfTopK ORDER BY query_id, rank"
 
   val defs: Seq[QueryDef] = Seq(
     QueryDef(
@@ -799,6 +905,7 @@ object TextOps {
     QueryDef("q_index_inverted", indexInverted, Some(InvertedSql)),
     QueryDef("q_index_bm25", indexBm25, Some(Bm25Sql)),
     QueryDef("q_index_bm25_served", indexBm25Served, Some(Bm25Sql)),
-    QueryDef("q_index_bm25_incr", indexBm25Incr, Some(Bm25Sql))
+    QueryDef("q_index_bm25_incr", indexBm25Incr, Some(Bm25Sql)),
+    QueryDef("q_retrieval_rrf", retrievalRrf, Some(RrfSql))
   )
 }

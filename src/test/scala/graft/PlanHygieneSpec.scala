@@ -34,7 +34,9 @@ class PlanHygieneSpec extends SparkSpec {
     // r9: BM25's one-row (N, L) corpus-stats attach (TextOps.bm25Frames)
     "q_index_bm25",
     "q_index_bm25_served",
-    "q_index_bm25_incr")
+    "q_index_bm25_incr",
+    // r9: inherits the BM25 leg's one-row (N, L) attach
+    "q_retrieval_rrf")
 
   private lazy val plans: Map[String, String] =
     SparkEntry.queries.keys.toSeq.sorted.map { name =>

@@ -328,4 +328,17 @@ class PlanShapeSpec extends SparkSpec {
     assert("Exchange hashpartitioning".r.findAllIn(p).size == 6, p)
     assert("Exchange rangepartitioning".r.findAllIn(p).size == 1, p)
   }
+
+  test("q_retrieval_rrf: bucket-pruned semantic leg, no corpus cartesian, broadcast fusion") {
+    val p = plan("q_retrieval_rrf")
+    // the seed probes and the two ≤10-per-query leg frames all arrive
+    // broadcast; the embedding side joins ONCE on its bucket column —
+    // never an all-pairs cosine
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("SortMergeJoin"), p)
+    assert(!p.contains("CartesianProduct"), p)
+    // the embeddings scan feeding the cosine leg reads only the vector
+    // columns, not the label
+    assert(p.contains("ReadSchema: struct<vec_id:bigint,embedding:array<float>>"), p)
+  }
 }
