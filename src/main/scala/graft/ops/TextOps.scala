@@ -802,6 +802,43 @@ object TextOps {
   private val RrfTopK = 10
 
 
+  /** q_bpe_pairs — the first merge round of BPE tokenizer training:
+    * adjacent symbol-pair counts over the corpus, computed the only way a
+    * 100 TB tokenizer build can afford — corpus → word histogram (ONE
+    * word-count shuffle with map-side partial aggregation), then
+    * character pairs explode off the DISTINCT-word frame, which is
+    * vocabulary-sized (orders of magnitude smaller than the corpus), each
+    * pair weighted by its word's count. All-integer: exact and portable.
+    * Top-20 by (count DESC, pair) — in a real training loop the argmax
+    * pair becomes the merge and the histogram updates in place;
+    * one round is the oracle-checkable unit.
+    */
+  private def bpePairs(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val w = bm25TokensOf(docs(s, d))
+      .groupBy($"term")
+      .agg(count(lit(1)).as("wc"))
+    w.select(
+        explode(
+          transform(
+            sequence(lit(1), length($"term") - 1),
+            i => $"term".substr(i, lit(2)))).as("pair"),
+        $"wc")
+      .groupBy($"pair")
+      .agg(sum($"wc").as("n"))
+      .orderBy($"n".desc, $"pair")
+      .limit(20)
+  }
+
+  private val BpePairsSql =
+    "WITH w AS (SELECT term, CAST(count(*) AS BIGINT) AS wc " +
+      "FROM (SELECT unnest(string_split(lower(text),' ')) AS term FROM documents) " +
+      "WHERE regexp_full_match(term,'[a-z0-9]{3,}') GROUP BY term), " +
+      "pairs AS (SELECT unnest(list_transform(generate_series(1, length(term)-1), " +
+      "i -> substr(term, CAST(i AS INTEGER), 2))) AS pair, wc FROM w) " +
+      "SELECT pair, CAST(sum(wc) AS BIGINT) AS n FROM pairs " +
+      "GROUP BY pair ORDER BY n DESC, pair LIMIT 20"
+
   /** The distinct shard ids the fixed query set probes — the literal
     * partition filter [[serveBm25]] pushes; exposed so ServeIndexSpec can
     * assert the probed set is a strict subset of the shard directories.
@@ -906,6 +943,7 @@ object TextOps {
     QueryDef("q_index_bm25", indexBm25, Some(Bm25Sql)),
     QueryDef("q_index_bm25_served", indexBm25Served, Some(Bm25Sql)),
     QueryDef("q_index_bm25_incr", indexBm25Incr, Some(Bm25Sql)),
-    QueryDef("q_retrieval_rrf", retrievalRrf, Some(RrfSql))
+    QueryDef("q_retrieval_rrf", retrievalRrf, Some(RrfSql)),
+    QueryDef("q_bpe_pairs", bpePairs, Some(BpePairsSql))
   )
 }

@@ -341,4 +341,20 @@ class PlanShapeSpec extends SparkSpec {
     // columns, not the label
     assert(p.contains("ReadSchema: struct<vec_id:bigint,embedding:array<float>>"), p)
   }
+
+  test("q_bpe_pairs: one corpus shuffle, pairs explode off the vocab frame") {
+    val p = plan("q_bpe_pairs")
+    // two hash exchanges — the word histogram (the only corpus-sized
+    // shuffle, with map-side partial agg) and the vocabulary-sized pair
+    // count; the top-20 is a TakeOrdered, not a global sort exchange
+    assert(
+      "Exchange hashpartitioning".r
+        .findAllIn(p.split("== Initial Plan ==").head)
+        .size == 2,
+      p)
+    assert(p.contains("TakeOrderedAndProject"), p)
+    assert(!p.contains("SortMergeJoin") && !p.contains("CartesianProduct"), p)
+    // the scan reads only text — pair counting needs no other column
+    assert(p.contains("ReadSchema: struct<text:string>"), p)
+  }
 }
