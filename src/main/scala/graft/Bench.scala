@@ -15,6 +15,7 @@ object BenchSplits {
       "q_sim_ivf_served" -> ops.SimilarityOps.simIvfServedSplit(s, d),
       "q_index_bm25_served" -> ops.TextOps.bm25Split(s, d),
       "q_index_bm25_incr" -> ops.TextOps.bm25IncrSplit(s, d),
+      "q_retrieval_rrf_served" -> ops.TextOps.rrfServedSplit(s, d),
       "q_dedup_incr" -> ops.DedupOps.dedupIncrSplit(s, d),
       "q_dedup_embed_incr" -> ops.DedupOps.embedIncrSplit(s, d))
 }

@@ -531,6 +531,29 @@ object SimilarityOps {
       .parquet(path)
   }
 
+  /** The serving tier's id-keyed EMBEDDING STORE: (vec_id, embedding, n2,
+    * sign bucket) hive-partitioned on ishard = pmod(hash(vec_id), 64), so
+    * a by-id fetch (e.g. resolving feedback-seed vectors from a handful
+    * of retrieved doc ids) prunes to the ids' shard directories instead
+    * of scanning the store — the lookup-side complement of the
+    * bucket-partitioned ANN index, which can only prune by bucket.
+    */
+  private[graft] def writeEmbStore(s: SparkSession, d: String, path: String): Unit = {
+    import s.implicits._
+    emb(s, d)
+      .select(
+        $"vec_id",
+        $"embedding",
+        Vec.norm2($"embedding").as("n2"),
+        bucketCol.as("bucket"),
+        pmod(hash($"vec_id"), lit(64)).as("ishard"))
+      .repartition($"ishard")
+      .write
+      .mode(org.apache.spark.sql.SaveMode.Overwrite)
+      .partitionBy("ishard")
+      .parquet(path)
+  }
+
   /** Serve a probe frame (probe_id, p, pn2, pbucket — already multi-probe
     * exploded) from a persisted ANN index: statically pruned scan of the
     * probed bucket directories, broadcast probes, per-probe top-k.

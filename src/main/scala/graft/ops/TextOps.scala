@@ -777,10 +777,17 @@ object TextOps {
       .withColumn("sem_rank", row_number().over(cw).cast("long"))
       .filter($"sem_rank" <= RrfTopK)
       .select($"query_id", $"vec_id".as("doc_id"), $"sem_rank")
-    // fusion as union + ONE hash aggregation on (query, doc) — the
-    // full-outer join formulation cannot broadcast (Spark falls back to a
-    // sort-merge join), while this shape is a single tiny shuffle of
-    // ≤ topK rows per query per leg with no sort
+    rrfFuse(s, lex, sem)
+  }
+
+  /** Reciprocal-rank fusion of a (query_id, doc_id, lex_rank) and a
+    * (query_id, doc_id, sem_rank) leg: union + ONE hash aggregation on
+    * (query, doc) — the full-outer join formulation cannot broadcast
+    * (Spark falls back to a sort-merge join), while this shape is a
+    * single tiny shuffle of ≤ topK rows per query per leg with no sort.
+    */
+  private def rrfFuse(s: SparkSession, lex: DataFrame, sem: DataFrame): DataFrame = {
+    import s.implicits._
     val fw = Window.partitionBy($"query_id").orderBy($"rrf".desc, $"doc_id")
     lex
       .select($"query_id", $"doc_id", $"lex_rank".as("r"), lit("lex").as("leg"))
@@ -801,6 +808,91 @@ object TextOps {
 
   private val RrfTopK = 10
 
+
+  /** q_retrieval_rrf_served — q_retrieval_rrf answered ENTIRELY from
+    * persisted indexes: the full serving-tier architecture in one query.
+    * Build writes three artifacts — the term-sharded postings index
+    * ([[writeBm25Index]]), the bucket-partitioned ANN index
+    * ([[SimilarityOps.writeAnnIndex]]), and the id-sharded embedding
+    * store ([[SimilarityOps.writeEmbStore]]) — and serve composes three
+    * pruned reads: lexical leg from the probed term shards, feedback-seed
+    * vectors fetched by id from the probed ishard directories (the
+    * candidate doc ids and their shard ids are bounded model state, the
+    * probe-bucket-collect precedent), and the cosine leg from the probed
+    * bucket directories. Same output contract and oracle as
+    * q_retrieval_rrf: persistence and pruning must not change a hit.
+    */
+  private def retrievalRrfServed(s: SparkSession, d: String): DataFrame = {
+    val root = SimilarityOps.serveRoot(s, d) + "/rrf"
+    val bm25Path = writeBm25Index(s, d)
+    SimilarityOps.writeAnnIndex(s, d, s"$root/ann")
+    SimilarityOps.writeEmbStore(s, d, s"$root/embstore")
+    serveRrf(s, bm25Path, s"$root/ann", s"$root/embstore")
+  }
+
+  private[graft] def serveRrf(
+      s: SparkSession,
+      bm25Path: String,
+      annPath: String,
+      storePath: String): DataFrame = {
+    import s.implicits._
+    val lex = serveBm25(s, bm25Path)
+      .select($"query_id", $"doc_id", $"rank".as("lex_rank"))
+    // the ≤ topK·|queries| candidate ids' shards — bounded model state
+    val lexShards = lex
+      .select(pmod(hash($"doc_id"), lit(64)))
+      .distinct()
+      .collect()
+      .map(_.get(0))
+      .toSeq
+    val store = s.read.parquet(storePath).filter($"ishard".isin(lexShards: _*))
+    val sw = Window.partitionBy($"query_id").orderBy($"lex_rank")
+    val seed = store
+      .join(broadcast(lex), store("vec_id") === lex("doc_id"))
+      .withColumn("sr", row_number().over(sw))
+      .filter($"sr" === 1)
+      .select(
+        $"query_id",
+        $"embedding".as("p"),
+        $"n2".as("pn2"),
+        explode(
+          array(
+            $"bucket" +:
+              (0 until SimilarityOps.SignBits)
+                .map(j => $"bucket".bitwiseXOR(lit(1L << j))): _*)).as("pbucket"))
+    val probeBuckets =
+      seed.select($"pbucket").distinct().collect().map(_.get(0)).toSeq
+    val cw = Window.partitionBy($"query_id").orderBy($"cos".desc, $"vec_id")
+    val sem = s.read
+      .parquet(annPath)
+      .filter($"bucket".isin(probeBuckets: _*))
+      .join(broadcast(seed), $"bucket" === $"pbucket")
+      .select(
+        $"query_id",
+        $"vec_id",
+        graft.X.r6(Vec.cosine(Vec.dot($"embedding", $"p"), $"n2", $"pn2")).as("cos"))
+      .withColumn("sem_rank", row_number().over(cw).cast("long"))
+      .filter($"sem_rank" <= RrfTopK)
+      .select($"query_id", $"vec_id".as("doc_id"), $"sem_rank")
+    rrfFuse(s, lex, sem)
+  }
+
+  /** Build/serve decomposition of q_retrieval_rrf_served for the bench's
+    * split timings ([[bm25Split]] rationale): build writes all three
+    * serving artifacts, serve is the three-pruned-read fusion.
+    */
+  private[graft] def rrfServedSplit(
+      s: SparkSession, d: String): (() => Unit, () => DataFrame) = {
+    val root = SimilarityOps.serveRoot(s, d) + "/rrf"
+    val bm25Path = SimilarityOps.serveRoot(s, d) + "/bm25"
+    val build = () => {
+      writeBm25Index(s, d)
+      SimilarityOps.writeAnnIndex(s, d, s"$root/ann")
+      SimilarityOps.writeEmbStore(s, d, s"$root/embstore")
+      ()
+    }
+    (build, () => serveRrf(s, bm25Path, s"$root/ann", s"$root/embstore"))
+  }
 
   /** q_bpe_pairs — the first merge round of BPE tokenizer training:
     * adjacent symbol-pair counts over the corpus, computed the only way a
@@ -944,6 +1036,7 @@ object TextOps {
     QueryDef("q_index_bm25_served", indexBm25Served, Some(Bm25Sql)),
     QueryDef("q_index_bm25_incr", indexBm25Incr, Some(Bm25Sql)),
     QueryDef("q_retrieval_rrf", retrievalRrf, Some(RrfSql)),
+    QueryDef("q_retrieval_rrf_served", retrievalRrfServed, Some(RrfSql)),
     QueryDef("q_bpe_pairs", bpePairs, Some(BpePairsSql))
   )
 }

@@ -48,7 +48,8 @@ class DeterminismSpec extends SparkSpec {
     "q_agg_sketch_merge",
     "q_dedup_embed_incr",
     "q_index_bm25_served", // reads back the index it just wrote (bm25 itself runs)
-    "q_index_bm25_incr")   // same: serves the generations it just wrote
+    "q_index_bm25_incr",   // same: serves the generations it just wrote
+    "q_retrieval_rrf_served") // same: serves the three artifacts it just wrote
 
   test("identical results at shuffle.partitions = 4 vs 13") {
     for (n <- names) {

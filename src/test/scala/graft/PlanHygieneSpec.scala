@@ -36,7 +36,8 @@ class PlanHygieneSpec extends SparkSpec {
     "q_index_bm25_served",
     "q_index_bm25_incr",
     // r9: inherits the BM25 leg's one-row (N, L) attach
-    "q_retrieval_rrf")
+    "q_retrieval_rrf",
+    "q_retrieval_rrf_served")
 
   private lazy val plans: Map[String, String] =
     SparkEntry.queries.keys.toSeq.sorted.map { name =>

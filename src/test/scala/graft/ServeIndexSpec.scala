@@ -95,6 +95,22 @@ class ServeIndexSpec extends SparkSpec {
     assert(modTimes("base").max <= modTimes("inc").min)
   }
 
+  test("q_retrieval_rrf_served: three-index serve equals in-session; id-fetch is shard-pruned") {
+    assert(
+      rows(SparkEntry.queries("q_retrieval_rrf_served")(spark, sf)) ===
+        rows(SparkEntry.queries("q_retrieval_rrf")(spark, sf)))
+    // the feedback-seed fetch reads the embedding store through a literal
+    // ishard partition filter — by-id lookups never scan the full store
+    val p = SparkEntry.queries("q_retrieval_rrf_served")(spark, sf)
+      .queryExecution.executedPlan.toString
+    assert(
+      "PartitionFilters: \\[[^\\]]*ishard[^\\]]*(INSET|IN \\()".r.findFirstIn(p).isDefined,
+      p)
+    assert(
+      "PartitionFilters: \\[[^\\]]*bucket[^\\]]*(INSET|IN \\()".r.findFirstIn(p).isDefined,
+      p)
+  }
+
   test("trained IVF codebook round-trips exactly and serves from disk") {
     import spark.implicits._
     val dir = Files.createTempDirectory("graft_serve_trained").toString
