@@ -283,8 +283,63 @@ object CurationOps {
       s"WHERE ${hkeySql("wsample")} % $WeightBps < least($WeightBps, n_chars * $BpsPerChar) " +
       "ORDER BY doc_id"
 
+  /** q_sample_temperature — temperature-flattened language mixing, the
+    * principled generalization of q_sample_mix's hand-tuned ladder:
+    * per-language quotas ∝ n^(1/T) with T = 2, i.e. sqrt — the ONE power
+    * the no-transcendentals rule admits (IEEE sqrt is correctly rounded
+    * and bit-stable cross-engine; pow/exp/log are not). quota_l =
+    * floor(B · w_l / W) with w_l = r6(sqrt(n_l)) and W their
+    * order-independent decimal(18,6) sum; selection within a language is
+    * the salted-hash ladder, so the picked set is invariant under
+    * retries, partitioning, and engine. On the skewed testdata this
+    * visibly flattens the mixture (en: 44% of the corpus → 31% of the
+    * sample). Scale shape: ONE count aggregate (map-side combine) builds
+    * the |languages|-sized quota frame, broadcast back onto the same
+    * per-language rank window q_sample_quota uses — no extra corpus
+    * shuffle at any size.
+    */
+  private val TempBudget = 150L
+  private def sampleTemperature(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val w = docs(s, d)
+      .groupBy($"lang")
+      .agg(count(lit(1)).as("n_docs"))
+      .withColumn("ws", graft.X.r6(sqrt($"n_docs".cast("double"))))
+    val tot = w.agg(sum($"ws".cast("decimal(18,6)")).cast("double").as("tw"))
+    val quota = w
+      .crossJoin(broadcast(tot)) // one-row total attach (PlanHygieneSpec-listed)
+      .withColumn("quota", floor(lit(TempBudget) * $"ws" / $"tw").cast("long"))
+      .select($"lang", $"n_docs", $"quota")
+    docs(s, d)
+      .select($"doc_id", $"lang", hkey("temp").as("hk"))
+      .withColumn(
+        "rn",
+        row_number()
+          .over(Window.partitionBy($"lang").orderBy($"hk", $"doc_id"))
+          .cast("long"))
+      .join(broadcast(quota), Seq("lang"))
+      .filter($"rn" <= $"quota")
+      .select($"doc_id", $"lang", $"rn", $"quota", $"n_docs")
+      .orderBy($"lang", $"rn")
+  }
+
+  private val TemperatureSql =
+    "WITH src AS (SELECT lang, CAST(count(*) AS BIGINT) AS n_docs " +
+      "FROM documents GROUP BY lang), " +
+      "w AS (SELECT lang, n_docs, " +
+      "floor(sqrt(CAST(n_docs AS DOUBLE)) * 1e6 + 0.5) / 1e6 AS ws FROM src), " +
+      "tot AS (SELECT CAST(sum(CAST(ws AS DECIMAL(18,6))) AS DOUBLE) AS tw FROM w), " +
+      "quota AS (SELECT lang, n_docs, " +
+      s"CAST(floor($TempBudget * ws / tw) AS BIGINT) AS quota FROM w CROSS JOIN tot), " +
+      "ranked AS (SELECT doc_id, lang, row_number() OVER (PARTITION BY lang " +
+      s"ORDER BY ${hkeySql("temp")}, doc_id) AS rn FROM documents) " +
+      "SELECT r.doc_id, r.lang, CAST(r.rn AS BIGINT) AS rn, q.quota, q.n_docs " +
+      "FROM ranked r JOIN quota q ON r.lang = q.lang " +
+      "WHERE r.rn <= q.quota ORDER BY r.lang, r.rn"
+
   val defs: Seq[QueryDef] = Seq(
     QueryDef("q_sample_mix", sampleMix, Some(MixSql)),
+    QueryDef("q_sample_temperature", sampleTemperature, Some(TemperatureSql)),
     QueryDef("q_sample_weighted", sampleWeighted, Some(WeightedSql)),
     QueryDef("q_pack_sequences", packSequences, Some(PackSql)),
     QueryDef("q_source_filter", sourceFilter, Some(SourceFilterSql)),

@@ -37,7 +37,9 @@ class PlanHygieneSpec extends SparkSpec {
     "q_index_bm25_incr",
     // r9: inherits the BM25 leg's one-row (N, L) attach
     "q_retrieval_rrf",
-    "q_retrieval_rrf_served")
+    "q_retrieval_rrf_served",
+    // r9: one-row temperature-weight total attach (CurationOps)
+    "q_sample_temperature")
 
   private lazy val plans: Map[String, String] =
     SparkEntry.queries.keys.toSeq.sorted.map { name =>

@@ -357,4 +357,15 @@ class PlanShapeSpec extends SparkSpec {
     // the scan reads only text — pair counting needs no other column
     assert(p.contains("ReadSchema: struct<text:string>"), p)
   }
+
+  test("q_sample_temperature: quota frame broadcast, one rank window, slim scans") {
+    val p = plan("q_sample_temperature")
+    // the |languages|-sized quota frame comes back broadcast; the corpus
+    // side pays only the per-language rank window
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("SortMergeJoin") && !p.contains("CartesianProduct"), p)
+    // both corpus passes read only (doc_id, lang) — never text
+    assert(p.contains("ReadSchema: struct<doc_id:bigint,lang:string>"), p)
+    assert(!p.contains("text:string"), p)
+  }
 }
