@@ -32,11 +32,16 @@ final case class Attempt(
 
 /** Testdata access + shared time constants. */
 object T {
-  /** Timestamp columns stored as TIMESTAMP(NANOS) in the testdata parquet.
-    * Spark 4 has no nanosecond timestamp type and rejects them outright
-    * (PARQUET_TYPE_ILLEGAL), so we read nanos as raw longs
+  /** Timestamp columns that need generation-specific handling. Earlier
+    * testdata generations stored TIMESTAMP(NANOS), which Spark 4 rejects
+    * outright (PARQUET_TYPE_ILLEGAL), so we read nanos as raw longs
     * (spark.sql.legacy.parquet.nanosAsLong) and truncate to µs — exactly
     * what DuckDB's ns→µs cast does on the oracle side (SURVEY §7.4.4).
+    * Current generations store TIMESTAMP(MICROS, isAdjustedToUTC=false),
+    * which Spark 4 would infer as TIMESTAMP_NTZ — a type DuckDB reads as
+    * its plain naive TIMESTAMP but that breaks unix_micros()/getTimestamp
+    * callers — so NTZ inference is disabled and the stored micros read as
+    * UTC instants (sessions run with UTC session tz: identical values).
     */
   private val NanoTsCols = Map(
     "events" -> Seq("ts"),
@@ -46,6 +51,7 @@ object T {
   /** Every testdata table is a single parquet file (TESTDATA.md). */
   def apply(spark: SparkSession, sfDir: String, name: String): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    spark.conf.set("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
     // predicate pushdown through the nano→µs projection (see NanoTsPushdown)
     if (!spark.experimental.extraOptimizations.contains(plans.NanoTsPushdown))
       spark.experimental.extraOptimizations =

@@ -133,27 +133,37 @@ object StreamOps {
       "AND CAST(c.ts AS TIMESTAMP) <= CAST(v.ts AS TIMESTAMP) + INTERVAL 1 HOUR " +
       "ORDER BY v.user_id, view_id, click_id"
 
-  /** readStream over an events-parquet directory with the ns→µs conversion
-    * and the reference's 7-day late-data contract (withWatermark ≡
-    * DAYS_BACK, SURVEY §0). Shared source for every streaming lift.
+  /** readStream over an events-parquet directory with the generation-aware
+    * ts handling of [[graft.T]] (ns→µs conversion for nano-stored files,
+    * direct µs reads otherwise) and the reference's 7-day late-data
+    * contract (withWatermark ≡ DAYS_BACK, SURVEY §0). Shared source for
+    * every streaming lift.
     */
   def eventsStream(
       s: SparkSession,
       sourceDir: String,
       options: Map[String, String] = Map.empty): DataFrame = {
     s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    s.conf.set("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
     val batchSchema = T(s, sourceDir.stripSuffix("/events.parquet"), "events").schema
-    s.readStream
-      .options(options)
-      .schema(
-        org.apache.spark.sql.types.StructType(
-          batchSchema.map(f =>
-            if (f.name == "ts")
-              f.copy(dataType = org.apache.spark.sql.types.LongType)
-            else f)))
-      .parquet(sourceDir)
-      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
-      .withWatermark("ts", "7 days")
+    val tsStoredAsNanoLong =
+      s.read.parquet(sourceDir).schema("ts").dataType ==
+        org.apache.spark.sql.types.LongType
+    val src =
+      if (tsStoredAsNanoLong)
+        s.readStream
+          .options(options)
+          .schema(
+            org.apache.spark.sql.types.StructType(
+              batchSchema.map(f =>
+                if (f.name == "ts")
+                  f.copy(dataType = org.apache.spark.sql.types.LongType)
+                else f)))
+          .parquet(sourceDir)
+          .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      else
+        s.readStream.options(options).schema(batchSchema).parquet(sourceDir)
+    src.withWatermark("ts", "7 days")
   }
 
   /** Streaming lift of the tumbling-window report: identical logic on a

@@ -20,20 +20,35 @@ class StreamingExpectationsSpec extends SparkSpec {
       Paths.get(s"$sf/events.parquet"),
       dir.resolve("events.parquet"),
       StandardCopyOption.REPLACE_EXISTING)
-    // dirt in the RAW wire shape (ts as nanos long, per eventsStream)
+    // dirt in the RAW wire shape of the staged file: ts as nanos long for
+    // nano-generation testdata, as a plain timestamp for µs generations
+    // (eventsStream branches on the same raw-schema probe)
     val nanosKey = "spark.sql.legacy.parquet.nanosAsLong"
     val prev = spark.conf.getOption(nanosKey)
     spark.conf.set(nanosKey, "true")
     try {
-      val tsNanos = spark.read.parquet(s"$sf/events.parquet")
-        .agg(max($"ts")).head.getLong(0)
-      Seq(
-        (-1L, tsNanos, Option.empty[Long], "click", 1.0d, "{}"),
-        (-2L, tsNanos, Option(7L), "hover", 1.0d, "{}"),
-        (-3L, tsNanos, Option(7L), "view", -4.0d, "{}"),
-        (-4L, tsNanos, Option.empty[Long], "hover", 2.0d, "{}"))
-        .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
-        .coalesce(1)
+      val rawIsNanoLong = spark.read.parquet(s"$sf/events.parquet")
+        .schema("ts").dataType == org.apache.spark.sql.types.LongType
+      val dirt =
+        if (rawIsNanoLong) {
+          val tsNanos = spark.read.parquet(s"$sf/events.parquet")
+            .agg(max($"ts")).head.getLong(0)
+          Seq(
+            (-1L, tsNanos, Option.empty[Long], "click", 1.0d, "{}"),
+            (-2L, tsNanos, Option(7L), "hover", 1.0d, "{}"),
+            (-3L, tsNanos, Option(7L), "view", -4.0d, "{}"),
+            (-4L, tsNanos, Option.empty[Long], "hover", 2.0d, "{}"))
+            .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+        } else {
+          val tsMax = T(spark, sf, "events").agg(max($"ts")).head.getTimestamp(0)
+          Seq(
+            (-1L, tsMax, Option.empty[Long], "click", 1.0d, "{}"),
+            (-2L, tsMax, Option(7L), "hover", 1.0d, "{}"),
+            (-3L, tsMax, Option(7L), "view", -4.0d, "{}"),
+            (-4L, tsMax, Option.empty[Long], "hover", 2.0d, "{}"))
+            .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+        }
+      dirt.coalesce(1)
         .write.mode("overwrite").parquet(s"$dir/dirt")
       val fs = new org.apache.hadoop.fs.Path(dir.toString)
         .getFileSystem(spark.sparkContext.hadoopConfiguration)

@@ -263,12 +263,17 @@ class StreamingLiftDedupSessionSpec extends SparkSpec {
       .agg(max($"ts"))
       .head()
       .getTimestamp(0)
-    val sentinelNanos = (maxTs.getTime + 40L * 24 * 3600 * 1000) * 1000000L
+    // sentinel ts in the staged file's wire type: nanos long for
+    // nano-generation testdata, a plain timestamp for µs generations
     val schema = spark.read.parquet(s"$dir/events.parquet").schema
+    val sentinelTs: Any =
+      if (schema("ts").dataType == org.apache.spark.sql.types.LongType)
+        (maxTs.getTime + 40L * 24 * 3600 * 1000) * 1000000L
+      else new java.sql.Timestamp(maxTs.getTime + 40L * 24 * 3600 * 1000)
     val sentinel = spark
       .createDataFrame(
         java.util.List.of(
-          org.apache.spark.sql.Row(-1L, sentinelNanos, -1L, "sentinel", 0.0d, "{}")),
+          org.apache.spark.sql.Row(-1L, sentinelTs, -1L, "sentinel", 0.0d, "{}")),
         schema)
     Thread.sleep(5) // distinct mtime so the sentinel file sorts later
     sentinel.coalesce(1).write.mode("append").parquet(dir.toString)
@@ -312,12 +317,17 @@ class StreamingLiftDedupSessionSpec extends SparkSpec {
       .agg(max($"ts"))
       .head()
       .getTimestamp(0)
-    val sentinelNanos = (maxTs.getTime + 40L * 24 * 3600 * 1000) * 1000000L
+    // sentinel ts in the staged file's wire type: nanos long for
+    // nano-generation testdata, a plain timestamp for µs generations
     val schema = spark.read.parquet(s"$dir/events.parquet").schema
+    val sentinelTs: Any =
+      if (schema("ts").dataType == org.apache.spark.sql.types.LongType)
+        (maxTs.getTime + 40L * 24 * 3600 * 1000) * 1000000L
+      else new java.sql.Timestamp(maxTs.getTime + 40L * 24 * 3600 * 1000)
     val sentinel = spark
       .createDataFrame(
         java.util.List.of(
-          org.apache.spark.sql.Row(-1L, sentinelNanos, -1L, "sentinel", 0.0d, "{}")),
+          org.apache.spark.sql.Row(-1L, sentinelTs, -1L, "sentinel", 0.0d, "{}")),
         schema)
     Thread.sleep(5) // distinct mtime so the sentinel file sorts later
     sentinel.coalesce(1).write.mode("append").parquet(dir.toString)
