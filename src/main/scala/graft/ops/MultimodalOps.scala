@@ -115,6 +115,89 @@ object MediaCodec extends Serializable {
   }
 }
 
+/** Real audio codec kernels over JDK-only `javax.sound.sampled` (WAV/PCM).
+  *
+  * The audio sibling of [[MediaCodec]]: each document's UTF-8 bytes become
+  * a 16-bit signed little-endian mono PCM stream at 8 kHz (sample_i =
+  * (byte_i − 80)·256, clamped to the short range — the clamp is
+  * unreachable for ASCII payloads, where bytes < 128 ⇒ |sample| ≤ 20480),
+  * containerized by the JDK's own WAVE writer. The decode side runs a REAL
+  * `AudioSystem` parse — RIFF/fmt-chunk header walk, frame extraction —
+  * and computes signal features (amplitude sum/max, zero crossings) from
+  * the recovered samples. PCM is lossless and the sample stream is a
+  * deterministic function of the text, so the DuckDB oracle recomputes
+  * every output from `ascii()` arithmetic without an audio decoder: a
+  * header-offset, endianness, or frame-stride bug breaks the hash gate.
+  * Centering at byte 80 (not 128) puts spaces/punctuation below zero and
+  * letters above, so zero_cross measures real word-boundary structure.
+  *
+  * [[MultimodalCodecSpec]] pins `decode(encode(x)) == x` on adversarial
+  * byte streams and the decoded header fields (rate/channels/width).
+  */
+object AudioCodec extends Serializable {
+
+  val SampleRate = 8000f
+  val Center = 80
+
+  /** byte → 16-bit sample, exact for all inputs (clamped at the short
+    * boundary, reachable only for bytes ≥ 208 — never in ASCII text).
+    */
+  def sampleOf(b: Byte): Short =
+    math.min(32767, math.max(-32768, ((b & 0xff) - Center) * 256)).toShort
+
+  /** bytes → WAV container via the JDK's AudioSystem WAVE writer. */
+  def encodeWav(bytes: Array[Byte]): Array[Byte] = {
+    import javax.sound.sampled._
+    val pcm = new Array[Byte](bytes.length * 2)
+    var i = 0
+    while (i < bytes.length) {
+      val s = sampleOf(bytes(i))
+      pcm(2 * i) = (s & 0xff).toByte
+      pcm(2 * i + 1) = ((s >> 8) & 0xff).toByte
+      i += 1
+    }
+    val fmt = new AudioFormat(SampleRate, 16, 1, true, false)
+    val ais = new AudioInputStream(
+      new java.io.ByteArrayInputStream(pcm), fmt, bytes.length.toLong)
+    val bos = new java.io.ByteArrayOutputStream()
+    AudioSystem.write(ais, AudioFileFormat.Type.WAVE, bos)
+    bos.toByteArray
+  }
+
+  final case class AudioFeatures(
+      n_samples: Long, sample_rate: Int, amp_sum: Long, amp_max: Int,
+      zero_cross: Long)
+
+  /** WAV → features via a real AudioSystem decode: the header fields come
+    * from the parsed `AudioFormat` (proving the fmt-chunk walk) and the
+    * signal stats from the extracted frames. zero_cross counts strict
+    * sign changes (product < 0): a zero sample ends no crossing.
+    */
+  def features(wav: Array[Byte]): AudioFeatures = {
+    import javax.sound.sampled._
+    val ais = AudioSystem.getAudioInputStream(new java.io.ByteArrayInputStream(wav))
+    val f = ais.getFormat
+    require(
+      f.getSampleSizeInBits == 16 && f.getChannels == 1 && !f.isBigEndian
+        && f.getEncoding == AudioFormat.Encoding.PCM_SIGNED,
+      s"unexpected decoded format: $f")
+    val data = ais.readAllBytes()
+    val n = data.length / 2
+    var sum = 0L; var mx = 0; var zc = 0L; var prev = 0
+    var i = 0
+    while (i < n) {
+      val s = ((data(2 * i) & 0xff) | (data(2 * i + 1) << 8)).toShort.toInt
+      val a = math.abs(s)
+      sum += a
+      if (a > mx) mx = a
+      if (i > 0 && prev * s < 0) zc += 1 // |s| ≤ 2^15 ⇒ product fits Int
+      prev = s
+      i += 1
+    }
+    AudioFeatures(n.toLong, f.getSampleRate.toInt, sum, mx, zc)
+  }
+}
+
 /** Tier C multimodal operators (charter): media as opaque binary columns
   * with typed metadata; decode / feature-extract / resize as real
   * per-row image kernels over [[MediaCodec]] (JDK `javax.imageio`, no
@@ -237,6 +320,51 @@ object MultimodalOps {
       .orderBy("doc_id")
   }
 
+  private val audioUdf = udf(AudioCodec.encodeWav _)
+  private val audioFeaturesUdf = udf(AudioCodec.features _)
+
+  /** q_mm_audio — encode-decode-featurize for the audio modality: the
+    * payload becomes a real 16-bit PCM WAV (JDK AudioSystem writer), a
+    * real AudioSystem decode parses the RIFF header and extracts the
+    * frames, and the features are the decoded stream's true length, the
+    * PARSED sample rate, amplitude sum/max, and strict zero crossings.
+    * The oracle replays sample_i = (ascii_i − 80)·256 in text arithmetic,
+    * so the hash gate proves the full container round-trip.
+    */
+  private def mmAudio(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    docs(s, d)
+      .select($"doc_id", audioFeaturesUdf(audioUdf(payload)).as("a"))
+      .select(
+        $"doc_id",
+        $"a.n_samples".as("n_samples"),
+        $"a.sample_rate".as("sample_rate"),
+        $"a.amp_sum".as("amp_sum"),
+        $"a.amp_max".as("amp_max"),
+        $"a.zero_cross".as("zero_cross"))
+      .orderBy("doc_id")
+  }
+
+  /** Oracle: the PCM stream is the ASCII byte stream recentred at 80 and
+    * scaled by 256 (lossless), so every feature is list arithmetic over
+    * `ascii(c) − 80`. zero_cross counts strict sign products < 0 exactly
+    * as the decoder does.
+    */
+  private val AudioSql =
+    "WITH b AS (SELECT doc_id, " +
+      "list_transform(string_split(text, ''), c -> ascii(c) - 80) AS v " +
+      "FROM documents) " +
+      "SELECT doc_id, CAST(len(v) AS BIGINT) AS n_samples, " +
+      "8000 AS sample_rate, " +
+      "list_reduce(list_prepend(CAST(0 AS BIGINT), " +
+      "list_transform(v, x -> CAST(abs(x) AS BIGINT) * 256)), " +
+      "(a, c) -> a + c) AS amp_sum, " +
+      "CAST(coalesce(list_max(list_transform(v, x -> abs(x) * 256)), 0) " +
+      "AS INTEGER) AS amp_max, " +
+      "CAST(len(list_filter(generate_series(2, len(v)), " +
+      "i -> v[i-1] * v[i] < 0)) AS BIGINT) AS zero_cross " +
+      "FROM b ORDER BY doc_id"
+
   private val SampleSql =
     "SELECT doc_id, CAST(len(sampled) AS INTEGER) AS n_frames, " +
       "array_to_string(sampled, ' ') AS sample_txt FROM (" +
@@ -254,6 +382,7 @@ object MultimodalOps {
           "FROM documents ORDER BY doc_id")),
     QueryDef("q_mm_features", mmFeatures, Some(FeaturesSql)),
     QueryDef("q_mm_resize", mmResize, Some(ResizeSql)),
+    QueryDef("q_mm_audio", mmAudio, Some(AudioSql)),
     QueryDef("q_mm_sample", mmSample, Some(SampleSql))
   )
 }

@@ -1,6 +1,6 @@
 package graft
 
-import graft.ops.MediaCodec
+import graft.ops.{AudioCodec, MediaCodec}
 
 /** Pins the real-image-codec contract behind q_mm_features / q_mm_resize:
   * a genuine PNG round-trip (encode → ImageIO decode) is bit-exact on the
@@ -63,6 +63,61 @@ class MultimodalCodecSpec extends SparkSpec {
     val out = MediaCodec.resizeNearest(d, 8, 8)
     for (y <- 0 until 8; x <- 0 until 8)
       assert((out(y * 8 + x) & 0xff) == ((y * 16 + 2 * x) % 256))
+  }
+
+  // --- audio (WAV/PCM via javax.sound.sampled) ---------------------------
+
+  /** Independent replay of the PCM mapping: decode the WAV with
+    * AudioSystem and compare every sample against sampleOf(byte).
+    */
+  private def audioRoundtrip(bytes: Array[Byte]): Unit = {
+    import javax.sound.sampled._
+    val wav = AudioCodec.encodeWav(bytes)
+    // real RIFF/WAVE container, not a pass-through
+    assert(new String(wav.take(4), "US-ASCII") == "RIFF")
+    assert(new String(wav.slice(8, 12), "US-ASCII") == "WAVE")
+    val ais = AudioSystem.getAudioInputStream(new java.io.ByteArrayInputStream(wav))
+    val f = ais.getFormat
+    assert(f.getSampleRate == AudioCodec.SampleRate)
+    assert(f.getChannels == 1 && f.getSampleSizeInBits == 16 && !f.isBigEndian)
+    val data = ais.readAllBytes()
+    assert(data.length == bytes.length * 2, s"n=${bytes.length}")
+    for (i <- bytes.indices) {
+      val got = ((data(2 * i) & 0xff) | (data(2 * i + 1) << 8)).toShort
+      assert(got == AudioCodec.sampleOf(bytes(i)), s"sample $i of n=${bytes.length}")
+    }
+  }
+
+  test("audio decode(encode(x)) is sample-exact: all 256 byte values") {
+    audioRoundtrip(Array.tabulate(256)(_.toByte)) // incl. the clamped tail >= 208
+  }
+
+  test("audio decode(encode(x)) is sample-exact: tiny + pseudo-random streams") {
+    audioRoundtrip(Array.empty[Byte])
+    audioRoundtrip(Array[Byte](0))
+    audioRoundtrip(Array[Byte]('P'.toByte)) // ascii 80 -> the zero sample
+    val rnd = new scala.util.Random(42)
+    for (n <- Seq(3, 100, 1000)) {
+      val bytes = new Array[Byte](n)
+      rnd.nextBytes(bytes)
+      audioRoundtrip(bytes)
+    }
+  }
+
+  test("audio features match hand-computed signal stats") {
+    // "a a" = 97, 32, 97 -> samples (+17, -48, +17)*256: two strict crossings
+    val f = AudioCodec.features(AudioCodec.encodeWav("a a".getBytes("UTF-8")))
+    assert(f.n_samples == 3)
+    assert(f.sample_rate == 8000)
+    assert(f.amp_sum == (17L + 48L + 17L) * 256)
+    assert(f.amp_max == 48 * 256)
+    assert(f.zero_cross == 2)
+    // zero samples end no crossing: "aPb" -> +17, 0, +18: product never < 0
+    val z = AudioCodec.features(AudioCodec.encodeWav("aPb".getBytes("UTF-8")))
+    assert(z.zero_cross == 0)
+    // empty stream is total
+    val e = AudioCodec.features(AudioCodec.encodeWav(Array.empty[Byte]))
+    assert(e.n_samples == 0 && e.amp_sum == 0 && e.amp_max == 0 && e.zero_cross == 0)
   }
 
   test("features computes true dims + pixel stats incl. zero padding") {
