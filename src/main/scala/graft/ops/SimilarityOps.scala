@@ -806,8 +806,100 @@ object SimilarityOps {
       "FROM embeddings) ORDER BY vec_id"
   }
 
+  /** q_sim_quantized — two-stage retrieve/rescore over the int8-quantized
+    * store, the serving pattern `q_embed_quantize` exists for: stage 1
+    * ranks the probe's multi-probe bucket candidates by the INTEGER dot
+    * product of their quantized lanes (exact BIGINT arithmetic — the
+    * memory-bandwidth path: 4× smaller vectors, integer-SIMD products, and
+    * bit-portable by construction, so the cut is identical cross-engine);
+    * stage 2 rescores only the surviving 20 candidates with the exact
+    * float cosine and emits the top 10. At 100 TB the full-precision
+    * vectors live only in the rescore tier (20 rows/probe), while the
+    * scan tier reads int8 — the standard IVF-PQ-style split, here with
+    * symmetric per-vector scaling. Quantization error can reorder the
+    * stage-1 cut vs a float scan, which is the accepted ANN trade; the
+    * oracle replays the SAME quantized pipeline, so correctness is exact
+    * over the declared semantics, not a recall estimate.
+    */
+  private def simQuantized(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    // per-vector symmetric scale amax/127; zero vectors quantize to zeros
+    val qv = when(
+      $"amax" === 0d,
+      transform($"embedding", _ => lit(0L)))
+      .otherwise(transform(
+        $"embedding",
+        x =>
+          least(
+            lit(127d),
+            greatest(
+              lit(-127d),
+              floor(x.cast("double") / ($"amax" / lit(127d)) + lit(0.5d))))
+            .cast("long")))
+    val e = emb(s, d)
+      .withColumn(
+        "amax",
+        array_max(transform($"embedding", x => abs(x.cast("double")))))
+      .select(
+        $"vec_id",
+        $"embedding",
+        Vec.norm2($"embedding").as("n2"),
+        bucketCol.as("bucket"),
+        qv.as("qv"))
+    val probes = e
+      .filter($"vec_id" === 0)
+      .select(
+        $"embedding".as("p"),
+        $"n2".as("pn2"),
+        $"qv".as("pq"),
+        explode(
+          array(
+            $"bucket" +:
+              (0 until SignBits).map(j => $"bucket".bitwiseXOR(lit(1L << j))): _*))
+          .as("pbucket"))
+    val iscore =
+      aggregate(zip_with($"qv", $"pq", (a, b) => a * b), lit(0L), (acc, x) => acc + x)
+    e.join(broadcast(probes), $"bucket" === $"pbucket")
+      .filter($"vec_id" =!= 0)
+      .select($"vec_id", $"embedding", $"n2", $"p", $"pn2", iscore.as("iscore"))
+      .orderBy($"iscore".desc, $"vec_id")
+      .limit(20)
+      .select(
+        $"vec_id",
+        $"iscore",
+        X.r6(Vec.cosine(Vec.dot($"embedding", $"p"), $"n2", $"pn2")).as("cos"))
+      .orderBy($"cos".desc, $"vec_id")
+      .limit(10)
+  }
+
+  private val QuantizedSql = {
+    val qLane =
+      "CAST(LEAST(CAST(127 AS DOUBLE), GREATEST(CAST(-127 AS DOUBLE), " +
+        "floor(CAST(x AS DOUBLE) / (amax / 127.0) + 0.5))) AS BIGINT)"
+    s"WITH e0 AS (SELECT vec_id, embedding, ${Vec.norm2Sql("embedding")} AS n2, " +
+      s"$BucketSql AS bucket, " +
+      "list_max(list_transform(embedding, x -> abs(CAST(x AS DOUBLE)))) AS amax " +
+      "FROM embeddings), " +
+      "e AS (SELECT vec_id, embedding, n2, bucket, " +
+      "CASE WHEN amax = 0 THEN list_transform(embedding, x -> CAST(0 AS BIGINT)) " +
+      s"ELSE list_transform(embedding, x -> $qLane) END AS qv FROM e0), " +
+      "probe AS (SELECT embedding AS p, n2 AS pn2, qv AS pq, " +
+      s"unnest([$ProbeListSql]) AS pbucket FROM e WHERE vec_id = 0), " +
+      "cand AS (SELECT e.vec_id AS vec_id, e.embedding AS embedding, e.n2 AS n2, " +
+      "p, pn2, list_reduce(list_prepend(CAST(0 AS BIGINT), " +
+      "list_transform(generate_series(1, len(qv)), i -> qv[i] * pq[i])), " +
+      "(a, b) -> a + b) AS iscore " +
+      "FROM e JOIN probe ON bucket = pbucket WHERE e.vec_id <> 0 " +
+      "ORDER BY iscore DESC, vec_id LIMIT 20) " +
+      "SELECT vec_id, iscore, " +
+      s"floor((${Vec.dotSql("embedding", "p")} / (sqrt(n2) * sqrt(pn2))) " +
+      "* 1000000 + 0.5) / 1000000 AS cos " +
+      "FROM cand ORDER BY cos DESC, vec_id LIMIT 10"
+  }
+
   val defs: Seq[QueryDef] = Seq(
     QueryDef("q_embed_quantize", embedQuantize, Some(QuantizeSql)),
+    QueryDef("q_sim_quantized", simQuantized, Some(QuantizedSql)),
     QueryDef("q_sim_cosine", simCosine, Some(CosineSql)),
     QueryDef("q_sim_topk", simTopk, Some(TopkSql)),
     QueryDef("q_sim_ann", simAnn, Some(AnnSql)),
