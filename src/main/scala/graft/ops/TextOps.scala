@@ -931,6 +931,137 @@ object TextOps {
       "SELECT pair, CAST(sum(wc) AS BIGINT) AS n FROM pairs " +
       "GROUP BY pair ORDER BY n DESC, pair LIMIT 20"
 
+  /** Number of merge rounds `q_bpe_train` runs. Four is enough to force
+    * multi-char tokens into later rounds (round 2+ must merge pairs whose
+    * sides are themselves merges) while keeping the oracle SQL finite.
+    */
+  private[graft] val BpeRounds = 4
+
+  /** One greedy left-to-right merge pass over a space-joined token string:
+    * fold tokens into a string accumulator; when the accumulator's last
+    * token is `pa` and the incoming token is `pb`, replace the tail with
+    * the merged symbol. Tokens never contain spaces, so the `" "+pa`
+    * suffix test identifies the last token exactly, and a just-merged
+    * tail (`pa+pb`) can't re-merge in the same pass — the standard
+    * non-overlapping BPE apply. Written with `aggregate`/`list_reduce`
+    * so Spark and DuckDB run the IDENTICAL fold.
+    */
+  private[graft] def bpeMergeFold(w: Column, pa: Column, pb: Column): Column =
+    aggregate(
+      split(w, " "),
+      lit(""),
+      (acc, x) =>
+        when(
+          x === pb && (acc === pa || acc.endsWith(concat(lit(" "), pa))),
+          concat(acc.substr(lit(1), length(acc) - length(pa)), pa, pb))
+          .otherwise(
+            when(acc === "", x).otherwise(concat(acc, lit(" "), x))))
+
+  /** Adjacent token pairs of a space-joined token string, each rendered
+    * as `"left right"` (the merge-table key format).
+    */
+  private[graft] def bpePairsOf(w: Column): Column = {
+    val tl = split(w, " ")
+    // guard: Spark's sequence(1, n) DESCENDS for n < 1, so a fully-merged
+    // single-token word would otherwise index past the array
+    when(
+      size(tl) >= 2,
+      transform(
+        sequence(lit(1), size(tl) - 1),
+        i => concat(element_at(tl, i), lit(" "), element_at(tl, i + 1))))
+      .otherwise(array().cast("array<string>"))
+  }
+
+  /** q_bpe_train — BPE tokenizer training, [[BpeRounds]] greedy merge
+    * rounds (the iterated form of `q_bpe_pairs`): per round, count
+    * adjacent token pairs over the vocabulary weighted by word count,
+    * take the argmax pair (count DESC, pair ASC — the deterministic
+    * tie-break), and apply it as a non-overlapping left-to-right merge to
+    * every word's tokenization. Output is the merge TABLE — (round, pair,
+    * merged, n) — the artifact a tokenizer build actually ships. The
+    * corpus is touched ONCE (the word-histogram shuffle); every round
+    * after that runs on the vocabulary-sized distinct-word frame, with
+    * the argmax attached as a one-row broadcast — the only loop structure
+    * a 100 TB tokenizer build can afford. All arithmetic is integer and
+    * the merge fold is engine-portable, so the oracle re-proves every
+    * round's argmax AND the merged tokenizations behind it.
+    */
+  private def bpeTrain(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val hist = bm25TokensOf(docs(s, d))
+      .groupBy($"term")
+      .agg(count(lit(1)).as("wc"))
+    // One corpus pass ends here: the histogram is vocabulary-sized, so the
+    // training state lives as a lineage-severed frame (localCheckpoint —
+    // the MLlib iterative-training pattern). Without the sever, round r's
+    // lazy lineage re-derives every earlier round INCLUDING the corpus
+    // scan: the naive formulation planned 15 parquet scans for 4 rounds.
+    var w = hist
+      .select(
+        // initial tokenization: space-joined single characters
+        // (substr-based: identical semantics in both engines)
+        concat_ws(
+          " ",
+          transform(
+            sequence(lit(1), length($"term")),
+            i => $"term".substr(i, lit(1)))).as("w"),
+        $"wc")
+      .localCheckpoint()
+    val merges = (1 to BpeRounds).map { r =>
+      // the round's argmax pair is the model update: ONE row of bounded
+      // driver state (the codebook-collect precedent), applied back as
+      // literals — no join in the merge pass at all
+      val top = w
+        .select(explode(bpePairsOf($"w")).as("pair"), $"wc")
+        .groupBy($"pair")
+        .agg(sum($"wc").as("n"))
+        .orderBy($"n".desc, $"pair")
+        .limit(1)
+        .head()
+      val Array(pa, pb) = top.getString(0).split(" ", 2)
+      if (r < BpeRounds)
+        w = w
+          .select(bpeMergeFold($"w", lit(pa), lit(pb)).as("w"), $"wc")
+          .localCheckpoint()
+      (r, top.getString(0), pa + pb, top.getLong(1))
+    }
+    merges.toDF("round", "pair", "merged", "n").orderBy("round")
+  }
+
+  private val BpeTrainSql = {
+    val mergeFold =
+      "list_reduce(list_prepend('', string_split(w, ' ')), (a, x) -> " +
+        "CASE WHEN x = pb AND (a = pa OR ends_with(a, ' ' || pa)) " +
+        "THEN left(a, length(a) - length(pa)) || pa || pb " +
+        "ELSE CASE WHEN a = '' THEN x ELSE a || ' ' || x END END)"
+    def pairsCte(src: String, out: String) =
+      s"$out AS (SELECT pair, CAST(sum(wc) AS BIGINT) AS n FROM (" +
+        "SELECT unnest(list_transform(generate_series(1, len(tl)-1), " +
+        "i -> tl[i] || ' ' || tl[i+1])) AS pair, wc FROM (" +
+        s"SELECT string_split(w, ' ') AS tl, wc FROM $src)) GROUP BY pair)"
+    def top1Cte(pairs: String, out: String) =
+      s"$out AS (SELECT pair, n, string_split(pair, ' ')[1] AS pa, " +
+        s"string_split(pair, ' ')[2] AS pb FROM $pairs " +
+        "ORDER BY n DESC, pair LIMIT 1)"
+    def mergeCte(src: String, m: String, out: String) =
+      s"$out AS (SELECT $mergeFold AS w, wc FROM $src, $m)"
+    val ctes = Seq(
+      "hist AS (SELECT term, CAST(count(*) AS BIGINT) AS wc " +
+        "FROM (SELECT unnest(string_split(lower(text),' ')) AS term FROM documents) " +
+        "WHERE regexp_full_match(term,'[a-z0-9]{3,}') GROUP BY term)",
+      "w0 AS (SELECT array_to_string(list_transform(generate_series(1, length(term)), " +
+        "i -> substr(term, CAST(i AS INTEGER), 1)), ' ') AS w, wc FROM hist)") ++
+      (1 to BpeRounds).flatMap { r =>
+        Seq(pairsCte(s"w${r - 1}", s"p$r"), top1Cte(s"p$r", s"m$r")) ++
+          (if (r < BpeRounds) Seq(mergeCte(s"w${r - 1}", s"m$r", s"w$r")) else Nil)
+      }
+    val selects = (1 to BpeRounds)
+      .map(r =>
+        s"SELECT CAST($r AS INTEGER) AS round, pair, pa || pb AS merged, n FROM m$r")
+      .mkString(" UNION ALL ")
+    s"WITH ${ctes.mkString(", ")} $selects ORDER BY round"
+  }
+
   /** The distinct shard ids the fixed query set probes — the literal
     * partition filter [[serveBm25]] pushes; exposed so ServeIndexSpec can
     * assert the probed set is a strict subset of the shard directories.
@@ -1037,6 +1168,7 @@ object TextOps {
     QueryDef("q_index_bm25_incr", indexBm25Incr, Some(Bm25Sql)),
     QueryDef("q_retrieval_rrf", retrievalRrf, Some(RrfSql)),
     QueryDef("q_retrieval_rrf_served", retrievalRrfServed, Some(RrfSql)),
-    QueryDef("q_bpe_pairs", bpePairs, Some(BpePairsSql))
+    QueryDef("q_bpe_pairs", bpePairs, Some(BpePairsSql)),
+    QueryDef("q_bpe_train", bpeTrain, Some(BpeTrainSql))
   )
 }
