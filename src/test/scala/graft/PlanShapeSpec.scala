@@ -108,6 +108,21 @@ class PlanShapeSpec extends SparkSpec {
     assert(allExchanges == exchanges, s"corpus-side hash exchange present:\n$p")
   }
 
+  test("q_sim_quantized: broadcast probe equi-join, no corpus shuffle, staged cuts") {
+    val p = plan("q_sim_quantized")
+    // the quantized scan tier joins the broadcast multi-probe frame on the
+    // bucket equi-key — never a nested loop over the corpus
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("BroadcastNestedLoopJoin"), p)
+    assert(!p.contains("SortMergeJoin"), p)
+    // both stage cuts are TakeOrdered (driver-bounded 20 then 10), never a
+    // global sort exchange of candidates
+    assert("TakeOrderedAndProject".r.findAllIn(p).length == 2, p)
+    assert(!p.contains("Exchange rangepartitioning"), p)
+    // the corpus is never hash-exchanged: candidate pruning is the scan
+    assert(!p.contains("Exchange hashpartitioning"), p)
+  }
+
   test("q_sim_ivf_batch: corpus joins its cell once; only candidates shuffle") {
     val p = plan("q_sim_ivf_batch")
     // probe cells are broadcast onto the cell-assigned corpus; the only
