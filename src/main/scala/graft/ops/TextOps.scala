@@ -836,8 +836,16 @@ object TextOps {
       annPath: String,
       storePath: String): DataFrame = {
     import s.implicits._
+    // The lexical leg is ≤ topK·|queries| rows but its lineage is the full
+    // pruned-postings scoring plan, and serve references it four times
+    // (two bounded-state collects, the seed join, the fusion): sever it
+    // once (localCheckpoint — bounded state, the codebook precedent) so
+    // the postings are read and scored exactly once per serve. The seed
+    // frame stays LAZY: its store scan must remain in the final plan,
+    // where ServeIndexSpec asserts the literal ishard partition filter.
     val lex = serveBm25(s, bm25Path)
       .select($"query_id", $"doc_id", $"rank".as("lex_rank"))
+      .localCheckpoint()
     // the ≤ topK·|queries| candidate ids' shards — bounded model state
     val lexShards = lex
       .select(pmod(hash($"doc_id"), lit(64)))
