@@ -994,18 +994,27 @@ object TextOps {
     * the merge fold is engine-portable, so the oracle re-proves every
     * round's argmax AND the merged tokenizations behind it.
     */
-  private def bpeTrain(s: SparkSession, d: String): DataFrame = {
+  /** The shared training loop behind `q_bpe_train` and `q_bpe_encode`:
+    * runs [[BpeRounds]] greedy merge rounds over the word histogram and
+    * returns both the merge table and the final per-term tokenization
+    * (the trained VOCAB — what the encode step applies to the corpus).
+    *
+    * One corpus pass total: the histogram is vocabulary-sized, so the
+    * training state lives as a lineage-severed frame (localCheckpoint —
+    * the MLlib iterative-training pattern). Without the sever, round r's
+    * lazy lineage re-derives every earlier round INCLUDING the corpus
+    * scan: the naive formulation planned 15 parquet scans for 4 rounds.
+    */
+  private[graft] def trainBpe(
+      s: SparkSession,
+      d: String): (Seq[(Int, String, String, Long)], DataFrame) = {
     import s.implicits._
     val hist = bm25TokensOf(docs(s, d))
       .groupBy($"term")
       .agg(count(lit(1)).as("wc"))
-    // One corpus pass ends here: the histogram is vocabulary-sized, so the
-    // training state lives as a lineage-severed frame (localCheckpoint —
-    // the MLlib iterative-training pattern). Without the sever, round r's
-    // lazy lineage re-derives every earlier round INCLUDING the corpus
-    // scan: the naive formulation planned 15 parquet scans for 4 rounds.
-    var w = hist
+    var vocab = hist
       .select(
+        $"term",
         // initial tokenization: space-joined single characters
         // (substr-based: identical semantics in both engines)
         concat_ws(
@@ -1019,7 +1028,7 @@ object TextOps {
       // the round's argmax pair is the model update: ONE row of bounded
       // driver state (the codebook-collect precedent), applied back as
       // literals — no join in the merge pass at all
-      val top = w
+      val top = vocab
         .select(explode(bpePairsOf($"w")).as("pair"), $"wc")
         .groupBy($"pair")
         .agg(sum($"wc").as("n"))
@@ -1027,16 +1036,52 @@ object TextOps {
         .limit(1)
         .head()
       val Array(pa, pb) = top.getString(0).split(" ", 2)
-      if (r < BpeRounds)
-        w = w
-          .select(bpeMergeFold($"w", lit(pa), lit(pb)).as("w"), $"wc")
-          .localCheckpoint()
+      vocab = vocab
+        .select($"term", bpeMergeFold($"w", lit(pa), lit(pb)).as("w"), $"wc")
+        .localCheckpoint()
       (r, top.getString(0), pa + pb, top.getLong(1))
     }
-    merges.toDF("round", "pair", "merged", "n").orderBy("round")
+    (merges, vocab)
   }
 
-  private val BpeTrainSql = {
+  private def bpeTrain(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    trainBpe(s, d)._1.toDF("round", "pair", "merged", "n").orderBy("round")
+  }
+
+  /** q_bpe_encode — the APPLY side of tokenizer training (what the merge
+    * table exists for): re-tokenize the corpus under the trained vocab
+    * and account per document — word count, BPE token count, and the
+    * character count of the counted words (the compression-ratio
+    * denominator). The vocabulary carries its final tokenization out of
+    * [[trainBpe]], so encoding is ONE equi-join of the corpus token
+    * stream against the vocabulary-sized frame (AQE broadcasts it when
+    * it fits; the join stays shuffle-safe when a 100 TB vocab doesn't)
+    * followed by a per-doc aggregate. No per-document merge work at all
+    * — the fold ran once per distinct word at train time.
+    */
+  private def bpeEncode(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val vocab = trainBpe(s, d)._2
+      .select($"term", size(split($"w", " ")).cast("long").as("n_tok"))
+    bm25TokensOf(docs(s, d))
+      .join(vocab, "term")
+      .groupBy($"doc_id")
+      .agg(
+        count(lit(1)).as("n_words"),
+        sum($"n_tok").as("n_bpe_tokens"),
+        sum(length($"term")).cast("long").as("n_chars"))
+      .orderBy("doc_id")
+  }
+
+  /** Shared CTE chain for the BPE oracles: histogram → per-round pair
+    * count → argmax → fold-merge. `carryTerm` threads the word through
+    * every merge CTE so the encode oracle can join the final vocabulary
+    * back onto the corpus; the training arithmetic is unaffected (pair
+    * counts aggregate only (w, wc)).
+    */
+  private def bpeSqlCtes(carryTerm: Boolean): Seq[String] = {
+    val keep = if (carryTerm) "term, " else ""
     val mergeFold =
       "list_reduce(list_prepend('', string_split(w, ' ')), (a, x) -> " +
         "CASE WHEN x = pb AND (a = pa OR ends_with(a, ' ' || pa)) " +
@@ -1052,23 +1097,39 @@ object TextOps {
         s"string_split(pair, ' ')[2] AS pb FROM $pairs " +
         "ORDER BY n DESC, pair LIMIT 1)"
     def mergeCte(src: String, m: String, out: String) =
-      s"$out AS (SELECT $mergeFold AS w, wc FROM $src, $m)"
-    val ctes = Seq(
+      s"$out AS (SELECT $keep$mergeFold AS w, wc FROM $src, $m)"
+    Seq(
       "hist AS (SELECT term, CAST(count(*) AS BIGINT) AS wc " +
         "FROM (SELECT unnest(string_split(lower(text),' ')) AS term FROM documents) " +
         "WHERE regexp_full_match(term,'[a-z0-9]{3,}') GROUP BY term)",
-      "w0 AS (SELECT array_to_string(list_transform(generate_series(1, length(term)), " +
+      s"w0 AS (SELECT ${keep}array_to_string(list_transform(generate_series(1, length(term)), " +
         "i -> substr(term, CAST(i AS INTEGER), 1)), ' ') AS w, wc FROM hist)") ++
       (1 to BpeRounds).flatMap { r =>
-        Seq(pairsCte(s"w${r - 1}", s"p$r"), top1Cte(s"p$r", s"m$r")) ++
-          (if (r < BpeRounds) Seq(mergeCte(s"w${r - 1}", s"m$r", s"w$r")) else Nil)
+        Seq(
+          pairsCte(s"w${r - 1}", s"p$r"),
+          top1Cte(s"p$r", s"m$r"),
+          mergeCte(s"w${r - 1}", s"m$r", s"w$r"))
       }
+  }
+
+  private val BpeTrainSql = {
     val selects = (1 to BpeRounds)
       .map(r =>
         s"SELECT CAST($r AS INTEGER) AS round, pair, pa || pb AS merged, n FROM m$r")
       .mkString(" UNION ALL ")
-    s"WITH ${ctes.mkString(", ")} $selects ORDER BY round"
+    s"WITH ${bpeSqlCtes(carryTerm = false).mkString(", ")} $selects ORDER BY round"
   }
+
+  private val BpeEncodeSql =
+    s"WITH ${bpeSqlCtes(carryTerm = true).mkString(", ")} " +
+      "SELECT t.doc_id AS doc_id, CAST(count(*) AS BIGINT) AS n_words, " +
+      "CAST(sum(len(string_split(v.w, ' '))) AS BIGINT) AS n_bpe_tokens, " +
+      "CAST(sum(length(t.term)) AS BIGINT) AS n_chars " +
+      "FROM (SELECT doc_id, term FROM (SELECT doc_id, " +
+      "unnest(string_split(lower(text),' ')) AS term FROM documents) " +
+      "WHERE regexp_full_match(term,'[a-z0-9]{3,}')) t " +
+      s"JOIN w$BpeRounds v ON t.term = v.term " +
+      "GROUP BY t.doc_id ORDER BY doc_id"
 
   /** The distinct shard ids the fixed query set probes — the literal
     * partition filter [[serveBm25]] pushes; exposed so ServeIndexSpec can
@@ -1177,6 +1238,7 @@ object TextOps {
     QueryDef("q_retrieval_rrf", retrievalRrf, Some(RrfSql)),
     QueryDef("q_retrieval_rrf_served", retrievalRrfServed, Some(RrfSql)),
     QueryDef("q_bpe_pairs", bpePairs, Some(BpePairsSql)),
-    QueryDef("q_bpe_train", bpeTrain, Some(BpeTrainSql))
+    QueryDef("q_bpe_train", bpeTrain, Some(BpeTrainSql)),
+    QueryDef("q_bpe_encode", bpeEncode, Some(BpeEncodeSql))
   )
 }

@@ -96,6 +96,50 @@ class BpeTrainSpec extends SparkSpec {
     assert(got == want, s"got=$got want=$want")
   }
 
+  test("encode applies the trained vocab: per-doc counts match the reference") {
+    import spark.implicits._
+    // reference: train on the histogram, tokenize each word driver-side,
+    // then account per document over the same filtered token stream
+    val toks = T(spark, sf, "documents")
+      .select($"doc_id", explode(split(lower($"text"), " ")).as("term"))
+      .filter($"term".rlike("^[a-z0-9]{3,}$"))
+      .collect()
+      .map(r => r.getLong(0) -> r.getString(1))
+    val hist = toks.groupBy(_._2).map { case (t, xs) => t -> xs.length.toLong }
+    val merges = referenceBpe(hist, TextOps.BpeRounds)
+    val vocabTok: Map[String, Int] = hist.keys.map { t =>
+      var tl = t.map(_.toString).toList
+      for ((_, pair, merged, _) <- merges) {
+        val Array(pa, pb) = pair.split(" ", 2)
+        val out = collection.mutable.ListBuffer.empty[String]
+        for (x <- tl) {
+          if (out.nonEmpty && out.last == pa && x == pb)
+            out(out.size - 1) = merged
+          else out += x
+        }
+        tl = out.toList
+      }
+      t -> tl.size
+    }.toMap
+    val want = toks
+      .groupBy(_._1)
+      .map { case (doc, xs) =>
+        (doc, xs.length.toLong,
+          xs.map(x => vocabTok(x._2).toLong).sum,
+          xs.map(_._2.length.toLong).sum)
+      }
+      .toSeq
+      .sortBy(_._1)
+    val got = SparkEntry
+      .queries("q_bpe_encode")(spark, sf)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      .toSeq
+    assert(got == want, s"first diff: ${got.zip(want).find(p => p._1 != p._2)}")
+    // and BPE actually compresses: tokens strictly below characters
+    assert(got.forall { case (_, _, tok, ch) => tok < ch })
+  }
+
   test("training touches the corpus once: file-scan stage budget") {
     // Each round's lazy lineage would re-derive every earlier round
     // INCLUDING the corpus scan (the naive plan held 15 parquet scans for
