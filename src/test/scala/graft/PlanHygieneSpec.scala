@@ -36,8 +36,10 @@ class PlanHygieneSpec extends SparkSpec {
     "q_index_bm25_served",
     "q_index_bm25_incr",
     // r9: inherits the BM25 leg's one-row (N, L) attach
+    // q_retrieval_rrf_served left this set in r9: its lexical leg (the
+    // only BNLJ carrier, the one-row (N, L) attach) is now scored once
+    // behind a lineage sever, so the served plan plans no BNLJ at all
     "q_retrieval_rrf",
-    "q_retrieval_rrf_served",
     // r9: one-row temperature-weight total attach (CurationOps)
     "q_sample_temperature")
 
