@@ -12,6 +12,7 @@ object BenchSplits {
   def of(s: SparkSession, d: String): Seq[(String, (() => Unit, () => DataFrame))] =
     Seq(
       "q_sim_served" -> ops.SimilarityOps.simServedSplit(s, d),
+      "q_sim_incr" -> ops.SimilarityOps.simIncrSplit(s, d),
       "q_sim_ivf_served" -> ops.SimilarityOps.simIvfServedSplit(s, d),
       "q_index_bm25_served" -> ops.TextOps.bm25Split(s, d),
       "q_index_bm25_incr" -> ops.TextOps.bm25IncrSplit(s, d),

@@ -512,10 +512,16 @@ object SimilarityOps {
     s"${System.getProperty("java.io.tmpdir")}/graft_serve_${s.sparkContext.applicationId}/$tag"
   }
 
-  private[graft] def writeAnnIndex(s: SparkSession, d: String, path: String): Unit = {
+  /** Bucket-partitioned index write for an arbitrary corpus slice — the
+    * shared kernel of the monolithic build and the per-generation
+    * incremental build.
+    */
+  private[graft] def writeAnnIndexFor(
+      s: SparkSession,
+      e: DataFrame,
+      path: String): Unit = {
     import s.implicits._
-    emb(s, d)
-      .select(
+    e.select(
         $"vec_id",
         $"embedding",
         Vec.norm2($"embedding").as("n2"),
@@ -530,6 +536,9 @@ object SimilarityOps {
       .partitionBy("bucket")
       .parquet(path)
   }
+
+  private[graft] def writeAnnIndex(s: SparkSession, d: String, path: String): Unit =
+    writeAnnIndexFor(s, emb(s, d), path)
 
   /** The serving tier's id-keyed EMBEDDING STORE: (vec_id, embedding, n2,
     * sign bucket) hive-partitioned on ishard = pmod(hash(vec_id), 64), so
@@ -561,9 +570,20 @@ object SimilarityOps {
   private[graft] def serveAnnBatch(
       s: SparkSession,
       indexPath: String,
+      probes: DataFrame): DataFrame =
+    serveAnnBatchMulti(s, Seq(indexPath), probes)
+
+  /** Serve a probe batch from one or more index GENERATIONS merged on
+    * read: vector ids are disjoint across generations (monotone ingest),
+    * so the union is exact and the bucket INSET filter pushes into every
+    * generation's scan independently.
+    */
+  private[graft] def serveAnnBatchMulti(
+      s: SparkSession,
+      indexPaths: Seq[String],
       probes: DataFrame): DataFrame = {
     import s.implicits._
-    val idx = s.read.parquet(indexPath)
+    val idx = indexPaths.map(p => s.read.parquet(p)).reduce(_.unionByName(_))
     val probeBuckets =
       probes.select($"pbucket").distinct().collect().map(_.get(0)).toSeq
     val w = Window.partitionBy($"probe_id").orderBy($"cos".desc, $"vec_id")
@@ -622,6 +642,50 @@ object SimilarityOps {
     val path = s"${serveRoot(s, d)}/ann"
     writeAnnIndex(s, d, path)
     serveAnnBatch(s, path, batchProbeFrame(s, d))
+  }
+
+  /** q_sim_incr — INCREMENTAL ANN index maintenance, the vector sibling
+    * of `q_index_bm25_incr`: the newest 10% of vector ids (monotone
+    * ingest) are today's batch; the base generation stands in for
+    * yesterday's persisted bucket index. The batch writes its OWN
+    * bucket-partitioned generation — O(batch) build work and bytes, the
+    * base directories are never rewritten or re-read — and serving
+    * unions the generations on read (ids are disjoint, so the union is
+    * exact) with the same literal bucket INSET pruning pushed into BOTH
+    * scans. The oracle is the monolithic q_sim_batch SQL: merge-on-read
+    * must not change a single hit, re-proven by the hash gate every
+    * round.
+    */
+  private def simIncr(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val root = s"${serveRoot(s, d)}/ann_incr"
+    // the split threshold is ONE long of bounded driver state (the probe
+    // bucket-id precedent): ids above ⌊9·max/10⌋ form the batch
+    val thr = emb(s, d).agg(expr("(max(vec_id) * 9) div 10")).head().getLong(0)
+    writeAnnIndexFor(s, emb(s, d).filter($"vec_id" <= thr), s"$root/gen0")
+    writeAnnIndexFor(s, emb(s, d).filter($"vec_id" > thr), s"$root/gen1")
+    serveAnnBatchMulti(s, Seq(s"$root/gen0", s"$root/gen1"), batchProbeFrame(s, d))
+  }
+
+  /** Build/serve decomposition of q_sim_incr: build persists both
+    * generations (base = yesterday's state, written once; the batch
+    * generation is the daily O(batch) commit); serve is the
+    * merge-on-read probe answer — the daily-ingest latency the composed
+    * query's per-iteration rebuild masks.
+    */
+  private[graft] def simIncrSplit(
+      s: SparkSession, d: String): (() => Unit, () => DataFrame) = {
+    import s.implicits._
+    val root = s"${serveRoot(s, d)}/ann_incr"
+    val build = () => {
+      val thr = emb(s, d).agg(expr("(max(vec_id) * 9) div 10")).head().getLong(0)
+      writeAnnIndexFor(s, emb(s, d).filter($"vec_id" <= thr), s"$root/gen0")
+      writeAnnIndexFor(s, emb(s, d).filter($"vec_id" > thr), s"$root/gen1")
+    }
+    (build,
+      () =>
+        serveAnnBatchMulti(
+          s, Seq(s"$root/gen0", s"$root/gen1"), batchProbeFrame(s, d)))
   }
 
   private[graft] def writeIvfIndex(s: SparkSession, d: String, path: String): Unit = {
@@ -908,6 +972,7 @@ object SimilarityOps {
     QueryDef("q_sim_ivf", simIvf, Some(IvfSql)),
     QueryDef("q_sim_ivf_batch", simIvfBatch, Some(IvfBatchSql)),
     QueryDef("q_sim_served", simServed, Some(BatchSql)),
+    QueryDef("q_sim_incr", simIncr, Some(BatchSql)),
     QueryDef("q_sim_ivf_served", simIvfServed, Some(IvfBatchSql)),
     QueryDef("q_sim_ivf_trained", simIvfTrained, None),
     QueryDef(

@@ -95,6 +95,26 @@ class ServeIndexSpec extends SparkSpec {
     assert(modTimes("base").max <= modTimes("inc").min)
   }
 
+  test("q_sim_incr: merge-on-read equals the monolithic search; increment is batch-sized") {
+    assert(
+      rows(SparkEntry.queries("q_sim_incr")(spark, sf)) ===
+        rows(SparkEntry.queries("q_sim_batch")(spark, sf)))
+    // the batch generation holds ~10% of the vectors — the O(batch)
+    // maintenance claim (rows, not bytes: parquet footer overhead across
+    // bucket dirs floors byte sizes at spec scale)
+    val root = s"${SimilarityOps.serveRoot(spark, sf)}/ann_incr"
+    val gen = (sub: String) => spark.read.parquet(s"$root/$sub").count()
+    val (base, inc) = (gen("gen0"), gen("gen1"))
+    assert(inc > 0 && inc < base / 3, s"inc=$inc base=$base")
+    // both generation scans carry the literal bucket INSET filter — the
+    // probe set prunes every generation independently
+    val p = SparkEntry.queries("q_sim_incr")(spark, sf)
+      .queryExecution.executedPlan.toString
+    val pruned =
+      "PartitionFilters: \\[[^\\]]*bucket[^\\]]*(INSET|IN \\()".r.findAllIn(p).length
+    assert(pruned == 2, s"expected 2 pruned generation scans, got $pruned:\n$p")
+  }
+
   test("q_retrieval_rrf_served: three-index serve equals in-session; id-fetch is shard-pruned") {
     assert(
       rows(SparkEntry.queries("q_retrieval_rrf_served")(spark, sf)) ===
