@@ -603,7 +603,7 @@ object SimilarityOps {
   /** The q_sim_batch probe frame: probe table rows exploded to their
     * Hamming-1 multi-probe bucket lists.
     */
-  private def batchProbeFrame(s: SparkSession, d: String): DataFrame = {
+  private[graft] def batchProbeFrame(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
     emb(s, d)
       .select(

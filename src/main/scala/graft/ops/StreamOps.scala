@@ -934,6 +934,102 @@ object StreamOps {
     }
   }
 
+  /** Seed the continuous ANN index: the base corpus becomes the v0 full
+    * bucket-partitioned snapshot.
+    */
+  def seedAnnIndex(s: SparkSession, base: DataFrame, indexDir: String): Unit = {
+    SimilarityOps.writeAnnIndexFor(s, base, s"$indexDir/v0/full")
+    ()
+  }
+
+  /** Continuous ANN index maintenance — the streaming form of
+    * `q_sim_incr` and the fourth modality of the continuous-index family
+    * (text bands, embedding bands, postings, now ANN buckets). Like the
+    * postings writer, a bucket build is generation-local and
+    * query-independent (vector ids are disjoint under the monotone-
+    * ingest contract), so each micro-batch writes its OWN `gen`
+    * generation without reading ANY prior state — O(batch) work and
+    * bytes per batch, no remap log, the base snapshot never re-read or
+    * rewritten. Exactly-once as the other index writers: batch b writes
+    * the fresh directory v(b+1), a retry deterministically overwrites the
+    * same output from the same input, and version gaps from empty
+    * batches are skipped on read.
+    */
+  def annIndexStreamWriter(
+      vectors: DataFrame,
+      indexDir: String,
+      checkpoint: String): org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
+    vectors.writeStream
+      .outputMode("append")
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        if (!batch.isEmpty) {
+          SimilarityOps.writeAnnIndexFor(
+            batch.sparkSession, batch, s"$indexDir/v${batchId + 1}/gen")
+        }
+        ()
+      }
+
+  /** The generation roots a continuous-ANN read merges: the newest
+    * `full` snapshot (seed or compaction) plus every later batch `gen`.
+    * Generations at or below the newest full are superseded — a
+    * compaction that crashed between its write and its deletes leaves
+    * reads unchanged.
+    */
+  private[graft] def annGenerationRoots(
+      s: SparkSession,
+      indexDir: String): Seq[String] = {
+    val fulls = indexVersions(s, indexDir, requiring = "full")
+    require(
+      fulls.nonEmpty,
+      s"ANN index at $indexDir has no full snapshot (run seedAnnIndex)")
+    val f = fulls.max
+    s"$indexDir/v$f/full" +:
+      indexVersions(s, indexDir, requiring = "gen")
+        .filter(_ > f)
+        .sorted
+        .map(v => s"$indexDir/v$v/gen")
+  }
+
+  /** Serve a probe batch from the continuous ANN index — merge-on-read
+    * over [[annGenerationRoots]] through the same pruned union
+    * `q_sim_incr` uses, so the streamed index answers exactly like a
+    * single rebuilt one.
+    */
+  def serveAnnContinuous(
+      s: SparkSession,
+      indexDir: String,
+      probes: DataFrame): DataFrame =
+    SimilarityOps.serveAnnBatchMulti(s, annGenerationRoots(s, indexDir), probes)
+
+  /** Compaction for the continuous ANN index: fold the current
+    * generation roots into one `full` snapshot at the newest committed
+    * version, then drop the superseded `gen` dirs. Union-preserving —
+    * rows carry no cross-generation state, so no read changes.
+    */
+  def compactAnnIndex(s: SparkSession, indexDir: String): Unit = {
+    val roots = annGenerationRoots(s, indexDir)
+    if (roots.size > 1) {
+      val k = indexVersions(s, indexDir, requiring = "gen").max
+      val folded = roots
+        .map(p => s.read.parquet(p)
+          .select(col("vec_id"), col("embedding"), col("n2"), col("bucket")))
+        .reduce(_ unionByName _)
+      folded
+        .repartition(col("bucket"))
+        .write
+        .mode(org.apache.spark.sql.SaveMode.Overwrite)
+        .partitionBy("bucket")
+        .parquet(s"$indexDir/v$k/full")
+      val fs = new org.apache.hadoop.fs.Path(indexDir)
+        .getFileSystem(s.sparkContext.hadoopConfiguration)
+      val f = indexVersions(s, indexDir, requiring = "full").max
+      indexVersions(s, indexDir, requiring = "gen").filter(_ <= f).foreach { v =>
+        fs.delete(new org.apache.hadoop.fs.Path(s"$indexDir/v$v/gen"), true)
+      }
+    }
+  }
+
   /** update-mode stream → keyed JDBC upsert: the streaming CDC-apply.
     * Each micro-batch's changed rows go through
     * [[Sinks.upsertSnapshotJdbc]], whose replace-by-key idempotence makes
