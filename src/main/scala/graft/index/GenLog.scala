@@ -1,0 +1,235 @@
+package graft.index
+
+import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
+import org.apache.hadoop.fs.{FileSystem, Path}
+
+/** The shared generation-log kernel behind every persisted index in the
+  * library — the ONE implementation of version directories, commit
+  * markers, merge-on-read root resolution, compaction, and snapshot
+  * pruning that the four incremental index families (text-dedup bands,
+  * embedding bands, BM25 postings, ANN buckets) and the monolithic
+  * serving builds all ride.
+  *
+  * Layout contract: an index directory holds `v<N>` version directories,
+  * each holding named ARTIFACT directories (`full`, `gen`, `assign`,
+  * `remap`, `md5_inc`, ...). An artifact exists only once its writer has
+  * dropped the [[Marker]] file inside it — a crash mid-write leaves an
+  * uncommitted directory that every reader and compactor ignores, so a
+  * partially-written full snapshot can never silently supersede the
+  * generations it was folding (the write-then-mark protocol; an atomic
+  * rename would need same-filesystem guarantees the marker does not).
+  *
+  * Keying contract: serving builds are keyed by (dataset, artifact
+  * params) under ONE configurable warehouse root ([[RootKey]]) — the
+  * reference's own idempotent re-run loop (main.py:104-105,202) made
+  * engine-side: a second build call for already-committed params is a
+  * no-op ([[buildOnce]]), so N queries over the same dataset share one
+  * physical index instead of rebuilding it N times. The default root is
+  * application-scoped (no cross-run state, no cross-application races);
+  * a deployment points [[RootKey]] at its durable warehouse and builds
+  * amortize across sessions. Concurrent writers under a SHARED root need
+  * external coordination only for the first build of a key — after the
+  * marker lands, every caller skips.
+  */
+object GenLog {
+
+  /** Conf key for the index warehouse root. Unset → a per-application
+    * temp root (correct for tests/bench: no stale state, no races).
+    */
+  val RootKey = "spark.graft.index.root"
+
+  /** Commit marker dropped inside an artifact directory after its last
+    * byte is written. Underscore-prefixed, so Spark's file index ignores
+    * it when the artifact is read back as parquet.
+    */
+  private[graft] val Marker = "_GRAFT_COMMITTED"
+
+  private val GenSub = "gen"
+  private val FullSub = "full"
+
+  def root(s: SparkSession): String =
+    s.conf.getOption(RootKey).getOrElse(
+      s"${System.getProperty("java.io.tmpdir")}/graft_serve_${s.sparkContext.applicationId}")
+
+  /** The per-dataset directory all of a dataset's serving indexes live
+    * under: sanitized path (not hashCode), so distinct datasets never
+    * collide and the layout is human-auditable.
+    */
+  def datasetRoot(s: SparkSession, dataset: String): String =
+    s"${root(s)}/${dataset.replaceAll("[^A-Za-z0-9._-]", "_")}"
+
+  private def fsOf(s: SparkSession, dir: String): FileSystem =
+    new Path(dir).getFileSystem(s.sparkContext.hadoopConfiguration)
+
+  def isCommitted(s: SparkSession, path: String): Boolean =
+    fsOf(s, path).exists(new Path(path, Marker))
+
+  def markCommitted(s: SparkSession, path: String): Unit = {
+    val fs = fsOf(s, path)
+    fs.mkdirs(new Path(path))
+    fs.create(new Path(path, Marker), true).close()
+  }
+
+  /** Build-once-serve-many: run `build` only when `path` carries no
+    * commit marker, mark on success, report whether it ran. Builds must
+    * be deterministic functions of (dataset, params) — every build in
+    * the library is — so a skip is byte-equivalent to a rebuild.
+    */
+  def buildOnce(s: SparkSession, path: String)(build: => Unit): Boolean =
+    if (isCommitted(s, path)) false
+    else { build; markCommitted(s, path); true }
+
+  /** Overwrite-write a frame as one committed artifact. */
+  def commitParquet(df: DataFrame, path: String, partitionBy: Seq[String] = Nil): Unit = {
+    val w = df.write.mode(SaveMode.Overwrite)
+    (if (partitionBy.nonEmpty) w.partitionBy(partitionBy: _*) else w).parquet(path)
+    markCommitted(df.sparkSession, path)
+  }
+
+  /** Versions present in an index directory: `v<N>` subdirectories,
+    * restricted (when `requiring` is set) to those whose named artifact
+    * is COMMITTED — the marker gate that makes partial writes invisible.
+    */
+  def versions(s: SparkSession, dir: String, requiring: String = ""): Seq[Long] = {
+    val path = new Path(dir)
+    val fs = path.getFileSystem(s.sparkContext.hadoopConfiguration)
+    if (!fs.exists(path)) Seq.empty
+    else
+      fs.listStatus(path)
+        .toSeq
+        .filter(_.isDirectory)
+        .map(_.getPath.getName)
+        .collect {
+          case n if n.startsWith("v") && n.drop(1).nonEmpty && n.drop(1).forall(_.isDigit) =>
+            n.drop(1).toLong
+        }
+        .filter(v =>
+          requiring.isEmpty || isCommitted(s, s"$dir/v$v/$requiring"))
+  }
+
+  /** The manifest of an index directory — one row per (version, artifact)
+    * with its commit status: the queryable generation log an operator or
+    * spec inspects instead of re-walking the filesystem.
+    */
+  def manifest(s: SparkSession, dir: String): Seq[(Long, String, Boolean)] = {
+    val fs = fsOf(s, dir)
+    versions(s, dir).sorted.flatMap { v =>
+      fs.listStatus(new Path(s"$dir/v$v"))
+        .toSeq
+        .filter(_.isDirectory)
+        .map(_.getPath.getName)
+        .sorted
+        .map(a => (v, a, isCommitted(s, s"$dir/v$v/$a")))
+    }
+  }
+
+  /** One generation-local index family: how to build a generation from a
+    * frame, and how to fold generation roots into one full snapshot.
+    * Writers never mark — the kernel owns the commit protocol.
+    */
+  final case class GenFamily(
+      write: (SparkSession, DataFrame, String) => Unit,
+      fold: (SparkSession, Seq[String], String) => Unit)
+
+  /** Seed an index: the base corpus becomes the committed v0 full
+    * snapshot.
+    */
+  def seed(s: SparkSession, fam: GenFamily, base: DataFrame, dir: String): Unit = {
+    val p = s"$dir/v0/$FullSub"
+    fam.write(s, base, p)
+    markCommitted(s, p)
+  }
+
+  /** Continuous maintenance for a generation-local family: each
+    * micro-batch writes its OWN committed generation — O(batch) work and
+    * bytes, no prior state read, the base snapshot never rewritten.
+    * Exactly-once without a transaction log: batch b writes the fresh
+    * directory v(b+1); a retry deterministically overwrites the same
+    * output from the same input (the marker is re-dropped after the
+    * overwrite), and version gaps from empty batches are skipped on
+    * read.
+    */
+  def streamWriter(
+      df: DataFrame,
+      fam: GenFamily,
+      dir: String,
+      checkpoint: String): org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
+    df.writeStream
+      .outputMode("append")
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        if (!batch.isEmpty) {
+          val sess = batch.sparkSession
+          val p = s"$dir/v${batchId + 1}/$GenSub"
+          fam.write(sess, batch, p)
+          markCommitted(sess, p)
+        }
+        ()
+      }
+
+  /** The roots a merge-on-read serve unions: the newest COMMITTED full
+    * snapshot (seed or compaction) plus every later committed batch
+    * generation. Generations at or below the newest full are superseded
+    * (folded into it); an uncommitted full (compaction crashed mid-write)
+    * is invisible, so reads are unchanged until the fold commits.
+    */
+  def roots(s: SparkSession, dir: String, what: String = "index"): Seq[String] = {
+    val fulls = versions(s, dir, requiring = FullSub)
+    require(
+      fulls.nonEmpty,
+      s"$what at $dir has no committed full snapshot (seed it first)")
+    val f = fulls.max
+    s"$dir/v$f/$FullSub" +:
+      versions(s, dir, requiring = GenSub)
+        .filter(_ > f)
+        .sorted
+        .map(v => s"$dir/v$v/$GenSub")
+  }
+
+  /** Compaction: fold the current roots into one full snapshot at the
+    * newest committed generation version, commit it, then bound the
+    * directory — superseded generations are dropped and all but the
+    * newest `keepFulls` full snapshots are pruned (without pruning, each
+    * compaction would strand one full corpus copy forever). Crash-safe
+    * at every cut: the fold's partial output is uncommitted (ignored),
+    * deletes only begin after the marker lands, and a crash mid-delete
+    * leaves superseded dirs that the next compaction re-collects.
+    */
+  def compact(s: SparkSession, dir: String, fam: GenFamily, keepFulls: Int = 2): Unit = {
+    val rs = roots(s, dir)
+    if (rs.size > 1) {
+      val k = versions(s, dir, requiring = GenSub).max
+      val p = s"$dir/v$k/$FullSub"
+      fam.fold(s, rs, p)
+      markCommitted(s, p)
+    }
+    val fs = fsOf(s, dir)
+    val fulls = versions(s, dir, requiring = FullSub).sorted
+    val newestFull = fulls.max
+    versions(s, dir, requiring = GenSub).filter(_ <= newestFull).foreach { v =>
+      fs.delete(new Path(s"$dir/v$v/$GenSub"), true)
+    }
+    fulls.dropRight(math.max(keepFulls, 1)).foreach { v =>
+      fs.delete(new Path(s"$dir/v$v/$FullSub"), true)
+    }
+  }
+
+  /** Drop all but the newest `keep` committed copies of an artifact —
+    * the standalone pruning cadence for families whose compaction is
+    * bespoke (the dedup index's md5/band snapshot pairs).
+    */
+  def pruneSnapshots(
+      s: SparkSession,
+      dir: String,
+      arts: Seq[String],
+      gate: String,
+      keep: Int): Unit = {
+    val fs = fsOf(s, dir)
+    versions(s, dir, requiring = gate).sorted.dropRight(math.max(keep, 1)).foreach { v =>
+      arts.foreach { a =>
+        val p = new Path(s"$dir/v$v/$a")
+        if (fs.exists(p)) fs.delete(p, true)
+      }
+    }
+  }
+}

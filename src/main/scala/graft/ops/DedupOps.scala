@@ -855,9 +855,12 @@ object DedupOps {
     val delta = withThr.filter($"doc_id" > $"thr").select($"doc_id", $"lang", $"text")
     val root = SimilarityOps.serveRoot(s, d) + "/dedup_incr"
     val build = () => {
-      val (md5Index, bandIndex) = buildDedupIndex(s, base)
-      md5Index.write.mode(SaveMode.Overwrite).parquet(s"$root/md5")
-      bandIndex.write.mode(SaveMode.Overwrite).parquet(s"$root/band")
+      graft.index.GenLog.buildOnce(s, root) {
+        val (md5Index, bandIndex) = buildDedupIndex(s, base)
+        md5Index.write.mode(SaveMode.Overwrite).parquet(s"$root/md5")
+        bandIndex.write.mode(SaveMode.Overwrite).parquet(s"$root/band")
+      }
+      ()
     }
     val serve = () =>
       applyDedupDelta(
@@ -881,8 +884,11 @@ object DedupOps {
     val base = withThr.filter($"vec_id" <= $"thr").select($"vec_id", $"embedding")
     val delta = withThr.filter($"vec_id" > $"thr").select($"vec_id", $"embedding")
     val root = SimilarityOps.serveRoot(s, d) + "/embed_incr"
-    val build = () =>
-      buildEmbedIndex(s, base).write.mode(SaveMode.Overwrite).parquet(root)
+    val build = () => {
+      graft.index.GenLog.buildOnce(s, root)(
+        buildEmbedIndex(s, base).write.mode(SaveMode.Overwrite).parquet(root))
+      ()
+    }
     val serve = () => applyEmbedDelta(s, delta, s.read.parquet(root))
     (build, serve)
   }

@@ -504,13 +504,13 @@ object SimilarityOps {
     * the retrieval path (plan-asserted via PartitionFilters + inputFiles
     * in ServeIndexSpec / PlanShapeSpec).
     */
-  private[graft] def serveRoot(s: SparkSession, d: String): String = {
-    // keyed by applicationId so concurrent runs over the same dataset
-    // never race on SaveMode.Overwrite, and by the sanitized dataset
-    // path (not its hashCode) so distinct datasets never collide
-    val tag = d.replaceAll("[^A-Za-z0-9._-]", "_")
-    s"${System.getProperty("java.io.tmpdir")}/graft_serve_${s.sparkContext.applicationId}/$tag"
-  }
+  private[graft] def serveRoot(s: SparkSession, d: String): String =
+    // keyed by (warehouse root, sanitized dataset path) through the
+    // shared index catalog: the root is CONFIGURABLE
+    // (spark.graft.index.root — a durable warehouse in production),
+    // defaulting to an application-scoped temp dir so unconfigured runs
+    // never race or see stale state
+    graft.index.GenLog.datasetRoot(s, d)
 
   /** Bucket-partitioned index write for an arbitrary corpus slice — the
     * shared kernel of the monolithic build and the per-generation
@@ -537,8 +537,15 @@ object SimilarityOps {
       .parquet(path)
   }
 
-  private[graft] def writeAnnIndex(s: SparkSession, d: String, path: String): Unit =
-    writeAnnIndexFor(s, emb(s, d), path)
+  /** Dataset-keyed canonical ANN build: build-once-serve-many — a second
+    * call for an already-committed path is a no-op, so every query over
+    * the same dataset shares one physical index
+    * ([[graft.index.GenLog.buildOnce]]).
+    */
+  private[graft] def writeAnnIndex(s: SparkSession, d: String, path: String): Unit = {
+    graft.index.GenLog.buildOnce(s, path)(writeAnnIndexFor(s, emb(s, d), path))
+    ()
+  }
 
   /** The serving tier's id-keyed EMBEDDING STORE: (vec_id, embedding, n2,
     * sign bucket) hive-partitioned on ishard = pmod(hash(vec_id), 64), so
@@ -547,10 +554,12 @@ object SimilarityOps {
     * of scanning the store — the lookup-side complement of the
     * bucket-partitioned ANN index, which can only prune by bucket.
     */
-  private[graft] def writeEmbStore(s: SparkSession, d: String, path: String): Unit = {
+  private[graft] def writeEmbStoreFor(
+      s: SparkSession,
+      e: DataFrame,
+      path: String): Unit = {
     import s.implicits._
-    emb(s, d)
-      .select(
+    e.select(
         $"vec_id",
         $"embedding",
         Vec.norm2($"embedding").as("n2"),
@@ -561,6 +570,11 @@ object SimilarityOps {
       .mode(org.apache.spark.sql.SaveMode.Overwrite)
       .partitionBy("ishard")
       .parquet(path)
+  }
+
+  private[graft] def writeEmbStore(s: SparkSession, d: String, path: String): Unit = {
+    graft.index.GenLog.buildOnce(s, path)(writeEmbStoreFor(s, emb(s, d), path))
+    ()
   }
 
   /** Serve a probe frame (probe_id, p, pn2, pbucket — already multi-probe
@@ -661,9 +675,11 @@ object SimilarityOps {
     val root = s"${serveRoot(s, d)}/ann_incr"
     // the split threshold is ONE long of bounded driver state (the probe
     // bucket-id precedent): ids above ⌊9·max/10⌋ form the batch
-    val thr = emb(s, d).agg(expr("(max(vec_id) * 9) div 10")).head().getLong(0)
-    writeAnnIndexFor(s, emb(s, d).filter($"vec_id" <= thr), s"$root/gen0")
-    writeAnnIndexFor(s, emb(s, d).filter($"vec_id" > thr), s"$root/gen1")
+    graft.index.GenLog.buildOnce(s, root) {
+      val thr = emb(s, d).agg(expr("(max(vec_id) * 9) div 10")).head().getLong(0)
+      writeAnnIndexFor(s, emb(s, d).filter($"vec_id" <= thr), s"$root/gen0")
+      writeAnnIndexFor(s, emb(s, d).filter($"vec_id" > thr), s"$root/gen1")
+    }
     serveAnnBatchMulti(s, Seq(s"$root/gen0", s"$root/gen1"), batchProbeFrame(s, d))
   }
 
@@ -678,9 +694,12 @@ object SimilarityOps {
     import s.implicits._
     val root = s"${serveRoot(s, d)}/ann_incr"
     val build = () => {
-      val thr = emb(s, d).agg(expr("(max(vec_id) * 9) div 10")).head().getLong(0)
-      writeAnnIndexFor(s, emb(s, d).filter($"vec_id" <= thr), s"$root/gen0")
-      writeAnnIndexFor(s, emb(s, d).filter($"vec_id" > thr), s"$root/gen1")
+      graft.index.GenLog.buildOnce(s, root) {
+        val thr = emb(s, d).agg(expr("(max(vec_id) * 9) div 10")).head().getLong(0)
+        writeAnnIndexFor(s, emb(s, d).filter($"vec_id" <= thr), s"$root/gen0")
+        writeAnnIndexFor(s, emb(s, d).filter($"vec_id" > thr), s"$root/gen1")
+      }
+      ()
     }
     (build,
       () =>
@@ -690,12 +709,15 @@ object SimilarityOps {
 
   private[graft] def writeIvfIndex(s: SparkSession, d: String, path: String): Unit = {
     import s.implicits._
-    val e =
-      emb(s, d).select($"vec_id", $"embedding", Vec.norm2($"embedding").as("n2"))
-    val cents = e
-      .filter($"vec_id" < IvfCells)
-      .select($"vec_id".as("c_id"), $"embedding".as("c"), $"n2".as("cn2"))
-    writeIvfIndexFrom(s, e, cents, path)
+    graft.index.GenLog.buildOnce(s, path) {
+      val e =
+        emb(s, d).select($"vec_id", $"embedding", Vec.norm2($"embedding").as("n2"))
+      val cents = e
+        .filter($"vec_id" < IvfCells)
+        .select($"vec_id".as("c_id"), $"embedding".as("c"), $"n2".as("cn2"))
+      writeIvfIndexFrom(s, e, cents, path)
+    }
+    ()
   }
 
   /** IVF build with an arbitrary codebook (the stand-in cents for the

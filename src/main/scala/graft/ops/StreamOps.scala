@@ -145,25 +145,21 @@ object StreamOps {
       options: Map[String, String] = Map.empty): DataFrame = {
     s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     s.conf.set("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
-    val batchSchema = T(s, sourceDir.stripSuffix("/events.parquet"), "events").schema
+    // ONE batch read probes both the wire schema and the stored ts type
+    // (the raw schema IS the wire schema: ts surfaces as LongType exactly
+    // when the files store TIMESTAMP(NANOS) under nanosAsLong). Assumes
+    // the directory is generation-homogeneous — all files share one
+    // physical ts type, which a single wire schema requires anyway; a
+    // mixed-generation feed must be split into homogeneous sources.
+    val rawSchema = s.read.parquet(sourceDir).schema
     val tsStoredAsNanoLong =
-      s.read.parquet(sourceDir).schema("ts").dataType ==
-        org.apache.spark.sql.types.LongType
-    val src =
+      rawSchema("ts").dataType == org.apache.spark.sql.types.LongType
+    val src = s.readStream.options(options).schema(rawSchema).parquet(sourceDir)
+    val withTs =
       if (tsStoredAsNanoLong)
-        s.readStream
-          .options(options)
-          .schema(
-            org.apache.spark.sql.types.StructType(
-              batchSchema.map(f =>
-                if (f.name == "ts")
-                  f.copy(dataType = org.apache.spark.sql.types.LongType)
-                else f)))
-          .parquet(sourceDir)
-          .withColumn("ts", timestamp_micros(expr("ts div 1000")))
-      else
-        s.readStream.options(options).schema(batchSchema).parquet(sourceDir)
-    src.withWatermark("ts", "7 days")
+        src.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      else src
+    withTs.withWatermark("ts", "7 days")
   }
 
   /** Streaming lift of the tumbling-window report: identical logic on a
@@ -456,27 +452,16 @@ object StreamOps {
       .agg(count(lit(1)).as("n"))
   }
 
-  /** Versions present in a continuous-dedup index directory: `v<N>`
-    * subdirectories, each a complete self-consistent snapshot (md5 set +
-    * band buckets + that batch's assignments).
+  /** Version listing for every persisted index family — delegated to the
+    * shared generation-log kernel ([[graft.index.GenLog]]): `v<N>`
+    * subdirectories whose required artifact is COMMITTED (carries the
+    * kernel's marker), so a crashed write is invisible to every reader.
     */
   private def indexVersions(
       s: SparkSession,
       indexDir: String,
-      requiring: String = ""): Seq[Long] = {
-    val path = new org.apache.hadoop.fs.Path(indexDir)
-    val fs = path.getFileSystem(s.sparkContext.hadoopConfiguration)
-    if (!fs.exists(path)) Seq.empty
-    else
-      fs.listStatus(path)
-        .toSeq
-        .filter(_.isDirectory)
-        .map(_.getPath.getName)
-        .collect { case n if n.startsWith("v") && n.drop(1).nonEmpty && n.drop(1).forall(_.isDigit) => n.drop(1).toLong }
-        .filter(v =>
-          requiring.isEmpty ||
-            fs.exists(new org.apache.hadoop.fs.Path(s"$indexDir/v$v/$requiring")))
-  }
+      requiring: String = ""): Seq[Long] =
+    graft.index.GenLog.versions(s, indexDir, requiring)
 
   /** Maintenance for the versioned continuous-dedup indexes: drop the
     * SUPERSEDED index snapshots (md5/band state of all but the newest
@@ -490,32 +475,34 @@ object StreamOps {
   def pruneDedupIndexVersions(
       s: SparkSession,
       indexDir: String,
-      keep: Int = 2): Unit = {
-    val fs = new org.apache.hadoop.fs.Path(indexDir)
-      .getFileSystem(s.sparkContext.hadoopConfiguration)
-    val withIndex = indexVersions(s, indexDir, requiring = "band_index").sorted
-    withIndex.dropRight(math.max(keep, 1)).foreach { v =>
-      Seq("band_index", "md5_index").foreach { sub =>
-        val p = new org.apache.hadoop.fs.Path(s"$indexDir/v$v/$sub")
-        if (fs.exists(p)) fs.delete(p, true)
-      }
-    }
-  }
+      keep: Int = 2): Unit =
+    graft.index.GenLog.pruneSnapshots(
+      s, indexDir, arts = Seq("band_index", "md5_index"),
+      gate = "band_index", keep = keep)
+
+  /** [[pruneDedupIndexVersions]] for the embedding index: bounds the dir
+    * to O(keep) full band snapshots (each compaction writes one; without
+    * pruning they accumulate a corpus copy per fold).
+    */
+  def pruneEmbedIndexVersions(
+      s: SparkSession,
+      indexDir: String,
+      keep: Int = 2): Unit =
+    graft.index.GenLog.pruneSnapshots(
+      s, indexDir, arts = Seq("band_index"), gate = "band_index", keep = keep)
 
   /** Seed the continuous-dedup index: build the base corpus's persisted
     * state ([[DedupOps.buildDedupIndex]]) and write it as version v0 —
     * the snapshot micro-batch 0 reads. Band rows are hive-partitioned on
-    * band_idx, the index's natural layout.
+    * band_idx, the index's natural layout. md5 commits before band: the
+    * snapshot is recognized by its band marker, so a crash between the
+    * two writes leaves no half-snapshot a reader could pick.
     */
   def seedDedupIndex(s: SparkSession, base: DataFrame, indexDir: String): Unit = {
     val (md5Index, bandIndex) = DedupOps.buildDedupIndex(s, base)
-    md5Index.write
-      .mode(org.apache.spark.sql.SaveMode.Overwrite)
-      .parquet(s"$indexDir/v0/md5_index")
-    bandIndex.write
-      .mode(org.apache.spark.sql.SaveMode.Overwrite)
-      .partitionBy("band_idx")
-      .parquet(s"$indexDir/v0/band_index")
+    graft.index.GenLog.commitParquet(md5Index, s"$indexDir/v0/md5_index")
+    graft.index.GenLog.commitParquet(
+      bandIndex, s"$indexDir/v0/band_index", partitionBy = Seq("band_idx"))
   }
 
   /** Transitive composition of the accumulated (old_cid → new_cid) merge
@@ -655,19 +642,11 @@ object StreamOps {
             md5Index,
             bandIndex)
           val next = s"$indexDir/v${batchId + 1}"
-          assign.write
-            .mode(org.apache.spark.sql.SaveMode.Overwrite)
-            .parquet(s"$next/assign")
-          remap.write
-            .mode(org.apache.spark.sql.SaveMode.Overwrite)
-            .parquet(s"$next/remap")
-          md5New.write
-            .mode(org.apache.spark.sql.SaveMode.Overwrite)
-            .parquet(s"$next/md5_inc")
-          bandNew.write
-            .mode(org.apache.spark.sql.SaveMode.Overwrite)
-            .partitionBy("band_idx")
-            .parquet(s"$next/band_inc")
+          graft.index.GenLog.commitParquet(assign, s"$next/assign")
+          graft.index.GenLog.commitParquet(remap, s"$next/remap")
+          graft.index.GenLog.commitParquet(md5New, s"$next/md5_inc")
+          graft.index.GenLog.commitParquet(
+            bandNew, s"$next/band_inc", partitionBy = Seq("band_idx"))
         }
         ()
       }
@@ -688,13 +667,12 @@ object StreamOps {
     val k = committed.max
     if (indexVersions(s, indexDir, requiring = "band_index").max >= k) return
     val (md5, band) = readDedupIndexState(s, indexDir, upTo = k)
-    md5.write
-      .mode(org.apache.spark.sql.SaveMode.Overwrite)
-      .parquet(s"$indexDir/v$k/md5_index")
-    band.write
-      .mode(org.apache.spark.sql.SaveMode.Overwrite)
-      .partitionBy("band_idx")
-      .parquet(s"$indexDir/v$k/band_index")
+    // md5 first, band last: recognition keys on the band marker, so a
+    // crash anywhere before it leaves the fold invisible (the increments
+    // are still in place — reads are unchanged) and a rerun overwrites
+    graft.index.GenLog.commitParquet(md5, s"$indexDir/v$k/md5_index")
+    graft.index.GenLog.commitParquet(
+      band, s"$indexDir/v$k/band_index", partitionBy = Seq("band_idx"))
     val fs = new org.apache.hadoop.fs.Path(indexDir)
       .getFileSystem(s.sparkContext.hadoopConfiguration)
     Seq("md5_inc", "band_inc").foreach { sub =>
@@ -712,7 +690,12 @@ object StreamOps {
     * one-shot rebuild at every point in time.
     */
   def readDedupAssignments(s: SparkSession, indexDir: String): DataFrame = {
-    val a = s.read.parquet(s"$indexDir/v*/assign")
+    // committed assign dirs only (not a v*/assign glob): an in-flight
+    // batch's partial write must never leak into the read view
+    val a = s.read.parquet(
+      indexVersions(s, indexDir, requiring = "assign")
+        .sorted
+        .map(v => s"$indexDir/v$v/assign"): _*)
     val remapVers = indexVersions(s, indexDir, requiring = "remap")
     if (remapVers.isEmpty) a
     else {
@@ -727,12 +710,10 @@ object StreamOps {
     * sign-LSH band rows ([[DedupOps.buildEmbedIndex]]) as version v0.
     */
   def seedEmbedIndex(s: SparkSession, base: DataFrame, indexDir: String): Unit =
-    DedupOps
-      .buildEmbedIndex(s, base)
-      .write
-      .mode(org.apache.spark.sql.SaveMode.Overwrite)
-      .partitionBy("band_idx")
-      .parquet(s"$indexDir/v0/band_index")
+    graft.index.GenLog.commitParquet(
+      DedupOps.buildEmbedIndex(s, base),
+      s"$indexDir/v0/band_index",
+      partitionBy = Seq("band_idx"))
 
   private val EmbedCols = Seq("vec_id", "embedding", "n2", "band_idx", "band_val")
 
@@ -790,16 +771,11 @@ object StreamOps {
           val b = batch.select("vec_id", "embedding")
           val pairs = DedupOps.applyEmbedDelta(sess, b, bandIndex)
           val next = s"$indexDir/v${batchId + 1}"
-          pairs.write
-            .mode(org.apache.spark.sql.SaveMode.Overwrite)
-            .parquet(s"$next/pairs")
-          DedupOps
-            .buildEmbedIndex(sess, b)
-            .select(EmbedCols.map(col): _*)
-            .write
-            .mode(org.apache.spark.sql.SaveMode.Overwrite)
-            .partitionBy("band_idx")
-            .parquet(s"$next/band_inc")
+          graft.index.GenLog.commitParquet(pairs, s"$next/pairs")
+          graft.index.GenLog.commitParquet(
+            DedupOps.buildEmbedIndex(sess, b).select(EmbedCols.map(col): _*),
+            s"$next/band_inc",
+            partitionBy = Seq("band_idx"))
         }
         ()
       }
@@ -813,10 +789,12 @@ object StreamOps {
     if (committed.isEmpty) return
     val k = committed.max
     if (indexVersions(s, indexDir, requiring = "band_index").max >= k) return
-    readEmbedIndexState(s, indexDir, upTo = k).write
-      .mode(org.apache.spark.sql.SaveMode.Overwrite)
-      .partitionBy("band_idx")
-      .parquet(s"$indexDir/v$k/band_index")
+    // write-then-mark: a crash mid-fold leaves an uncommitted snapshot
+    // that readEmbedIndexState ignores (the increments are still there)
+    graft.index.GenLog.commitParquet(
+      readEmbedIndexState(s, indexDir, upTo = k),
+      s"$indexDir/v$k/band_index",
+      partitionBy = Seq("band_idx"))
     val fs = new org.apache.hadoop.fs.Path(indexDir)
       .getFileSystem(s.sparkContext.hadoopConfiguration)
     indexVersions(s, indexDir, requiring = "band_inc").filter(_ <= k).foreach { v =>
@@ -824,71 +802,109 @@ object StreamOps {
     }
   }
 
-  /** All near-dup pairs the continuous embedding dedup has committed. */
+  /** All near-dup pairs the continuous embedding dedup has committed
+    * (committed dirs only — an in-flight batch's partial write never
+    * leaks into the read view).
+    */
   def readEmbedPairs(s: SparkSession, indexDir: String): DataFrame =
-    s.read.parquet(s"$indexDir/v*/pairs")
+    s.read.parquet(
+      indexVersions(s, indexDir, requiring = "pairs")
+        .sorted
+        .map(v => s"$indexDir/v$v/pairs"): _*)
+
+  // ---- the generation-local index families, over the shared kernel ---
+  //
+  // Each family is two functions — build one generation from a frame,
+  // fold generation roots into one full snapshot — and the kernel
+  // ([[graft.index.GenLog]]) owns everything else: version directories,
+  // commit markers (a crashed fold is invisible until its marker lands),
+  // merge-on-read root resolution, superseded-generation drops, and
+  // full-snapshot pruning (without it each compaction would strand one
+  // corpus copy forever). A build is generation-local and
+  // query-independent (doc/vector ids are disjoint under the
+  // monotone-ingest contract), so each micro-batch writes its OWN
+  // committed generation without reading ANY prior state — O(batch)
+  // work and bytes per batch, no remap log, the base snapshot never
+  // re-read or rewritten. Exactly-once as the dedup writers: batch b
+  // writes the fresh directory v(b+1); a retry deterministically
+  // overwrites the same output from the same input, and version gaps
+  // from empty batches are skipped on read.
+
+  /** Postings family (the streaming form of q_index_bm25_incr): fold
+    * unions postings shard-wise and sums the one-row corpus stats —
+    * union-preserving, so no read changes (df is derived at serve time).
+    */
+  private val Bm25Family = graft.index.GenLog.GenFamily(
+    write = (s, docs, path) => { TextOps.writeBm25IndexFrom(s, docs, path); () },
+    fold = (s, roots, path) => {
+      roots
+        .map(p => s.read.parquet(s"$p/postings"))
+        .reduce(_ unionByName _)
+        .select(col("term"), col("doc_id"), col("tf"), col("dl"), col("tshard"))
+        .repartition(col("tshard"))
+        .write
+        .mode(org.apache.spark.sql.SaveMode.Overwrite)
+        .partitionBy("tshard")
+        .parquet(s"$path/postings")
+      roots
+        .map(p => s.read.parquet(s"$p/stats"))
+        .reduce(_ unionByName _)
+        .agg(sum(col("l")).as("l"), sum(col("n")).as("n"))
+        .write
+        .mode(org.apache.spark.sql.SaveMode.Overwrite)
+        .parquet(s"$path/stats")
+    })
+
+  /** ANN bucket family (the streaming form of q_sim_incr). */
+  private val AnnFamily = graft.index.GenLog.GenFamily(
+    write = (s, vecs, path) => SimilarityOps.writeAnnIndexFor(s, vecs, path),
+    fold = (s, roots, path) =>
+      roots
+        .map(p => s.read.parquet(p)
+          .select(col("vec_id"), col("embedding"), col("n2"), col("bucket")))
+        .reduce(_ unionByName _)
+        .repartition(col("bucket"))
+        .write
+        .mode(org.apache.spark.sql.SaveMode.Overwrite)
+        .partitionBy("bucket")
+        .parquet(path))
+
+  /** Id-sharded embedding-store family — the by-id lookup complement of
+    * the ANN buckets (the serving tier's feedback-seed fetch): same
+    * generation protocol, partitioned on ishard instead of bucket.
+    */
+  private val EmbStoreFamily = graft.index.GenLog.GenFamily(
+    write = (s, vecs, path) => SimilarityOps.writeEmbStoreFor(s, vecs, path),
+    fold = (s, roots, path) =>
+      roots
+        .map(p => s.read.parquet(p)
+          .select(
+            col("vec_id"), col("embedding"), col("n2"),
+            col("bucket"), col("ishard")))
+        .reduce(_ unionByName _)
+        .repartition(col("ishard"))
+        .write
+        .mode(org.apache.spark.sql.SaveMode.Overwrite)
+        .partitionBy("ishard")
+        .parquet(path))
 
   /** Seed the continuous LEXICAL index: the base corpus's postings
-    * generation ([[TextOps.writeBm25IndexFrom]]) as version v0's `full`
-    * snapshot.
+    * generation as the committed v0 full snapshot.
     */
-  def seedBm25Index(s: SparkSession, base: DataFrame, indexDir: String): Unit = {
-    TextOps.writeBm25IndexFrom(s, base, s"$indexDir/v0/full")
-    ()
-  }
+  def seedBm25Index(s: SparkSession, base: DataFrame, indexDir: String): Unit =
+    graft.index.GenLog.seed(s, Bm25Family, base, indexDir)
 
-  /** Continuous lexical index maintenance — the streaming form of
-    * q_index_bm25_incr and the third modality of the continuous-index
-    * family (text bands, embedding bands, now postings). Structurally
-    * the simplest of the three: a postings build is generation-local and
-    * query-independent (doc sets are disjoint under the monotone-ingest
-    * contract), so each micro-batch writes its OWN `gen` generation
-    * without reading ANY prior state — O(batch) work and bytes per
-    * batch, no remap log, the base snapshot never re-read or rewritten.
-    * Serving ([[serveBm25Continuous]]) merges generations on read with
-    * the same union the batch query uses; [[compactBm25Index]] bounds
-    * the read fan-in.
-    *
-    * Exactly-once as the dedup writers: batch b writes the fresh
-    * directory v(b+1) — a retry deterministically overwrites the same
-    * output from the same input, and version gaps from empty batches
-    * are skipped on read.
-    */
+  /** Continuous lexical index maintenance (see the family block note). */
   def bm25IndexStreamWriter(
       docs: DataFrame,
       indexDir: String,
       checkpoint: String): org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
-    docs.writeStream
-      .outputMode("append")
-      .option("checkpointLocation", checkpoint)
-      .foreachBatch { (batch: DataFrame, batchId: Long) =>
-        if (!batch.isEmpty) {
-          TextOps.writeBm25IndexFrom(
-            batch.sparkSession, batch, s"$indexDir/v${batchId + 1}/gen")
-        }
-        ()
-      }
+    graft.index.GenLog.streamWriter(docs, Bm25Family, indexDir, checkpoint)
 
-  /** The generation roots a continuous-lexical read merges: the newest
-    * `full` snapshot (seed or compaction) plus every later batch `gen`.
-    * Generations at or below the newest full are superseded (they are
-    * folded into it) — a compaction that crashed between its write and
-    * its deletes therefore leaves reads unchanged.
-    */
   private[graft] def bm25GenerationRoots(
       s: SparkSession,
-      indexDir: String): Seq[String] = {
-    val fulls = indexVersions(s, indexDir, requiring = "full")
-    require(
-      fulls.nonEmpty,
-      s"lexical index at $indexDir has no full snapshot (run seedBm25Index)")
-    val f = fulls.max
-    s"$indexDir/v$f/full" +:
-      indexVersions(s, indexDir, requiring = "gen")
-        .filter(_ > f)
-        .sorted
-        .map(v => s"$indexDir/v$v/gen")
-  }
+      indexDir: String): Seq[String] =
+    graft.index.GenLog.roots(s, indexDir, what = "lexical index")
 
   /** Serve the fixed BM25 query set from the continuous index —
     * merge-on-read over [[bm25GenerationRoots]] through the same
@@ -898,98 +914,30 @@ object StreamOps {
   def serveBm25Continuous(s: SparkSession, indexDir: String): DataFrame =
     TextOps.serveBm25(s, bm25GenerationRoots(s, indexDir))
 
-  /** Compaction for the lexical index: fold the current generation roots
-    * into one `full` snapshot at the newest committed version (input
-    * sub-dirs differ from the output dir, so nothing overwrites its own
-    * input), then drop the superseded `gen` dirs. Union-preserving, so
-    * no read changes: df is derived at serve time and the one-row corpus
-    * stats are summed either way.
+  /** Compaction for the lexical index (kernel protocol: fold, commit,
+    * drop superseded generations, prune all but the newest `keepFulls`
+    * snapshots).
     */
-  def compactBm25Index(s: SparkSession, indexDir: String): Unit = {
-    val roots = bm25GenerationRoots(s, indexDir)
-    if (roots.size > 1) {
-      val k = indexVersions(s, indexDir, requiring = "gen").max
-      roots
-        .map(p => s.read.parquet(s"$p/postings"))
-        .reduce(_ unionByName _)
-        .select(col("term"), col("doc_id"), col("tf"), col("dl"), col("tshard"))
-        .repartition(col("tshard"))
-        .write
-        .mode(org.apache.spark.sql.SaveMode.Overwrite)
-        .partitionBy("tshard")
-        .parquet(s"$indexDir/v$k/full/postings")
-      roots
-        .map(p => s.read.parquet(s"$p/stats"))
-        .reduce(_ unionByName _)
-        .agg(sum(col("l")).as("l"), sum(col("n")).as("n"))
-        .write
-        .mode(org.apache.spark.sql.SaveMode.Overwrite)
-        .parquet(s"$indexDir/v$k/full/stats")
-    }
-    val fs = new org.apache.hadoop.fs.Path(indexDir)
-      .getFileSystem(s.sparkContext.hadoopConfiguration)
-    val f = indexVersions(s, indexDir, requiring = "full").max
-    indexVersions(s, indexDir, requiring = "gen").filter(_ <= f).foreach { v =>
-      fs.delete(new org.apache.hadoop.fs.Path(s"$indexDir/v$v/gen"), true)
-    }
-  }
+  def compactBm25Index(s: SparkSession, indexDir: String, keepFulls: Int = 2): Unit =
+    graft.index.GenLog.compact(s, indexDir, Bm25Family, keepFulls)
 
-  /** Seed the continuous ANN index: the base corpus becomes the v0 full
-    * bucket-partitioned snapshot.
+  /** Seed the continuous ANN index: the base corpus becomes the
+    * committed v0 full bucket-partitioned snapshot.
     */
-  def seedAnnIndex(s: SparkSession, base: DataFrame, indexDir: String): Unit = {
-    SimilarityOps.writeAnnIndexFor(s, base, s"$indexDir/v0/full")
-    ()
-  }
+  def seedAnnIndex(s: SparkSession, base: DataFrame, indexDir: String): Unit =
+    graft.index.GenLog.seed(s, AnnFamily, base, indexDir)
 
-  /** Continuous ANN index maintenance — the streaming form of
-    * `q_sim_incr` and the fourth modality of the continuous-index family
-    * (text bands, embedding bands, postings, now ANN buckets). Like the
-    * postings writer, a bucket build is generation-local and
-    * query-independent (vector ids are disjoint under the monotone-
-    * ingest contract), so each micro-batch writes its OWN `gen`
-    * generation without reading ANY prior state — O(batch) work and
-    * bytes per batch, no remap log, the base snapshot never re-read or
-    * rewritten. Exactly-once as the other index writers: batch b writes
-    * the fresh directory v(b+1), a retry deterministically overwrites the
-    * same output from the same input, and version gaps from empty
-    * batches are skipped on read.
-    */
+  /** Continuous ANN index maintenance (see the family block note). */
   def annIndexStreamWriter(
       vectors: DataFrame,
       indexDir: String,
       checkpoint: String): org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
-    vectors.writeStream
-      .outputMode("append")
-      .option("checkpointLocation", checkpoint)
-      .foreachBatch { (batch: DataFrame, batchId: Long) =>
-        if (!batch.isEmpty) {
-          SimilarityOps.writeAnnIndexFor(
-            batch.sparkSession, batch, s"$indexDir/v${batchId + 1}/gen")
-        }
-        ()
-      }
+    graft.index.GenLog.streamWriter(vectors, AnnFamily, indexDir, checkpoint)
 
-  /** The generation roots a continuous-ANN read merges: the newest
-    * `full` snapshot (seed or compaction) plus every later batch `gen`.
-    * Generations at or below the newest full are superseded — a
-    * compaction that crashed between its write and its deletes leaves
-    * reads unchanged.
-    */
   private[graft] def annGenerationRoots(
       s: SparkSession,
-      indexDir: String): Seq[String] = {
-    val fulls = indexVersions(s, indexDir, requiring = "full")
-    require(
-      fulls.nonEmpty,
-      s"ANN index at $indexDir has no full snapshot (run seedAnnIndex)")
-    val f = fulls.max
-    s"$indexDir/v$f/full" +:
-      indexVersions(s, indexDir, requiring = "gen")
-        .filter(_ > f)
-        .sorted
-        .map(v => s"$indexDir/v$v/gen")
-  }
+      indexDir: String): Seq[String] =
+    graft.index.GenLog.roots(s, indexDir, what = "ANN index")
 
   /** Serve a probe batch from the continuous ANN index — merge-on-read
     * over [[annGenerationRoots]] through the same pruned union
@@ -1002,33 +950,56 @@ object StreamOps {
       probes: DataFrame): DataFrame =
     SimilarityOps.serveAnnBatchMulti(s, annGenerationRoots(s, indexDir), probes)
 
-  /** Compaction for the continuous ANN index: fold the current
-    * generation roots into one `full` snapshot at the newest committed
-    * version, then drop the superseded `gen` dirs. Union-preserving —
-    * rows carry no cross-generation state, so no read changes.
+  /** Compaction for the continuous ANN index (kernel protocol). */
+  def compactAnnIndex(s: SparkSession, indexDir: String, keepFulls: Int = 2): Unit =
+    graft.index.GenLog.compact(s, indexDir, AnnFamily, keepFulls)
+
+  /** Seed the continuous embedding STORE: v0 full ishard-partitioned
+    * snapshot.
     */
-  def compactAnnIndex(s: SparkSession, indexDir: String): Unit = {
-    val roots = annGenerationRoots(s, indexDir)
-    if (roots.size > 1) {
-      val k = indexVersions(s, indexDir, requiring = "gen").max
-      val folded = roots
-        .map(p => s.read.parquet(p)
-          .select(col("vec_id"), col("embedding"), col("n2"), col("bucket")))
-        .reduce(_ unionByName _)
-      folded
-        .repartition(col("bucket"))
-        .write
-        .mode(org.apache.spark.sql.SaveMode.Overwrite)
-        .partitionBy("bucket")
-        .parquet(s"$indexDir/v$k/full")
-      val fs = new org.apache.hadoop.fs.Path(indexDir)
-        .getFileSystem(s.sparkContext.hadoopConfiguration)
-      val f = indexVersions(s, indexDir, requiring = "full").max
-      indexVersions(s, indexDir, requiring = "gen").filter(_ <= f).foreach { v =>
-        fs.delete(new org.apache.hadoop.fs.Path(s"$indexDir/v$v/gen"), true)
-      }
-    }
-  }
+  def seedEmbStoreIndex(s: SparkSession, base: DataFrame, indexDir: String): Unit =
+    graft.index.GenLog.seed(s, EmbStoreFamily, base, indexDir)
+
+  /** Continuous embedding-store maintenance — runs beside
+    * [[annIndexStreamWriter]] over the same vector feed (its own
+    * checkpoint), maintaining the id-sharded store generations the
+    * continuous hybrid serve fetches feedback-seed vectors from.
+    */
+  def embStoreStreamWriter(
+      vectors: DataFrame,
+      indexDir: String,
+      checkpoint: String): org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
+    graft.index.GenLog.streamWriter(vectors, EmbStoreFamily, indexDir, checkpoint)
+
+  private[graft] def embStoreGenerationRoots(
+      s: SparkSession,
+      indexDir: String): Seq[String] =
+    graft.index.GenLog.roots(s, indexDir, what = "embedding store")
+
+  /** Compaction for the embedding store (kernel protocol). */
+  def compactEmbStoreIndex(
+      s: SparkSession, indexDir: String, keepFulls: Int = 2): Unit =
+    graft.index.GenLog.compact(s, indexDir, EmbStoreFamily, keepFulls)
+
+  /** CONTINUOUS HYBRID RETRIEVAL — q_retrieval_rrf served from the three
+    * maintained generation sets (streamed postings, streamed ANN
+    * buckets, streamed id-sharded store) through
+    * [[TextOps.serveRrfMulti]]: every leg unions its generation roots
+    * with the same pruning as the static serve, so the continuously
+    * maintained hybrid tier answers exactly like monolithic rebuilds at
+    * every point in time (StreamingRrfSpec pins serve ≡ the
+    * oracle-checked q_retrieval_rrf row-for-row after each batch).
+    */
+  def serveRrfContinuous(
+      s: SparkSession,
+      bm25IndexDir: String,
+      annIndexDir: String,
+      storeIndexDir: String): DataFrame =
+    TextOps.serveRrfMulti(
+      s,
+      bm25GenerationRoots(s, bm25IndexDir),
+      annGenerationRoots(s, annIndexDir),
+      embStoreGenerationRoots(s, storeIndexDir))
 
   /** update-mode stream → keyed JDBC upsert: the streaming CDC-apply.
     * Each micro-batch's changed rows go through

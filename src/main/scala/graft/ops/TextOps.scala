@@ -642,8 +642,18 @@ object TextOps {
     path
   }
 
-  private[graft] def writeBm25Index(s: SparkSession, d: String): String =
-    writeBm25IndexFrom(s, docs(s, d), SimilarityOps.serveRoot(s, d) + "/bm25")
+  /** Dataset-keyed canonical postings build — build-once-serve-many
+    * ([[graft.index.GenLog.buildOnce]]): every query over the same
+    * dataset shares one physical postings index.
+    */
+  private[graft] def writeBm25Index(s: SparkSession, d: String): String = {
+    val path = SimilarityOps.serveRoot(s, d) + "/bm25"
+    graft.index.GenLog.buildOnce(s, path) {
+      writeBm25IndexFrom(s, docs(s, d), path)
+      ()
+    }
+    path
+  }
 
   /** Serve the fixed query set from one or more index GENERATIONS
     * (merge-on-read): postings scans are each pruned to the probed
@@ -688,13 +698,16 @@ object TextOps {
   private def indexBm25Incr(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
     val root = SimilarityOps.serveRoot(s, d) + "/bm25incr"
-    val all = docs(s, d)
-    val thrDf = all.agg(expr("(max(doc_id) * 9) div 10").as("thr"))
-    val withThr = all.crossJoin(broadcast(thrDf))
-    writeBm25IndexFrom(
-      s, withThr.filter($"doc_id" <= $"thr").drop("thr"), s"$root/base")
-    writeBm25IndexFrom(
-      s, withThr.filter($"doc_id" > $"thr").drop("thr"), s"$root/inc")
+    graft.index.GenLog.buildOnce(s, root) {
+      val all = docs(s, d)
+      val thrDf = all.agg(expr("(max(doc_id) * 9) div 10").as("thr"))
+      val withThr = all.crossJoin(broadcast(thrDf))
+      writeBm25IndexFrom(
+        s, withThr.filter($"doc_id" <= $"thr").drop("thr"), s"$root/base")
+      writeBm25IndexFrom(
+        s, withThr.filter($"doc_id" > $"thr").drop("thr"), s"$root/inc")
+      ()
+    }
     serveBm25(s, Seq(s"$root/base", s"$root/inc"))
   }
 
@@ -716,13 +729,16 @@ object TextOps {
     import s.implicits._
     val root = SimilarityOps.serveRoot(s, d) + "/bm25incr"
     val build = () => {
-      val all = docs(s, d)
-      val thrDf = all.agg(expr("(max(doc_id) * 9) div 10").as("thr"))
-      val withThr = all.crossJoin(broadcast(thrDf))
-      writeBm25IndexFrom(
-        s, withThr.filter($"doc_id" <= $"thr").drop("thr"), s"$root/base")
-      writeBm25IndexFrom(
-        s, withThr.filter($"doc_id" > $"thr").drop("thr"), s"$root/inc")
+      graft.index.GenLog.buildOnce(s, root) {
+        val all = docs(s, d)
+        val thrDf = all.agg(expr("(max(doc_id) * 9) div 10").as("thr"))
+        val withThr = all.crossJoin(broadcast(thrDf))
+        writeBm25IndexFrom(
+          s, withThr.filter($"doc_id" <= $"thr").drop("thr"), s"$root/base")
+        writeBm25IndexFrom(
+          s, withThr.filter($"doc_id" > $"thr").drop("thr"), s"$root/inc")
+        ()
+      }
       ()
     }
     (build, () => serveBm25(s, Seq(s"$root/base", s"$root/inc")))
@@ -823,7 +839,10 @@ object TextOps {
     * q_retrieval_rrf: persistence and pruning must not change a hit.
     */
   private def retrievalRrfServed(s: SparkSession, d: String): DataFrame = {
-    val root = SimilarityOps.serveRoot(s, d) + "/rrf"
+    val root = SimilarityOps.serveRoot(s, d)
+    // the three serving artifacts are CANONICAL, dataset-keyed builds
+    // shared with q_index_bm25_served / q_sim_served (same params, same
+    // corpus — one physical index each, built once per warehouse root)
     val bm25Path = writeBm25Index(s, d)
     SimilarityOps.writeAnnIndex(s, d, s"$root/ann")
     SimilarityOps.writeEmbStore(s, d, s"$root/embstore")
@@ -834,7 +853,23 @@ object TextOps {
       s: SparkSession,
       bm25Path: String,
       annPath: String,
-      storePath: String): DataFrame = {
+      storePath: String): DataFrame =
+    serveRrfMulti(s, Seq(bm25Path), Seq(annPath), Seq(storePath))
+
+  /** [[serveRrf]] over index GENERATIONS merged on read — each leg unions
+    * its generation roots with the SAME pruning as the single-root serve
+    * (probed term shards, probed ishards, probed buckets pushed into
+    * every generation's scan independently; doc/vector ids are disjoint
+    * across generations under the monotone-ingest contract, so the
+    * unions are exact). This is the serving form the CONTINUOUS hybrid
+    * tier uses ([[StreamOps.serveRrfContinuous]]): answering from base +
+    * streamed increments must equal answering from monolithic rebuilds.
+    */
+  private[graft] def serveRrfMulti(
+      s: SparkSession,
+      bm25Paths: Seq[String],
+      annPaths: Seq[String],
+      storePaths: Seq[String]): DataFrame = {
     import s.implicits._
     // The lexical leg is ≤ topK·|queries| rows but its lineage is the full
     // pruned-postings scoring plan, and serve references it four times
@@ -843,7 +878,7 @@ object TextOps {
     // the postings are read and scored exactly once per serve. The seed
     // frame stays LAZY: its store scan must remain in the final plan,
     // where ServeIndexSpec asserts the literal ishard partition filter.
-    val lex = serveBm25(s, bm25Path)
+    val lex = serveBm25(s, bm25Paths)
       .select($"query_id", $"doc_id", $"rank".as("lex_rank"))
       .localCheckpoint()
     // the ≤ topK·|queries| candidate ids' shards — bounded model state
@@ -853,7 +888,10 @@ object TextOps {
       .collect()
       .map(_.get(0))
       .toSeq
-    val store = s.read.parquet(storePath).filter($"ishard".isin(lexShards: _*))
+    val store = storePaths
+      .map(p => s.read.parquet(p))
+      .reduce(_ unionByName _)
+      .filter($"ishard".isin(lexShards: _*))
     val sw = Window.partitionBy($"query_id").orderBy($"lex_rank")
     val seed = store
       .join(broadcast(lex), store("vec_id") === lex("doc_id"))
@@ -871,8 +909,9 @@ object TextOps {
     val probeBuckets =
       seed.select($"pbucket").distinct().collect().map(_.get(0)).toSeq
     val cw = Window.partitionBy($"query_id").orderBy($"cos".desc, $"vec_id")
-    val sem = s.read
-      .parquet(annPath)
+    val sem = annPaths
+      .map(p => s.read.parquet(p))
+      .reduce(_ unionByName _)
       .filter($"bucket".isin(probeBuckets: _*))
       .join(broadcast(seed), $"bucket" === $"pbucket")
       .select(
@@ -891,9 +930,12 @@ object TextOps {
     */
   private[graft] def rrfServedSplit(
       s: SparkSession, d: String): (() => Unit, () => DataFrame) = {
-    val root = SimilarityOps.serveRoot(s, d) + "/rrf"
-    val bm25Path = SimilarityOps.serveRoot(s, d) + "/bm25"
+    val root = SimilarityOps.serveRoot(s, d)
+    val bm25Path = s"$root/bm25"
     val build = () => {
+      // canonical shared artifacts: when the bm25/ann indexes were
+      // already committed by the sibling served splits, this build is
+      // store-only — the build-once contract the index catalog exists for
       writeBm25Index(s, d)
       SimilarityOps.writeAnnIndex(s, d, s"$root/ann")
       SimilarityOps.writeEmbStore(s, d, s"$root/embstore")
