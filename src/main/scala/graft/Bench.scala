@@ -114,7 +114,17 @@ object Bench {
     // absorb file-listing first-touch, then `iters` timed serves, median.
     // The headline per-query numbers above stay the composed queries, so
     // they remain comparable across rounds; "serve" here is the tracked
-    // serve-latency metric.
+    // serve-latency metric. The splits run under their OWN fresh
+    // warehouse root: the registry phase's build-once catalog already
+    // committed every canonical index, so without the override each
+    // split's "build" would time a marker check, not a build — the
+    // fresh root keeps the build figure the true from-cold index cost
+    // (and q_retrieval_rrf_served's build still drops to store-only,
+    // because the sibling splits commit the shared bm25/ann artifacts
+    // under this root first).
+    spark.conf.set(
+      graft.index.GenLog.RootKey,
+      s"${System.getProperty("java.io.tmpdir")}/graft_bench_splits_${spark.sparkContext.applicationId}")
     val splitEntries = BenchSplits.of(spark, sfDir).flatMap {
       case (name, (build, serve)) =>
         try {

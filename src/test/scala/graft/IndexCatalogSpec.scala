@@ -1,0 +1,157 @@
+package graft
+
+import java.nio.file.Files
+
+import graft.index.GenLog
+import graft.ops.{SimilarityOps, StreamOps}
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** The shared index catalog ([[graft.index.GenLog]]): build-once-serve-
+  * many under a configurable warehouse root, commit-marker crash safety
+  * (a partial snapshot can never supersede the generations it folds),
+  * full-snapshot pruning, and the queryable manifest.
+  */
+class IndexCatalogSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def rows(df: DataFrame): Seq[String] =
+    df.collect().map(_.toString).toSeq
+
+  private def fsOf(dir: String) =
+    new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+
+  test("build-once: a second build call for committed params is a no-op") {
+    val dir = s"${Files.createTempDirectory("graft_cat_once")}/idx"
+    var builds = 0
+    def build(): Boolean = GenLog.buildOnce(spark, dir) {
+      builds += 1
+      SimilarityOps.writeAnnIndexFor(
+        spark, T(spark, sf, "embeddings"), dir)
+    }
+    assert(build() === true && builds === 1)
+    assert(build() === false && builds === 1, "second build must skip")
+
+    // and through the public dataset-keyed path: no file is rewritten
+    val canonical = s"${SimilarityOps.serveRoot(spark, sf)}/ann"
+    SimilarityOps.writeAnnIndex(spark, sf, canonical)
+    def newestMtime(d: String): Long = {
+      val it = fsOf(d).listFiles(new org.apache.hadoop.fs.Path(d), true)
+      var m = 0L
+      while (it.hasNext) { val f = it.next(); if (f.isFile) m = math.max(m, f.getModificationTime) }
+      m
+    }
+    val before = newestMtime(canonical)
+    SimilarityOps.writeAnnIndex(spark, sf, canonical)
+    assert(newestMtime(canonical) === before, "re-request must not rewrite")
+  }
+
+  test("the warehouse root is configurable and dataset-keyed") {
+    val custom = Files.createTempDirectory("graft_cat_root").toString
+    val prior = spark.conf.getOption(GenLog.RootKey)
+    spark.conf.set(GenLog.RootKey, custom)
+    try {
+      assert(SimilarityOps.serveRoot(spark, sf).startsWith(custom))
+      val path = s"${SimilarityOps.serveRoot(spark, sf)}/ann"
+      SimilarityOps.writeAnnIndex(spark, sf, path)
+      assert(fsOf(custom).exists(new org.apache.hadoop.fs.Path(path)))
+      // the index under the custom root serves identically
+      assert(
+        rows(SimilarityOps.serveAnnBatch(
+          spark, path, SimilarityOps.batchProbeFrame(spark, sf))) ===
+          rows(SparkEntry.queries("q_sim_batch")(spark, sf)))
+      // two datasets never collide under one root
+      assert(
+        GenLog.datasetRoot(spark, "/a/b") !== GenLog.datasetRoot(spark, "/a/c"))
+    } finally {
+      prior match {
+        case Some(v) => spark.conf.set(GenLog.RootKey, v)
+        case None    => spark.conf.unset(GenLog.RootKey)
+      }
+    }
+  }
+
+  test("an uncommitted (crashed) full snapshot never supersedes generations") {
+    val dir = Files.createTempDirectory("graft_cat_crash").toString
+    val all = T(spark, sf, "embeddings")
+    val cut = all.agg(max($"vec_id")).head.getLong(0) * 8 / 10
+    StreamOps.seedAnnIndex(spark, all.filter($"vec_id" <= cut), dir)
+    // a "streamed" generation, committed through the kernel protocol
+    SimilarityOps.writeAnnIndexFor(
+      spark, all.filter($"vec_id" > cut), s"$dir/v1/gen")
+    GenLog.markCommitted(spark, s"$dir/v1/gen")
+    val probes = SimilarityOps.batchProbeFrame(spark, sf)
+    val want = rows(SparkEntry.queries("q_sim_batch")(spark, sf))
+    assert(rows(StreamOps.serveAnnContinuous(spark, dir, probes)) === want)
+
+    // simulate a compaction that crashed mid-write: a partial v1/full
+    // with data files but NO commit marker
+    all.filter($"vec_id" <= cut / 2)
+      .select($"vec_id", $"embedding", lit(0d).as("n2"), lit(0L).as("bucket"))
+      .write.parquet(s"$dir/v1/full")
+    // the partial snapshot is invisible: roots and answers are unchanged
+    assert(GenLog.versions(spark, dir, requiring = "full") === Seq(0L))
+    assert(rows(StreamOps.serveAnnContinuous(spark, dir, probes)) === want)
+    // the manifest reports it as present-but-uncommitted
+    assert(GenLog.manifest(spark, dir).contains((1L, "full", false)))
+    assert(GenLog.manifest(spark, dir).contains((1L, "gen", true)))
+
+    // rerunning the compaction overwrites the partial output, commits,
+    // and only then supersedes: answers still unchanged
+    StreamOps.compactAnnIndex(spark, dir)
+    assert(GenLog.versions(spark, dir, requiring = "full").max === 1L)
+    assert(!fsOf(dir).exists(new org.apache.hadoop.fs.Path(s"$dir/v1/gen")))
+    assert(rows(StreamOps.serveAnnContinuous(spark, dir, probes)) === want)
+  }
+
+  test("compaction prunes all but the newest keepFulls full snapshots") {
+    val dir = Files.createTempDirectory("graft_cat_prune").toString
+    val all = T(spark, sf, "embeddings")
+    val m = all.agg(max($"vec_id")).head.getLong(0)
+    StreamOps.seedAnnIndex(spark, all.filter($"vec_id" <= m / 2), dir)
+    def addGen(v: Int, lo: Long, hi: Long): Unit = {
+      SimilarityOps.writeAnnIndexFor(
+        spark,
+        all.filter($"vec_id" > lo && $"vec_id" <= hi),
+        s"$dir/v$v/gen")
+      GenLog.markCommitted(spark, s"$dir/v$v/gen")
+    }
+    val probes = SimilarityOps.batchProbeFrame(spark, sf)
+    addGen(1, m / 2, m * 3 / 4)
+    StreamOps.compactAnnIndex(spark, dir, keepFulls = 1)
+    // keepFulls=1: the v0 seed snapshot is pruned after the fold commits
+    assert(GenLog.versions(spark, dir, requiring = "full") === Seq(1L))
+    addGen(2, m * 3 / 4, m)
+    StreamOps.compactAnnIndex(spark, dir, keepFulls = 1)
+    assert(GenLog.versions(spark, dir, requiring = "full") === Seq(2L))
+    // after two fold+prune cycles the index still answers exactly
+    assert(
+      rows(StreamOps.serveAnnContinuous(spark, dir, probes)) ===
+        rows(SparkEntry.queries("q_sim_batch")(spark, sf)))
+    // and the directory holds O(keep) corpus copies: one committed full,
+    // no gen dirs
+    assert(GenLog.versions(spark, dir, requiring = "gen").isEmpty)
+  }
+
+  test("dedup/embed snapshot pruners bound the dir to O(keep) copies") {
+    val dir = Files.createTempDirectory("graft_cat_embprune").toString
+    val vecs = T(spark, sf, "embeddings").select($"vec_id", $"embedding")
+    StreamOps.seedEmbedIndex(spark, vecs.filter($"vec_id" <= 100), dir)
+    // two more committed snapshots at later versions (stand-ins for two
+    // compaction folds)
+    for (v <- Seq(3, 5)) {
+      GenLog.commitParquet(
+        graft.ops.DedupOps.buildEmbedIndex(
+          spark, vecs.filter($"vec_id" <= 100 + v)),
+        s"$dir/v$v/band_index",
+        partitionBy = Seq("band_idx"))
+    }
+    StreamOps.pruneEmbedIndexVersions(spark, dir, keep = 2)
+    assert(
+      GenLog.versions(spark, dir, requiring = "band_index").sorted === Seq(3L, 5L))
+    // the newest surviving snapshot still reads
+    assert(
+      StreamOps.readEmbedIndexState(spark, dir, upTo = 5).count() > 0)
+  }
+}
