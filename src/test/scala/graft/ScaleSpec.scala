@@ -99,12 +99,13 @@ class ScaleSpec extends SparkSpec {
   }
 
   /** Warm once at 1× (codegen/JIT), then time 1× and 10×. Linear growth
-    * means ratio ≈ 10; the bound of 25 has room for fixed overheads and
-    * host noise while still failing an accidentally quadratic shape
-    * (ratio ≈ 100). Small denominators are floored at 1 s so a fast 1×
-    * run cannot manufacture a flaky ratio.
+    * means ratio ≈ 10; `maxRatio` is set per query to ~2× the observed
+    * ratio — tight enough to catch a regression well below quadratic
+    * (ratio ≈ 100), loose enough to pass host noise. Small denominators
+    * are floored at 1 s so a fast 1× run cannot manufacture a flaky
+    * ratio.
     */
-  private def assertLinear(name: String): Unit = {
+  private def assertLinear(name: String, maxRatio: Double): Unit = {
     val (d1, d10) = dirs
     val q = SparkEntry.queries(name)
     q(spark, d1).foreach(_ => ()) // warmup
@@ -112,7 +113,8 @@ class ScaleSpec extends SparkSpec {
     val t10 = timed(q(spark, d10).foreach(_ => ()))
     val ratio = t10 / math.max(t1, 1.0)
     info(f"$name: 1x=$t1%.1fs 10x=$t10%.1fs ratio=$ratio%.1f")
-    assert(ratio <= 25.0, f"$name grew superlinearly: 1x=$t1%.1fs 10x=$t10%.1fs")
+    assert(ratio <= maxRatio,
+      f"$name grew superlinearly (ratio $ratio%.1f > $maxRatio%.1f): 1x=$t1%.1fs 10x=$t10%.1fs")
   }
 
   test("q_dedup_cc at 10x: per-replica structure, hot cluster closes, linear") {
@@ -142,7 +144,7 @@ class ScaleSpec extends SparkSpec {
       .map(r => r.getLong(0) -> r.getLong(1)).toMap
     assert(hot.values.sum === HotDocs.toLong, hot.toString)
     assert(hot(HotBaseId) >= HotDocs - 15, s"dominant hot cluster too small: $hot")
-    assertLinear("q_dedup_cc")
+    assertLinear("q_dedup_cc", maxRatio = 6.0) // observed 2.9
   }
 
   test("banded pair join at 10x keeps its plan shape: equi-join, no cartesian") {
@@ -171,7 +173,7 @@ class ScaleSpec extends SparkSpec {
     val want = Replicas * a1 + 1
     assert(math.abs(a10 - want) <= want / 50,
       s"expected ~$want kept docs at 10x (2% corridor), got $a10 (1x keeps $a1)")
-    assertLinear("q_pipeline_corpus2")
+    assertLinear("q_pipeline_corpus2", maxRatio = 7.0) // observed 3.2
   }
 
   test("q_join_fuzzy at 10x: replicas are invisible to each other, linear") {
@@ -184,7 +186,7 @@ class ScaleSpec extends SparkSpec {
     // run generates exactly ten copies of the 1x candidate volume under
     // the hood — which is what the timing ratio below measures
     assert(n1 === 25L && n10 === n1, s"1x=$n1 10x=$n10")
-    assertLinear("q_join_fuzzy")
+    assertLinear("q_join_fuzzy", maxRatio = 12.0) // observed 5.9
   }
 
   // ---- the incremental family at 10x -------------------------------
@@ -380,6 +382,125 @@ class ScaleSpec extends SparkSpec {
       f"apply must scale with the batch, not the base: 1x=$tApply1%.1fs 10x=$tApply10%.1fs")
   }
 
+  // ---- the serving family at 10x -----------------------------------
+
+  /** Bytes actually read off storage during `f`, via task input metrics
+    * (drained deterministically through the listener-bus bridge).
+    */
+  private def measured(f: => Unit): (Double, Long) = {
+    val bytes = new java.util.concurrent.atomic.AtomicLong
+    val tap = new org.apache.spark.scheduler.SparkListener {
+      override def onTaskEnd(
+          te: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit =
+        if (te.taskMetrics != null)
+          bytes.addAndGet(te.taskMetrics.inputMetrics.bytesRead)
+    }
+    spark.sparkContext.addSparkListener(tap)
+    try {
+      val t = timed(f)
+      org.apache.spark.graftaccess.ListenerDrain.drain(spark.sparkContext, 30000)
+      (t, bytes.get)
+    } finally spark.sparkContext.removeSparkListener(tap)
+  }
+
+  private def dirBytes(dir: String): Long = {
+    val fs = new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val it = fs.listFiles(new org.apache.hadoop.fs.Path(dir), true)
+    var n = 0L
+    while (it.hasNext) { val f = it.next(); if (f.isFile) n += f.getLen }
+    n
+  }
+
+  /** The SERVING claim at 10x (the q_sim_served / q_index_bm25_served
+    * SURVEY rows): a serve against a 10x base must stay PROBE-bound, not
+    * base-bound — its storage reads are the probed partition slice (a
+    * small, pruning-proven fraction of the index, where a base-bound
+    * scan would read ~everything), and its wall-time grows with that
+    * slice, far below the 10x of the base. (Strictly flat serving at a
+    * growing corpus additionally scales the partition count — SignBits
+    * with log(corpus), shards with vocabulary — which keeps the probed
+    * slice itself constant-sized; partition-count scaling is a config,
+    * the PRUNING is the architecture, and it is what this test pins.)
+    */
+  test("serving at 10x: ANN and BM25 serves are probe-bound, reads bounded") {
+    import spark.implicits._
+    import graft.ops.{SimilarityOps, TextOps}
+    val (d1, d10) = dirs
+    def evec(k: Int): DataFrame = T(spark, Sf01, "embeddings")
+      .select(
+        ($"vec_id" + lit(k * 2000L)).as("vec_id"),
+        (if (k == 0) $"embedding"
+         else expr(s"concat(slice(embedding, ${k + 1}, ${64 - k}), slice(embedding, 1, $k))"))
+          .as("embedding"))
+    val e1 = evec(0)
+    val e10 = (0 until Replicas).map(evec).reduce(_ unionByName _)
+    val ann1 = Files.createTempDirectory("graft_scale_ann1").toString
+    val ann10 = Files.createTempDirectory("graft_scale_ann10").toString
+    SimilarityOps.writeAnnIndexFor(spark, e1, ann1)
+    SimilarityOps.writeAnnIndexFor(spark, e10, ann10)
+    // the standard probe batch (first 5 vectors, Hamming-1 multi-probe)
+    val probes = e1
+      .select(
+        $"vec_id", $"embedding",
+        graft.ops.Vec.norm2($"embedding").as("n2"),
+        SimilarityOps.bucketCol.as("bucket"))
+      .filter($"vec_id" < 5)
+      .select(
+        $"vec_id".as("probe_id"), $"embedding".as("p"), $"n2".as("pn2"),
+        explode(array(
+          $"bucket" +: (0 until SimilarityOps.SignBits)
+            .map(j => $"bucket".bitwiseXOR(lit(1L << j))): _*)).as("pbucket"))
+      .localCheckpoint(eager = true)
+    def serveAnn(idx: String): Unit =
+      SimilarityOps.serveAnnBatch(spark, idx, probes).foreach(_ => ())
+    serveAnn(ann1) // warm (codegen + listing first-touch)
+    serveAnn(ann10)
+    val (ta1, ba1) = measured(serveAnn(ann1))
+    val (ta10, ba10) = measured(serveAnn(ann10))
+    val annIdxBytes = dirBytes(ann10)
+    info(f"ann serve: 1x=$ta1%.2fs 10x=$ta10%.2fs read10x=${ba10 / 1e6}%.1fMB " +
+      f"of ${annIdxBytes / 1e6}%.1fMB index")
+    // probe-bound reads: the serve touches the probed bucket dirs only —
+    // a bounded fraction of the index (a base-bound scan reads ~all)
+    assert(ba10 > 0 && ba10 < annIdxBytes / 2,
+      f"ANN serve read ${ba10 / 1e6}%.1fMB of a ${annIdxBytes / 1e6}%.1fMB index")
+    // and the read slice grows with the probed partitions (~10x their 1x
+    // size), never quadratically
+    assert(ba10 <= 15L * math.max(ba1, 1L << 20),
+      s"ANN serve reads grew superlinearly: $ba1 -> $ba10")
+    // wall-time: far below base-bound growth (floored: sub-second serves
+    // are scheduling noise)
+    assert(ta10 <= 6.0 * math.max(ta1, 1.0),
+      f"ANN serve wall-time is base-bound: 1x=$ta1%.2fs 10x=$ta10%.2fs")
+
+    // BM25: untagged replicas (shifted ids, same text) so the fixed
+    // query terms keep matching; postings grow 10x, the probed tshard
+    // slice must stay the read set
+    def docRep(k: Int): DataFrame = T(spark, Sf01, "documents")
+      .select(($"doc_id" + lit(k * 5000L)).as("doc_id"), $"lang", $"text")
+    val bm1 = Files.createTempDirectory("graft_scale_bm1").toString
+    val bm10 = Files.createTempDirectory("graft_scale_bm10").toString
+    TextOps.writeBm25IndexFrom(spark, docRep(0), bm1)
+    TextOps.writeBm25IndexFrom(
+      spark, (0 until Replicas).map(docRep).reduce(_ unionByName _), bm10)
+    def serveBm(idx: String): Unit =
+      TextOps.serveBm25(spark, idx).foreach(_ => ())
+    serveBm(bm1) // warm
+    serveBm(bm10)
+    val (tb1, bb1) = measured(serveBm(bm1))
+    val (tb10, bb10) = measured(serveBm(bm10))
+    val bmIdxBytes = dirBytes(bm10)
+    info(f"bm25 serve: 1x=$tb1%.2fs 10x=$tb10%.2fs read10x=${bb10 / 1e6}%.1fMB " +
+      f"of ${bmIdxBytes / 1e6}%.1fMB index")
+    assert(bb10 > 0 && bb10 < bmIdxBytes / 2,
+      f"BM25 serve read ${bb10 / 1e6}%.1fMB of a ${bmIdxBytes / 1e6}%.1fMB index")
+    assert(bb10 <= 15L * math.max(bb1, 1L << 20),
+      s"BM25 serve reads grew superlinearly: $bb1 -> $bb10")
+    assert(tb10 <= 6.0 * math.max(tb1, 1.0),
+      f"BM25 serve wall-time is base-bound: 1x=$tb1%.2fs 10x=$tb10%.2fs")
+  }
+
   test("q_index_inverted at 10x: disjoint vocabularies, bounded postings, linear") {
     import spark.implicits._
     val (d1, d10) = dirs
@@ -391,6 +512,6 @@ class ScaleSpec extends SparkSpec {
     assert(n1 > 0, "1x index is empty - the token filter rejected the tags")
     assert(n10 === Replicas * n1 + 30 + HotDocs,
       s"expected ${Replicas * n1 + 30 + HotDocs} index rows, got $n10")
-    assertLinear("q_index_inverted")
+    assertLinear("q_index_inverted", maxRatio = 4.0) // observed 1.5
   }
 }
