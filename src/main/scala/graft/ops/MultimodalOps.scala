@@ -113,6 +113,19 @@ object MediaCodec extends Serializable {
     val d = decodePng(png)
     Resized(d.width, d.height, OutW, OutH, resizeNearest(d, OutW, OutH))
   }
+
+  /** Fused encode→decode→featurize / encode→decode→resize kernels: the
+    * full codec round trip in ONE interpreted hop per row — the PNG
+    * bytes stay a local on-heap array instead of round-tripping through
+    * Catalyst's row format between two separate UDF boundaries (which
+    * costs an extra serialize + deserialize of the largest intermediate
+    * per row). Same real ImageIO encode and decode as the unfused parts.
+    */
+  def encodeAndFeatures(bytes: Array[Byte]): MediaFeatures =
+    features(encodePng(bytes))
+
+  def encodeAndResize(bytes: Array[Byte]): Resized =
+    resize(encodePng(bytes))
 }
 
 /** Real audio codec kernels over JDK-only `javax.sound.sampled` (WAV/PCM).
@@ -196,14 +209,22 @@ object AudioCodec extends Serializable {
     }
     AudioFeatures(n.toLong, f.getSampleRate.toInt, sum, mx, zc)
   }
+
+  /** Fused encode→decode→featurize (the [[MediaCodec.encodeAndFeatures]]
+    * rationale): one interpreted hop, the WAV container never crosses
+    * the Catalyst row boundary.
+    */
+  def encodeAndFeatures(bytes: Array[Byte]): AudioFeatures =
+    features(encodeWav(bytes))
 }
 
 /** Tier C multimodal operators (charter): media as opaque binary columns
   * with typed metadata; decode / feature-extract / resize as real
   * per-row image kernels over [[MediaCodec]] (JDK `javax.imageio`, no
-  * external libs). The two codec UDFs are the only interpreted hops;
-  * everything around them (projection, hex formatting, ordering) stays
-  * columnar and codegen'd.
+  * external libs). The fused codec UDFs — ONE interpreted hop per query
+  * row, encode and decode inside it — are the only interpreted code in
+  * the repo; everything around them (projection, hex formatting,
+  * ordering) stays columnar and codegen'd.
   */
 object MultimodalOps {
 
@@ -231,9 +252,11 @@ object MultimodalOps {
       .orderBy("doc_id")
   }
 
-  private val pngUdf = udf(MediaCodec.encodePng _)
-  private val featuresUdf = udf(MediaCodec.features _)
-  private val resizeUdf = udf(MediaCodec.resize _)
+  // one FUSED codec UDF per query (verdict-r9): encode and decode run
+  // inside a single interpreted hop, so the encoded container never
+  // serializes through Catalyst between separate encode/decode UDFs
+  private val featuresUdf = udf(MediaCodec.encodeAndFeatures _)
+  private val resizeUdf = udf(MediaCodec.encodeAndResize _)
 
   /** q_mm_features — encode-decode-featurize over the binary column: the
     * payload becomes a real grayscale PNG, a real ImageIO decode recovers
@@ -245,7 +268,7 @@ object MultimodalOps {
   private def mmFeatures(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
     docs(s, d)
-      .select($"doc_id", featuresUdf(pngUdf(payload)).as("f"))
+      .select($"doc_id", featuresUdf(payload).as("f"))
       .select(
         $"doc_id",
         $"f.width".as("width"),
@@ -280,7 +303,7 @@ object MultimodalOps {
   private def mmResize(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
     docs(s, d)
-      .select($"doc_id", resizeUdf(pngUdf(payload)).as("r"))
+      .select($"doc_id", resizeUdf(payload).as("r"))
       .select(
         $"doc_id",
         $"r.orig_w".as("orig_w"),
@@ -320,8 +343,7 @@ object MultimodalOps {
       .orderBy("doc_id")
   }
 
-  private val audioUdf = udf(AudioCodec.encodeWav _)
-  private val audioFeaturesUdf = udf(AudioCodec.features _)
+  private val audioFeaturesUdf = udf(AudioCodec.encodeAndFeatures _)
 
   /** q_mm_audio — encode-decode-featurize for the audio modality: the
     * payload becomes a real 16-bit PCM WAV (JDK AudioSystem writer), a
@@ -334,7 +356,7 @@ object MultimodalOps {
   private def mmAudio(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
     docs(s, d)
-      .select($"doc_id", audioFeaturesUdf(audioUdf(payload)).as("a"))
+      .select($"doc_id", audioFeaturesUdf(payload).as("a"))
       .select(
         $"doc_id",
         $"a.n_samples".as("n_samples"),
