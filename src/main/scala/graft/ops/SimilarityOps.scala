@@ -720,18 +720,22 @@ object SimilarityOps {
     ()
   }
 
-  /** IVF build with an arbitrary codebook (the stand-in cents for the
-    * oracle-checked query; a [[trainCodebook]] result in ServeIndexSpec's
-    * trained round trip): cell-assigned corpus partitioned by cell + the
-    * codebook itself, both parquet.
+  /** Cell-assignment write against a given codebook: the shared kernel
+    * of the monolithic IVF build and the per-generation incremental
+    * build (a batch assigns against the EPOCH'S fixed quantizer, so
+    * increments stay generation-local; retraining is an epoch roll, not
+    * a streaming operation). Input may be raw (vec_id, embedding) — n2
+    * is derived.
     */
-  private[graft] def writeIvfIndexFrom(
+  private[graft] def writeIvfCellsFrom(
       s: SparkSession,
-      e: DataFrame,
+      vecs: DataFrame,
       cents: DataFrame,
       path: String): Unit = {
     import s.implicits._
-    e.crossJoin(broadcast(codebookRow(cents)))
+    vecs
+      .select($"vec_id", $"embedding", Vec.norm2($"embedding").as("n2"))
+      .crossJoin(broadcast(codebookRow(cents)))
       .select(
         $"vec_id",
         $"embedding",
@@ -742,6 +746,19 @@ object SimilarityOps {
       .mode(org.apache.spark.sql.SaveMode.Overwrite)
       .partitionBy("cell")
       .parquet(s"$path/cells")
+  }
+
+  /** IVF build with an arbitrary codebook (the stand-in cents for the
+    * oracle-checked query; a [[trainCodebook]] result in ServeIndexSpec's
+    * trained round trip): cell-assigned corpus partitioned by cell + the
+    * codebook itself, both parquet.
+    */
+  private[graft] def writeIvfIndexFrom(
+      s: SparkSession,
+      e: DataFrame,
+      cents: DataFrame,
+      path: String): Unit = {
+    writeIvfCellsFrom(s, e, cents, s"$path")
     cents.write
       .mode(org.apache.spark.sql.SaveMode.Overwrite)
       .parquet(s"$path/codebook")
@@ -755,9 +772,23 @@ object SimilarityOps {
   private[graft] def serveIvfBatch(
       s: SparkSession,
       indexPath: String,
+      probeVecs: DataFrame): DataFrame =
+    serveIvfBatchMulti(s, Seq(indexPath), probeVecs)
+
+  /** [[serveIvfBatch]] over index GENERATIONS merged on read: the
+    * codebook comes from the newest full snapshot (`paths.head` — all
+    * generations assigned against the same epoch quantizer, so one
+    * codebook ranks every probe), and each generation's cell scan is
+    * pruned by the same literal pcell filter independently. Vector ids
+    * are disjoint across generations (monotone ingest): the union is
+    * exact.
+    */
+  private[graft] def serveIvfBatchMulti(
+      s: SparkSession,
+      indexPaths: Seq[String],
       probeVecs: DataFrame): DataFrame = {
     import s.implicits._
-    val cbRead = s.read.parquet(s"$indexPath/codebook")
+    val cbRead = s.read.parquet(s"${indexPaths.head}/codebook")
     val probeCells = probeVecs
       .crossJoin(broadcast(codebookRow(cbRead)))
       .select(
@@ -768,10 +799,11 @@ object SimilarityOps {
       .select($"probe_id", $"p", $"pn2", (-$"sc.nid").as("pcell"))
     val pcells =
       probeCells.select($"pcell").distinct().collect().map(_.get(0)).toSeq
-    val idx = s.read.parquet(s"$indexPath/cells")
+    val idx = indexPaths
+      .map(p => s.read.parquet(s"$p/cells").filter($"cell".isin(pcells: _*)))
+      .reduce(_ unionByName _)
     val w = Window.partitionBy($"probe_id").orderBy($"cos".desc, $"vec_id")
     idx
-      .filter($"cell".isin(pcells: _*))
       .join(broadcast(probeCells), $"cell" === $"pcell" && $"vec_id" =!= $"probe_id")
       .select(
         $"probe_id",

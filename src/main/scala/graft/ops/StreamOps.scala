@@ -1001,6 +1001,89 @@ object StreamOps {
       annGenerationRoots(s, annIndexDir),
       embStoreGenerationRoots(s, storeIndexDir))
 
+  /** IVF family — the last similarity index without a continuous path.
+    * Unlike the sign-bucket families, a cell assignment DEPENDS on model
+    * state: the coarse quantizer. The streaming contract fixes it per
+    * EPOCH — every generation assigns against the newest full snapshot's
+    * codebook (readable at write time; compaction copies it forward), so
+    * increments stay generation-local and merge-on-read stays exact.
+    * Retraining the quantizer is an epoch roll (re-seed + backfill), not
+    * a streaming operation — the standard IVF production contract.
+    */
+  private def ivfFamily(indexDir: String) = graft.index.GenLog.GenFamily(
+    write = (s, vecs, path) => {
+      val cb = s.read.parquet(
+        s"${graft.index.GenLog.roots(s, indexDir, "IVF index").head}/codebook")
+      SimilarityOps.writeIvfCellsFrom(s, vecs, cb, path)
+    },
+    fold = (s, roots, path) => {
+      roots
+        .map(p => s.read.parquet(s"$p/cells")
+          .select(
+            col("vec_id"), col("embedding"), col("n2"), col("cell")))
+        .reduce(_ unionByName _)
+        .repartition(col("cell"))
+        .write
+        .mode(org.apache.spark.sql.SaveMode.Overwrite)
+        .partitionBy("cell")
+        .parquet(s"$path/cells")
+      s.read.parquet(s"${roots.head}/codebook")
+        .write
+        .mode(org.apache.spark.sql.SaveMode.Overwrite)
+        .parquet(s"$path/codebook")
+    })
+
+  /** Seed the continuous IVF index: cells + the epoch codebook as the
+    * committed v0 full snapshot. `cents` is the epoch quantizer — the
+    * stand-in first-k rows for the oracle family, or a
+    * [[SimilarityOps.trainCodebook]] result for the production path.
+    */
+  def seedIvfIndex(
+      s: SparkSession,
+      base: DataFrame,
+      cents: DataFrame,
+      indexDir: String): Unit = {
+    val p = s"$indexDir/v0/full"
+    SimilarityOps.writeIvfIndexFrom(
+      s,
+      base.select(
+        col("vec_id"), col("embedding"), Vec.norm2(col("embedding")).as("n2")),
+      cents,
+      p)
+    graft.index.GenLog.markCommitted(s, p)
+  }
+
+  /** Continuous IVF maintenance: each micro-batch assigns its vectors
+    * against the epoch codebook and commits its own cell-partitioned
+    * generation — O(batch) work, the base never re-read or rewritten.
+    */
+  def ivfIndexStreamWriter(
+      vectors: DataFrame,
+      indexDir: String,
+      checkpoint: String): org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
+    graft.index.GenLog.streamWriter(vectors, ivfFamily(indexDir), indexDir, checkpoint)
+
+  private[graft] def ivfGenerationRoots(
+      s: SparkSession,
+      indexDir: String): Seq[String] =
+    graft.index.GenLog.roots(s, indexDir, what = "IVF index")
+
+  /** Serve a probe batch from the continuous IVF index — merge-on-read
+    * through the same pruned cell union [[SimilarityOps.serveIvfBatchMulti]]
+    * the static serve uses.
+    */
+  def serveIvfContinuous(
+      s: SparkSession,
+      indexDir: String,
+      probeVecs: DataFrame): DataFrame =
+    SimilarityOps.serveIvfBatchMulti(s, ivfGenerationRoots(s, indexDir), probeVecs)
+
+  /** Compaction for the continuous IVF index (kernel protocol; the fold
+    * carries the epoch codebook forward).
+    */
+  def compactIvfIndex(s: SparkSession, indexDir: String, keepFulls: Int = 2): Unit =
+    graft.index.GenLog.compact(s, indexDir, ivfFamily(indexDir), keepFulls)
+
   /** update-mode stream → keyed JDBC upsert: the streaming CDC-apply.
     * Each micro-batch's changed rows go through
     * [[Sinks.upsertSnapshotJdbc]], whose replace-by-key idempotence makes
