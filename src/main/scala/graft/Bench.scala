@@ -14,6 +14,7 @@ object BenchSplits {
       "q_sim_served" -> ops.SimilarityOps.simServedSplit(s, d),
       "q_sim_incr" -> ops.SimilarityOps.simIncrSplit(s, d),
       "q_sim_ivf_served" -> ops.SimilarityOps.simIvfServedSplit(s, d),
+      "q_sim_quantized_served" -> ops.SimilarityOps.simQuantizedServedSplit(s, d),
       "q_index_bm25_served" -> ops.TextOps.bm25Split(s, d),
       "q_index_bm25_incr" -> ops.TextOps.bm25IncrSplit(s, d),
       "q_retrieval_rrf_served" -> ops.TextOps.rrfServedSplit(s, d),

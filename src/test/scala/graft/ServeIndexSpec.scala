@@ -115,6 +115,29 @@ class ServeIndexSpec extends SparkSpec {
     assert(pruned == 2, s"expected 2 pruned generation scans, got $pruned:\n$p")
   }
 
+  test("q_sim_quantized_served equals its in-session twin from a pruned int8 scan") {
+    assert(
+      rows(SparkEntry.queries("q_sim_quantized_served")(spark, sf)) ===
+        rows(SparkEntry.queries("q_sim_quantized")(spark, sf)))
+    // the scan tier reads only the probed bucket directories of the
+    // persisted quantized index
+    val p = SparkEntry.queries("q_sim_quantized_served")(spark, sf)
+      .queryExecution.executedPlan.toString
+    assert(
+      "PartitionFilters: \\[[^\\]]*bucket[^\\]]*(INSET|IN \\()".r.findFirstIn(p).isDefined,
+      p)
+    // directory-level proof: probed set is a strict subset of the
+    // index's bucket directories
+    val idxDir = s"${SimilarityOps.serveRoot(spark, sf)}/annq"
+    val fs = new org.apache.hadoop.fs.Path(idxDir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val bucketDirs = fs
+      .listStatus(new org.apache.hadoop.fs.Path(idxDir))
+      .count(_.getPath.getName.startsWith("bucket="))
+    assert(bucketDirs > SimilarityOps.SignBits + 1,
+      s"index holds only $bucketDirs bucket dirs — pruning unprovable")
+  }
+
   test("q_retrieval_rrf_served: three-index serve equals in-session; id-fetch is shard-pruned") {
     assert(
       rows(SparkEntry.queries("q_retrieval_rrf_served")(spark, sf)) ===
