@@ -1084,6 +1084,35 @@ object StreamOps {
   def compactIvfIndex(s: SparkSession, indexDir: String, keepFulls: Int = 2): Unit =
     graft.index.GenLog.compact(s, indexDir, ivfFamily(indexDir), keepFulls)
 
+  /** The EPOCH ROLL — the operation the streaming contract defers
+    * quantizer retraining to: reassign every vector across the current
+    * generation roots against a NEW codebook (e.g. a fresh
+    * [[SimilarityOps.trainCodebook]] result over the grown corpus) into
+    * a NEW index directory, whose committed v0 full snapshot becomes the
+    * new epoch's seed. Blue/green by construction — the production
+    * deployment shape: the new directory is invisible until its marker
+    * lands (a crashed roll leaves the old epoch serving, untouched), the
+    * caller switches serving to `newIndexDir` and restarts the ingest
+    * stream against it with a fresh checkpoint (new generations then
+    * assign against the new codebook automatically, and version
+    * numbering restarts cleanly — an in-place roll would collide with
+    * the old checkpoint's batch numbering: a post-roll gen landing at or
+    * below the roll's version would be silently superseded).
+    */
+  def rollIvfEpoch(
+      s: SparkSession,
+      indexDir: String,
+      newCents: DataFrame,
+      newIndexDir: String): Unit = {
+    val vectors = ivfGenerationRoots(s, indexDir)
+      .map(p => s.read.parquet(s"$p/cells")
+        .select(col("vec_id"), col("embedding"), col("n2")))
+      .reduce(_ unionByName _)
+    val p = s"$newIndexDir/v0/full"
+    SimilarityOps.writeIvfIndexFrom(s, vectors, newCents, p)
+    graft.index.GenLog.markCommitted(s, p)
+  }
+
   /** update-mode stream → keyed JDBC upsert: the streaming CDC-apply.
     * Each micro-batch's changed rows go through
     * [[Sinks.upsertSnapshotJdbc]], whose replace-by-key idempotence makes

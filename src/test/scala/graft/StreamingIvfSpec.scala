@@ -123,5 +123,33 @@ class StreamingIvfSpec extends SparkSpec {
       rows(StreamOps.serveIvfContinuous(spark, indexDir, probes)) ===
         rows(SparkEntry.queries("q_sim_ivf_batch")(spark, sf)
           .select($"probe_id", $"vec_id", $"cell".cast("long").as("cell"), $"cos")))
+
+    // EPOCH ROLL (blue/green): retrain the quantizer over the grown
+    // corpus, reassign every streamed vector into a fresh index dir, and
+    // the new epoch serves exactly like a monolithic build with the new
+    // codebook — while the old epoch dir is untouched
+    val newCb = SimilarityOps.trainCodebook(
+      all.select($"vec_id", $"embedding", Vec.norm2($"embedding").as("n2")),
+      16, iters = 2)
+    val newCents = {
+      import spark.implicits._
+      newCb.toDF("c_id", "c").select($"c_id", $"c", Vec.norm2($"c").as("cn2"))
+    }
+    val rolled = Files.createTempDirectory("graft_ivf_rolled").toString
+    StreamOps.rollIvfEpoch(spark, indexDir, newCents, rolled)
+    val monolithicNew = Files.createTempDirectory("graft_ivf_mono").toString
+    SimilarityOps.writeIvfIndexFrom(
+      spark,
+      all.select($"vec_id", $"embedding", Vec.norm2($"embedding").as("n2")),
+      newCents,
+      monolithicNew)
+    assert(
+      rows(StreamOps.serveIvfContinuous(spark, rolled, probes)) ===
+        rows(SimilarityOps.serveIvfBatch(spark, monolithicNew, probes)))
+    // old epoch still serves the old answers (blue/green: nothing moved)
+    assert(
+      rows(StreamOps.serveIvfContinuous(spark, indexDir, probes)) ===
+        rows(SparkEntry.queries("q_sim_ivf_batch")(spark, sf)
+          .select($"probe_id", $"vec_id", $"cell".cast("long").as("cell"), $"cos")))
   }
 }
