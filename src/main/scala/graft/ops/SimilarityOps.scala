@@ -1014,21 +1014,55 @@ object SimilarityOps {
     quantStage(e, quantProbe(e))
   }
 
-  /** Dataset-keyed quantized-index build (build-once): the quantized
-    * frame bucket-partitioned to parquet — int8 lanes in the scan tier,
-    * float vectors riding along for the 20-row rescore tier.
+  /** Quantized-index write for an arbitrary corpus slice — the shared
+    * kernel of the monolithic build and the per-generation incremental
+    * build: the quantized frame bucket-partitioned to parquet — int8
+    * lanes in the scan tier, float vectors riding along for the 20-row
+    * rescore tier.
     */
-  private[graft] def writeQuantIndex(s: SparkSession, d: String, path: String): Unit = {
+  private[graft] def writeQuantIndexFor(
+      s: SparkSession,
+      vecs: DataFrame,
+      path: String): Unit = {
     import s.implicits._
-    graft.index.GenLog.buildOnce(s, path) {
-      quantizedFrame(emb(s, d))
-        .repartition($"bucket")
-        .write
-        .mode(org.apache.spark.sql.SaveMode.Overwrite)
-        .partitionBy("bucket")
-        .parquet(path)
-    }
+    quantizedFrame(vecs.select($"vec_id", $"embedding"))
+      .repartition($"bucket")
+      .write
+      .mode(org.apache.spark.sql.SaveMode.Overwrite)
+      .partitionBy("bucket")
+      .parquet(path)
+  }
+
+  /** Dataset-keyed quantized-index build (build-once). */
+  private[graft] def writeQuantIndex(s: SparkSession, d: String, path: String): Unit = {
+    graft.index.GenLog.buildOnce(s, path)(writeQuantIndexFor(s, emb(s, d), path))
     ()
+  }
+
+  /** The standard quantized probe (vec_id 0) computed in-session — one
+    * row of bounded model state, lineage severed so the probe-side
+    * quantization never rescans the corpus.
+    */
+  private[graft] def quantProbeFrame(s: SparkSession, d: String): DataFrame =
+    quantProbe(quantizedFrame(emb(s, d))).localCheckpoint()
+
+  /** Serve the standard probe from one or more quantized index
+    * GENERATIONS merged on read: each generation's scan pruned by the
+    * same literal bucket INSET filter; vector ids disjoint across
+    * generations (monotone ingest), so the union — and therefore the
+    * integer stage-1 cut — is exact.
+    */
+  private[graft] def serveQuantBatchMulti(
+      s: SparkSession,
+      indexPaths: Seq[String],
+      probes: DataFrame): DataFrame = {
+    import s.implicits._
+    val pbuckets = probes.select($"pbucket").distinct().collect().map(_.get(0)).toSeq
+    quantStage(
+      indexPaths
+        .map(p => s.read.parquet(p).filter($"bucket".isin(pbuckets: _*)))
+        .reduce(_ unionByName _),
+      probes)
   }
 
   /** q_sim_quantized_served — the two-stage retrieve/rescore answered
@@ -1042,14 +1076,9 @@ object SimilarityOps {
     * a single hit.
     */
   private def simQuantizedServed(s: SparkSession, d: String): DataFrame = {
-    import s.implicits._
     val path = s"${serveRoot(s, d)}/annq"
     writeQuantIndex(s, d, path)
-    val probes = quantProbe(quantizedFrame(emb(s, d)))
-      .localCheckpoint() // one row: sever the corpus lineage so the
-                         // probe-side quantization never rescans
-    val pbuckets = probes.select($"pbucket").distinct().collect().map(_.get(0)).toSeq
-    quantStage(s.read.parquet(path).filter($"bucket".isin(pbuckets: _*)), probes)
+    serveQuantBatchMulti(s, Seq(path), quantProbeFrame(s, d))
   }
 
   /** Build/serve decomposition of q_sim_quantized_served for the bench's
@@ -1057,15 +1086,9 @@ object SimilarityOps {
     */
   private[graft] def simQuantizedServedSplit(
       s: SparkSession, d: String): (() => Unit, () => DataFrame) = {
-    import s.implicits._
     val path = s"${serveRoot(s, d)}/annq"
     (() => writeQuantIndex(s, d, path),
-      () => {
-        val probes = quantProbe(quantizedFrame(emb(s, d))).localCheckpoint()
-        val pbuckets =
-          probes.select($"pbucket").distinct().collect().map(_.get(0)).toSeq
-        quantStage(s.read.parquet(path).filter($"bucket".isin(pbuckets: _*)), probes)
-      })
+      () => serveQuantBatchMulti(s, Seq(path), quantProbeFrame(s, d)))
   }
 
   private val QuantizedSql = {

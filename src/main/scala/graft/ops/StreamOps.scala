@@ -1001,6 +1001,53 @@ object StreamOps {
       annGenerationRoots(s, annIndexDir),
       embStoreGenerationRoots(s, storeIndexDir))
 
+  /** Quantized-index family — the int8 scan tier maintained
+    * continuously beside the float tier: same generation-local shape as
+    * [[AnnFamily]] (quantization is per-vector, so a batch quantizes
+    * without reading prior state).
+    */
+  private val QuantFamily = graft.index.GenLog.GenFamily(
+    write = (s, vecs, path) => SimilarityOps.writeQuantIndexFor(s, vecs, path),
+    fold = (s, roots, path) =>
+      roots
+        .map(p => s.read.parquet(p)
+          .select(
+            col("vec_id"), col("embedding"), col("n2"),
+            col("bucket"), col("qv")))
+        .reduce(_ unionByName _)
+        .repartition(col("bucket"))
+        .write
+        .mode(org.apache.spark.sql.SaveMode.Overwrite)
+        .partitionBy("bucket")
+        .parquet(path))
+
+  /** Seed / continuous maintenance / serve / compaction for the
+    * quantized scan tier (kernel protocol — the [[AnnFamily]] notes
+    * apply verbatim).
+    */
+  def seedQuantIndex(s: SparkSession, base: DataFrame, indexDir: String): Unit =
+    graft.index.GenLog.seed(s, QuantFamily, base, indexDir)
+
+  def quantIndexStreamWriter(
+      vectors: DataFrame,
+      indexDir: String,
+      checkpoint: String): org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
+    graft.index.GenLog.streamWriter(vectors, QuantFamily, indexDir, checkpoint)
+
+  private[graft] def quantGenerationRoots(
+      s: SparkSession,
+      indexDir: String): Seq[String] =
+    graft.index.GenLog.roots(s, indexDir, what = "quantized index")
+
+  def serveQuantContinuous(
+      s: SparkSession,
+      indexDir: String,
+      probes: DataFrame): DataFrame =
+    SimilarityOps.serveQuantBatchMulti(s, quantGenerationRoots(s, indexDir), probes)
+
+  def compactQuantIndex(s: SparkSession, indexDir: String, keepFulls: Int = 2): Unit =
+    graft.index.GenLog.compact(s, indexDir, QuantFamily, keepFulls)
+
   /** IVF family — the last similarity index without a continuous path.
     * Unlike the sign-bucket families, a cell assignment DEPENDS on model
     * state: the coarse quantizer. The streaming contract fixes it per
