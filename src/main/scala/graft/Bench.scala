@@ -61,7 +61,14 @@ object Bench {
       }
     }
     System.gc() // drop warmup garbage so no measured query eats the pause
-    // name order: stable across rounds, so per-query numbers are comparable
+    // name order: stable across rounds, so per-query numbers are
+    // comparable. COMPARABILITY CAVEAT (round 10): served/incremental
+    // queries now ride the build-once index catalog, so iteration 1
+    // pays the index build and iterations 2..n serve from the committed
+    // artifacts — their medians are serve-dominated (the production
+    // amortization), a semantics change vs rounds ≤ 9 where every
+    // iteration rebuilt. The from-cold build cost is reported in
+    // `splits` below, which runs under its own fresh warehouse root.
     val names = SparkEntry.queries.toSeq.sortBy(_._1)
     // INTERLEAVED iterations: run the full query list `iters` times and take
     // each query's median ACROSS list-rounds. Back-to-back iterations of one

@@ -196,9 +196,19 @@ object GenLog {
     * leaves superseded dirs that the next compaction re-collects.
     */
   def compact(s: SparkSession, dir: String, fam: GenFamily, keepFulls: Int = 2): Unit = {
-    val rs = roots(s, dir)
-    if (rs.size > 1) {
-      val k = versions(s, dir, requiring = GenSub).max
+    // ONE listing decides both the fold inputs and the fold version: a
+    // generation committed after this listing has a version above `k`
+    // (stream versions are monotonic), so it can neither be missing
+    // from the fold it is claimed by nor be deleted by the cleanup —
+    // deriving `k` from a second listing would let a gen that landed
+    // between the listings be superseded without ever being folded
+    val fulls0 = versions(s, dir, requiring = FullSub)
+    require(fulls0.nonEmpty, s"index at $dir has no committed full snapshot")
+    val f = fulls0.max
+    val gens = versions(s, dir, requiring = GenSub).filter(_ > f).sorted
+    if (gens.nonEmpty) {
+      val rs = s"$dir/v$f/$FullSub" +: gens.map(v => s"$dir/v$v/$GenSub")
+      val k = gens.max
       val p = s"$dir/v$k/$FullSub"
       fam.fold(s, rs, p)
       markCommitted(s, p)
@@ -211,6 +221,34 @@ object GenLog {
     }
     fulls.dropRight(math.max(keepFulls, 1)).foreach { v =>
       fs.delete(new Path(s"$dir/v$v/$FullSub"), true)
+    }
+  }
+
+  /** Adopt a PRE-CATALOG index directory: drop a commit marker into
+    * every non-empty artifact directory under its `v<N>` versions.
+    * Marker-gated recognition would otherwise treat an intact directory
+    * written before the marker protocol existed as fully uncommitted
+    * (roots() refuses, reads see nothing). Adoption is an explicit
+    * OPERATOR action asserting the directory is healthy — the one-time
+    * upgrade migration — not automatic recognition: everything written
+    * after it carries real markers and the crash-safety contract.
+    * Returns the adopted (version, artifact) pairs.
+    */
+  def adopt(s: SparkSession, dir: String): Seq[(Long, String)] = {
+    val fs = fsOf(s, dir)
+    versions(s, dir).sorted.flatMap { v =>
+      fs.listStatus(new Path(s"$dir/v$v"))
+        .toSeq
+        .filter(st => st.isDirectory && !st.getPath.getName.startsWith("_"))
+        .map(_.getPath.getName)
+        .filter { a =>
+          val p = s"$dir/v$v/$a"
+          !isCommitted(s, p) && fs.listStatus(new Path(p)).nonEmpty
+        }
+        .map { a =>
+          markCommitted(s, s"$dir/v$v/$a")
+          (v, a)
+        }
     }
   }
 

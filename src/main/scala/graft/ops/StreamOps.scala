@@ -662,7 +662,13 @@ object StreamOps {
     * last compaction).
     */
   def compactDedupIndex(s: SparkSession, indexDir: String): Unit = {
-    val committed = indexVersions(s, indexDir, requiring = "assign")
+    // a batch counts as committed only once its LAST artifact (band_inc)
+    // is marked: gating on the first-written one (assign) would let a
+    // compaction that runs after a mid-batch crash fold a snapshot at
+    // version k WITHOUT that batch's increments — and the retried
+    // batch's increments, landing at v == snapVer, would then be
+    // invisible to every merge-on-read forever
+    val committed = indexVersions(s, indexDir, requiring = "band_inc")
     if (committed.isEmpty) return
     val k = committed.max
     if (indexVersions(s, indexDir, requiring = "band_index").max >= k) return
@@ -785,7 +791,9 @@ object StreamOps {
     * dirs. Committed `pairs` outputs are never touched.
     */
   def compactEmbedIndex(s: SparkSession, indexDir: String): Unit = {
-    val committed = indexVersions(s, indexDir, requiring = "pairs")
+    // gate on band_inc, the batch's LAST-written artifact (the
+    // compactDedupIndex rationale)
+    val committed = indexVersions(s, indexDir, requiring = "band_inc")
     if (committed.isEmpty) return
     val k = committed.max
     if (indexVersions(s, indexDir, requiring = "band_index").max >= k) return
@@ -1091,12 +1099,10 @@ object StreamOps {
       cents: DataFrame,
       indexDir: String): Unit = {
     val p = s"$indexDir/v0/full"
+    // raw (vec_id, embedding) is the kernel contract — writeIvfCellsFrom
+    // derives n2 itself
     SimilarityOps.writeIvfIndexFrom(
-      s,
-      base.select(
-        col("vec_id"), col("embedding"), Vec.norm2(col("embedding")).as("n2")),
-      cents,
-      p)
+      s, base.select(col("vec_id"), col("embedding")), cents, p)
     graft.index.GenLog.markCommitted(s, p)
   }
 
@@ -1153,7 +1159,7 @@ object StreamOps {
       newIndexDir: String): Unit = {
     val vectors = ivfGenerationRoots(s, indexDir)
       .map(p => s.read.parquet(s"$p/cells")
-        .select(col("vec_id"), col("embedding"), col("n2")))
+        .select(col("vec_id"), col("embedding")))
       .reduce(_ unionByName _)
     val p = s"$newIndexDir/v0/full"
     SimilarityOps.writeIvfIndexFrom(s, vectors, newCents, p)

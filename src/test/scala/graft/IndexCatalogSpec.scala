@@ -134,6 +134,53 @@ class IndexCatalogSpec extends SparkSpec {
     assert(GenLog.versions(spark, dir, requiring = "gen").isEmpty)
   }
 
+  test("adopt() migrates a pre-catalog (marker-less) index directory") {
+    val dir = Files.createTempDirectory("graft_cat_adopt").toString
+    val all = T(spark, sf, "embeddings")
+    val cut = all.agg(max($"vec_id")).head.getLong(0) * 8 / 10
+    // a legacy layout: real artifacts, written without markers
+    graft.ops.SimilarityOps.writeAnnIndexFor(
+      spark, all.filter($"vec_id" <= cut), s"$dir/v0/full")
+    graft.ops.SimilarityOps.writeAnnIndexFor(
+      spark, all.filter($"vec_id" > cut), s"$dir/v1/gen")
+    // marker-gated recognition refuses the intact directory...
+    intercept[IllegalArgumentException] {
+      StreamOps.serveAnnContinuous(
+        spark, dir, SimilarityOps.batchProbeFrame(spark, sf))
+    }
+    // ...until the operator adopts it; then it serves exactly
+    val adopted = GenLog.adopt(spark, dir)
+    assert(adopted.toSet === Set((0L, "full"), (1L, "gen")))
+    assert(
+      rows(StreamOps.serveAnnContinuous(
+        spark, dir, SimilarityOps.batchProbeFrame(spark, sf))) ===
+        rows(SparkEntry.queries("q_sim_batch")(spark, sf)))
+    // idempotent: a second adoption finds nothing to do
+    assert(GenLog.adopt(spark, dir).isEmpty)
+  }
+
+  test("dedup compaction ignores a mid-batch crash's partially-committed version") {
+    import org.apache.spark.sql.functions.{col => c}
+    val dir = Files.createTempDirectory("graft_cat_halfbatch").toString
+    val docs = T(spark, sf, "documents").select($"doc_id", $"lang", $"text")
+    val cut = docs.agg(max($"doc_id")).head.getLong(0) * 9 / 10
+    StreamOps.seedDedupIndex(spark, docs.filter($"doc_id" <= cut), dir)
+    // simulate a batch that crashed after committing its FIRST artifact
+    // (assign) but before its index increments
+    GenLog.commitParquet(
+      docs.filter($"doc_id" > cut).select($"doc_id", $"doc_id".as("cluster_id")),
+      s"$dir/v2/assign")
+    // compaction must NOT fold a snapshot at v2 (the increments are not
+    // committed): gating on the first-written artifact would strand the
+    // retried batch's increments at v == snapVer forever
+    StreamOps.compactDedupIndex(spark, dir)
+    assert(GenLog.versions(spark, dir, requiring = "band_index") === Seq(0L))
+    assert(!GenLog.manifest(spark, dir).exists {
+      case (2L, "band_index", _) => true
+      case _                     => false
+    })
+  }
+
   test("dedup/embed snapshot pruners bound the dir to O(keep) copies") {
     val dir = Files.createTempDirectory("graft_cat_embprune").toString
     val vecs = T(spark, sf, "embeddings").select($"vec_id", $"embedding")
