@@ -662,10 +662,23 @@ object TextOps {
     * corpus stats are the element-wise sum) — answering from base +
     * increments must equal answering from a single rebuilt index.
     */
-  private[graft] def serveBm25(s: SparkSession, paths: Seq[String]): DataFrame = {
+  private[graft] def serveBm25(s: SparkSession, paths: Seq[String]): DataFrame =
+    serveBm25For(s, paths, queryFrame(s))
+
+  /** Serve an ARBITRARY (query_id, term) frame from persisted postings
+    * generations — the library serving API (the fixed [[Bm25Queries]]
+    * set is just the oracle-checked benchmark instance): the query
+    * terms' shard ids become the literal partition filter on every
+    * generation's scan, per-term df is the plain count over the pruned
+    * union (a term's postings live wholly in its shard), corpus stats
+    * sum element-wise.
+    */
+  private[graft] def serveBm25For(
+      s: SparkSession,
+      paths: Seq[String],
+      q: DataFrame): DataFrame = {
     import s.implicits._
-    val q = Bm25Queries.toDF("query_id", "term")
-    val shards = bm25ProbedShards(s)
+    val shards = bm25ProbedShardsOf(q)
     val postings = paths
       .map(p => s.read.parquet(s"$p/postings").filter($"tshard".isin(shards: _*)))
       .reduce(_ unionByName _)
@@ -1177,11 +1190,22 @@ object TextOps {
     * partition filter [[serveBm25]] pushes; exposed so ServeIndexSpec can
     * assert the probed set is a strict subset of the shard directories.
     */
-  private[graft] def bm25ProbedShards(s: SparkSession): Seq[Any] = {
-    import s.implicits._
-    Bm25Queries.map(_._2).distinct.toDF("term")
-      .select(pmod(hash($"term"), lit(Bm25Shards)))
+  private[graft] def bm25ProbedShards(s: SparkSession): Seq[Any] =
+    bm25ProbedShardsOf(queryFrame(s))
+
+  /** The shard ids a query frame's terms probe — ≤ |distinct terms|
+    * values of bounded model state, the literal partition filter every
+    * BM25 serve pushes.
+    */
+  private def bm25ProbedShardsOf(q: DataFrame): Seq[Any] = {
+    import q.sparkSession.implicits._
+    q.select(pmod(hash($"term"), lit(Bm25Shards)))
       .distinct().collect().map(_.get(0)).toSeq
+  }
+
+  private def queryFrame(s: SparkSession): DataFrame = {
+    import s.implicits._
+    Bm25Queries.toDF("query_id", "term")
   }
 
   private val Bm25ValuesSql =

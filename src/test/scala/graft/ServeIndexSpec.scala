@@ -115,6 +115,21 @@ class ServeIndexSpec extends SparkSpec {
     assert(pruned == 2, s"expected 2 pruned generation scans, got $pruned:\n$p")
   }
 
+  test("serveBm25For answers an arbitrary query frame (library API)") {
+    import spark.implicits._
+    import graft.ops.TextOps
+    val path = TextOps.writeBm25Index(spark, sf)
+    // per-query scoring is independent of which other queries ride the
+    // batch, so a subset query frame must reproduce the full serve's
+    // rows for those query ids exactly (through a smaller pruned scan)
+    val subset = TextOps.Bm25Queries.filter(q => q._1 == 1 || q._1 == 4)
+      .toDF("query_id", "term")
+    val got = rows(TextOps.serveBm25For(spark, Seq(path), subset))
+    val want = rows(
+      TextOps.serveBm25(spark, path).filter($"query_id".isin(1, 4)))
+    assert(got === want && got.nonEmpty)
+  }
+
   test("q_sim_quantized_served equals its in-session twin from a pruned int8 scan") {
     assert(
       rows(SparkEntry.queries("q_sim_quantized_served")(spark, sf)) ===
