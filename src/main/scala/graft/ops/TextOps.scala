@@ -1062,40 +1062,71 @@ object TextOps {
     */
   private[graft] def trainBpe(
       s: SparkSession,
-      d: String): (Seq[(Int, String, String, Long)], DataFrame) = {
+      d: String,
+      rounds: Int = BpeRounds,
+      onRound: (Int, Double) => Unit = (_, _) => ())
+      : (Seq[(Int, String, String, Long)], DataFrame) = {
     import s.implicits._
     val hist = bm25TokensOf(docs(s, d))
       .groupBy($"term")
       .agg(count(lit(1)).as("wc"))
-    var vocab = hist
-      .select(
-        $"term",
-        // initial tokenization: space-joined single characters
-        // (substr-based: identical semantics in both engines)
-        concat_ws(
-          " ",
-          transform(
-            sequence(lit(1), length($"term")),
-            i => $"term".substr(i, lit(1)))).as("w"),
-        $"wc")
-      .localCheckpoint()
-    val merges = (1 to BpeRounds).map { r =>
-      // the round's argmax pair is the model update: ONE row of bounded
-      // driver state (the codebook-collect precedent), applied back as
-      // literals — no join in the merge pass at all
-      val top = vocab
-        .select(explode(bpePairsOf($"w")).as("pair"), $"wc")
-        .groupBy($"pair")
-        .agg(sum($"wc").as("n"))
-        .orderBy($"n".desc, $"pair")
-        .limit(1)
-        .head()
-      val Array(pa, pb) = top.getString(0).split(" ", 2)
-      vocab = vocab
-        .select($"term", bpeMergeFold($"w", lit(pa), lit(pb)).as("w"), $"wc")
-        .localCheckpoint()
-      (r, top.getString(0), pa + pb, top.getLong(1))
+    // Checkpoint swap: a production build runs HUNDREDS of rounds, so the
+    // previous round's materialized state must be released once the new
+    // one lands — otherwise the build holds O(rounds) vocabulary copies in
+    // executor storage. Safe to unpersist eagerly: the new checkpoint is
+    // materialized (localCheckpoint is eager) before the old one is
+    // dropped, and nothing else references a superseded round.
+    var liveCkpt = Set.empty[Int]
+    def ckptSwap(df: DataFrame): DataFrame = {
+      val pre = s.sparkContext.getPersistentRDDs.keySet.toSet
+      val out = df.localCheckpoint()
+      val mine = s.sparkContext.getPersistentRDDs.keySet.toSet -- pre
+      liveCkpt.foreach(id =>
+        s.sparkContext.getPersistentRDDs.get(id).foreach(_.unpersist(blocking = false)))
+      liveCkpt = mine
+      out
     }
+    var vocab = ckptSwap(
+      hist
+        .select(
+          $"term",
+          // initial tokenization: space-joined single characters
+          // (substr-based: identical semantics in both engines)
+          concat_ws(
+            " ",
+            transform(
+              sequence(lit(1), length($"term")),
+              i => $"term".substr(i, lit(1)))).as("w"),
+          $"wc"))
+    val merges = (1 to rounds).iterator
+      .map { r =>
+        val t0 = System.nanoTime()
+        // the round's argmax pair is the model update: ONE row of bounded
+        // driver state (the codebook-collect precedent), applied back as
+        // literals — no join in the merge pass at all
+        val tops = vocab
+          .select(explode(bpePairsOf($"w")).as("pair"), $"wc")
+          .groupBy($"pair")
+          .agg(sum($"wc").as("n"))
+          .orderBy($"n".desc, $"pair")
+          .limit(1)
+          .collect()
+        if (tops.isEmpty) None // every word fully merged: training converged
+        else {
+          val top = tops(0)
+          val Array(pa, pb) = top.getString(0).split(" ", 2)
+          vocab = ckptSwap(
+            vocab.select(
+              $"term",
+              bpeMergeFold($"w", lit(pa), lit(pb)).as("w"),
+              $"wc"))
+          onRound(r, (System.nanoTime() - t0) / 1e9)
+          Some((r, top.getString(0), pa + pb, top.getLong(1)))
+        }
+      }
+      .takeWhile(_.isDefined)
+      .flatten
+      .toVector
     (merges, vocab)
   }
 

@@ -50,32 +50,13 @@ class BpeTrainSpec extends SparkSpec {
     assert(foldOne("a ab b", "a", "ab") == "aab b")
   }
 
-  /** Reference BPE trainer: plain Scala, no Spark. Greedy argmax with the
-    * (count DESC, pair ASC) tie-break, non-overlapping left-to-right
-    * apply — the declared q_bpe_train semantics.
+  /** Reference BPE trainer: [[BpeReference.train]] (plain Scala, no
+    * Spark) — shared with ScaleSpec's 64-round depth test.
     */
   private def referenceBpe(
       hist: Map[String, Long],
-      rounds: Int): Seq[(Int, String, String, Long)] = {
-    var words = hist.map { case (t, c) => t.map(_.toString).toList -> c }.toSeq
-    (1 to rounds).map { r =>
-      val counts = collection.mutable.Map.empty[(String, String), Long]
-      for ((toks, c) <- words; Seq(a, b) <- toks.sliding(2) if toks.size > 1)
-        counts((a, b)) = counts.getOrElse((a, b), 0L) + c
-      val ((pa, pb), n) =
-        counts.toSeq.minBy { case ((a, b), n) => (-n, s"$a $b") }
-      words = words.map { case (toks, c) =>
-        val out = collection.mutable.ListBuffer.empty[String]
-        for (t <- toks) {
-          if (out.nonEmpty && out.last == pa && t == pb)
-            out(out.size - 1) = pa + pb
-          else out += t
-        }
-        out.toList -> c
-      }
-      (r, s"$pa $pb", pa + pb, n)
-    }
-  }
+      rounds: Int): Seq[(Int, String, String, Long)] =
+    BpeReference.train(hist, rounds)
 
   test("4-round merge table equals an independent driver-side BPE trainer") {
     import spark.implicits._

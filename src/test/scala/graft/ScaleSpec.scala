@@ -514,4 +514,92 @@ class ScaleSpec extends SparkSpec {
       s"expected ${Replicas * n1 + 30 + HotDocs} index rows, got $n10")
     assertLinear("q_index_inverted", maxRatio = 4.0) // observed 1.5
   }
+
+  /** BPE training at production depth (verdict-r9 #6): a tokenizer build
+    * runs hundreds of merge rounds, not the registry's 4. Drive trainBpe
+    * to 64 rounds over the 10× corpus and pin the three properties that
+    * make that affordable at 100 TB:
+    *
+    *  - the corpus is touched ONCE — the histogram build — no matter how
+    *    deep the training runs (file-scan stage budget ≤ 2, the same
+    *    budget BpeTrainSpec pins at 4 rounds);
+    *  - per-round cost is VOCABULARY-sized and flat: round r's work does
+    *    not grow with r (a lineage leak or checkpoint pileup shows up as
+    *    monotonically slower rounds);
+    *  - training state is bounded: the checkpoint swap releases round
+    *    r-1's materialized vocabulary when round r lands, so executor
+    *    storage holds O(1) copies, not O(rounds).
+    *
+    * Correctness at depth rides the independent driver-side trainer
+    * (BpeReference — no Spark, no SQL): all 64 argmax pairs and counts
+    * must agree.
+    */
+  test("bpe training at 64 rounds on 10x: one corpus scan, flat rounds, bounded state") {
+    import spark.implicits._
+    val (_, d10) = dirs
+    val Rounds = 64
+
+    val group = s"bpe-depth-${System.nanoTime()}"
+    val scanStages = java.util.concurrent.ConcurrentHashMap.newKeySet[Int]()
+    val listener = new org.apache.spark.scheduler.SparkListener {
+      override def onJobStart(j: org.apache.spark.scheduler.SparkListenerJobStart): Unit =
+        if (group == j.properties.getProperty("spark.jobGroup.id"))
+          j.stageInfos.foreach(si =>
+            if (si.rddInfos.exists(_.name.contains("FileScan")))
+              scanStages.add(si.stageId))
+    }
+    spark.sparkContext.addSparkListener(listener)
+    val roundTimes = collection.mutable.ArrayBuffer.empty[Double]
+    val persistedBefore = spark.sparkContext.getPersistentRDDs.keySet.toSet
+    val merges =
+      try {
+        spark.sparkContext.setJobGroup(group, "bpe depth")
+        try graft.ops.TextOps
+          .trainBpe(spark, d10, Rounds, (_, t) => roundTimes += t)
+          ._1
+        finally spark.sparkContext.clearJobGroup()
+      } finally spark.sparkContext.removeSparkListener(listener)
+
+    assert(merges.size === Rounds, s"training converged early: ${merges.size}")
+    // a merged pair can never re-form (merges only concatenate), so the
+    // 64 argmax pairs are necessarily distinct — a repeat means the fold
+    // failed to apply a round's merge
+    assert(merges.map(_._2).distinct.size === Rounds, "argmax pair repeated")
+
+    // one corpus scan for the whole 64-round run
+    org.apache.spark.graftaccess.ListenerDrain.drain(spark.sparkContext, 60000)
+    val scans = { import scala.jdk.CollectionConverters._; scanStages.iterator().asScala.size }
+    assert(scans > 0, "listener captured nothing — scoping broke")
+    assert(scans <= 2, s"file-scan stages across 64 rounds: $scans (budget 2)")
+
+    // flat per-round cost: the last quarter must not run materially
+    // slower than the first (a per-round leak compounds 48 rounds deep
+    // by then); 3x + slack absorbs host noise, not growth
+    val head = roundTimes.take(16).sum / 16
+    val tail = roundTimes.takeRight(16).sum / 16
+    info(f"round cost: first16=${head}%.3fs last16=${tail}%.3fs")
+    assert(tail <= 3.0 * head + 0.25,
+      f"per-round cost grew with depth: first16=$head%.3fs last16=$tail%.3fs")
+
+    // bounded training state: only the final round's checkpoint survives
+    val leaked = spark.sparkContext.getPersistentRDDs.keySet.toSet -- persistedBefore
+    assert(leaked.size <= 2,
+      s"checkpoint pileup: ${leaked.size} persistent RDDs left by training")
+    leaked.foreach(id =>
+      spark.sparkContext.getPersistentRDDs.get(id).foreach(_.unpersist(blocking = false)))
+
+    // depth correctness: all 64 rounds agree with the independent
+    // driver-side trainer on the 10x histogram
+    val hist = T(spark, d10, "documents")
+      .select(explode(split(lower($"text"), " ")).as("term"))
+      .filter($"term".rlike("^[a-z0-9]{3,}$"))
+      .groupBy($"term")
+      .count()
+      .collect()
+      .map(r => r.getString(0) -> r.getLong(1))
+      .toMap
+    val want = BpeReference.train(hist, Rounds)
+    assert(merges == want,
+      s"first diff: ${merges.zip(want).find(p => p._1 != p._2)}")
+  }
 }
