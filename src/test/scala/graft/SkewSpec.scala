@@ -66,4 +66,131 @@ class SkewSpec extends SparkSpec {
       case (k, None)    => conf.unset(k)
     }
   }
+
+  /** The INCREMENTAL apply under the same pathology (verdict-r9 #7): a
+    * boilerplate page dominates a daily batch — 500 exact copies collapse
+    * onto ONE (lang, md5) key and 500 near variants (one extra footer
+    * token each) collapse onto ONE band bucket, together ~87% of a
+    * 1,150-doc batch. The apply must stay batch-sized (the md5 group
+    * collapses to a single rep probe; each near rep verifies against the
+    * ONE indexed boilerplate rep, so probe pairs = near reps, never
+    * near × base), assign every boilerplate row to the persisted base
+    * cluster, and the hot probe bucket must AQE-skew-split in
+    * [[DedupOps.indexProbePairs]]'s shuffle join.
+    */
+  test("boilerplate batch vs persisted index: apply is batch-sized, probe bucket skew-splits") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+
+    def h32(t: String): Long = {
+      val md = java.security.MessageDigest.getInstance("MD5")
+      val hex = md.digest(t.getBytes("UTF-8")).map(b => f"$b%02x").mkString
+      java.lang.Long.parseLong(hex.substring(0, 8), 16)
+    }
+    def lanes(t: String): Seq[Long] =
+      (0 until Hashing.NumHashes).map(j =>
+        Math.floorMod(Hashing.mhA(j) * h32(t) + Hashing.mhB(j), Hashing.P))
+
+    // the boilerplate page: 200 shared tokens; footer tokens are chosen
+    // minhash-neutral in lanes 0-3 (band 0's rows), so all 500 near
+    // variants share band 0's value with the base page — ONE
+    // deterministic hot bucket — while at least one of lanes 4-7 drops
+    // below the shared minima, scattering band 1. One hot key matters:
+    // with two equally-hot keys on a 4-partition shuffle, the hot
+    // partitions ARE the median and AQE's factor*median test can never
+    // fire — the single-hot-bucket shape is both the realistic pathology
+    // (one boilerplate page) and the detectable one. 200 shared tokens
+    // (boilerplate pages are big): map-side lz4 dedups the shared token
+    // arrays across the near-identical rows, so the hot bucket's
+    // COMPRESSED map-output bytes — what MapStatus reports and the skew
+    // detector reads — need a realistic page size to clear factor*median.
+    val shared = (0 until 200).map(k => f"boiler$k%03d")
+    val sharedMin = (0 until Hashing.NumHashes).map(j =>
+      shared.map(t => lanes(t)(j)).min)
+    val footers = Iterator
+      .from(0)
+      .map(i => s"uq$i")
+      .filter { t =>
+        val l = lanes(t)
+        (0 until 4).forall(j => l(j) > sharedMin(j)) &&
+        (4 until 8).exists(j => l(j) < sharedMin(j))
+      }
+      .take(500)
+      .toSeq
+    val boilerText = shared.mkString(" ")
+
+    val base = ((0L, "en", boilerText) +:
+      (1 to 400).map(i => (i.toLong, "en", s"g${i}a g${i}b g${i}c")))
+      .toDF("doc_id", "lang", "text")
+    val (md5Idx0, bandIdx0) = DedupOps.buildDedupIndex(spark, base)
+    val md5Idx = md5Idx0.localCheckpoint(eager = true)
+    val bandIdx = bandIdx0.localCheckpoint(eager = true)
+
+    val exact = (0 until 500).map(i => (10000L + i, "en", boilerText))
+    val near = footers.zipWithIndex.map { case (f, i) =>
+      (20000L + i, "en", s"$boilerText $f")
+    }
+    val fresh = (0 until 150).map(i => (30000L + i, "en", s"f${i}a f${i}b f${i}c"))
+    val batch = (exact ++ near ++ fresh).toDF("doc_id", "lang", "text")
+
+    // batch-sized probe: one verified pair per near rep (the exact copies
+    // never reach the band index — the md5 key catches them first). The
+    // probe frame is what the apply actually probes — the md5-unmatched
+    // reps, near AND fresh — so the shuffle's cold partitions carry the
+    // background load the skew detector's median sees in production.
+    val probeToks = DedupOps.hashedToksOf(
+      (near ++ fresh).toDF("doc_id", "lang", "text"))
+    val conf = spark.conf
+    val saved = Seq(
+      "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes",
+      "spark.sql.adaptive.advisoryPartitionSizeInBytes",
+      "spark.sql.adaptive.skewJoin.skewedPartitionFactor",
+      "spark.sql.adaptive.forceOptimizeSkewedJoin")
+      .map(k => k -> conf.getOption(k))
+    try {
+      conf.set("spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes", "4KB")
+      conf.set("spark.sql.adaptive.advisoryPartitionSizeInBytes", "2KB")
+      conf.set("spark.sql.adaptive.skewJoin.skewedPartitionFactor", "2")
+      conf.set("spark.sql.adaptive.forceOptimizeSkewedJoin", "true")
+      val pairs = DedupOps.indexProbePairs(spark, probeToks, bandIdx)
+      val rows = pairs.collect()
+      assert(rows.length == 500,
+        s"probe must yield ONE pair per near rep (batch-sized), got ${rows.length}")
+      assert(rows.forall(_.getLong(1) == 0L), "every near rep attaches to cluster 0")
+      import org.apache.spark.sql.execution.SparkPlan
+      import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec, ShuffleQueryStageExec}
+      def stages(p: SparkPlan): Seq[ShuffleQueryStageExec] = p match {
+        case s: ShuffleQueryStageExec => s +: stages(s.plan)
+        case q: QueryStageExec => stages(q.plan)
+        case other => other.children.flatMap(stages)
+      }
+      val dbg = pairs.queryExecution.executedPlan match {
+        case a: AdaptiveSparkPlanExec =>
+          stages(a.executedPlan)
+            .map(s => s"stage ${s.id}: ${s.mapStats.map(_.bytesByPartitionId.mkString(","))}")
+            .mkString("; ")
+        case _ => "not adaptive"
+      }
+      val plan = pairs.queryExecution.executedPlan.toString
+      assert(plan.contains("skew=true"), s"no skew-split marker [$dbg] in probe plan:\n$plan")
+
+      // full apply under the skewed batch: every boilerplate row lands in
+      // the persisted base cluster, fresh rows form their own clusters
+      val got = DedupOps
+        .applyDedupDelta(spark, batch, md5Idx, bandIdx)
+        .collect()
+        .map(r => r.getLong(0) -> r.getLong(1))
+        .toMap
+      assert(got.size == 1150)
+      assert((0 until 500).forall(i => got(10000L + i) == 0L),
+        "exact copies must ride the md5 index to cluster 0")
+      assert((0 until 500).forall(i => got(20000L + i) == 0L),
+        "near variants must ride the band index to cluster 0")
+      assert((0 until 150).forall(i => got(30000L + i) == 30000L + i),
+        "fresh docs must form singleton clusters")
+    } finally saved.foreach {
+      case (k, Some(v)) => conf.set(k, v)
+      case (k, None)    => conf.unset(k)
+    }
+  }
 }
