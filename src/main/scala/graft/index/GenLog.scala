@@ -149,6 +149,24 @@ object GenLog {
     * overwrite), and version gaps from empty batches are skipped on
     * read.
     */
+  /** Commit micro-batch `batchId`'s rows as generation v(batchId+1) —
+    * the per-batch body of [[streamWriter]], exposed so a COMPOSED
+    * pipeline (one foreachBatch driving several maintenance legs from
+    * the same micro-batch) can call it directly. Idempotent per
+    * (batchId, input): a retry deterministically overwrites the same
+    * uncommitted directory before the marker lands.
+    */
+  def commitGeneration(
+      fam: GenFamily,
+      batch: DataFrame,
+      dir: String,
+      batchId: Long): Unit = {
+    val sess = batch.sparkSession
+    val p = s"$dir/v${batchId + 1}/$GenSub"
+    fam.write(sess, batch, p)
+    markCommitted(sess, p)
+  }
+
   def streamWriter(
       df: DataFrame,
       fam: GenFamily,
@@ -158,12 +176,7 @@ object GenLog {
       .outputMode("append")
       .option("checkpointLocation", checkpoint)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
-        if (!batch.isEmpty) {
-          val sess = batch.sparkSession
-          val p = s"$dir/v${batchId + 1}/$GenSub"
-          fam.write(sess, batch, p)
-          markCommitted(sess, p)
-        }
+        if (!batch.isEmpty) commitGeneration(fam, batch, dir, batchId)
         ()
       }
 

@@ -280,22 +280,35 @@ object StreamOps {
     * not a streaming operator, so production runs it as a periodic batch
     * compaction over the curated sink (q_pipeline_corpus2).
     */
-  def liftCorpusPipeline(s: SparkSession, sourceDir: String): DataFrame = {
+  /** The curated SURVIVOR stream with full document columns — what a
+    * composed continuous pipeline feeds its downstream maintenance legs
+    * (incremental dedup, index generations, the lake sink): the same
+    * gate ∧ mix → watermarked exact dedup → split composition as
+    * [[liftCorpusPipeline]], keeping text/source so the consumers can
+    * tokenize and hash.
+    */
+  def liftCuratedDocs(
+      s: SparkSession,
+      sourceDir: String,
+      options: Map[String, String] = Map.empty): DataFrame = {
     import s.implicits._
     val bucket = pmod(Hashing.h32($"doc_id".cast("string")), lit(100L))
     CurationOps
-      .qualityGate(docsStream(s, sourceDir))
+      .qualityGate(docsStream(s, sourceDir, options))
       .filter(CurationOps.mixPredicate)
       .withColumn("content_md5", md5($"text"))
       .dropDuplicatesWithinWatermark("content_md5")
-      .select(
-        $"doc_id",
-        $"lang",
-        $"n_chars",
+      .drop("content_md5")
+      .withColumn(
+        "split",
         when(bucket < 80, "train")
           .when(bucket < 90, "valid")
-          .otherwise("test")
-          .as("split"))
+          .otherwise("test"))
+  }
+
+  def liftCorpusPipeline(s: SparkSession, sourceDir: String): DataFrame = {
+    import s.implicits._
+    liftCuratedDocs(s, sourceDir).select($"doc_id", $"lang", $"n_chars", $"split")
   }
 
   /** Streaming lift of q_expect_constraints' ROW-LEVEL rules — the
@@ -624,6 +637,28 @@ object StreamOps {
     * [[DedupOps.fullAssign]] ground truth, including a batch-1 cluster
     * merged by a batch-2 bridge and a two-hop remap chain).
     */
+  /** Commit micro-batch `batchId`'s O(batch) dedup increments as version
+    * v(batchId+1) — the per-batch body of [[incrDedupStreamWriter]],
+    * exposed so a COMPOSED pipeline (curate → dedup → index → publish in
+    * one foreachBatch) can drive this leg from the same micro-batch.
+    */
+  def incrDedupCommit(batch: DataFrame, indexDir: String, batchId: Long): Unit = {
+    val sess = batch.sparkSession
+    val (md5Index, bandIndex) =
+      readDedupIndexState(sess, indexDir, upTo = batchId)
+    val (assign, remap, md5New, bandNew) = DedupOps.applyDedupDeltaIncr(
+      sess,
+      batch.select("doc_id", "lang", "text"),
+      md5Index,
+      bandIndex)
+    val next = s"$indexDir/v${batchId + 1}"
+    graft.index.GenLog.commitParquet(assign, s"$next/assign")
+    graft.index.GenLog.commitParquet(remap, s"$next/remap")
+    graft.index.GenLog.commitParquet(md5New, s"$next/md5_inc")
+    graft.index.GenLog.commitParquet(
+      bandNew, s"$next/band_inc", partitionBy = Seq("band_idx"))
+  }
+
   def incrDedupStreamWriter(
       docs: DataFrame,
       indexDir: String,
@@ -632,22 +667,7 @@ object StreamOps {
       .outputMode("append")
       .option("checkpointLocation", checkpoint)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
-        if (!batch.isEmpty) {
-          val sess = batch.sparkSession
-          val (md5Index, bandIndex) =
-            readDedupIndexState(sess, indexDir, upTo = batchId)
-          val (assign, remap, md5New, bandNew) = DedupOps.applyDedupDeltaIncr(
-            sess,
-            batch.select("doc_id", "lang", "text"),
-            md5Index,
-            bandIndex)
-          val next = s"$indexDir/v${batchId + 1}"
-          graft.index.GenLog.commitParquet(assign, s"$next/assign")
-          graft.index.GenLog.commitParquet(remap, s"$next/remap")
-          graft.index.GenLog.commitParquet(md5New, s"$next/md5_inc")
-          graft.index.GenLog.commitParquet(
-            bandNew, s"$next/band_inc", partitionBy = Seq("band_idx"))
-        }
+        if (!batch.isEmpty) incrDedupCommit(batch, indexDir, batchId)
         ()
       }
 
@@ -901,6 +921,12 @@ object StreamOps {
     */
   def seedBm25Index(s: SparkSession, base: DataFrame, indexDir: String): Unit =
     graft.index.GenLog.seed(s, Bm25Family, base, indexDir)
+
+  /** Per-batch commit of the continuous lexical index — the foreachBatch
+    * body of [[bm25IndexStreamWriter]], exposed for composed pipelines.
+    */
+  def bm25IndexCommit(batch: DataFrame, indexDir: String, batchId: Long): Unit =
+    graft.index.GenLog.commitGeneration(Bm25Family, batch, indexDir, batchId)
 
   /** Continuous lexical index maintenance (see the family block note). */
   def bm25IndexStreamWriter(
