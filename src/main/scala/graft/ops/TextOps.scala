@@ -1075,14 +1075,17 @@ object TextOps {
     // one lands — otherwise the build holds O(rounds) vocabulary copies in
     // executor storage. Safe to unpersist eagerly: the new checkpoint is
     // materialized (localCheckpoint is eager) before the old one is
-    // dropped, and nothing else references a superseded round.
-    var liveCkpt = Set.empty[Int]
+    // dropped, and nothing else references a superseded round. The RDD to
+    // release is read off the checkpointed plan itself (LogicalRDD), not
+    // a getPersistentRDDs diff, so concurrent persists elsewhere in the
+    // session can never be misattributed and unpersisted.
+    var liveCkpt: Option[org.apache.spark.rdd.RDD[_]] = None
     def ckptSwap(df: DataFrame): DataFrame = {
-      val pre = s.sparkContext.getPersistentRDDs.keySet.toSet
       val out = df.localCheckpoint()
-      val mine = s.sparkContext.getPersistentRDDs.keySet.toSet -- pre
-      liveCkpt.foreach(id =>
-        s.sparkContext.getPersistentRDDs.get(id).foreach(_.unpersist(blocking = false)))
+      val mine = out.queryExecution.analyzed.collectFirst {
+        case lr: org.apache.spark.sql.execution.LogicalRDD => lr.rdd
+      }
+      liveCkpt.foreach(_.unpersist(blocking = false))
       liveCkpt = mine
       out
     }
