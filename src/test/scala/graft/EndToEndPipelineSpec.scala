@@ -129,11 +129,32 @@ class EndToEndPipelineSpec extends SparkSpec {
     StreamOps.seedDedupIndex(
       spark, curatedBase.select($"doc_id", $"lang", $"text"), dedupIdx)
     StreamOps.seedBm25Index(spark, curatedBase, bm25Idx)
-    curatedBase.select(lakeCols: _*).write.mode(SaveMode.Overwrite).parquet(lake)
+    curatedBase.select(lakeCols: _*)
+      .write.mode(SaveMode.Overwrite).parquet(s"$lake/batch=seed")
     Sinks.upsertSnapshotSwapJdbc(
       report(curatedBase), url, "corpus_report", Seq("split", "lang"))
 
-    // ---- the single program: one stream, one foreachBatch, four legs
+    // ---- the single program: one stream, one foreachBatch, four legs.
+    // foreachBatch is AT-LEAST-ONCE, so every leg is idempotent per
+    // batchId: the lake write lands in a deterministic per-batch
+    // partition dir with overwrite (a retry replaces its own files, never
+    // appends duplicates), the index commits overwrite-then-mark the same
+    // versioned dirs, and the JDBC publish replaces by key.
+    def processBatch(batch0: DataFrame, batchId: Long): Unit = {
+      if (!batch0.isEmpty) {
+        val batch = batch0.localCheckpoint(true) // four consumers below
+        // ingest_ts is stream plumbing (watermark carrier), not a
+        // corpus column: the lake keeps the batch pipeline's schema
+        batch.select(lakeCols: _*)
+          .write.mode(SaveMode.Overwrite).parquet(s"$lake/batch=$batchId")
+        StreamOps.incrDedupCommit(batch, dedupIdx, batchId)
+        StreamOps.bm25IndexCommit(batch, bm25Idx, batchId)
+        val sess = batch.sparkSession
+        Sinks.upsertSnapshotSwapJdbc(
+          report(sess.read.parquet(lake).select(lakeCols: _*)),
+          url, "corpus_report", Seq("split", "lang"))
+      }
+    }
     val q = StreamOps
       .liftCuratedDocs(
         spark,
@@ -145,18 +166,7 @@ class EndToEndPipelineSpec extends SparkSpec {
         "checkpointLocation",
         Files.createTempDirectory("graft_e2e_ckpt").toString)
       .foreachBatch { (batch0: DataFrame, batchId: Long) =>
-        if (!batch0.isEmpty) {
-          val batch = batch0.localCheckpoint(true) // four consumers below
-          // ingest_ts is stream plumbing (watermark carrier), not a
-          // corpus column: the lake keeps the batch pipeline's schema
-          batch.select(lakeCols: _*).write.mode(SaveMode.Append).parquet(lake)
-          StreamOps.incrDedupCommit(batch, dedupIdx, batchId)
-          StreamOps.bm25IndexCommit(batch, bm25Idx, batchId)
-          val sess = batch.sparkSession
-          Sinks.upsertSnapshotSwapJdbc(
-            report(sess.read.parquet(lake)),
-            url, "corpus_report", Seq("split", "lang"))
-        }
+        processBatch(batch0, batchId)
         ()
       }
       .start()
@@ -200,6 +210,27 @@ class EndToEndPipelineSpec extends SparkSpec {
     assert(
       rows(spark.read.jdbc(url, "corpus_report", props)) ===
         rows(report(curatedAll)))
+
+    // at-least-once: replay the LAST micro-batch through the same
+    // per-batch body (foreachBatch's retry contract — a crash after any
+    // leg re-offers the whole batch) and re-check every surface
+    processBatch(
+      curatedAll.filter($"doc_id" > c1).select(lakeCols: _*), batchId = 1L)
+    assert(
+      rows(spark.read.parquet(lake).select(lakeCols: _*)) ===
+        rows(curatedAll.select(lakeCols: _*)),
+      "batch retry duplicated lake rows")
+    assert(
+      StreamOps
+        .readDedupAssignments(spark, dedupIdx)
+        .collect()
+        .map(r => r.getLong(0) -> r.getLong(1))
+        .toMap === want,
+      "batch retry changed dedup assignments")
+    assert(
+      rows(spark.read.jdbc(url, "corpus_report", props)) ===
+        rows(report(curatedAll)),
+      "batch retry changed the published report")
 
     // compaction of both indexes is read-invariant
     StreamOps.compactDedupIndex(spark, dedupIdx)
