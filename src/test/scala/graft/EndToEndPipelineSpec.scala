@@ -140,6 +140,7 @@ class EndToEndPipelineSpec extends SparkSpec {
     // partition dir with overwrite (a retry replaces its own files, never
     // appends duplicates), the index commits overwrite-then-mark the same
     // versioned dirs, and the JDBC publish replaces by key.
+    val publishedAt = collection.mutable.Map.empty[Long, Seq[String]]
     def processBatch(batch0: DataFrame, batchId: Long): Unit = {
       if (!batch0.isEmpty) {
         val batch = batch0.localCheckpoint(true) // four consumers below
@@ -153,6 +154,7 @@ class EndToEndPipelineSpec extends SparkSpec {
         Sinks.upsertSnapshotSwapJdbc(
           report(sess.read.parquet(lake).select(lakeCols: _*)),
           url, "corpus_report", Seq("split", "lang"))
+        publishedAt(batchId) = rows(sess.read.jdbc(url, "corpus_report", props))
       }
     }
     val q = StreamOps
@@ -181,6 +183,14 @@ class EndToEndPipelineSpec extends SparkSpec {
     assert(
       rows(spark.read.parquet(lake).select(lakeCols: _*)) ===
         rows(curatedAll.select(lakeCols: _*)))
+
+    // the report was CONTINUOUSLY correct, not just eventually: the
+    // snapshot published after batch 0 equals the batch pipeline over
+    // the prefix corpus (base + feed1)
+    assert(
+      publishedAt(0L) ===
+        rows(report(curateBatch(all.filter($"doc_id" <= c1)))),
+      "mid-stream report diverged from the prefix batch pipeline")
 
     // dedup assignments ≡ the full near-dup rebuild restricted to the
     // streamed rows, including the planted doc attaching to a BASE cluster
