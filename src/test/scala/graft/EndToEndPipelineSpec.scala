@@ -140,7 +140,9 @@ class EndToEndPipelineSpec extends SparkSpec {
     // partition dir with overwrite (a retry replaces its own files, never
     // appends duplicates), the index commits overwrite-then-mark the same
     // versioned dirs, and the JDBC publish replaces by key.
-    val publishedAt = collection.mutable.Map.empty[Long, Seq[String]]
+    // written on the stream's micro-batch thread, read by the test
+    // thread after processAllAvailable: concurrent map for visibility
+    val publishedAt = collection.concurrent.TrieMap.empty[Long, Seq[String]]
     def processBatch(batch0: DataFrame, batchId: Long): Unit = {
       if (!batch0.isEmpty) {
         val batch = batch0.localCheckpoint(true) // four consumers below
