@@ -159,23 +159,25 @@ class EndToEndPipelineSpec extends SparkSpec {
         publishedAt(batchId) = rows(sess.read.jdbc(url, "corpus_report", props))
       }
     }
-    val q = StreamOps
-      .liftCuratedDocs(
-        spark,
-        s"$srcDir/documents.parquet",
-        Map("maxFilesPerTrigger" -> "1"))
-      .writeStream
-      .outputMode("append")
-      .option(
-        "checkpointLocation",
-        Files.createTempDirectory("graft_e2e_ckpt").toString)
-      .foreachBatch { (batch0: DataFrame, batchId: Long) =>
-        processBatch(batch0, batchId)
-        ()
-      }
-      .start()
-    try q.processAllAvailable()
-    finally q.stop()
+    val ckpt = Files.createTempDirectory("graft_e2e_ckpt").toString
+    def runProgram(): Unit = {
+      val q = StreamOps
+        .liftCuratedDocs(
+          spark,
+          s"$srcDir/documents.parquet",
+          Map("maxFilesPerTrigger" -> "1"))
+        .writeStream
+        .outputMode("append")
+        .option("checkpointLocation", ckpt)
+        .foreachBatch { (batch0: DataFrame, batchId: Long) =>
+          processBatch(batch0, batchId)
+          ()
+        }
+        .start()
+      try q.processAllAvailable()
+      finally q.stop()
+    }
+    runProgram()
 
     // ---- end state ≡ the batch pipeline over the full corpus
     val curatedAll =
@@ -256,5 +258,84 @@ class EndToEndPipelineSpec extends SparkSpec {
     assert(
       rows(StreamOps.serveBm25Continuous(spark, bm25Idx)) ===
         rows(TextOps.serveBm25(spark, rebuilt)))
+
+    // ---- day 2: stage a new feed and RESTART the same program from its
+    // checkpoint over the now-compacted indexes — the daily stop/compact/
+    // resume loop a production deployment actually runs. Fresh synthetic
+    // docs are pre-filtered through the same curation predicates (so the
+    // staged feed is deterministic), plus one more near variant of the
+    // day-1 donor page, which must probe the COMPACTED band snapshot and
+    // the folded remap log to land in the same base cluster.
+    val fresh3 = {
+      val cand = spark
+        .range(mx + 2000, mx + 2060)
+        .select(
+          $"id".as("doc_id"),
+          lit("en").as("lang"),
+          concat_ws(
+            " ",
+            (0 until 30).map(j =>
+              concat(lit("nf"), ($"id" - (mx + 2000)).cast("string"),
+                lit(f"w$j%02d"))): _*).as("text"),
+          lit("synthetic").as("source"))
+        .withColumn("n_chars", length($"text"))
+      CurationOps
+        .qualityGate(cand.filter(CurationOps.mixPredicate))
+        .select($"doc_id", $"lang", $"text", $"source", $"n_chars")
+        .localCheckpoint(true)
+    }
+    assert(fresh3.count() >= 3, "day-2 synthetic docs all died in curation")
+    val near2Text = donor.getString(0).split(" ").dropRight(2).mkString(" ")
+    val near2Id = {
+      val cand = spark
+        .range(mx + 3000, mx + 3100)
+        .select(
+          $"id".as("doc_id"),
+          lit(donor.getString(1)).as("lang"),
+          lit(near2Text).as("text"),
+          lit(donor.getString(2)).as("source"),
+          lit(near2Text.length.toLong).as("n_chars"))
+      CurationOps
+        .qualityGate(cand.filter(CurationOps.mixPredicate))
+        .agg(min($"doc_id"))
+        .head()
+        .getLong(0)
+    }
+    val near2 = Seq((near2Id, donor.getString(1), near2Text,
+      donor.getString(2), near2Text.length.toLong))
+      .toDF("doc_id", "lang", "text", "source", "n_chars")
+    val feed3 = fresh3.unionByName(near2)
+    stageFile(srcDir, feed3, "feed3", 3000000L)
+    runProgram() // same checkpoint: resumes at batch 2
+
+    val curatedAll2 = curateBatch(
+      all.unionByName(planted).unionByName(feed3)).localCheckpoint(true)
+    assert(
+      rows(spark.read.parquet(lake).select(lakeCols: _*)) ===
+        rows(curatedAll2.select(lakeCols: _*)),
+      "day-2 lake diverged from the batch pipeline")
+    val got3 = StreamOps
+      .readDedupAssignments(spark, dedupIdx)
+      .collect()
+      .map(r => r.getLong(0) -> r.getLong(1))
+      .toMap
+    val want3 = DedupOps
+      .fullAssign(spark, curatedAll2.select($"doc_id", $"lang", $"text"))
+      .collect()
+      .map(r => r.getLong(0) -> r.getLong(1))
+      .filter(_._1 > cut)
+      .toMap
+    assert(got3 === want3, "day-2 dedup diverged from the batch rebuild")
+    assert(got3(near2Id) === got(plantedId),
+      "day-2 near variant must join the donor's cluster through the compacted index")
+    val rebuilt2 = Files.createTempDirectory("graft_e2e_rebuilt2").toString
+    TextOps.writeBm25IndexFrom(spark, curatedAll2, rebuilt2)
+    assert(
+      rows(StreamOps.serveBm25Continuous(spark, bm25Idx)) ===
+        rows(TextOps.serveBm25(spark, rebuilt2)))
+    assert(
+      rows(spark.read.jdbc(url, "corpus_report", props)) ===
+        rows(report(curatedAll2)),
+      "day-2 published report diverged")
   }
 }
