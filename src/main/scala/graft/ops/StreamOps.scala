@@ -311,6 +311,106 @@ object StreamOps {
     liftCuratedDocs(s, sourceDir).select($"doc_id", $"lang", $"n_chars", $"split")
   }
 
+  /** Targets of the composed continuous corpus program — the engine-side
+    * form of the reference's extract → transform → load → report loop
+    * (main.py:421-453): curated lake, the two maintained index families,
+    * and the published report table.
+    */
+  case class CorpusPipeline(
+      lakeDir: String,
+      dedupIndexDir: String,
+      bm25IndexDir: String,
+      jdbcUrl: String,
+      reportTable: String,
+      props: java.util.Properties = new java.util.Properties)
+
+  /** The lake's corpus schema: the batch pipeline's columns, without the
+    * stream-plumbing watermark carrier.
+    */
+  private val CorpusLakeCols =
+    Seq("doc_id", "lang", "text", "source", "n_chars", "split")
+
+  /** Per-(split, lang) accounting over curated rows — the published
+    * report's shape.
+    */
+  def corpusReport(curated: DataFrame): DataFrame =
+    curated
+      .groupBy(col("split"), col("lang"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_chars")).as("sum_chars"))
+
+  /** ONE micro-batch through every leg of the composed program: curated
+    * rows land in a deterministic per-batch lake partition, the near-dup
+    * index takes its O(batch) increments, the postings index its O(batch)
+    * generation, and the report snapshot publishes atomically (staging-
+    * table swap). foreachBatch is AT-LEAST-ONCE, so every leg is
+    * idempotent per batchId: a retried batch overwrites its own lake
+    * files, re-derives the same index commits from the same persisted
+    * upTo-state, and the keyed swap converges
+    * (EndToEndPipelineSpec replays a batch and proves all surfaces
+    * unchanged).
+    */
+  def corpusPipelineBatch(
+      batch0: DataFrame,
+      batchId: Long,
+      p: CorpusPipeline): Unit = {
+    if (!batch0.isEmpty) {
+      val batch = batch0.localCheckpoint(true) // four consumers below
+      batch.select(CorpusLakeCols.map(col): _*)
+        .write
+        .mode(org.apache.spark.sql.SaveMode.Overwrite)
+        .parquet(s"${p.lakeDir}/batch=$batchId")
+      incrDedupCommit(batch, p.dedupIndexDir, batchId)
+      bm25IndexCommit(batch, p.bm25IndexDir, batchId)
+      Sinks.upsertSnapshotSwapJdbc(
+        corpusReport(
+          batch.sparkSession.read.parquet(p.lakeDir)
+            .select(CorpusLakeCols.map(col): _*)),
+        p.jdbcUrl,
+        p.reportTable,
+        Seq("split", "lang"),
+        p.props)
+    }
+  }
+
+  /** Seed the composed program from yesterday's batch-curated corpus:
+    * lake partition, both index family v0 snapshots, and the initial
+    * published report.
+    */
+  def seedCorpusPipeline(
+      s: SparkSession,
+      curatedBase: DataFrame,
+      p: CorpusPipeline): Unit = {
+    seedDedupIndex(
+      s, curatedBase.select(col("doc_id"), col("lang"), col("text")),
+      p.dedupIndexDir)
+    seedBm25Index(s, curatedBase, p.bm25IndexDir)
+    curatedBase.select(CorpusLakeCols.map(col): _*)
+      .write
+      .mode(org.apache.spark.sql.SaveMode.Overwrite)
+      .parquet(s"${p.lakeDir}/batch=seed")
+    Sinks.upsertSnapshotSwapJdbc(
+      corpusReport(curatedBase), p.jdbcUrl, p.reportTable,
+      Seq("split", "lang"), p.props)
+  }
+
+  /** The composed continuous corpus program as a stream writer: feed it
+    * [[liftCuratedDocs]] and start. Stop/compact/resume is the daily
+    * loop — compactDedupIndex + compactBm25Index while stopped, then
+    * restart from the same checkpoint (EndToEndPipelineSpec proves the
+    * whole cycle ≡ the batch pipeline, day over day).
+    */
+  def corpusPipelineWriter(
+      curated: DataFrame,
+      p: CorpusPipeline,
+      checkpoint: String): org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
+    curated.writeStream
+      .outputMode("append")
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        corpusPipelineBatch(batch, batchId, p)
+        ()
+      }
+
   /** Streaming lift of q_expect_constraints' ROW-LEVEL rules — the
     * at-ingest quarantine channel: every event carries its violation list
     * (null key, domain membership, value range — the stateless subset;

@@ -126,37 +126,25 @@ class EndToEndPipelineSpec extends SparkSpec {
 
     val lakeCols =
       Seq($"doc_id", $"lang", $"text", $"source", $"n_chars", $"split")
-    StreamOps.seedDedupIndex(
-      spark, curatedBase.select($"doc_id", $"lang", $"text"), dedupIdx)
-    StreamOps.seedBm25Index(spark, curatedBase, bm25Idx)
-    curatedBase.select(lakeCols: _*)
-      .write.mode(SaveMode.Overwrite).parquet(s"$lake/batch=seed")
-    Sinks.upsertSnapshotSwapJdbc(
-      report(curatedBase), url, "corpus_report", Seq("split", "lang"))
+    val pipe = StreamOps.CorpusPipeline(
+      lakeDir = lake,
+      dedupIndexDir = dedupIdx,
+      bm25IndexDir = bm25Idx,
+      jdbcUrl = url,
+      reportTable = "corpus_report")
+    StreamOps.seedCorpusPipeline(spark, curatedBase, pipe)
 
-    // ---- the single program: one stream, one foreachBatch, four legs.
-    // foreachBatch is AT-LEAST-ONCE, so every leg is idempotent per
-    // batchId: the lake write lands in a deterministic per-batch
-    // partition dir with overwrite (a retry replaces its own files, never
-    // appends duplicates), the index commits overwrite-then-mark the same
-    // versioned dirs, and the JDBC publish replaces by key.
+    // ---- the single program: the PRODUCT writer (one stream, one
+    // foreachBatch, four idempotent legs), wrapped only to capture each
+    // batch's published snapshot for the continuous-correctness assert.
     // written on the stream's micro-batch thread, read by the test
     // thread after processAllAvailable: concurrent map for visibility
     val publishedAt = collection.concurrent.TrieMap.empty[Long, Seq[String]]
     def processBatch(batch0: DataFrame, batchId: Long): Unit = {
       if (!batch0.isEmpty) {
-        val batch = batch0.localCheckpoint(true) // four consumers below
-        // ingest_ts is stream plumbing (watermark carrier), not a
-        // corpus column: the lake keeps the batch pipeline's schema
-        batch.select(lakeCols: _*)
-          .write.mode(SaveMode.Overwrite).parquet(s"$lake/batch=$batchId")
-        StreamOps.incrDedupCommit(batch, dedupIdx, batchId)
-        StreamOps.bm25IndexCommit(batch, bm25Idx, batchId)
-        val sess = batch.sparkSession
-        Sinks.upsertSnapshotSwapJdbc(
-          report(sess.read.parquet(lake).select(lakeCols: _*)),
-          url, "corpus_report", Seq("split", "lang"))
-        publishedAt(batchId) = rows(sess.read.jdbc(url, "corpus_report", props))
+        StreamOps.corpusPipelineBatch(batch0, batchId, pipe)
+        publishedAt(batchId) =
+          rows(batch0.sparkSession.read.jdbc(url, "corpus_report", props))
       }
     }
     val ckpt = Files.createTempDirectory("graft_e2e_ckpt").toString
