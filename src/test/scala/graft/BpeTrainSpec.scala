@@ -151,6 +151,44 @@ class BpeTrainSpec extends SparkSpec {
     } finally spark.sparkContext.removeSparkListener(listener)
   }
 
+  test("merge fold: property — agrees with the reference on random tokenizations") {
+    import spark.implicits._
+    import org.scalacheck.Gen
+    import org.scalacheck.rng.Seed
+    // random tokenizations over a tiny alphabet (maximizes adjacent-pair
+    // collisions) and random single/multi-char merge sides, including
+    // lookalike suffixes — one DataFrame pass for all cases
+    val tok = Gen.oneOf("a", "b", "c", "ab", "bc", "xab")
+    val cases = Gen
+      .listOfN(
+        300,
+        Gen.zip(
+          Gen.nonEmptyListOf(tok).map(_.take(12)),
+          Gen.zip(tok, tok)))
+      .pureApply(Gen.Parameters.default, Seed(11L))
+      .map { case (toks, (pa, pb)) => (toks.mkString(" "), pa, pb) }
+    def refFold(w: String, pa: String, pb: String): String = {
+      val out = collection.mutable.ListBuffer.empty[String]
+      for (t <- w.split(" ")) {
+        if (out.nonEmpty && out.last == pa && t == pb)
+          out(out.size - 1) = pa + pb
+        else out += t
+      }
+      out.mkString(" ")
+    }
+    val got = cases
+      .toDF("w", "pa", "pb")
+      .select(
+        $"w", $"pa", $"pb",
+        TextOps.bpeMergeFold($"w", $"pa", $"pb").as("m"))
+      .collect()
+    got.foreach { r =>
+      val want = refFold(r.getString(0), r.getString(1), r.getString(2))
+      assert(r.getString(3) == want,
+        s"fold('${r.getString(0)}', '${r.getString(1)}', '${r.getString(2)}') = '${r.getString(3)}', want '$want'")
+    }
+  }
+
   test("later rounds merge multi-char tokens when the corpus demands it") {
     // Synthetic histogram where round 2's argmax has a merged left side:
     // "abab" dominates, so round 1 merges (a,b) and round 2 (ab,ab).
