@@ -944,7 +944,7 @@ object SimilarityOps {
     * vector + norm kept for the rescore tier, sign bucket for pruning.
     * Shared by the in-session query and the persisted index build.
     */
-  private def quantizedFrame(e0: DataFrame): DataFrame = {
+  private[graft] def quantizedFrame(e0: DataFrame): DataFrame = {
     import e0.sparkSession.implicits._
     val qv = when(
       $"amax" === 0d,
@@ -972,7 +972,7 @@ object SimilarityOps {
   /** The standard probe (vec_id 0) of a quantized frame, exploded to its
     * Hamming-1 multi-probe bucket list with its int8 lanes along.
     */
-  private def quantProbe(e: DataFrame): DataFrame = {
+  private[graft] def quantProbe(e: DataFrame): DataFrame = {
     import e.sparkSession.implicits._
     e.filter($"vec_id" === 0)
       .select(

@@ -423,16 +423,24 @@ class ScaleSpec extends SparkSpec {
     * slice itself constant-sized; partition-count scaling is a config,
     * the PRUNING is the architecture, and it is what this test pins.)
     */
-  test("serving at 10x: ANN and BM25 serves are probe-bound, reads bounded") {
+  /** Replica k of the sf0.1 embeddings: shifted ids, cyclic dimension
+    * shift — norms and within-replica similarities preserved exactly,
+    * cross-replica cosines scatter.
+    */
+  private def evec(k: Int): DataFrame = {
     import spark.implicits._
-    import graft.ops.{SimilarityOps, TextOps}
-    val (d1, d10) = dirs
-    def evec(k: Int): DataFrame = T(spark, Sf01, "embeddings")
+    T(spark, Sf01, "embeddings")
       .select(
         ($"vec_id" + lit(k * 2000L)).as("vec_id"),
         (if (k == 0) $"embedding"
          else expr(s"concat(slice(embedding, ${k + 1}, ${64 - k}), slice(embedding, 1, $k))"))
           .as("embedding"))
+  }
+
+  test("serving at 10x: ANN and BM25 serves are probe-bound, reads bounded") {
+    import spark.implicits._
+    import graft.ops.{SimilarityOps, TextOps}
+    val (d1, d10) = dirs
     val e1 = evec(0)
     val e10 = (0 until Replicas).map(evec).reduce(_ unionByName _)
     val ann1 = Files.createTempDirectory("graft_scale_ann1").toString
@@ -499,6 +507,76 @@ class ScaleSpec extends SparkSpec {
       s"BM25 serve reads grew superlinearly: $bb1 -> $bb10")
     assert(tb10 <= 6.0 * math.max(tb1, 1.0),
       f"BM25 serve wall-time is base-bound: 1x=$tb1%.2fs 10x=$tb10%.2fs")
+  }
+
+  /** The remaining two persisted serving tiers at 10× — the quantized
+    * int8 scan (q_sim_quantized_served) and the IVF cell index
+    * (q_sim_ivf_served) — under the same probe-bound contract as the
+    * ANN/BM25 test above: storage reads stay a bounded fraction of the
+    * grown index (both prune to the probed bucket/cell directories via
+    * literal INSET filters), grow ~with the probed slice, and serve
+    * wall-time stays far below base-bound growth. Both indexes are built
+    * against the SAME 1× probe/codebook state, so the probed slice is
+    * identical at both scales by construction.
+    */
+  test("serving at 10x: quantized and IVF serves are probe-bound, reads bounded") {
+    import spark.implicits._
+    import graft.ops.{SimilarityOps, Vec}
+    val e1 = evec(0)
+    val e10 = (0 until Replicas).map(evec).reduce(_ unionByName _)
+
+    // quantized scan tier
+    val q1 = Files.createTempDirectory("graft_scale_q1").toString
+    val q10 = Files.createTempDirectory("graft_scale_q10").toString
+    SimilarityOps.writeQuantIndexFor(spark, e1, q1)
+    SimilarityOps.writeQuantIndexFor(spark, e10, q10)
+    val qprobes = SimilarityOps
+      .quantProbe(SimilarityOps.quantizedFrame(e1.select($"vec_id", $"embedding")))
+      .localCheckpoint(eager = true)
+    def serveQ(idx: String): Unit =
+      SimilarityOps.serveQuantBatchMulti(spark, Seq(idx), qprobes).foreach(_ => ())
+    serveQ(q1) // warm
+    serveQ(q10)
+    val (tq1, bq1) = measured(serveQ(q1))
+    val (tq10, bq10) = measured(serveQ(q10))
+    val qIdxBytes = dirBytes(q10)
+    info(f"quant serve: 1x=$tq1%.2fs 10x=$tq10%.2fs read10x=${bq10 / 1e6}%.1fMB " +
+      f"of ${qIdxBytes / 1e6}%.1fMB index")
+    assert(bq10 > 0 && bq10 < qIdxBytes / 2,
+      f"quant serve read ${bq10 / 1e6}%.1fMB of a ${qIdxBytes / 1e6}%.1fMB index")
+    assert(bq10 <= 15L * math.max(bq1, 1L << 20),
+      s"quant serve reads grew superlinearly: $bq1 -> $bq10")
+    assert(tq10 <= 6.0 * math.max(tq1, 1.0),
+      f"quant serve wall-time is base-bound: 1x=$tq1%.2fs 10x=$tq10%.2fs")
+
+    // IVF cell tier: both scales assigned against the SAME stand-in
+    // codebook (the 1x head vectors), so the probes rank identical cells
+    val withN2 = (e: org.apache.spark.sql.DataFrame) =>
+      e.select($"vec_id", $"embedding", Vec.norm2($"embedding").as("n2"))
+    val cents = withN2(e1)
+      .filter($"vec_id" < 16)
+      .select($"vec_id".as("c_id"), $"embedding".as("c"), $"n2".as("cn2"))
+      .localCheckpoint(eager = true)
+    val i1 = Files.createTempDirectory("graft_scale_ivf1").toString
+    val i10 = Files.createTempDirectory("graft_scale_ivf10").toString
+    SimilarityOps.writeIvfIndexFrom(spark, withN2(e1), cents, i1)
+    SimilarityOps.writeIvfIndexFrom(spark, withN2(e10), cents, i10)
+    val iprobes = withN2(e1).filter($"vec_id" < 5).localCheckpoint(eager = true)
+    def serveI(idx: String): Unit =
+      SimilarityOps.serveIvfBatchMulti(spark, Seq(idx), iprobes).foreach(_ => ())
+    serveI(i1) // warm
+    serveI(i10)
+    val (ti1, bi1) = measured(serveI(i1))
+    val (ti10, bi10) = measured(serveI(i10))
+    val iIdxBytes = dirBytes(s"$i10/cells")
+    info(f"ivf serve: 1x=$ti1%.2fs 10x=$ti10%.2fs read10x=${bi10 / 1e6}%.1fMB " +
+      f"of ${iIdxBytes / 1e6}%.1fMB index")
+    assert(bi10 > 0 && bi10 < iIdxBytes / 2,
+      f"ivf serve read ${bi10 / 1e6}%.1fMB of a ${iIdxBytes / 1e6}%.1fMB index")
+    assert(bi10 <= 15L * math.max(bi1, 1L << 20),
+      s"ivf serve reads grew superlinearly: $bi1 -> $bi10")
+    assert(ti10 <= 6.0 * math.max(ti1, 1.0),
+      f"ivf serve wall-time is base-bound: 1x=$ti1%.2fs 10x=$ti10%.2fs")
   }
 
   test("q_index_inverted at 10x: disjoint vocabularies, bounded postings, linear") {
