@@ -2,8 +2,8 @@ package graft
 
 import java.nio.file.Files
 
-import graft.ops.{CurationOps, DedupOps, Sinks, StreamOps, TextOps}
-import org.apache.spark.sql.{DataFrame, SaveMode}
+import graft.ops.{CurationOps, DedupOps, StreamOps, TextOps}
+import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
