@@ -294,7 +294,19 @@ class EndToEndPipelineSpec extends SparkSpec {
       .toDF("doc_id", "lang", "text", "source", "n_chars")
     val feed3 = fresh3.unionByName(near2)
     stageFile(srcDir, feed3, "feed3", 3000000L)
-    runProgram() // same checkpoint: resumes at batch 2
+    // day 2 runs the PRODUCT writer verbatim (no capture wrapper): same
+    // checkpoint, so it resumes at batch 2
+    val q2 = StreamOps
+      .corpusPipelineWriter(
+        StreamOps.liftCuratedDocs(
+          spark,
+          s"$srcDir/documents.parquet",
+          Map("maxFilesPerTrigger" -> "1")),
+        pipe,
+        ckpt)
+      .start()
+    try q2.processAllAvailable()
+    finally q2.stop()
 
     val curatedAll2 = curateBatch(
       all.unionByName(planted).unionByName(feed3)).localCheckpoint(true)
