@@ -1116,7 +1116,87 @@ object SimilarityOps {
       "FROM cand ORDER BY cos DESC, vec_id LIMIT 10"
   }
 
+  /** q_dedup_semantic — SemDeDup-style cluster-then-prune semantic dedup
+    * (Abbas et al., "SemDeDup: Data-efficient learning at web-scale
+    * through semantic deduplication", arXiv:2303.09540): the
+    * k-means-cell sibling of the sign-LSH pair family
+    * ([[DedupOps]] q_dedup_embed). Every vector is assigned to its
+    * nearest coarse centroid with the same broadcast map-side argmin as
+    * q_sim_ivf; WITHIN each cell, any pair above the semantic threshold
+    * marks its higher-id member as a duplicate, so a vector survives iff
+    * it has NO lower-id τ-neighbor in its cell — the paper's keep-one
+    * rule made deterministic and order-free (the anchor rule, the same
+    * one the incremental dedup family uses). Survivors are emitted with
+    * their cell.
+    * Candidates are cell-local BY CONSTRUCTION — the paper's own
+    * complexity argument: k GROWS WITH THE CORPUS (LAION runs use
+    * k ≈ 100 000), so a cell is a bounded shuffle-partitionable block
+    * and the all-pairs corpus join never exists. Here k = max(16, ⌈√N⌉)
+    * — assignment work N·k and within-cell pair work ~N²/k balance at
+    * N^1.5, subquadratic end-to-end — computed identically on both
+    * engines (one count, IEEE sqrt/ceil), with the deterministic
+    * first-k-vectors stand-in codebook of q_sim_ivf so the oracle
+    * replicates assignment bit-for-bit ([[trainCodebook]] is the
+    * production quantizer). The count is one driver-side long — bounded
+    * state, same class as the probe-bucket collects. Documented
+    * approximation, mirrored exactly by the oracle: a duplicate pair
+    * split across two cells is not pruned — the same miss the paper
+    * accepts. τ = 0.4 at this synthetic-embedding scale (production
+    * text embeddings sit near τ ≈ 0.95); same threshold family as
+    * q_dedup_embed's verify.
+    */
+  private val SemTau = "0.4"
+  private def dedupSemantic(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val e =
+      emb(s, d).select($"vec_id", $"embedding", Vec.norm2($"embedding").as("n2"))
+    val k = math.max(
+      IvfCells.toLong,
+      math.ceil(math.sqrt(e.count().toDouble)).toLong)
+    val cents = e
+      .filter($"vec_id" < k)
+      .select($"vec_id".as("c_id"), $"embedding".as("c"), $"n2".as("cn2"))
+    val cells = e
+      .crossJoin(broadcast(codebookRow(cents)))
+      .select(
+        $"vec_id",
+        $"embedding",
+        $"n2",
+        (-array_max(scoredCol).getField("nid")).as("cell"))
+    val dropped = cells
+      .as("a")
+      .join(
+        cells.as("b"),
+        $"a.cell" === $"b.cell" && $"a.vec_id" < $"b.vec_id" &&
+          Vec.cosine(Vec.dot($"a.embedding", $"b.embedding"), $"a.n2", $"b.n2") >
+          lit(SemTau).cast("double"))
+      .select($"b.vec_id".as("vec_id"))
+      .distinct()
+    cells
+      .join(dropped, Seq("vec_id"), "left_anti")
+      .select($"vec_id", $"cell")
+      .orderBy($"vec_id")
+  }
+
+  private val SemanticSql =
+    s"WITH e AS (SELECT vec_id, embedding, ${Vec.norm2Sql("embedding")} AS n2 " +
+      "FROM embeddings), " +
+      "cents AS (SELECT vec_id AS c_id, embedding AS c, n2 AS cn2 FROM e " +
+      s"WHERE vec_id < (SELECT GREATEST($IvfCells, CAST(ceil(sqrt(count(*))) AS BIGINT)) FROM e)), " +
+      "scored AS (SELECT e.vec_id, e.embedding, e.n2, cents.c_id, " +
+      s"${Vec.dotSql("e.embedding", "cents.c")} / (sqrt(e.n2) * sqrt(cents.cn2)) AS ccos " +
+      "FROM e, cents), " +
+      "ranked AS (SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY ccos DESC, c_id) AS rn " +
+      "FROM scored), " +
+      "cells AS (SELECT vec_id, embedding, n2, c_id AS cell FROM ranked WHERE rn = 1), " +
+      "dropped AS (SELECT DISTINCT b.vec_id AS vec_id FROM cells a JOIN cells b " +
+      "ON a.cell = b.cell AND a.vec_id < b.vec_id " +
+      s"WHERE ${Vec.dotSql("a.embedding", "b.embedding")} / (sqrt(a.n2) * sqrt(b.n2)) > $SemTau) " +
+      "SELECT vec_id, cell FROM cells " +
+      "WHERE vec_id NOT IN (SELECT vec_id FROM dropped) ORDER BY vec_id"
+
   val defs: Seq[QueryDef] = Seq(
+    QueryDef("q_dedup_semantic", dedupSemantic, Some(SemanticSql)),
     QueryDef("q_embed_quantize", embedQuantize, Some(QuantizeSql)),
     QueryDef("q_sim_quantized", simQuantized, Some(QuantizedSql)),
     QueryDef("q_sim_quantized_served", simQuantizedServed, Some(QuantizedSql)),

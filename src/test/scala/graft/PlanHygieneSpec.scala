@@ -28,6 +28,8 @@ class PlanHygieneSpec extends SparkSpec {
     // base/delta split + the is_new_cluster flag), and q_stat_chisq's
     // grand-total row (replacing the partition-less window)
     "q_sim_ivf_served",
+    // r10: same one-row broadcast codebook crossJoin as q_sim_ivf
+    "q_dedup_semantic",
     "q_dedup_incr",
     "q_dedup_embed_incr", // same one-row threshold frame as q_dedup_incr
     "q_stat_chisq",

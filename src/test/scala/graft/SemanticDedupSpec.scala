@@ -1,0 +1,76 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+/** q_dedup_semantic — SemDeDup-style cluster-then-prune (arXiv:2303.09540)
+  * checked against an INDEPENDENT driver-side reference: plain-Scala
+  * argmin cell assignment + the anchor prune rule (a vector survives iff
+  * it has no lower-id τ-neighbor in its cell) recomputed from the raw
+  * vectors, no Spark expression shared with the query under test. Also
+  * pins the structural contract: survivors ∪ dropped partition the
+  * corpus, every dropped vector has a lower-id same-cell τ-witness, and
+  * no surviving pair within a cell exceeds τ with the LOWER id as
+  * witness (the exact complement of the drop rule).
+  */
+class SemanticDedupSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val Tau = 0.4
+
+  private def dot(a: Array[Float], b: Array[Float]): Double =
+    a.indices.foldLeft(0d)((acc, i) => acc + a(i).toDouble * b(i).toDouble)
+
+  test("q_dedup_semantic equals a driver-side reference at sf0.001") {
+    val vecs = T(spark, sf, "embeddings")
+      .select($"vec_id", $"embedding")
+      .collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1).toArray)
+      .sortBy(_._1)
+    val n2 = vecs.map { case (id, v) => id -> dot(v, v) }.toMap
+    val byId = vecs.toMap
+    val k = math.max(16L, math.ceil(math.sqrt(vecs.length.toDouble)).toLong)
+    val cents = vecs.filter(_._1 < k)
+
+    // argmin assignment, tie-break (cos desc, c_id asc) — recomputed
+    // from scratch with scalar arithmetic
+    val cellOf = vecs.map { case (id, v) =>
+      val best = cents
+        .map { case (cid, c) =>
+          (dot(v, c) / (math.sqrt(n2(id)) * math.sqrt(n2(cid))), cid)
+        }
+        .minBy { case (cos, cid) => (-cos, cid) }
+      id -> best._2
+    }.toMap
+
+    val ids = vecs.map(_._1)
+    val expectSurvivors = ids.filter { b =>
+      !ids.exists(a =>
+        a < b && cellOf(a) == cellOf(b) &&
+          dot(byId(a), byId(b)) / (math.sqrt(n2(a)) * math.sqrt(n2(b))) > Tau)
+    }.toSet
+
+    val got = SparkEntry
+      .queries("q_dedup_semantic")(spark, sf)
+      .collect()
+      .map(r => r.getLong(0) -> r.getLong(1))
+    val gotIds = got.map(_._1).toSet
+
+    assert(gotIds === expectSurvivors, "survivor set diverged from the reference")
+    got.foreach { case (id, cell) =>
+      assert(cell === cellOf(id), s"cell diverged for vec $id")
+    }
+
+    // structural contract: dropped = corpus minus survivors, each with a
+    // lower-id same-cell τ-witness
+    val dropped = ids.filterNot(gotIds)
+    assert(dropped.nonEmpty, "τ too high: the query pruned nothing at this sf")
+    assert(gotIds.nonEmpty && gotIds.size < ids.length)
+    dropped.foreach { b =>
+      assert(
+        ids.exists(a =>
+          a < b && cellOf(a) == cellOf(b) &&
+            dot(byId(a), byId(b)) / (math.sqrt(n2(a)) * math.sqrt(n2(b))) > Tau),
+        s"dropped vec $b has no lower-id same-cell witness")
+    }
+  }
+}
