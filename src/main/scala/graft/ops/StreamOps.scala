@@ -320,6 +320,7 @@ object StreamOps {
       lakeDir: String,
       dedupIndexDir: String,
       bm25IndexDir: String,
+      reportSummaryDir: String,
       jdbcUrl: String,
       reportTable: String,
       props: java.util.Properties = new java.util.Properties)
@@ -338,11 +339,62 @@ object StreamOps {
       .groupBy(col("split"), col("lang"))
       .agg(count(lit(1)).as("n_docs"), sum(col("n_chars")).as("sum_chars"))
 
+  /** Re-aggregate persisted per-batch summaries into the published
+    * report: counts and char-sums are ADDITIVE over disjoint row sets,
+    * so summing summaries ≡ aggregating the union of their rows.
+    */
+  private def aggregateSummaries(summaries: DataFrame): DataFrame =
+    summaries
+      .groupBy(col("split"), col("lang"))
+      .agg(sum(col("n_docs")).as("n_docs"), sum(col("sum_chars")).as("sum_chars"))
+
+  /** The report-summary generation family on the [[graft.index.GenLog]]
+    * kernel: each micro-batch persists its OWN O(groups) summary
+    * ([[corpusReport]] over just the batch's rows), and fold re-aggregates
+    * summary roots into one full summary — so the published report is
+    * always a sum over O(generations) TINY frames, never a re-read of the
+    * curated lake (the lake is O(corpus); the report leg must stay
+    * O(batch) like every other leg). Crash safety, bounded snapshot
+    * copies, and committed-only reads are the kernel's.
+    */
+  private[graft] val ReportFamily: graft.index.GenLog.GenFamily =
+    graft.index.GenLog.GenFamily(
+      write = (_, rows, path) =>
+        corpusReport(rows)
+          .coalesce(1)
+          .write
+          .mode(org.apache.spark.sql.SaveMode.Overwrite)
+          .parquet(path),
+      fold = (s, roots, path) =>
+        aggregateSummaries(s.read.parquet(roots: _*))
+          .coalesce(1)
+          .write
+          .mode(org.apache.spark.sql.SaveMode.Overwrite)
+          .parquet(path))
+
+  /** The report the composed program publishes: summary roots (newest
+    * full + later generations) re-aggregated. O(generations × groups)
+    * rows; the daily compaction folds it back to one file.
+    */
+  def publishedCorpusReport(s: SparkSession, summaryDir: String): DataFrame =
+    aggregateSummaries(
+      s.read.parquet(
+        graft.index.GenLog.roots(s, summaryDir, what = "report summary"): _*))
+
+  /** Daily compaction for the report summary — same stopped-stream
+    * cadence and kernel contract as [[compactDedupIndex]] /
+    * [[compactBm25Index]].
+    */
+  def compactCorpusReport(s: SparkSession, summaryDir: String): Unit =
+    graft.index.GenLog.compact(s, summaryDir, ReportFamily)
+
   /** ONE micro-batch through every leg of the composed program: curated
     * rows land in a deterministic per-batch lake partition, the near-dup
     * index takes its O(batch) increments, the postings index its O(batch)
-    * generation, and the report snapshot publishes atomically (staging-
-    * table swap). foreachBatch is AT-LEAST-ONCE, so every leg is
+    * generation, the report summary its O(groups) generation, and the
+    * report publishes atomically (staging-table swap) from the summary
+    * roots — every leg O(batch), nothing re-reads the lake. foreachBatch
+    * is AT-LEAST-ONCE, so every leg is
     * idempotent per batchId: a retried batch overwrites its own lake
     * files, re-derives the same index commits from the same persisted
     * upTo-state, and the keyed swap converges
@@ -361,10 +413,10 @@ object StreamOps {
         .parquet(s"${p.lakeDir}/batch=$batchId")
       incrDedupCommit(batch, p.dedupIndexDir, batchId)
       bm25IndexCommit(batch, p.bm25IndexDir, batchId)
+      graft.index.GenLog.commitGeneration(
+        ReportFamily, batch, p.reportSummaryDir, batchId)
       Sinks.upsertSnapshotSwapJdbc(
-        corpusReport(
-          batch.sparkSession.read.parquet(p.lakeDir)
-            .select(CorpusLakeCols.map(col): _*)),
+        publishedCorpusReport(batch.sparkSession, p.reportSummaryDir),
         p.jdbcUrl,
         p.reportTable,
         Seq("split", "lang"),
@@ -373,8 +425,8 @@ object StreamOps {
   }
 
   /** Seed the composed program from yesterday's batch-curated corpus:
-    * lake partition, both index family v0 snapshots, and the initial
-    * published report.
+    * lake partition, both index family v0 snapshots, the v0 report
+    * summary, and the initial published report.
     */
   def seedCorpusPipeline(
       s: SparkSession,
@@ -384,20 +436,22 @@ object StreamOps {
       s, curatedBase.select(col("doc_id"), col("lang"), col("text")),
       p.dedupIndexDir)
     seedBm25Index(s, curatedBase, p.bm25IndexDir)
+    graft.index.GenLog.seed(s, ReportFamily, curatedBase, p.reportSummaryDir)
     curatedBase.select(CorpusLakeCols.map(col): _*)
       .write
       .mode(org.apache.spark.sql.SaveMode.Overwrite)
       .parquet(s"${p.lakeDir}/batch=seed")
     Sinks.upsertSnapshotSwapJdbc(
-      corpusReport(curatedBase), p.jdbcUrl, p.reportTable,
+      publishedCorpusReport(s, p.reportSummaryDir), p.jdbcUrl, p.reportTable,
       Seq("split", "lang"), p.props)
   }
 
   /** The composed continuous corpus program as a stream writer: feed it
     * [[liftCuratedDocs]] and start. Stop/compact/resume is the daily
-    * loop — compactDedupIndex + compactBm25Index while stopped, then
-    * restart from the same checkpoint (EndToEndPipelineSpec proves the
-    * whole cycle ≡ the batch pipeline, day over day).
+    * loop — compactDedupIndex + compactBm25Index + compactCorpusReport
+    * while stopped, then restart from the same checkpoint
+    * (EndToEndPipelineSpec proves the whole cycle ≡ the batch pipeline,
+    * day over day).
     */
   def corpusPipelineWriter(
       curated: DataFrame,

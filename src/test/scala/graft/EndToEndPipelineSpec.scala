@@ -126,10 +126,12 @@ class EndToEndPipelineSpec extends SparkSpec {
 
     val lakeCols =
       Seq($"doc_id", $"lang", $"text", $"source", $"n_chars", $"split")
+    val sumIdx = Files.createTempDirectory("graft_e2e_sum").toString
     val pipe = StreamOps.CorpusPipeline(
       lakeDir = lake,
       dedupIndexDir = dedupIdx,
       bm25IndexDir = bm25Idx,
+      reportSummaryDir = sumIdx,
       jdbcUrl = url,
       reportTable = "corpus_report")
     StreamOps.seedCorpusPipeline(spark, curatedBase, pipe)
@@ -234,9 +236,25 @@ class EndToEndPipelineSpec extends SparkSpec {
         rows(report(curatedAll)),
       "batch retry changed the published report")
 
-    // compaction of both indexes is read-invariant
+    // the report leg is O(batch): the published frame re-aggregates the
+    // persisted per-batch summaries — its plan must never scan the lake
+    assert(
+      !StreamOps
+        .publishedCorpusReport(spark, sumIdx)
+        .queryExecution
+        .executedPlan
+        .toString
+        .contains(lake),
+      "report publish plan reads the curated lake")
+
+    // compaction of all three maintained families is read-invariant
     StreamOps.compactDedupIndex(spark, dedupIdx)
     StreamOps.compactBm25Index(spark, bm25Idx)
+    StreamOps.compactCorpusReport(spark, sumIdx)
+    assert(
+      rows(StreamOps.publishedCorpusReport(spark, sumIdx)) ===
+        rows(report(curatedAll)),
+      "report summary compaction changed the aggregate")
     val got2 = StreamOps
       .readDedupAssignments(spark, dedupIdx)
       .collect()
