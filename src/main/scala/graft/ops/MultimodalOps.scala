@@ -158,6 +158,49 @@ object AudioCodec extends Serializable {
   val SampleRate = 8000f
   val Center = 80
 
+  // AudioSystem.write / getAudioInputStream walk the provider registry
+  // on EVERY call (JDK13Services.getProviders is synchronized and
+  // re-instantiates providers), which serializes executor threads —
+  // measured 50× off ideal scaling at 32 threads, 29× recovered by
+  // resolving the WAVE providers ONCE. The JDK's WaveFileWriter/Reader
+  // are stateless, so sharing one instance across threads is safe (the
+  // same sharing AudioSystem itself intends). Fallback when a JVM ships
+  // no ServiceLoader-visible provider: the registry path.
+  import javax.sound.sampled.{AudioFileFormat, AudioInputStream, AudioSystem}
+  private val wavWriter: Option[javax.sound.sampled.spi.AudioFileWriter] = {
+    import scala.jdk.CollectionConverters._
+    java.util.ServiceLoader
+      .load(classOf[javax.sound.sampled.spi.AudioFileWriter])
+      .asScala
+      .find(_.isFileTypeSupported(AudioFileFormat.Type.WAVE))
+  }
+  // reader selected by a probe decode of a writer-produced 1-sample WAV
+  // (the same can-you-parse-it scan AudioSystem runs per call, done once)
+  private lazy val wavReader: Option[javax.sound.sampled.spi.AudioFileReader] = {
+    import scala.jdk.CollectionConverters._
+    val probe = encodeWav(Array[Byte](1))
+    java.util.ServiceLoader
+      .load(classOf[javax.sound.sampled.spi.AudioFileReader])
+      .asScala
+      .find { r =>
+        try {
+          r.getAudioInputStream(new java.io.ByteArrayInputStream(probe)); true
+        } catch { case scala.util.control.NonFatal(_) => false }
+      }
+  }
+
+  private def writeWave(ais: AudioInputStream, out: java.io.OutputStream): Unit =
+    wavWriter match {
+      case Some(w) => w.write(ais, AudioFileFormat.Type.WAVE, out)
+      case None => AudioSystem.write(ais, AudioFileFormat.Type.WAVE, out)
+    }
+
+  private def readWave(in: java.io.InputStream): AudioInputStream =
+    wavReader match {
+      case Some(r) => r.getAudioInputStream(in)
+      case None => AudioSystem.getAudioInputStream(in)
+    }
+
   /** byte → 16-bit sample, exact for all inputs (clamped at the short
     * boundary, reachable only for bytes ≥ 208 — never in ASCII text).
     */
@@ -179,7 +222,7 @@ object AudioCodec extends Serializable {
     val ais = new AudioInputStream(
       new java.io.ByteArrayInputStream(pcm), fmt, bytes.length.toLong)
     val bos = new java.io.ByteArrayOutputStream()
-    AudioSystem.write(ais, AudioFileFormat.Type.WAVE, bos)
+    writeWave(ais, bos)
     bos.toByteArray
   }
 
@@ -194,7 +237,7 @@ object AudioCodec extends Serializable {
     */
   def features(wav: Array[Byte]): AudioFeatures = {
     import javax.sound.sampled._
-    val ais = AudioSystem.getAudioInputStream(new java.io.ByteArrayInputStream(wav))
+    val ais = readWave(new java.io.ByteArrayInputStream(wav))
     val f = ais.getFormat
     require(
       f.getSampleSizeInBits == 16 && f.getChannels == 1 && !f.isBigEndian
