@@ -19,7 +19,8 @@ object BenchSplits {
       "q_index_bm25_incr" -> ops.TextOps.bm25IncrSplit(s, d),
       "q_retrieval_rrf_served" -> ops.TextOps.rrfServedSplit(s, d),
       "q_dedup_incr" -> ops.DedupOps.dedupIncrSplit(s, d),
-      "q_dedup_embed_incr" -> ops.DedupOps.embedIncrSplit(s, d))
+      "q_dedup_embed_incr" -> ops.DedupOps.embedIncrSplit(s, d),
+      "q_dedup_semantic_incr" -> ops.SimilarityOps.semanticIncrSplit(s, d))
 }
 
 object Bench {

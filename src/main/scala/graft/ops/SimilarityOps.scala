@@ -1146,40 +1146,126 @@ object SimilarityOps {
     * q_dedup_embed's verify.
     */
   private val SemTau = "0.4"
-  private def dedupSemantic(s: SparkSession, d: String): DataFrame = {
-    import s.implicits._
-    val e =
-      emb(s, d).select($"vec_id", $"embedding", Vec.norm2($"embedding").as("n2"))
-    val k = math.max(
+
+  /** k = max(16, ⌈√N⌉) semantic cells — both engines compute the same
+    * integer from one corpus count.
+    */
+  private def semCellCount(e: DataFrame): Long =
+    math.max(
       IvfCells.toLong,
       math.ceil(math.sqrt(e.count().toDouble)).toLong)
+
+  /** Argmin cell assignment against the deterministic first-k codebook:
+    * (vec_id, embedding, n2, cell), all map-side after the one-row
+    * broadcast. Shared by the monolithic and incremental semantic dedup.
+    */
+  private def semanticCells(e: DataFrame, k: Long): DataFrame = {
+    import e.sparkSession.implicits._
     val cents = e
       .filter($"vec_id" < k)
       .select($"vec_id".as("c_id"), $"embedding".as("c"), $"n2".as("cn2"))
-    val cells = e
-      .crossJoin(broadcast(codebookRow(cents)))
+    e.crossJoin(broadcast(codebookRow(cents)))
       .select(
         $"vec_id",
         $"embedding",
         $"n2",
         (-array_max(scoredCol).getField("nid")).as("cell"))
-    val dropped = cells
-      .as("a")
+  }
+
+  /** τ-witnessed members of `b`: every row of `b` having a same-cell
+    * member of `a` with a STRICTLY LOWER vec_id and cosine above τ — the
+    * drop half of the anchor rule.
+    */
+  private def semWitnessed(a: DataFrame, b: DataFrame): DataFrame = {
+    import a.sparkSession.implicits._
+    a.as("a")
       .join(
-        cells.as("b"),
+        b.as("b"),
         $"a.cell" === $"b.cell" && $"a.vec_id" < $"b.vec_id" &&
           Vec.cosine(Vec.dot($"a.embedding", $"b.embedding"), $"a.n2", $"b.n2") >
           lit(SemTau).cast("double"))
       .select($"b.vec_id".as("vec_id"))
       .distinct()
+  }
+
+  private def dedupSemantic(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val e =
+      emb(s, d).select($"vec_id", $"embedding", Vec.norm2($"embedding").as("n2"))
+    val cells = semanticCells(e, semCellCount(e))
     cells
-      .join(dropped, Seq("vec_id"), "left_anti")
+      .join(semWitnessed(cells, cells), Seq("vec_id"), "left_anti")
       .select($"vec_id", $"cell")
       .orderBy($"vec_id")
   }
 
-  private val SemanticSql =
-    s"WITH e AS (SELECT vec_id, embedding, ${Vec.norm2Sql("embedding")} AS n2 " +
+  /** q_dedup_semantic_incr — incremental SemDeDup apply against the
+    * PERSISTED cell store: the semantic sibling of q_dedup_embed_incr.
+    * Newest 50% of vec_ids = the batch (the backfill-wave split the
+    * embed family documents); the base half's cell assignments persist
+    * cell-partitioned through the catalog (build-once), standing in for
+    * yesterday's state. The anchor rule is MONOTONE in vec_id — a
+    * vector's survivor status depends only on lower-id cell members, and
+    * with monotone ingest ids every base id is below every batch id — so
+    * the O(batch) apply (batch assigned against the SAME epoch codebook;
+    * witnesses from the probed base cells ∪ the batch itself) equals the
+    * full rebuild restricted to batch ids EXACTLY, which is what the
+    * oracle computes. Scan posture: the base store is read through a
+    * literal INSET filter on the batch's probed cells (partition
+    * pruning; probe list ≤ k = ⌈√N⌉ cells — bounded driver state), and
+    * the epoch contract pins k and the codebook to the FULL corpus count
+    * so a batch never re-derives them.
+    */
+  private def dedupSemanticIncr(s: SparkSession, d: String): DataFrame = {
+    val (build, serve) = semanticIncrSplit(s, d)
+    build()
+    serve()
+  }
+
+  private[graft] def semanticIncrSplit(
+      s: SparkSession,
+      d: String): (() => Unit, () => DataFrame) = {
+    import s.implicits._
+    val e =
+      emb(s, d).select($"vec_id", $"embedding", Vec.norm2($"embedding").as("n2"))
+    val k = semCellCount(e)
+    val thr = e.agg(max($"vec_id")).head().getLong(0) / 2
+    val cells = semanticCells(e, k)
+    val path = s"${serveRoot(s, d)}/semcells"
+    val build = () => {
+      graft.index.GenLog.buildOnce(s, path) {
+        cells
+          .filter($"vec_id" <= thr)
+          .write
+          .mode(org.apache.spark.sql.SaveMode.Overwrite)
+          .partitionBy("cell")
+          .parquet(path)
+      }
+      ()
+    }
+    val serve = () => {
+      val batch = cells.filter($"vec_id" > thr).localCheckpoint(true)
+      val probed = batch.select($"cell").distinct().collect().map(_.get(0))
+      val base = s.read
+        .parquet(path)
+        .filter($"cell".isin(probed.toSeq: _*))
+        .select($"vec_id", $"embedding", $"n2", $"cell".cast("long").as("cell"))
+      batch
+        .join(
+          semWitnessed(base.unionByName(batch), batch),
+          Seq("vec_id"),
+          "left_anti")
+        .select($"vec_id", $"cell")
+        .orderBy($"vec_id")
+    }
+    (build, serve)
+  }
+
+  /** The shared CTE chain of the semantic-dedup oracles: cells via the
+    * same argmin/tie-break as the engine, dropped via the anchor rule.
+    */
+  private val SemCtes =
+    s"e AS (SELECT vec_id, embedding, ${Vec.norm2Sql("embedding")} AS n2 " +
       "FROM embeddings), " +
       "cents AS (SELECT vec_id AS c_id, embedding AS c, n2 AS cn2 FROM e " +
       s"WHERE vec_id < (SELECT GREATEST($IvfCells, CAST(ceil(sqrt(count(*))) AS BIGINT)) FROM e)), " +
@@ -1191,12 +1277,25 @@ object SimilarityOps {
       "cells AS (SELECT vec_id, embedding, n2, c_id AS cell FROM ranked WHERE rn = 1), " +
       "dropped AS (SELECT DISTINCT b.vec_id AS vec_id FROM cells a JOIN cells b " +
       "ON a.cell = b.cell AND a.vec_id < b.vec_id " +
-      s"WHERE ${Vec.dotSql("a.embedding", "b.embedding")} / (sqrt(a.n2) * sqrt(b.n2)) > $SemTau) " +
+      s"WHERE ${Vec.dotSql("a.embedding", "b.embedding")} / (sqrt(a.n2) * sqrt(b.n2)) > $SemTau)"
+
+  private val SemanticSql =
+    s"WITH $SemCtes " +
       "SELECT vec_id, cell FROM cells " +
       "WHERE vec_id NOT IN (SELECT vec_id FROM dropped) ORDER BY vec_id"
 
+  /** The incremental oracle IS the delta ≡ rebuild identity: the full
+    * survivor set restricted to batch ids (monotone anchor rule).
+    */
+  private val SemanticIncrSql =
+    s"WITH $SemCtes " +
+      "SELECT vec_id, cell FROM cells " +
+      "WHERE vec_id NOT IN (SELECT vec_id FROM dropped) " +
+      "AND vec_id > (SELECT max(vec_id) // 2 FROM embeddings) ORDER BY vec_id"
+
   val defs: Seq[QueryDef] = Seq(
     QueryDef("q_dedup_semantic", dedupSemantic, Some(SemanticSql)),
+    QueryDef("q_dedup_semantic_incr", dedupSemanticIncr, Some(SemanticIncrSql)),
     QueryDef("q_embed_quantize", embedQuantize, Some(QuantizeSql)),
     QueryDef("q_sim_quantized", simQuantized, Some(QuantizedSql)),
     QueryDef("q_sim_quantized_served", simQuantizedServed, Some(QuantizedSql)),

@@ -29,6 +29,8 @@ class PlanHygieneSpec extends SparkSpec {
     // grand-total row (replacing the partition-less window)
     "q_sim_ivf_served",
     // r10: same one-row broadcast codebook crossJoin as q_sim_ivf
+    // (q_dedup_semantic_incr plans NO BNLJ: its batch assignment is
+    // severed behind a localCheckpoint before the final join)
     "q_dedup_semantic",
     "q_dedup_incr",
     "q_dedup_embed_incr", // same one-row threshold frame as q_dedup_incr

@@ -73,4 +73,19 @@ class SemanticDedupSpec extends SparkSpec {
         s"dropped vec $b has no lower-id same-cell witness")
     }
   }
+
+  test("q_dedup_semantic_incr equals the full rebuild restricted to batch ids") {
+    val full = SparkEntry
+      .queries("q_dedup_semantic")(spark, sf)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    val thr = T(spark, sf, "embeddings").agg(max($"vec_id")).head().getLong(0) / 2
+    val got = SparkEntry
+      .queries("q_dedup_semantic_incr")(spark, sf)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    assert(got.toSeq === full.filter(_._1 > thr).toSeq,
+      "incremental apply diverged from the rebuild restriction")
+    assert(got.nonEmpty)
+  }
 }
