@@ -1150,20 +1150,25 @@ object SimilarityOps {
   /** k = max(16, ⌈√N⌉) semantic cells — both engines compute the same
     * integer from one corpus count.
     */
-  private def semCellCount(e: DataFrame): Long =
+  private[graft] def semCellCount(e: DataFrame): Long =
     math.max(
       IvfCells.toLong,
       math.ceil(math.sqrt(e.count().toDouble)).toLong)
 
-  /** Argmin cell assignment against the deterministic first-k codebook:
-    * (vec_id, embedding, n2, cell), all map-side after the one-row
-    * broadcast. Shared by the monolithic and incremental semantic dedup.
-    */
-  private def semanticCells(e: DataFrame, k: Long): DataFrame = {
+  /** The epoch codebook frame: the first k vectors as (c_id, c, cn2). */
+  private[graft] def semCentsOf(e: DataFrame, k: Long): DataFrame = {
     import e.sparkSession.implicits._
-    val cents = e
-      .filter($"vec_id" < k)
+    e.filter($"vec_id" < k)
       .select($"vec_id".as("c_id"), $"embedding".as("c"), $"n2".as("cn2"))
+  }
+
+  /** Argmin cell assignment against an explicit codebook: (vec_id,
+    * embedding, n2, cell), all map-side after the one-row broadcast.
+    * Shared by the monolithic, incremental, and continuous semantic
+    * dedup paths.
+    */
+  private[graft] def semanticCellsWith(e: DataFrame, cents: DataFrame): DataFrame = {
+    import e.sparkSession.implicits._
     e.crossJoin(broadcast(codebookRow(cents)))
       .select(
         $"vec_id",
@@ -1172,11 +1177,14 @@ object SimilarityOps {
         (-array_max(scoredCol).getField("nid")).as("cell"))
   }
 
+  private def semanticCells(e: DataFrame, k: Long): DataFrame =
+    semanticCellsWith(e, semCentsOf(e, k))
+
   /** τ-witnessed members of `b`: every row of `b` having a same-cell
     * member of `a` with a STRICTLY LOWER vec_id and cosine above τ — the
     * drop half of the anchor rule.
     */
-  private def semWitnessed(a: DataFrame, b: DataFrame): DataFrame = {
+  private[graft] def semWitnessed(a: DataFrame, b: DataFrame): DataFrame = {
     import a.sparkSession.implicits._
     a.as("a")
       .join(
@@ -1259,6 +1267,85 @@ object SimilarityOps {
         .orderBy($"vec_id")
     }
     (build, serve)
+  }
+
+  /** Monolithic anchor prune under an explicit epoch codebook:
+    * survivors (vec_id, cell) of `e`. The continuous family's specs
+    * compare streamed survivor logs against this rebuilt answer.
+    */
+  private[graft] def semSurvivorsWith(e: DataFrame, cents: DataFrame): DataFrame = {
+    import e.sparkSession.implicits._
+    val cells = semanticCellsWith(e, cents)
+    cells
+      .join(semWitnessed(cells, cells), Seq("vec_id"), "left_anti")
+      .select($"vec_id", $"cell")
+  }
+
+  /** Seed artifact of the continuous semantic-dedup family: the epoch
+    * codebook (`cents`, k = max(16, ⌈√N_base⌉) pinned HERE — the epoch
+    * contract), the base's cell-partitioned members (`cells`), and the
+    * base survivor log (`survivors`) under one snapshot path.
+    */
+  private[graft] def writeSemSeed(s: SparkSession, base: DataFrame, path: String): Unit = {
+    import s.implicits._
+    val e = base
+      .select($"vec_id", $"embedding")
+      .withColumn("n2", Vec.norm2($"embedding"))
+    val cents = semCentsOf(e, semCellCount(e)).localCheckpoint(true)
+    cents.coalesce(1).write
+      .mode(org.apache.spark.sql.SaveMode.Overwrite)
+      .parquet(s"$path/cents")
+    semanticCellsWith(e, cents)
+      .repartition(col("cell"))
+      .write
+      .mode(org.apache.spark.sql.SaveMode.Overwrite)
+      .partitionBy("cell")
+      .parquet(s"$path/cells")
+    semSurvivorsWith(e, cents).write
+      .mode(org.apache.spark.sql.SaveMode.Overwrite)
+      .parquet(s"$path/survivors")
+  }
+
+  /** One generation of the continuous semantic-dedup family: assign the
+    * batch against the EPOCH codebook, compute its survivor log against
+    * the prior members (probed cells only — INSET partition pruning on
+    * every prior root) ∪ the batch itself, and write both artifacts.
+    * The anchor rule is monotone in vec_id and ingest ids are monotone
+    * across batches, so the batch's survivor set is FINAL at commit
+    * time — the continuous survivor set is the plain union of survivor
+    * artifacts.
+    */
+  private[graft] def writeSemGeneration(
+      s: SparkSession,
+      batch: DataFrame,
+      cents: DataFrame,
+      memberRoots: Seq[String],
+      path: String): Unit = {
+    import s.implicits._
+    val b = semanticCellsWith(
+      batch
+        .select($"vec_id", $"embedding")
+        .withColumn("n2", Vec.norm2($"embedding")),
+      cents).localCheckpoint(eager = true)
+    val probed = b.select($"cell").distinct().collect().map(_.get(0)).toSeq
+    val prior = memberRoots
+      .map(p =>
+        s.read
+          .parquet(s"$p/cells")
+          .filter($"cell".isin(probed: _*))
+          .select($"vec_id", $"embedding", $"n2", $"cell".cast("long").as("cell")))
+      .reduce(_ unionByName _)
+    val survivors = b
+      .join(semWitnessed(prior.unionByName(b), b), Seq("vec_id"), "left_anti")
+      .select($"vec_id", $"cell")
+    b.repartition(col("cell"))
+      .write
+      .mode(org.apache.spark.sql.SaveMode.Overwrite)
+      .partitionBy("cell")
+      .parquet(s"$path/cells")
+    survivors.write
+      .mode(org.apache.spark.sql.SaveMode.Overwrite)
+      .parquet(s"$path/survivors")
   }
 
   /** The shared CTE chain of the semantic-dedup oracles: cells via the

@@ -1346,6 +1346,109 @@ object StreamOps {
     graft.index.GenLog.markCommitted(s, p)
   }
 
+  /** SEMANTIC dedup family (SemDeDup) — the seventh generation family.
+    * Model state = the epoch codebook (the first-k base vectors,
+    * k = max(16, ⌈√N_base⌉), pinned at seed — the IVF epoch contract;
+    * retraining is an epoch roll). What makes this family special: the
+    * anchor rule is MONOTONE in vec_id and ingest ids are monotone
+    * across batches, so each batch's survivor set is FINAL at commit
+    * time — a generation carries its cell-partitioned members AND its
+    * survivor log, witness probes read only the batch's cells from each
+    * prior root (INSET partition pruning), and the continuous survivor
+    * set is the plain UNION of survivor artifacts, exactly ≡ the
+    * monolithic rebuild under the epoch codebook
+    * (StreamingSemanticSpec).
+    */
+  private def semFamily(indexDir: String) = graft.index.GenLog.GenFamily(
+    write = (s, batch, path) => {
+      val roots = graft.index.GenLog.roots(s, indexDir, "semantic index")
+      val cents = s.read.parquet(s"${roots.head}/cents")
+      SimilarityOps.writeSemGeneration(s, batch, cents, roots, path)
+    },
+    fold = (s, roots, path) => {
+      roots
+        .map(p => s.read.parquet(s"$p/cells")
+          .select(
+            col("vec_id"), col("embedding"), col("n2"),
+            col("cell").cast("long").as("cell")))
+        .reduce(_ unionByName _)
+        .repartition(col("cell"))
+        .write
+        .mode(org.apache.spark.sql.SaveMode.Overwrite)
+        .partitionBy("cell")
+        .parquet(s"$path/cells")
+      roots
+        .map(p => s.read.parquet(s"$p/survivors"))
+        .reduce(_ unionByName _)
+        .write
+        .mode(org.apache.spark.sql.SaveMode.Overwrite)
+        .parquet(s"$path/survivors")
+      s.read.parquet(s"${roots.head}/cents")
+        .coalesce(1)
+        .write
+        .mode(org.apache.spark.sql.SaveMode.Overwrite)
+        .parquet(s"$path/cents")
+    })
+
+  /** Seed the continuous semantic-dedup index: epoch codebook + base
+    * cells + base survivor log as the committed v0 full snapshot.
+    */
+  def seedSemanticIndex(s: SparkSession, base: DataFrame, indexDir: String): Unit = {
+    val p = s"$indexDir/v0/full"
+    SimilarityOps.writeSemSeed(s, base, p)
+    graft.index.GenLog.markCommitted(s, p)
+  }
+
+  /** Continuous semantic-dedup maintenance: each micro-batch assigns
+    * against the epoch codebook, probes prior cells for witnesses, and
+    * commits its own generation (members + final survivor log) —
+    * O(batch + probed slice) work, the base never re-read in full.
+    */
+  def semanticIndexStreamWriter(
+      vectors: DataFrame,
+      indexDir: String,
+      checkpoint: String): org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
+    graft.index.GenLog.streamWriter(vectors, semFamily(indexDir), indexDir, checkpoint)
+
+  private[graft] def semGenerationRoots(
+      s: SparkSession,
+      indexDir: String): Seq[String] =
+    graft.index.GenLog.roots(s, indexDir, what = "semantic index")
+
+  /** The maintained corpus-wide survivor set: the union of per-root
+    * survivor logs (final at commit under the monotone anchor rule), in
+    * q_dedup_semantic's output shape.
+    */
+  def serveSemanticContinuous(s: SparkSession, indexDir: String): DataFrame =
+    semGenerationRoots(s, indexDir)
+      .map(p => s.read.parquet(s"$p/survivors"))
+      .reduce(_ unionByName _)
+      .orderBy(col("vec_id"))
+
+  /** Compaction (kernel protocol; the fold carries the epoch codebook
+    * forward and concatenates the survivor logs — both read-invariant).
+    */
+  def compactSemanticIndex(s: SparkSession, indexDir: String, keepFulls: Int = 2): Unit =
+    graft.index.GenLog.compact(s, indexDir, semFamily(indexDir), keepFulls)
+
+  /** The EPOCH ROLL: re-seed a NEW index directory from every vector
+    * across the current roots — k and the codebook re-derive from the
+    * GROWN corpus (that is the retrain), survivors recompute under the
+    * new epoch, and the old epoch keeps serving untouched until the
+    * caller switches (the [[rollIvfEpoch]] blue/green contract).
+    */
+  def rollSemanticEpoch(
+      s: SparkSession,
+      indexDir: String,
+      newIndexDir: String): Unit =
+    seedSemanticIndex(
+      s,
+      semGenerationRoots(s, indexDir)
+        .map(p => s.read.parquet(s"$p/cells")
+          .select(col("vec_id"), col("embedding")))
+        .reduce(_ unionByName _),
+      newIndexDir)
+
   /** update-mode stream → keyed JDBC upsert: the streaming CDC-apply.
     * Each micro-batch's changed rows go through
     * [[Sinks.upsertSnapshotJdbc]], whose replace-by-key idempotence makes

@@ -1,0 +1,133 @@
+package graft
+
+import java.nio.file.Files
+
+import graft.ops.{SimilarityOps, StreamOps, Vec}
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Continuous semantic dedup ([[StreamOps.semanticIndexStreamWriter]]):
+  * the seventh generation family. The anchor rule is monotone in vec_id
+  * and ingest ids are monotone across batches, so each generation's
+  * survivor log is FINAL at commit — the continuous survivor set (a
+  * plain union of survivor artifacts) must equal the monolithic anchor
+  * prune over the prefix corpus under the SEED-EPOCH codebook at every
+  * point in time, compaction must carry the codebook and concatenate
+  * the logs without changing an answer, and the epoch roll must equal a
+  * fresh seed over the grown corpus while the old epoch serves
+  * untouched.
+  */
+class StreamingSemanticSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def rows(df: DataFrame): Seq[String] =
+    df.collect().map(_.toString).toSeq
+
+  private lazy val all = T(spark, sf, "embeddings")
+  private lazy val cuts: (Long, Long, Long) = {
+    val m = all.agg(max($"vec_id")).head.getLong(0)
+    (m * 8 / 10, m * 86 / 100, m * 93 / 100)
+  }
+
+  private def stageFile(dir: String, df: DataFrame, name: String, mtime: Long): Unit = {
+    val fs = new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val tmp = s"$dir/_stage_$name"
+    df.coalesce(1).write.parquet(tmp)
+    val part = fs
+      .listStatus(new org.apache.hadoop.fs.Path(tmp))
+      .filter(_.getPath.getName.endsWith(".parquet"))
+      .head
+      .getPath
+    fs.mkdirs(new org.apache.hadoop.fs.Path(s"$dir/embeddings.parquet"))
+    fs.rename(part, new org.apache.hadoop.fs.Path(s"$dir/embeddings.parquet/$name.parquet"))
+    fs.delete(new org.apache.hadoop.fs.Path(tmp), true)
+    new java.io.File(s"$dir/embeddings.parquet/$name.parquet").setLastModified(mtime)
+  }
+
+  /** Monolithic anchor prune over `e` with the given codebook — the
+    * rebuild every streamed state must match.
+    */
+  private def rebuilt(e: DataFrame, cents: DataFrame): Seq[String] =
+    rows(
+      SimilarityOps
+        .semSurvivorsWith(
+          e.select($"vec_id", $"embedding")
+            .withColumn("n2", Vec.norm2($"embedding")),
+          cents)
+        .orderBy($"vec_id"))
+
+  test("streamed survivor logs ≡ monolithic prune; compaction; epoch roll") {
+    val (c0, c1, c2) = cuts
+    val src = Files.createTempDirectory("graft_sem_src").toString
+    val indexDir = Files.createTempDirectory("graft_sem_idx").toString
+    val ckpt = Files.createTempDirectory("graft_sem_ckpt").toString
+
+    val base = all.filter($"vec_id" <= c0)
+    StreamOps.seedSemanticIndex(spark, base, indexDir)
+    // the seed-epoch codebook: k = max(16, ceil(sqrt(N_base))) over the
+    // BASE — later batches must keep assigning against it
+    val seedCents = spark.read.parquet(s"$indexDir/v0/full/cents")
+
+    stageFile(src, all.filter($"vec_id" > c0 && $"vec_id" <= c1), "batch1", 1000000L)
+    stageFile(src, all.filter($"vec_id" > c1 && $"vec_id" <= c2), "batch2", 2000000L)
+    def run(): Unit = {
+      val q = StreamOps
+        .semanticIndexStreamWriter(
+          spark.readStream
+            .schema(all.schema)
+            .option("maxFilesPerTrigger", "1")
+            .parquet(s"$src/embeddings.parquet"),
+          indexDir,
+          ckpt)
+        .start()
+      try q.processAllAvailable()
+      finally q.stop()
+    }
+    run()
+
+    // mid-stream identity: union of survivor logs ≡ the monolithic
+    // prune over the prefix, under the seed-epoch codebook
+    val prefixWant = rebuilt(all.filter($"vec_id" <= c2), seedCents)
+    assert(rows(StreamOps.serveSemanticContinuous(spark, indexDir)) === prefixWant)
+
+    // O(batch) commits: each generation's members are a fraction of the
+    // base, and the seed snapshot is never rewritten
+    def cells(sub: String): Long =
+      spark.read.parquet(s"$indexDir/$sub/cells").count()
+    val baseN = cells("v0/full")
+    for (v <- Seq("v1/gen", "v2/gen"))
+      assert(cells(v) > 0 && cells(v) < baseN / 3, v)
+
+    // compaction folds members + survivor logs and carries the epoch
+    // codebook forward, changing no answer
+    StreamOps.compactSemanticIndex(spark, indexDir)
+    val fs = new org.apache.hadoop.fs.Path(indexDir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    assert(!fs.exists(new org.apache.hadoop.fs.Path(s"$indexDir/v1/gen")))
+    assert(fs.exists(new org.apache.hadoop.fs.Path(s"$indexDir/v2/full/cents")))
+    assert(rows(StreamOps.serveSemanticContinuous(spark, indexDir)) === prefixWant)
+
+    // resume over the compacted index: the final batch probes the folded
+    // members through the carried codebook
+    stageFile(src, all.filter($"vec_id" > c2), "batch3", 3000000L)
+    run()
+    assert(
+      rows(StreamOps.serveSemanticContinuous(spark, indexDir)) ===
+        rebuilt(all, seedCents))
+
+    // EPOCH ROLL (blue/green): re-seed over the grown corpus — k and the
+    // codebook re-derive from the full vector set, survivors recompute
+    // under the new epoch, and the result equals a fresh monolithic
+    // seed, which IS the oracle-checked q_dedup_semantic answer; the old
+    // epoch's answers are untouched
+    val rolledDir = Files.createTempDirectory("graft_sem_rolled").toString
+    StreamOps.rollSemanticEpoch(spark, indexDir, rolledDir)
+    assert(
+      rows(StreamOps.serveSemanticContinuous(spark, rolledDir)) ===
+        rows(SparkEntry.queries("q_dedup_semantic")(spark, sf)))
+    assert(
+      rows(StreamOps.serveSemanticContinuous(spark, indexDir)) ===
+        rebuilt(all, seedCents))
+  }
+}
