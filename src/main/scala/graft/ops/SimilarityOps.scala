@@ -1269,6 +1269,30 @@ object SimilarityOps {
     (build, serve)
   }
 
+  /** q_cluster_stats — the cluster-size/prune report of the semantic
+    * dedup pass (the distribution SemDeDup §4 reports): per cell, its
+    * member count and how many members survive the anchor prune. Every
+    * nonempty cell keeps ≥ 1 (its lowest id has no lower-id witness).
+    * All-integer outputs — no float leaves the plan, so the hash gate
+    * is exact by construction. Same N^1.5 shape as q_dedup_semantic.
+    */
+  private def clusterStats(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val e =
+      emb(s, d).select($"vec_id", $"embedding", Vec.norm2($"embedding").as("n2"))
+    val cells = semanticCells(e, semCellCount(e))
+    cells
+      .join(
+        semWitnessed(cells, cells).withColumn("w", lit(1)),
+        Seq("vec_id"),
+        "left")
+      .groupBy($"cell")
+      .agg(
+        count(lit(1)).as("n_vecs"),
+        count(when($"w".isNull, 1)).as("n_kept"))
+      .orderBy($"cell")
+  }
+
   /** Monolithic anchor prune under an explicit epoch codebook:
     * survivors (vec_id, cell) of `e`. The continuous family's specs
     * compare streamed survivor logs against this rebuilt answer.
@@ -1380,9 +1404,16 @@ object SimilarityOps {
       "WHERE vec_id NOT IN (SELECT vec_id FROM dropped) " +
       "AND vec_id > (SELECT max(vec_id) // 2 FROM embeddings) ORDER BY vec_id"
 
+  private val ClusterStatsSql =
+    s"WITH $SemCtes " +
+      "SELECT cell, count(*) AS n_vecs, " +
+      "count(CASE WHEN vec_id NOT IN (SELECT vec_id FROM dropped) THEN 1 END) AS n_kept " +
+      "FROM cells GROUP BY cell ORDER BY cell"
+
   val defs: Seq[QueryDef] = Seq(
     QueryDef("q_dedup_semantic", dedupSemantic, Some(SemanticSql)),
     QueryDef("q_dedup_semantic_incr", dedupSemanticIncr, Some(SemanticIncrSql)),
+    QueryDef("q_cluster_stats", clusterStats, Some(ClusterStatsSql)),
     QueryDef("q_embed_quantize", embedQuantize, Some(QuantizeSql)),
     QueryDef("q_sim_quantized", simQuantized, Some(QuantizedSql)),
     QueryDef("q_sim_quantized_served", simQuantizedServed, Some(QuantizedSql)),

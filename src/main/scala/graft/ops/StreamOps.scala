@@ -1357,7 +1357,12 @@ object StreamOps {
     * prior root (INSET partition pruning), and the continuous survivor
     * set is the plain UNION of survivor artifacts, exactly ≡ the
     * monolithic rebuild under the epoch codebook
-    * (StreamingSemanticSpec).
+    * (StreamingSemanticSpec). Retry-safe: if a crashed batch already
+    * committed its generation, the retry's witness probe sees that
+    * stale copy among the roots — harmless, because strict a < b
+    * excludes self-pairs and every cross-witness it contributes is
+    * already contributed by the batch-internal leg, so the overwrite
+    * reproduces the identical artifacts.
     */
   private def semFamily(indexDir: String) = graft.index.GenLog.GenFamily(
     write = (s, batch, path) => {

@@ -32,6 +32,7 @@ class PlanHygieneSpec extends SparkSpec {
     // (q_dedup_semantic_incr plans NO BNLJ: its batch assignment is
     // severed behind a localCheckpoint before the final join)
     "q_dedup_semantic",
+    "q_cluster_stats",
     "q_dedup_incr",
     "q_dedup_embed_incr", // same one-row threshold frame as q_dedup_incr
     "q_stat_chisq",

@@ -74,6 +74,24 @@ class SemanticDedupSpec extends SparkSpec {
     }
   }
 
+  test("q_cluster_stats equals per-cell counts over the rebuilt survivor set") {
+    val survivors = SparkEntry
+      .queries("q_dedup_semantic")(spark, sf)
+      .collect()
+      .map(r => r.getLong(0) -> r.getLong(1))
+    val members = T(spark, sf, "embeddings").count()
+    val got = SparkEntry
+      .queries("q_cluster_stats")(spark, sf)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(got.map(_._2).sum === members, "cells must partition the corpus")
+    val keptByCell = survivors.groupBy(_._2).map { case (c, xs) => c -> xs.length.toLong }
+    got.foreach { case (cell, nVecs, nKept) =>
+      assert(nKept === keptByCell.getOrElse(cell, 0L), s"cell $cell kept count")
+      assert(nKept >= 1 && nKept <= nVecs, s"cell $cell bounds")
+    }
+  }
+
   test("q_dedup_semantic_incr equals the full rebuild restricted to batch ids") {
     val full = SparkEntry
       .queries("q_dedup_semantic")(spark, sf)
