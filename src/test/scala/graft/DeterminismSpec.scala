@@ -49,7 +49,13 @@ class DeterminismSpec extends SparkSpec {
     "q_dedup_embed_incr",
     "q_index_bm25_served", // reads back the index it just wrote (bm25 itself runs)
     "q_index_bm25_incr",   // same: serves the generations it just wrote
-    "q_retrieval_rrf_served") // same: serves the three artifacts it just wrote
+    "q_retrieval_rrf_served", // same: serves the three artifacts it just wrote
+    // round-10 SemDeDup family: the argmin tie-break and the anchor
+    // prune must not depend on partitioning, and the incr variant serves
+    // the cell store it just wrote through the build-once catalog
+    "q_dedup_semantic",
+    "q_dedup_semantic_incr",
+    "q_cluster_stats")
 
   test("identical results at shuffle.partitions = 4 vs 13") {
     for (n <- names) {
