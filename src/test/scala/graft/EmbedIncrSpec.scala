@@ -80,7 +80,7 @@ class EmbedIncrSpec extends SparkSpec {
   test("q_dedup_embed_incr on testdata equals q_dedup_embed's batch slice") {
     import spark.implicits._
     val thr = T(spark, sf, "embeddings")
-      .agg(expr("max(vec_id) div 2")).head.getLong(0)
+      .agg(expr("max(vec_id) div 2")).head().getLong(0)
     val full = SparkEntry.queries("q_dedup_embed")(spark, sf)
       .filter($"b_id" > thr)
     assert(pairs(SparkEntry.queries("q_dedup_embed_incr")(spark, sf)) === pairs(full))

@@ -74,7 +74,7 @@ class EndToEndPipelineSpec extends SparkSpec {
 
   test("continuous curate → dedup → index → publish equals the batch pipeline") {
     val all = T(spark, sf, "documents")
-    val mx = all.agg(max($"doc_id")).head.getLong(0)
+    val mx = all.agg(max($"doc_id")).head().getLong(0)
     val cut = mx * 8 / 10
     val c1 = mx * 9 / 10
 

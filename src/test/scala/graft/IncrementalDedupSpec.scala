@@ -101,7 +101,7 @@ class IncrementalDedupSpec extends SparkSpec {
     val incr = SparkEntry.queries("q_dedup_incr")(spark, sf)
       .select("doc_id", "cluster_id")
     val thr = T(spark, sf, "documents")
-      .agg(expr("(max(doc_id) * 9) div 10")).head.getLong(0)
+      .agg(expr("(max(doc_id) * 9) div 10")).head().getLong(0)
     val full = SparkEntry.queries("q_dedup_cc")(spark, sf)
       .filter($"doc_id" > thr)
       .select("doc_id", "cluster_id")

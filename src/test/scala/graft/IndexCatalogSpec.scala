@@ -75,7 +75,7 @@ class IndexCatalogSpec extends SparkSpec {
   test("an uncommitted (crashed) full snapshot never supersedes generations") {
     val dir = Files.createTempDirectory("graft_cat_crash").toString
     val all = T(spark, sf, "embeddings")
-    val cut = all.agg(max($"vec_id")).head.getLong(0) * 8 / 10
+    val cut = all.agg(max($"vec_id")).head().getLong(0) * 8 / 10
     StreamOps.seedAnnIndex(spark, all.filter($"vec_id" <= cut), dir)
     // a "streamed" generation, committed through the kernel protocol
     SimilarityOps.writeAnnIndexFor(
@@ -108,7 +108,7 @@ class IndexCatalogSpec extends SparkSpec {
   test("compaction prunes all but the newest keepFulls full snapshots") {
     val dir = Files.createTempDirectory("graft_cat_prune").toString
     val all = T(spark, sf, "embeddings")
-    val m = all.agg(max($"vec_id")).head.getLong(0)
+    val m = all.agg(max($"vec_id")).head().getLong(0)
     StreamOps.seedAnnIndex(spark, all.filter($"vec_id" <= m / 2), dir)
     def addGen(v: Int, lo: Long, hi: Long): Unit = {
       SimilarityOps.writeAnnIndexFor(
@@ -137,7 +137,7 @@ class IndexCatalogSpec extends SparkSpec {
   test("adopt() migrates a pre-catalog (marker-less) index directory") {
     val dir = Files.createTempDirectory("graft_cat_adopt").toString
     val all = T(spark, sf, "embeddings")
-    val cut = all.agg(max($"vec_id")).head.getLong(0) * 8 / 10
+    val cut = all.agg(max($"vec_id")).head().getLong(0) * 8 / 10
     // a legacy layout: real artifacts, written without markers
     graft.ops.SimilarityOps.writeAnnIndexFor(
       spark, all.filter($"vec_id" <= cut), s"$dir/v0/full")
@@ -163,7 +163,7 @@ class IndexCatalogSpec extends SparkSpec {
     import org.apache.spark.sql.functions.{col => c}
     val dir = Files.createTempDirectory("graft_cat_halfbatch").toString
     val docs = T(spark, sf, "documents").select($"doc_id", $"lang", $"text")
-    val cut = docs.agg(max($"doc_id")).head.getLong(0) * 9 / 10
+    val cut = docs.agg(max($"doc_id")).head().getLong(0) * 9 / 10
     StreamOps.seedDedupIndex(spark, docs.filter($"doc_id" <= cut), dir)
     // simulate a batch that crashed after committing its FIRST artifact
     // (assign) but before its index increments

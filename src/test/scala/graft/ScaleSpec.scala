@@ -121,9 +121,9 @@ class ScaleSpec extends SparkSpec {
     import spark.implicits._
     val (d1, d10) = dirs
     val c1 = SparkEntry.queries("q_dedup_cc")(spark, d1)
-      .agg(countDistinct($"cluster_id")).head.getLong(0)
+      .agg(countDistinct($"cluster_id")).head().getLong(0)
     val out10 = SparkEntry.queries("q_dedup_cc")(spark, d10)
-    val c10 = out10.agg(countDistinct($"cluster_id")).head.getLong(0)
+    val c10 = out10.agg(countDistinct($"cluster_id")).head().getLong(0)
     // per-replica structure is NEAR-identical, not exact: the replica tag
     // changes every token hash, and banded-LSH recall at J barely >= 0.9
     // is probabilistic in the hashes (~88%), so borderline pairs differ
@@ -165,9 +165,9 @@ class ScaleSpec extends SparkSpec {
     // shift equally), so each replica's kept accounting equals the 1x
     // run's; the hot cluster adds exactly one kept representative
     val a1 = SparkEntry.queries("q_pipeline_corpus2")(spark, d1)
-      .agg(sum($"n_docs")).head.getLong(0)
+      .agg(sum($"n_docs")).head().getLong(0)
     val a10 = SparkEntry.queries("q_pipeline_corpus2")(spark, d10)
-      .agg(sum($"n_docs")).head.getLong(0)
+      .agg(sum($"n_docs")).head().getLong(0)
     // same 2% corridor as the cc count: the keep decision rides the
     // banding-sensitive closure
     val want = Replicas * a1 + 1

@@ -25,7 +25,7 @@ class StreamingBm25Spec extends SparkSpec {
   // is yesterday's seeded index, three staged files are today's feed
   private lazy val all = T(spark, sf, "documents")
   private lazy val cuts: (Long, Long, Long) = {
-    val m = all.agg(max($"doc_id")).head.getLong(0)
+    val m = all.agg(max($"doc_id")).head().getLong(0)
     (m * 8 / 10, m * 86 / 100, m * 93 / 100)
   }
 

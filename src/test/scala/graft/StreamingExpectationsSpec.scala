@@ -32,7 +32,7 @@ class StreamingExpectationsSpec extends SparkSpec {
       val dirt =
         if (rawIsNanoLong) {
           val tsNanos = spark.read.parquet(s"$sf/events.parquet")
-            .agg(max($"ts")).head.getLong(0)
+            .agg(max($"ts")).head().getLong(0)
           Seq(
             (-1L, tsNanos, Option.empty[Long], "click", 1.0d, "{}"),
             (-2L, tsNanos, Option(7L), "hover", 1.0d, "{}"),
@@ -40,7 +40,7 @@ class StreamingExpectationsSpec extends SparkSpec {
             (-4L, tsNanos, Option.empty[Long], "hover", 2.0d, "{}"))
             .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
         } else {
-          val tsMax = T(spark, sf, "events").agg(max($"ts")).head.getTimestamp(0)
+          val tsMax = T(spark, sf, "events").agg(max($"ts")).head().getTimestamp(0)
           Seq(
             (-1L, tsMax, Option.empty[Long], "click", 1.0d, "{}"),
             (-2L, tsMax, Option(7L), "hover", 1.0d, "{}"),
@@ -54,7 +54,7 @@ class StreamingExpectationsSpec extends SparkSpec {
         .getFileSystem(spark.sparkContext.hadoopConfiguration)
       val part = fs
         .listStatus(new org.apache.hadoop.fs.Path(s"$dir/dirt"))
-        .filter(_.getPath.getName.endsWith(".parquet")).head.getPath
+        .filter(_.getPath.getName.endsWith(".parquet")).head().getPath
       fs.rename(part, new org.apache.hadoop.fs.Path(s"$dir/dirt.parquet"))
       fs.delete(new org.apache.hadoop.fs.Path(s"$dir/dirt"), true)
     } finally prev match {

@@ -22,7 +22,7 @@ class StreamingIvfSpec extends SparkSpec {
 
   private lazy val all = T(spark, sf, "embeddings")
   private lazy val cuts: (Long, Long, Long) = {
-    val m = all.agg(max($"vec_id")).head.getLong(0)
+    val m = all.agg(max($"vec_id")).head().getLong(0)
     (m * 8 / 10, m * 86 / 100, m * 93 / 100)
   }
 

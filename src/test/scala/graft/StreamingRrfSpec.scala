@@ -43,7 +43,7 @@ class StreamingRrfSpec extends SparkSpec {
     val vecsAll = T(spark, sf, "embeddings")
     // ONE id cut sequence for both tables (doc_id ≡ vec_id in the
     // testdata), so every prefix is a consistent corpus
-    val m = docsAll.agg(max($"doc_id")).head.getLong(0)
+    val m = docsAll.agg(max($"doc_id")).head().getLong(0)
     val (c0, c1, c2) = (m * 8 / 10, m * 86 / 100, m * 93 / 100)
 
     val src = Files.createTempDirectory("graft_rrf_src").toString
