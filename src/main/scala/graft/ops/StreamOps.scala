@@ -1454,6 +1454,85 @@ object StreamOps {
         .reduce(_ unionByName _),
       newIndexDir)
 
+  /** Targets of the composed continuous VECTOR program — the embeddings
+    * side of [[CorpusPipeline]]: all five vector index families (float
+    * ANN buckets, int8 quantized scan tier, IVF cells, semantic-dedup
+    * cells + survivor log, id-sharded store) maintained from ONE stream
+    * in ONE foreachBatch, so the feed is read once per micro-batch
+    * instead of five times through five standalone writers.
+    */
+  case class VectorPipeline(
+      annDir: String,
+      quantDir: String,
+      ivfDir: String,
+      semDir: String,
+      storeDir: String)
+
+  /** Seed every vector family from yesterday's corpus. `cents` is the
+    * IVF epoch quantizer (the q_sim_ivf stand-in or a
+    * [[SimilarityOps.trainCodebook]] result); the semantic family
+    * derives its own epoch codebook from the base (k = max(16, ⌈√N⌉)).
+    */
+  def seedVectorPipeline(
+      s: SparkSession,
+      base: DataFrame,
+      cents: DataFrame,
+      p: VectorPipeline): Unit = {
+    seedAnnIndex(s, base, p.annDir)
+    seedQuantIndex(s, base, p.quantDir)
+    seedIvfIndex(s, base, cents, p.ivfDir)
+    seedSemanticIndex(s, base, p.semDir)
+    seedEmbStoreIndex(s, base, p.storeDir)
+  }
+
+  /** ONE micro-batch through all five vector maintenance legs — each
+    * leg is the same [[graft.index.GenLog.commitGeneration]] body its
+    * standalone writer runs, so composed and single-family streams
+    * share one implementation and per-leg idempotence
+    * (overwrite-then-mark per batchId) is inherited unchanged.
+    */
+  def vectorPipelineBatch(
+      batch0: DataFrame,
+      batchId: Long,
+      p: VectorPipeline): Unit =
+    if (!batch0.isEmpty) {
+      val batch = batch0.localCheckpoint(true) // five consumers below
+      graft.index.GenLog.commitGeneration(AnnFamily, batch, p.annDir, batchId)
+      graft.index.GenLog.commitGeneration(QuantFamily, batch, p.quantDir, batchId)
+      graft.index.GenLog.commitGeneration(
+        ivfFamily(p.ivfDir), batch, p.ivfDir, batchId)
+      graft.index.GenLog.commitGeneration(
+        semFamily(p.semDir), batch, p.semDir, batchId)
+      graft.index.GenLog.commitGeneration(EmbStoreFamily, batch, p.storeDir, batchId)
+    }
+
+  /** The composed vector program as a stream writer: feed it the vector
+    * stream and start. The daily loop is stop →
+    * [[compactVectorPipeline]] → restart from the same checkpoint.
+    */
+  def vectorPipelineWriter(
+      vectors: DataFrame,
+      p: VectorPipeline,
+      checkpoint: String): org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
+    vectors.writeStream
+      .outputMode("append")
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        vectorPipelineBatch(batch, batchId, p)
+        ()
+      }
+
+  /** Compact all five families (kernel protocol, stopped-stream
+    * cadence).
+    */
+  def compactVectorPipeline(s: SparkSession, p: VectorPipeline): Unit = {
+    compactAnnIndex(s, p.annDir)
+    compactQuantIndex(s, p.quantDir)
+    compactIvfIndex(s, p.ivfDir)
+    compactSemanticIndex(s, p.semDir)
+    compactEmbStoreIndex(s, p.storeDir)
+  }
+
   /** update-mode stream → keyed JDBC upsert: the streaming CDC-apply.
     * Each micro-batch's changed rows go through
     * [[Sinks.upsertSnapshotJdbc]], whose replace-by-key idempotence makes

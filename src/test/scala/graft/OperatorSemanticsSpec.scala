@@ -182,8 +182,8 @@ class OperatorSemanticsSpec extends SparkSpec {
       .write.mode("overwrite").parquet(s"$dir/documents.parquet")
     val out = SparkEntry.queries("q_dedup_ngram")(spark, dir).collect()
     assert(out.length == 1)
-    assert(out.head().getAs[Long]("a_id") == 1L && out.head().getAs[Long]("b_id") == 2L)
-    assert(out.head().getAs[Double]("jaccard") == 1.0d)
+    assert(out.head.getAs[Long]("a_id") == 1L && out.head.getAs[Long]("b_id") == 2L)
+    assert(out.head.getAs[Double]("jaccard") == 1.0d)
   }
 
   test("q_sim_ivf probes a strict subset: its hits are within brute-force top-k cosine range") {
@@ -191,7 +191,7 @@ class OperatorSemanticsSpec extends SparkSpec {
     val brute = SparkEntry.queries("q_sim_topk")(spark, sf).collect()
     assert(ivf.nonEmpty)
     // ANN cannot beat exact search: best IVF cosine ≤ best brute-force cosine
-    assert(ivf.head().getAs[Double]("cos") <= brute.head().getAs[Double]("cos") + 1e-9)
+    assert(ivf.head.getAs[Double]("cos") <= brute.head.getAs[Double]("cos") + 1e-9)
   }
 
   test("ntile splits uneven partitions SQL-style: larger buckets first, sizes differ by at most 1") {
@@ -252,8 +252,8 @@ class OperatorSemanticsSpec extends SparkSpec {
     // exactly one grand-total row, and it carries both sentinels
     val grand = out.filter($"g_status" === 1 && $"g_priority" === 1).collect()
     assert(grand.length == 1)
-    assert(grand.head().getAs[String]("status") == "(all)")
-    assert(grand.head().getAs[String]("priority") == "(all)")
+    assert(grand.head.getAs[String]("status") == "(all)")
+    assert(grand.head.getAs[String]("priority") == "(all)")
     // sentinel precondition: the sentinel is lossless only while the real
     // keys are never NULL and never the literal '(all)' — assert it on the
     // data so a future generator change fails loudly here, not in a hash
@@ -263,7 +263,7 @@ class OperatorSemanticsSpec extends SparkSpec {
           $"o_orderstatus" === "(all)" || $"o_orderpriority" === "(all)")
     assert(viol.count() == 0, "sentinel collision: use the markers, not the sentinel")
     // marginals are consistent: per-set n sums to the grand total
-    val total = grand.head().getAs[Long]("n")
+    val total = grand.head.getAs[Long]("n")
     Seq(($"g_status" === 0 && $"g_priority" === 0),
       ($"g_status" === 0 && $"g_priority" === 1),
       ($"g_status" === 1 && $"g_priority" === 0)).foreach { p =>

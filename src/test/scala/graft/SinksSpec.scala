@@ -155,7 +155,7 @@ class SinksSpec extends SparkSpec {
     val leaf = new java.io.File(path + "/split=train").listFiles().filter(_.isDirectory).head
     val files = leaf.listFiles()
       .filter(f => f.getName.contains(".json") && !f.getName.startsWith("."))
-    assert(files.length == 1 && files.head().getName.endsWith(".gz"), files.map(_.getName).toSeq)
+    assert(files.length == 1 && files.head.getName.endsWith(".gz"), files.map(_.getName).toSeq)
     // exact round trip through the json reader (schema from the writer)
     val back = spark.read
       .schema("doc_id LONG, text STRING, lang STRING, split STRING")

@@ -47,7 +47,7 @@ class StreamingEmbedIncrSpec extends SparkSpec {
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
     def part(sub: String) = fs
       .listStatus(new org.apache.hadoop.fs.Path(s"$dir/$sub"))
-      .filter(_.getPath.getName.endsWith(".parquet")).head().getPath
+      .filter(_.getPath.getName.endsWith(".parquet")).head.getPath
     fs.mkdirs(new org.apache.hadoop.fs.Path(s"$dir/feed"))
     fs.rename(part("b1"), new org.apache.hadoop.fs.Path(s"$dir/feed/b1.parquet"))
     fs.rename(part("b2"), new org.apache.hadoop.fs.Path(s"$dir/feed/b2.parquet"))

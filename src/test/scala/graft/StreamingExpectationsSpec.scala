@@ -54,7 +54,7 @@ class StreamingExpectationsSpec extends SparkSpec {
         .getFileSystem(spark.sparkContext.hadoopConfiguration)
       val part = fs
         .listStatus(new org.apache.hadoop.fs.Path(s"$dir/dirt"))
-        .filter(_.getPath.getName.endsWith(".parquet")).head().getPath
+        .filter(_.getPath.getName.endsWith(".parquet")).head.getPath
       fs.rename(part, new org.apache.hadoop.fs.Path(s"$dir/dirt.parquet"))
       fs.delete(new org.apache.hadoop.fs.Path(s"$dir/dirt"), true)
     } finally prev match {
