@@ -44,7 +44,8 @@ class StreamingVectorPipelineSpec extends SparkSpec {
   test("one stream drives all five vector families; each serve ≡ a rebuild") {
     val m = all.agg(max($"vec_id")).head().getLong(0)
     val c0 = m * 8 / 10
-    val c1 = m * 9 / 10
+    val c1 = m * 86 / 100
+    val c2 = m * 93 / 100
     val src = Files.createTempDirectory("graft_vp_src").toString
     val ckpt = Files.createTempDirectory("graft_vp_ckpt").toString
     def dir(n: String) = Files.createTempDirectory(s"graft_vp_$n").toString
@@ -66,18 +67,29 @@ class StreamingVectorPipelineSpec extends SparkSpec {
     val seedSemCents = spark.read.parquet(s"${p.semDir}/v0/full/cents")
 
     stageFile(src, all.filter($"vec_id" > c0 && $"vec_id" <= c1), "b1", 1000000L)
-    stageFile(src, all.filter($"vec_id" > c1), "b2", 2000000L)
-    val q = StreamOps
-      .vectorPipelineWriter(
-        spark.readStream
-          .schema(all.schema)
-          .option("maxFilesPerTrigger", "1")
-          .parquet(s"$src/embeddings.parquet"),
-        p,
-        ckpt)
-      .start()
-    try q.processAllAvailable()
-    finally q.stop()
+    stageFile(src, all.filter($"vec_id" > c1 && $"vec_id" <= c2), "b2", 2000000L)
+    def run(): Unit = {
+      val q = StreamOps
+        .vectorPipelineWriter(
+          spark.readStream
+            .schema(all.schema)
+            .option("maxFilesPerTrigger", "1")
+            .parquet(s"$src/embeddings.parquet"),
+          p,
+          ckpt)
+        .start()
+      try q.processAllAvailable()
+      finally q.stop()
+    }
+    run()
+
+    // the day-2 production loop: stop (above), compact ALL FIVE families
+    // while stopped, stage tomorrow's feed, restart from the same
+    // checkpoint — every assertion below runs against state that crossed
+    // a compaction boundary mid-stream
+    StreamOps.compactVectorPipeline(spark, p)
+    stageFile(src, all.filter($"vec_id" > c2), "b3", 3000000L)
+    run()
 
     val e = all.select($"vec_id", $"embedding", Vec.norm2($"embedding").as("n2"))
 
@@ -141,7 +153,8 @@ class StreamingVectorPipelineSpec extends SparkSpec {
         .orderBy($"vec_id"))
     assert(storeGot() === storeWant, "store leg diverged")
 
-    // compacting all five families changes no answer
+    // a second compaction (now folding the post-resume generations into
+    // the day-1 fold) changes no answer either
     StreamOps.compactVectorPipeline(spark, p)
     assert(annGot() === annWant, "ANN answer changed by compaction")
     assert(quantGot() === quantWant, "quant answer changed by compaction")
