@@ -84,6 +84,16 @@ class PlanShapeSpec extends SparkSpec {
     }
   }
 
+  test("q_dedup_semantic: codegen'd dot verify, cell equi-join, fused argmin") {
+    val p = plan("q_dedup_semantic")
+    // the only nested loop is the one-row broadcast codebook attach
+    // (PlanHygieneSpec's documented set); the within-cell τ-verify is a
+    // cell-keyed equi-join over the codegen'd kernels
+    assert(!p.contains("CartesianProduct"), p)
+    assert(p.contains("dot_product"), p)
+    assert(p.contains("codebook_scores"), p)
+  }
+
   test("q_multi_join2 broadcasts dims and pushes the p_name filter to the part scan") {
     val p = plan("q_multi_join2")
     assert(p.contains("BroadcastHashJoin"), p)
