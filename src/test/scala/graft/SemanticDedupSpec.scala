@@ -92,6 +92,38 @@ class SemanticDedupSpec extends SparkSpec {
     }
   }
 
+  test("boilerplate cell: 500 identical vectors collapse to one survivor") {
+    // the adversarial shape of a real corpus — one boilerplate page
+    // embedded 500× — lands ALL copies in one cell (equal cos to every
+    // centroid; the argmin tie-break picks c_id 0 deterministically) and
+    // the anchor prune must keep exactly the lowest id. Centroids are
+    // the 16 one-hot basis vectors (pairwise cos 0 — all survive), the
+    // boilerplate is all-ones (cos 1/4 to every centroid, below τ, so
+    // no cross-witnessing in the shared cell; cos 1 to its copies).
+    import spark.implicits._
+    val dim = 16
+    val oneHots = (0 until 16).map { i =>
+      (i.toLong, Array.tabulate(dim)(j => if (j == i) 1f else 0f))
+    }
+    val ones = Array.fill(dim)(1f)
+    val copies = (100L until 600L).map(id => (id, ones))
+    val e = (oneHots ++ copies)
+      .toDF("vec_id", "embedding")
+      .withColumn("n2", graft.ops.Vec.norm2($"embedding"))
+    // k = max(16, ceil(sqrt(516))) = 23, but only ids < 23 present are
+    // the 16 one-hots — the codebook is exactly the basis
+    val k = math.max(16L, math.ceil(math.sqrt(516d)).toLong)
+    val cents = graft.ops.SimilarityOps.semCentsOf(e, k)
+    val got = graft.ops.SimilarityOps
+      .semSurvivorsWith(e, cents)
+      .collect()
+      .map(r => r.getLong(0) -> r.getLong(1))
+      .toMap
+    assert(got.keySet === ((0L until 16L).toSet + 100L),
+      "survivors must be the 16 centroids plus the lowest boilerplate id")
+    assert(got(100L) === 0L, "tied argmin must break to the lowest c_id")
+  }
+
   test("q_dedup_semantic_incr equals the full rebuild restricted to batch ids") {
     val full = SparkEntry
       .queries("q_dedup_semantic")(spark, sf)
