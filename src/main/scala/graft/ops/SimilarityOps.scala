@@ -1293,6 +1293,35 @@ object SimilarityOps {
       .orderBy($"cell")
   }
 
+  /** q_cluster_terms — cluster LABELING for the semantic pass: the top-3
+    * most frequent terms of each semantic cell, joining documents to
+    * their cell through doc_id = vec_id (the q_multimodal linkage). The
+    * exploration step after SemDeDup clusters a corpus — "what is this
+    * cluster about" — with the same cross-engine token rule as the
+    * inverted index (lowercase space split, `[a-z0-9]{3,}`), integer
+    * counts, and a (count desc, term asc) rank so ties are
+    * deterministic. One shuffle to (cell, term), one window per cell.
+    */
+  private def clusterTerms(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val e =
+      emb(s, d).select($"vec_id", $"embedding", Vec.norm2($"embedding").as("n2"))
+    val cells =
+      semanticCells(e, semCellCount(e)).select($"vec_id", $"cell")
+    val toks = T(s, d, "documents")
+      .join(cells, $"doc_id" === $"vec_id")
+      .select($"cell", explode(split(lower($"text"), " ")).as("term"))
+      .filter($"term".rlike("^[a-z0-9]{3,}$"))
+    val w = Window.partitionBy($"cell").orderBy($"n".desc, $"term")
+    toks
+      .groupBy($"cell", $"term")
+      .agg(count(lit(1)).as("n"))
+      .withColumn("rn", row_number().over(w))
+      .filter($"rn" <= 3)
+      .select($"cell", $"rn", $"term", $"n")
+      .orderBy($"cell", $"rn")
+  }
+
   /** Monolithic anchor prune under an explicit epoch codebook:
     * survivors (vec_id, cell) of `e`. The continuous family's specs
     * compare streamed survivor logs against this rebuilt answer.
@@ -1410,10 +1439,21 @@ object SimilarityOps {
       "count(CASE WHEN vec_id NOT IN (SELECT vec_id FROM dropped) THEN 1 END) AS n_kept " +
       "FROM cells GROUP BY cell ORDER BY cell"
 
+  private val ClusterTermsSql =
+    s"WITH $SemCtes, " +
+      "toks AS (SELECT cells.cell AS cell, unnest(string_split(lower(d.text), ' ')) AS term " +
+      "FROM documents d JOIN cells ON d.doc_id = cells.vec_id), " +
+      "cnt AS (SELECT cell, term, count(*) AS n FROM toks " +
+      "WHERE regexp_full_match(term, '[a-z0-9]{3,}') GROUP BY cell, term), " +
+      "trank AS (SELECT cell, term, n, " +
+      "row_number() OVER (PARTITION BY cell ORDER BY n DESC, term) AS rn FROM cnt) " +
+      "SELECT cell, rn, term, n FROM trank WHERE rn <= 3 ORDER BY cell, rn"
+
   val defs: Seq[QueryDef] = Seq(
     QueryDef("q_dedup_semantic", dedupSemantic, Some(SemanticSql)),
     QueryDef("q_dedup_semantic_incr", dedupSemanticIncr, Some(SemanticIncrSql)),
     QueryDef("q_cluster_stats", clusterStats, Some(ClusterStatsSql)),
+    QueryDef("q_cluster_terms", clusterTerms, Some(ClusterTermsSql)),
     QueryDef("q_embed_quantize", embedQuantize, Some(QuantizeSql)),
     QueryDef("q_sim_quantized", simQuantized, Some(QuantizedSql)),
     QueryDef("q_sim_quantized_served", simQuantizedServed, Some(QuantizedSql)),

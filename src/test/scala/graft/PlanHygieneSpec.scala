@@ -33,6 +33,7 @@ class PlanHygieneSpec extends SparkSpec {
     // severed behind a localCheckpoint before the final join)
     "q_dedup_semantic",
     "q_cluster_stats",
+    "q_cluster_terms",
     "q_dedup_incr",
     "q_dedup_embed_incr", // same one-row threshold frame as q_dedup_incr
     "q_stat_chisq",
