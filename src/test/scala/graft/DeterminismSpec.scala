@@ -55,7 +55,8 @@ class DeterminismSpec extends SparkSpec {
     // the cell store it just wrote through the build-once catalog
     "q_dedup_semantic",
     "q_dedup_semantic_incr",
-    "q_cluster_stats")
+    "q_cluster_stats",
+    "q_cluster_terms") // window rank ties broken by (n desc, term asc)
 
   test("identical results at shuffle.partitions = 4 vs 13") {
     for (n <- names) {
