@@ -1436,6 +1436,36 @@ object StreamOps {
   def compactSemanticIndex(s: SparkSession, indexDir: String, keepFulls: Int = 2): Unit =
     graft.index.GenLog.compact(s, indexDir, semFamily(indexDir), keepFulls)
 
+  /** The cluster report served from the MAINTAINED semantic index
+    * (q_cluster_stats' shape): member counts from the cells artifacts,
+    * survivor counts from the survivor logs, merge-on-read — no
+    * recomputation of assignments or witnesses. Pinned to the index's
+    * epoch codebook (the batch query re-derives k over the current
+    * corpus; an epoch roll re-aligns them).
+    */
+  def serveClusterStatsContinuous(s: SparkSession, indexDir: String): DataFrame = {
+    val roots = semGenerationRoots(s, indexDir)
+    val members = roots
+      .map(p => s.read.parquet(s"$p/cells")
+        .select(col("vec_id"), col("cell").cast("long").as("cell")))
+      .reduce(_ unionByName _)
+    val kept = roots
+      .map(p => s.read.parquet(s"$p/survivors"))
+      .reduce(_ unionByName _)
+    members
+      .groupBy(col("cell"))
+      .agg(count(lit(1)).as("n_vecs"))
+      .join(
+        kept.groupBy(col("cell")).agg(count(lit(1)).as("n_kept")),
+        Seq("cell"),
+        "left")
+      .select(
+        col("cell"),
+        col("n_vecs"),
+        coalesce(col("n_kept"), lit(0L)).as("n_kept"))
+      .orderBy(col("cell"))
+  }
+
   /** The EPOCH ROLL: re-seed a NEW index directory from every vector
     * across the current roots — k and the codebook re-derive from the
     * GROWN corpus (that is the retrain), survivors recompute under the

@@ -116,6 +116,26 @@ class StreamingSemanticSpec extends SparkSpec {
       rows(StreamOps.serveSemanticContinuous(spark, indexDir)) ===
         rebuilt(all, seedCents))
 
+    // the maintained cluster report: member + survivor counts served
+    // merge-on-read from the generation artifacts, no recomputation —
+    // must equal per-cell counts derived from a monolithic assignment +
+    // prune under the seed epoch
+    val eAll = all
+      .select($"vec_id", $"embedding")
+      .withColumn("n2", Vec.norm2($"embedding"))
+    val cellsAll = SimilarityOps.semanticCellsWith(eAll, seedCents)
+    val survAll = SimilarityOps.semSurvivorsWith(eAll, seedCents)
+    val wantStats = cellsAll
+      .groupBy($"cell")
+      .agg(count(lit(1)).as("n_vecs"))
+      .join(survAll.groupBy($"cell").agg(count(lit(1)).as("n_kept")), Seq("cell"))
+      .select($"cell", $"n_vecs", $"n_kept")
+      .orderBy($"cell")
+    assert(
+      rows(StreamOps.serveClusterStatsContinuous(spark, indexDir)) ===
+        rows(wantStats),
+      "maintained cluster report diverged from the monolithic counts")
+
     // EPOCH ROLL (blue/green): re-seed over the grown corpus — k and the
     // codebook re-derive from the full vector set, survivors recompute
     // under the new epoch, and the result equals a fresh monolithic
