@@ -1322,6 +1322,28 @@ object SimilarityOps {
       .orderBy($"cell", $"rn")
   }
 
+  /** q_dedup_semantic_trained — the PRODUCTION semantic dedup: the same
+    * anchor prune under a Lloyd-trained coarse quantizer
+    * ([[trainCodebook]], k = max(16, ⌈√N⌉), 2 iterations) instead of
+    * the oracle's deterministic first-k stand-in — the q_sim_ivf_trained
+    * pattern applied to the dedup family. No SQL oracle (Lloyd k-means
+    * is not oracle-expressible for the driver's hash compare); gated by
+    * SemanticDedupSpec's trained contract instead: bit-equal to a
+    * driver-side scalar reference run on the engine's own trained
+    * centroids (the dot fold is bit-identical), and stable across
+    * shuffle-partition settings.
+    */
+  private def dedupSemanticTrained(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val e =
+      emb(s, d).select($"vec_id", $"embedding", Vec.norm2($"embedding").as("n2"))
+    val cb = trainCodebook(e, semCellCount(e).toInt, iters = 2)
+    val cents = cb
+      .toDF("c_id", "c")
+      .select($"c_id", $"c", Vec.norm2($"c").as("cn2"))
+    semSurvivorsWith(e, cents).orderBy($"vec_id")
+  }
+
   /** Monolithic anchor prune under an explicit epoch codebook:
     * survivors (vec_id, cell) of `e`. The continuous family's specs
     * compare streamed survivor logs against this rebuilt answer.
@@ -1454,6 +1476,7 @@ object SimilarityOps {
     QueryDef("q_dedup_semantic_incr", dedupSemanticIncr, Some(SemanticIncrSql)),
     QueryDef("q_cluster_stats", clusterStats, Some(ClusterStatsSql)),
     QueryDef("q_cluster_terms", clusterTerms, Some(ClusterTermsSql)),
+    QueryDef("q_dedup_semantic_trained", dedupSemanticTrained, None),
     QueryDef("q_embed_quantize", embedQuantize, Some(QuantizeSql)),
     QueryDef("q_sim_quantized", simQuantized, Some(QuantizedSql)),
     QueryDef("q_sim_quantized_served", simQuantizedServed, Some(QuantizedSql)),

@@ -32,6 +32,7 @@ class PlanHygieneSpec extends SparkSpec {
     // (q_dedup_semantic_incr plans NO BNLJ: its batch assignment is
     // severed behind a localCheckpoint before the final join)
     "q_dedup_semantic",
+    "q_dedup_semantic_trained",
     "q_cluster_stats",
     "q_cluster_terms",
     "q_dedup_incr",

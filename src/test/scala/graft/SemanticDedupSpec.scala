@@ -92,6 +92,50 @@ class SemanticDedupSpec extends SparkSpec {
     }
   }
 
+  test("q_dedup_semantic_trained equals a scalar reference on its own centroids") {
+    import graft.ops.{SimilarityOps, Vec}
+    val e = T(spark, sf, "embeddings")
+      .select($"vec_id", $"embedding")
+      .withColumn("n2", Vec.norm2($"embedding"))
+    val vecs = e
+      .select($"vec_id", $"embedding")
+      .collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1).toArray)
+      .sortBy(_._1)
+    val k = math.max(16L, math.ceil(math.sqrt(vecs.length.toDouble)).toLong)
+    // the engine's own trained centroids (deterministic — IvfTrainSpec);
+    // from here the scalar reference replays assignment + anchor prune
+    // with the same left-fold float ops, so equality is bit-exact
+    val cb = SimilarityOps.trainCodebook(e, k.toInt, iters = 2)
+    val cents = cb.map { case (cid, c) => cid -> c.toArray }
+    val cn2 = cents.map { case (cid, c) => cid -> dot(c, c) }.toMap
+    val n2 = vecs.map { case (id, v) => id -> dot(v, v) }.toMap
+    val byId = vecs.toMap
+    val cellOf = vecs.map { case (id, v) =>
+      id -> cents
+        .map { case (cid, c) =>
+          (dot(v, c) / (math.sqrt(n2(id)) * math.sqrt(cn2(cid))), cid)
+        }
+        .minBy { case (cos, cid) => (-cos, cid) }
+        ._2
+    }.toMap
+    val ids = vecs.map(_._1)
+    val want = ids.filter { b =>
+      !ids.exists(a =>
+        a < b && cellOf(a) == cellOf(b) &&
+          dot(byId(a), byId(b)) / (math.sqrt(n2(a)) * math.sqrt(n2(b))) > Tau)
+    }.map(id => id -> cellOf(id))
+
+    val fn = SparkEntry.queries("q_dedup_semantic_trained")
+    def got(): Seq[(Long, Long)] =
+      fn(spark, sf).collect().map(r => r.getLong(0) -> r.getLong(1)).toSeq
+    assert(got() === want.toSeq, "trained survivors diverged from the scalar reference")
+    // stable under a different partitioning (the cluster-vs-local[32] gap)
+    spark.conf.set("spark.sql.shuffle.partitions", "13")
+    try assert(got() === want.toSeq, "trained variant unstable across partitionings")
+    finally spark.conf.set("spark.sql.shuffle.partitions", "4")
+  }
+
   test("boilerplate cell: 500 identical vectors collapse to one survivor") {
     // the adversarial shape of a real corpus — one boilerplate page
     // embedded 500× — lands ALL copies in one cell (equal cos to every
