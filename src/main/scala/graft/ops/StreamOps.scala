@@ -1358,15 +1358,28 @@ object StreamOps {
     * set is the plain UNION of survivor artifacts, exactly ≡ the
     * monolithic rebuild under the epoch codebook
     * (StreamingSemanticSpec). Retry-safe: if a crashed batch already
-    * committed its generation, the retry's witness probe sees that
-    * stale copy among the roots — harmless, because strict a < b
-    * excludes self-pairs and every cross-witness it contributes is
-    * already contributed by the batch-internal leg, so the overwrite
-    * reproduces the identical artifacts.
+    * committed its generation, the retry EXCLUDES its own target path
+    * from the witness roots (reading it would race the overwrite of
+    * $path/cells) — sound because strict a < b excludes self-pairs and
+    * every cross-witness the stale copy could contribute is already
+    * contributed by the batch-internal leg, so the overwrite reproduces
+    * the identical artifacts.
     */
-  private def semFamily(indexDir: String) = graft.index.GenLog.GenFamily(
+  private[graft] def semFamily(indexDir: String) = graft.index.GenLog.GenFamily(
     write = (s, batch, path) => {
-      val roots = graft.index.GenLog.roots(s, indexDir, "semantic index")
+      // At-least-once retry: if this generation COMMITTED before the
+      // crash, roots() now includes `path` itself — and the lazy witness
+      // scan over that stale self-copy would race this write's own
+      // Overwrite of $path/cells (the cached file listing hits deleted
+      // part files → FileNotFoundException on every restart). Drop it:
+      // the batch is unioned into the witness set inside
+      // writeSemGeneration, so every cross-witness the stale copy could
+      // contribute is already contributed by the batch-internal leg, and
+      // strict a < b excludes self-pairs — the retry reproduces the
+      // identical artifacts without ever reading its own target.
+      val roots = graft.index.GenLog
+        .roots(s, indexDir, "semantic index")
+        .filterNot(_ == path)
       val cents = s.read.parquet(s"${roots.head}/cents")
       SimilarityOps.writeSemGeneration(s, batch, cents, roots, path)
     },

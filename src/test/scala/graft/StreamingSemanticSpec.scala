@@ -104,7 +104,10 @@ class StreamingSemanticSpec extends SparkSpec {
     StreamOps.compactSemanticIndex(spark, indexDir)
     val fs = new org.apache.hadoop.fs.Path(indexDir)
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
-    assert(!fs.exists(new org.apache.hadoop.fs.Path(s"$indexDir/v1/gen")))
+    // grace contract: the superseded generation is tombstoned, not
+    // deleted (IndexCatalogSpec proves the full delete cycle)
+    assert(fs.exists(new org.apache.hadoop.fs.Path(
+      s"$indexDir/v1/gen/${graft.index.GenLog.Superseded}")))
     assert(fs.exists(new org.apache.hadoop.fs.Path(s"$indexDir/v2/full/cents")))
     assert(rows(StreamOps.serveSemanticContinuous(spark, indexDir)) === prefixWant)
 
@@ -149,5 +152,23 @@ class StreamingSemanticSpec extends SparkSpec {
     assert(
       rows(StreamOps.serveSemanticContinuous(spark, indexDir)) ===
         rebuilt(all, seedCents))
+  }
+
+  test("at-least-once retry of a COMMITTED generation reproduces identical artifacts") {
+    val (c0, c1, _) = cuts
+    val indexDir = Files.createTempDirectory("graft_sem_retry").toString
+    StreamOps.seedSemanticIndex(spark, all.filter($"vec_id" <= c0), indexDir)
+    val batch = all.filter($"vec_id" > c0 && $"vec_id" <= c1)
+    val fam = StreamOps.semFamily(indexDir)
+    graft.index.GenLog.commitGeneration(fam, batch, indexDir, batchId = 0L)
+    val first = rows(StreamOps.serveSemanticContinuous(spark, indexDir))
+    // The crash window: generation v1 already committed, the stream
+    // restarts, and foreachBatch re-delivers batch 0. The write must not
+    // scan its own target through the merge-on-read roots — before the
+    // self-root filter this deterministically threw FileNotFoundException
+    // (the cached listing of $path/cells raced the Overwrite) and wedged
+    // the pipeline on every restart.
+    graft.index.GenLog.commitGeneration(fam, batch, indexDir, batchId = 0L)
+    assert(rows(StreamOps.serveSemanticContinuous(spark, indexDir)) === first)
   }
 }
