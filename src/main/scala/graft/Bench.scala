@@ -79,6 +79,17 @@ object Bench {
     val samples = collection.mutable.Map.empty[String, List[Double]]
       .withDefaultValue(Nil)
     val errors = collection.mutable.Map.empty[String, String]
+    // Catalog-hit counters over the MEASURED loop: with build-once,
+    // builds_run ≈ the distinct canonical indexes (paid on iteration 1)
+    // and builds_skipped ≈ (iters-1)×that. A regression that silently
+    // re-builds per iteration shows up here as builds_run ≈ iters×k
+    // instead of masquerading as a serve slowdown (the round-10
+    // comparability caveat, now machine-checkable). (When sfDir IS the
+    // warmup scale the warmup prepays the builds and the measured loop
+    // records only skips — still regression-visible: a per-iteration
+    // rebuild would show builds_run > 0 regardless.)
+    val builds0 = graft.index.GenLog.buildsRun.get()
+    val skips0 = graft.index.GenLog.buildsSkipped.get()
     for (_ <- 1 to iters; (name, fn) <- names) {
       val t0 = System.nanoTime()
       // noop sink materializes every output column; count() would let the
@@ -98,6 +109,8 @@ object Bench {
       val ts = samples(name).sorted
       if (ts.isEmpty) None else Some(name -> ts(ts.size / 2))
     }
+    val measuredBuilds = graft.index.GenLog.buildsRun.get() - builds0
+    val measuredSkips = graft.index.GenLog.buildsSkipped.get() - skips0
     // Escape backslash, quote, AND control chars: Spark exception messages
     // routinely span lines (multi-line AnalysisException), and a raw \n
     // inside a JSON string would corrupt the output exactly when the
@@ -155,8 +168,10 @@ object Bench {
         }
     }
     val splitsJson = splitEntries.mkString("{", ",", "}")
+    val catalogJson =
+      s"""{"builds_run":$measuredBuilds,"builds_skipped":$measuredSkips}"""
     val total = results.map(_._2).sum
-    val full = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errs,"partial_samples":$counts,"splits":$splitsJson,"sf":"$sfDir","iterations":$iters}"""
+    val full = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errs,"partial_samples":$counts,"splits":$splitsJson,"catalog":$catalogJson,"sf":"$sfDir","iterations":$iters}"""
     println(full)
     // The harness snapshots only the TAIL of stdout; the full line above is
     // one long JSON record whose head (including "value") can fall outside

@@ -27,9 +27,11 @@ import org.apache.hadoop.fs.{FileSystem, Path}
   * physical index instead of rebuilding it N times. The default root is
   * application-scoped (no cross-run state, no cross-application races);
   * a deployment points [[RootKey]] at its durable warehouse and builds
-  * amortize across sessions. Concurrent writers under a SHARED root need
-  * external coordination only for the first build of a key — after the
-  * marker lands, every caller skips.
+  * amortize across sessions. Concurrent writers under a SHARED root are
+  * serialized through the [[buildOnce]] claim lease (atomic
+  * create-if-absent on one filesystem) — exactly one first build runs,
+  * losers wait for its marker, crash orphans re-claim after
+  * [[ClaimTtlKey]]; after the marker lands, every caller skips.
   */
 object GenLog {
 
@@ -43,6 +45,41 @@ object GenLog {
     * it when the artifact is read back as parquet.
     */
   private[graft] val Marker = "_GRAFT_COMMITTED"
+
+  /** Claim lease dropped by a [[buildOnce]] winner before it starts
+    * building, removed after the marker lands (or the build fails).
+    * A SIBLING of the artifact directory, not a file inside it: builds
+    * write the artifact with SaveMode.Overwrite, which would delete a
+    * claim living inside the directory mid-build — polling losers would
+    * then see neither marker nor claim and re-claim a key whose build is
+    * still running.
+    */
+  private[graft] val ClaimSuffix = "._GRAFT_CLAIM"
+
+  private[graft] def claimPath(path: String): Path =
+    new Path(path.stripSuffix("/") + ClaimSuffix)
+
+  /** Grace tombstone dropped into a superseded generation directory by
+    * the compaction that folded it; the NEXT compaction deletes the
+    * directory. Underscore-prefixed: invisible to parquet readers.
+    */
+  private[graft] val Superseded = "_GRAFT_SUPERSEDED"
+
+  /** A claim older than this is a crash orphan and re-claimable. Builds
+    * that legitimately outlive the TTL would race a re-claimant — size it
+    * above the slowest expected build (conf-tunable per deployment).
+    */
+  val ClaimTtlKey = "spark.graft.index.claimTtlMs"
+  private val DefaultClaimTtlMs = 30L * 60L * 1000L
+
+  /** Catalog-hit observability: how many [[buildOnce]] calls actually
+    * built vs skipped on an existing marker, process-wide. Bench emits
+    * both into its `splits` so a regression that silently re-builds per
+    * iteration is machine-visible instead of masquerading as a serve
+    * slowdown.
+    */
+  val buildsRun = new java.util.concurrent.atomic.AtomicLong
+  val buildsSkipped = new java.util.concurrent.atomic.AtomicLong
 
   private val GenSub = "gen"
   private val FullSub = "full"
@@ -74,10 +111,60 @@ object GenLog {
     * commit marker, mark on success, report whether it ran. Builds must
     * be deterministic functions of (dataset, params) — every build in
     * the library is — so a skip is byte-equivalent to a rebuild.
+    *
+    * Concurrent-writer safe on one filesystem: the first build of a key
+    * is serialized through an atomic claim lease (create-if-absent of
+    * `_GRAFT_CLAIM` — O_EXCL on local FS, NameNode-atomic create on
+    * HDFS; object stores without atomic create-if-absent still need
+    * external coordination). Exactly one caller wins and
+    * builds; losers wait for the winner's marker and return false, so
+    * both serve the same committed bytes — the reference's ON CONFLICT
+    * idempotence (main.py:202), now concurrent. Crash-orphan policy: a
+    * claim whose mtime is older than [[ClaimTtlKey]] is deleted and
+    * re-claimed (a killed claimant's key recovers); a winner that dies
+    * AFTER its marker lands leaves a stale claim that is harmless —
+    * every caller checks the marker first.
     */
-  def buildOnce(s: SparkSession, path: String)(build: => Unit): Boolean =
-    if (isCommitted(s, path)) false
-    else { build; markCommitted(s, path); true }
+  def buildOnce(s: SparkSession, path: String)(build: => Unit): Boolean = {
+    val fs = fsOf(s, path)
+    val claim = claimPath(path)
+    val ttlMs = s.conf.getOption(ClaimTtlKey).map(_.toLong).getOrElse(DefaultClaimTtlMs)
+    while (true) {
+      if (isCommitted(s, path)) { buildsSkipped.incrementAndGet(); return false }
+      fs.mkdirs(claim.getParent)
+      val claimed = tryClaim(fs, claim)
+      if (claimed) {
+        // Winner: the claim is released whether the build commits or
+        // throws — a failed build must not wedge the key until the TTL.
+        try { build; markCommitted(s, path) }
+        finally fs.delete(claim, false)
+        buildsRun.incrementAndGet()
+        return true
+      }
+      // Loser: wait for the winner's marker, or reclaim a crash orphan.
+      val stale =
+        try System.currentTimeMillis() - fs.getFileStatus(claim).getModificationTime > ttlMs
+        catch { case _: java.io.FileNotFoundException => false } // released — loop re-checks
+      if (stale) fs.delete(claim, false) // racing deleters are idempotent; one re-claimer wins
+      else Thread.sleep(50L)
+    }
+    false // unreachable
+  }
+
+  /** Atomic create-if-absent of the claim file. HDFS makes
+    * `create(overwrite = false)` atomic at the NameNode, but Hadoop's
+    * LOCAL filesystem implements it as a non-atomic exists-then-create —
+    * so `file:` claims go through `File.createNewFile` (O_CREAT|O_EXCL,
+    * atomic per POSIX). Object stores without atomic create-if-absent
+    * still need external coordination (documented on [[buildOnce]]).
+    */
+  private def tryClaim(fs: FileSystem, claim: Path): Boolean =
+    if (fs.getUri.getScheme == "file")
+      try new java.io.File(claim.toUri.getPath).createNewFile()
+      catch { case _: java.io.IOException => false }
+    else
+      try { fs.create(claim, false).close(); true }
+      catch { case _: java.io.IOException => false }
 
   /** Overwrite-write a frame as one committed artifact. */
   def commitParquet(df: DataFrame, path: String, partitionBy: Seq[String] = Nil): Unit = {
@@ -207,6 +294,17 @@ object GenLog {
     * at every cut: the fold's partial output is uncommitted (ignored),
     * deletes only begin after the marker lands, and a crash mid-delete
     * leaves superseded dirs that the next compaction re-collects.
+    *
+    * Live-reader grace: a reader that resolved [[roots]] just before the
+    * fold committed still holds scans over the now-superseded generation
+    * dirs, so deleting them here would race that reader's file listing.
+    * Superseded generations are therefore TOMBSTONED on the compaction
+    * that supersedes them and physically deleted only on the next one —
+    * a reader outlives its snapshot for a full compaction interval
+    * (superseded FULLS get the same grace structurally: `keepFulls >= 2`
+    * keeps the previous full through one more compaction). New readers
+    * are unaffected either way — [[roots]] never returns superseded
+    * paths.
     */
   def compact(s: SparkSession, dir: String, fam: GenFamily, keepFulls: Int = 2): Unit = {
     // ONE listing decides both the fold inputs and the fold version: a
@@ -230,7 +328,10 @@ object GenLog {
     val fulls = versions(s, dir, requiring = FullSub).sorted
     val newestFull = fulls.max
     versions(s, dir, requiring = GenSub).filter(_ <= newestFull).foreach { v =>
-      fs.delete(new Path(s"$dir/v$v/$GenSub"), true)
+      val gen = new Path(s"$dir/v$v/$GenSub")
+      val tomb = new Path(gen, Superseded)
+      if (fs.exists(tomb)) fs.delete(gen, true) // tombstoned by an EARLIER compaction: grace elapsed
+      else fs.create(tomb, true).close()
     }
     fulls.dropRight(math.max(keepFulls, 1)).foreach { v =>
       fs.delete(new Path(s"$dir/v$v/$FullSub"), true)

@@ -1,0 +1,86 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.DataFrame
+import scala.sys.process._
+
+/** The durable-warehouse deployment story of the index catalog, proven
+  * across a REAL session boundary: a `build` JVM points
+  * `spark.graft.index.root` at a fixed directory and builds the served
+  * indexes; a FRESH `serve` JVM (new process, new SparkSession, zero
+  * shared driver state) answers the same queries from the committed
+  * artifacts alone — builds_run must be 0 — and exercises `adopt()` on
+  * a marker-less legacy directory under the same root. Each phase runs
+  * [[graft.tools.CrossSession]] in its own forked JVM with this test
+  * JVM's classpath.
+  */
+class DurableRootSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def rows(df: DataFrame): Seq[String] =
+    df.collect().map(_.toString).toSeq
+
+  private val addOpens = Seq(
+    "java.base/java.lang", "java.base/java.lang.invoke",
+    "java.base/java.lang.reflect", "java.base/java.io",
+    "java.base/java.net", "java.base/java.nio",
+    "java.base/java.util", "java.base/java.util.concurrent",
+    "java.base/java.util.concurrent.atomic",
+    "java.base/sun.nio.ch", "java.base/sun.nio.cs",
+    "java.base/sun.security.action", "java.base/sun.util.calendar",
+  ).flatMap(p => Seq("--add-opens", s"$p=ALL-UNNAMED"))
+
+  private def runPhase(phase: String, root: String, out: String): String = {
+    val cmd = Seq(
+      s"${System.getProperty("java.home")}/bin/java") ++ addOpens ++ Seq(
+      "-Xmx4g",
+      "-cp", System.getProperty("java.class.path"),
+      "graft.tools.CrossSession", phase, root, sf, out)
+    val buf = new StringBuilder
+    val code = Process(cmd).!(ProcessLogger(l => buf.append(l).append('\n'), _ => ()))
+    assert(code === 0, s"phase $phase exited $code:\n${buf.toString.takeRight(2000)}")
+    val line = buf.toString.linesIterator.find(_.startsWith("[cross]"))
+    assert(line.nonEmpty, s"phase $phase printed no [cross] line")
+    line.get
+  }
+
+  test("a fresh session serves a durable root's committed artifacts without rebuilding") {
+    val root = Files.createTempDirectory("graft_durable_root").toString
+    val out = Files.createTempDirectory("graft_durable_out").toString
+
+    val built = runPhase("build", root, out)
+    // the first session really built (both served indexes + the embedding
+    // probe frame's store are fresh)
+    assert("builds=(\\d+)".r.findFirstMatchIn(built).get.group(1).toLong >= 2, built)
+
+    val served = runPhase("serve", root, out)
+    // CROSS-SESSION AMORTIZATION: the new JVM built nothing — every byte
+    // it answered from was committed by the previous session
+    assert(served.contains("builds=0"), served)
+    assert("skips=(\\d+)".r.findFirstMatchIn(served).get.group(1).toLong >= 2, served)
+
+    // and byte-for-byte the same answers across the session boundary,
+    // both equal to this (third) session's oracle-checked result
+    val sortKeys = Map(
+      "q_sim_served" -> Seq($"probe_id", $"cos".desc, $"vec_id"),
+      "q_index_bm25_served" -> Seq($"query_id".asc, $"rank".asc))
+    for ((q, keys) <- sortKeys) {
+      val b = rows(spark.read.parquet(s"$out/build_$q").orderBy(keys: _*))
+      val v = rows(spark.read.parquet(s"$out/serve_$q").orderBy(keys: _*))
+      assert(b === v, s"$q diverged across the session boundary")
+    }
+    assert(
+      rows(spark.read.parquet(s"$out/serve_q_sim_served")
+        .orderBy($"probe_id", $"cos".desc, $"vec_id")) ===
+        rows(SparkEntry.queries("q_sim_batch")(spark, sf)),
+      "cross-session serve diverged from the monolithic oracle answer")
+
+    // the adopted legacy index on the same root serves the full corpus
+    assert(
+      rows(spark.read.parquet(s"$out/serve_legacy")
+        .orderBy($"probe_id", $"cos".desc, $"vec_id")) ===
+        rows(SparkEntry.queries("q_sim_batch")(spark, sf)),
+      "adopt() on the durable root did not serve exactly")
+  }
+}

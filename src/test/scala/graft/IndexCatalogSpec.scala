@@ -98,9 +98,18 @@ class IndexCatalogSpec extends SparkSpec {
     assert(GenLog.manifest(spark, dir).contains((1L, "gen", true)))
 
     // rerunning the compaction overwrites the partial output, commits,
-    // and only then supersedes: answers still unchanged
+    // and only then supersedes: answers still unchanged. The superseded
+    // generation gets a one-compaction GRACE (tombstoned, excluded from
+    // roots, files intact for readers that resolved pre-fold); the next
+    // compaction deletes it.
     StreamOps.compactAnnIndex(spark, dir)
     assert(GenLog.versions(spark, dir, requiring = "full").max === 1L)
+    assert(
+      fsOf(dir).exists(
+        new org.apache.hadoop.fs.Path(s"$dir/v1/gen/${GenLog.Superseded}")))
+    assert(!GenLog.roots(spark, dir).exists(_.endsWith("v1/gen")))
+    assert(rows(StreamOps.serveAnnContinuous(spark, dir, probes)) === want)
+    StreamOps.compactAnnIndex(spark, dir)
     assert(!fsOf(dir).exists(new org.apache.hadoop.fs.Path(s"$dir/v1/gen")))
     assert(rows(StreamOps.serveAnnContinuous(spark, dir, probes)) === want)
   }
@@ -129,8 +138,14 @@ class IndexCatalogSpec extends SparkSpec {
     assert(
       rows(StreamOps.serveAnnContinuous(spark, dir, probes)) ===
         rows(SparkEntry.queries("q_sim_batch")(spark, sf)))
-    // and the directory holds O(keep) corpus copies: one committed full,
-    // no gen dirs
+    // the directory holds O(keep) corpus copies with one-compaction lag:
+    // v1/gen (superseded two compactions ago) is gone, v2/gen rides out
+    // its grace tombstoned, and the next compaction collects it too
+    assert(GenLog.versions(spark, dir, requiring = "gen") === Seq(2L))
+    assert(
+      fsOf(dir).exists(
+        new org.apache.hadoop.fs.Path(s"$dir/v2/gen/${GenLog.Superseded}")))
+    StreamOps.compactAnnIndex(spark, dir, keepFulls = 1)
     assert(GenLog.versions(spark, dir, requiring = "gen").isEmpty)
   }
 
@@ -157,6 +172,93 @@ class IndexCatalogSpec extends SparkSpec {
         rows(SparkEntry.queries("q_sim_batch")(spark, sf)))
     // idempotent: a second adoption finds nothing to do
     assert(GenLog.adopt(spark, dir).isEmpty)
+  }
+
+  test("buildOnce: two racing writers build one key exactly once, both serve identical bytes") {
+    val dir = s"${Files.createTempDirectory("graft_cat_race")}/idx"
+    val builds = new java.util.concurrent.atomic.AtomicInteger
+    val results = new java.util.concurrent.ConcurrentLinkedQueue[Boolean]
+    val errors = new java.util.concurrent.ConcurrentLinkedQueue[Throwable]
+    // a deliberately slow build widens the race window past the claim
+    val threads = (1 to 4).map { _ =>
+      new Thread(() =>
+        try results.add(GenLog.buildOnce(spark, dir) {
+          builds.incrementAndGet()
+          Thread.sleep(500)
+          SimilarityOps.writeAnnIndexFor(spark, T(spark, sf, "embeddings"), dir)
+        })
+        catch { case t: Throwable => errors.add(t) })
+    }
+    threads.foreach(_.start())
+    threads.foreach(_.join())
+    assert(errors.isEmpty, errors)
+    assert(builds.get() === 1, "exactly one racing writer may build")
+    import scala.jdk.CollectionConverters._
+    assert(results.asScala.toSeq.sorted === Seq(false, false, false, true))
+    // the claim is released and every caller (winner and losers alike)
+    // serves the one committed artifact set
+    assert(!fsOf(dir).exists(GenLog.claimPath(dir)))
+    assert(
+      rows(SimilarityOps.serveAnnBatch(
+        spark, dir, SimilarityOps.batchProbeFrame(spark, sf))) ===
+        rows(SparkEntry.queries("q_sim_batch")(spark, sf)))
+  }
+
+  test("buildOnce: a killed claimant's key recovers once the claim goes stale") {
+    val dir = s"${Files.createTempDirectory("graft_cat_orphan")}/idx"
+    val fs = fsOf(dir)
+    // simulate a claimant that died mid-build: a claim file, no marker
+    fs.mkdirs(new org.apache.hadoop.fs.Path(dir))
+    fs.create(GenLog.claimPath(dir), false).close()
+    assert(
+      new java.io.File(GenLog.claimPath(dir).toUri.getPath)
+        .setLastModified(System.currentTimeMillis() - 3600L * 1000L))
+    spark.conf.set(GenLog.ClaimTtlKey, "2000")
+    try {
+      var built = false
+      assert(GenLog.buildOnce(spark, dir) { built = true } === true)
+      assert(built, "the stale claim must be re-claimed and the build run")
+      assert(GenLog.buildOnce(spark, dir) { built = false } === false)
+      assert(built, "after recovery the key is committed and skips")
+    } finally spark.conf.unset(GenLog.ClaimTtlKey)
+  }
+
+  test("buildOnce: a failed build releases the claim instead of wedging the key") {
+    val dir = s"${Files.createTempDirectory("graft_cat_fail")}/idx"
+    intercept[RuntimeException] {
+      GenLog.buildOnce(spark, dir) { throw new RuntimeException("boom") }
+    }
+    assert(
+      !fsOf(dir).exists(GenLog.claimPath(dir)),
+      "the failed winner must release its claim")
+    var built = false
+    assert(GenLog.buildOnce(spark, dir) { built = true } === true && built)
+  }
+
+  test("compaction grace: a reader that resolved roots pre-fold finishes its scan") {
+    val dir = Files.createTempDirectory("graft_cat_grace").toString
+    val all = T(spark, sf, "embeddings")
+    val cut = all.agg(max($"vec_id")).head().getLong(0) * 8 / 10
+    StreamOps.seedAnnIndex(spark, all.filter($"vec_id" <= cut), dir)
+    SimilarityOps.writeAnnIndexFor(
+      spark, all.filter($"vec_id" > cut), s"$dir/v1/gen")
+    GenLog.markCommitted(spark, s"$dir/v1/gen")
+    val probes = SimilarityOps.batchProbeFrame(spark, sf)
+    val want = rows(SparkEntry.queries("q_sim_batch")(spark, sf))
+    // the live reader: roots resolved and the scan's file listing built
+    // BEFORE the compaction commits its fold
+    val preCompact =
+      SimilarityOps.serveAnnBatchMulti(
+        spark, StreamOps.annGenerationRoots(spark, dir), probes)
+    StreamOps.compactAnnIndex(spark, dir)
+    // without the grace tombstone this collect would race the delete of
+    // v1/gen's part files (FileNotFoundException); with it, the reader
+    // outlives its snapshot for a full compaction interval
+    assert(rows(preCompact) === want)
+    // post-grace, the next compaction collects the directory
+    StreamOps.compactAnnIndex(spark, dir)
+    assert(!fsOf(dir).exists(new org.apache.hadoop.fs.Path(s"$dir/v1/gen")))
+    assert(rows(StreamOps.serveAnnContinuous(spark, dir, probes)) === want)
   }
 
   test("dedup compaction ignores a mid-batch crash's partially-committed version") {

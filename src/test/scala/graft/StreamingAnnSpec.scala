@@ -94,8 +94,12 @@ class StreamingAnnSpec extends SparkSpec {
 
     // compaction folds the generations into v2/full without changing a hit
     StreamOps.compactAnnIndex(spark, indexDir)
-    assert(!fs.exists(new org.apache.hadoop.fs.Path(s"$indexDir/v1/gen")))
-    assert(!fs.exists(new org.apache.hadoop.fs.Path(s"$indexDir/v2/gen")))
+    // grace contract: superseded generations are tombstoned (excluded
+    // from roots, files intact for pre-fold readers); the NEXT
+    // compaction deletes them (IndexCatalogSpec proves the full cycle)
+    for (v <- Seq("v1/gen", "v2/gen"))
+      assert(fs.exists(new org.apache.hadoop.fs.Path(
+        s"$indexDir/$v/${graft.index.GenLog.Superseded}")), v)
     assert(fs.exists(new org.apache.hadoop.fs.Path(s"$indexDir/v2/full")))
     assert(rows(StreamOps.serveAnnContinuous(spark, indexDir, probes)) === prefixWant)
 

@@ -109,8 +109,12 @@ class StreamingIvfSpec extends SparkSpec {
     // compaction folds cells AND carries the codebook forward, changing
     // no answer
     StreamOps.compactIvfIndex(spark, indexDir)
-    assert(!fs.exists(new org.apache.hadoop.fs.Path(s"$indexDir/v1/gen")))
-    assert(!fs.exists(new org.apache.hadoop.fs.Path(s"$indexDir/v2/gen")))
+    // grace contract: superseded generations are tombstoned (excluded
+    // from roots, files intact for pre-fold readers); the NEXT
+    // compaction deletes them (IndexCatalogSpec proves the full cycle)
+    for (v <- Seq("v1/gen", "v2/gen"))
+      assert(fs.exists(new org.apache.hadoop.fs.Path(
+        s"$indexDir/$v/${graft.index.GenLog.Superseded}")), v)
     assert(fs.exists(new org.apache.hadoop.fs.Path(s"$indexDir/v2/full/codebook")))
     assert(rows(StreamOps.serveIvfContinuous(spark, indexDir, probes)) === prefixWant)
 

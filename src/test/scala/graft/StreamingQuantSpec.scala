@@ -88,7 +88,10 @@ class StreamingQuantSpec extends SparkSpec {
     StreamOps.compactQuantIndex(spark, indexDir)
     val fs = new org.apache.hadoop.fs.Path(indexDir)
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
-    assert(!fs.exists(new org.apache.hadoop.fs.Path(s"$indexDir/v1/gen")))
+    // grace contract: the superseded generation is tombstoned, not
+    // deleted (IndexCatalogSpec proves the full delete cycle)
+    assert(fs.exists(new org.apache.hadoop.fs.Path(
+      s"$indexDir/v1/gen/${graft.index.GenLog.Superseded}")))
     assert(fs.exists(new org.apache.hadoop.fs.Path(s"$indexDir/v2/full")))
     assert(
       rows(StreamOps.serveQuantContinuous(spark, indexDir, probes)) === prefixWant)
