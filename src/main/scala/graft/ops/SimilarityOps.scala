@@ -1366,7 +1366,34 @@ object SimilarityOps {
     val e = base
       .select($"vec_id", $"embedding")
       .withColumn("n2", Vec.norm2($"embedding"))
-    val cents = semCentsOf(e, semCellCount(e)).localCheckpoint(true)
+    writeSemSeedWith(s, e, semCentsOf(e, semCellCount(e)).localCheckpoint(true), path)
+  }
+
+  /** Seed under a Lloyd-TRAINED epoch codebook — the production
+    * retraining path ([[trainCodebook]], the q_dedup_semantic_trained
+    * quantizer) instead of the first-k oracle stand-in. Used by the
+    * trained epoch roll: train over the grown corpus, re-assign and
+    * re-prune everything under the new quantizer.
+    */
+  private[graft] def writeSemSeedTrained(s: SparkSession, base: DataFrame, path: String): Unit = {
+    import s.implicits._
+    val e = base
+      .select($"vec_id", $"embedding")
+      .withColumn("n2", Vec.norm2($"embedding"))
+    val cents = trainCodebook(e, semCellCount(e).toInt, iters = 2)
+      .toDF("c_id", "c")
+      .select($"c_id", $"c", Vec.norm2($"c").as("cn2"))
+    writeSemSeedWith(s, e, cents, path)
+  }
+
+  /** The shared seed writer under an EXPLICIT epoch codebook: codebook +
+    * cell-partitioned members + survivor log as one snapshot.
+    */
+  private[graft] def writeSemSeedWith(
+      s: SparkSession,
+      e: DataFrame,
+      cents: DataFrame,
+      path: String): Unit = {
     cents.coalesce(1).write
       .mode(org.apache.spark.sql.SaveMode.Overwrite)
       .parquet(s"$path/cents")

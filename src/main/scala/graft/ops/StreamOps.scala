@@ -1497,6 +1497,32 @@ object StreamOps {
         .reduce(_ unionByName _),
       newIndexDir)
 
+  /** The TRAINED epoch roll — production retraining, the
+    * q_dedup_semantic_trained quantizer lifted to the continuous
+    * pipeline: Lloyd-train a NEW codebook over every vector across the
+    * current roots ([[SimilarityOps.trainCodebook]], k = max(16, ⌈√N⌉)
+    * re-derived from the grown corpus), re-assign and re-prune
+    * everything under it, and seed `newIndexDir` blue/green (the
+    * [[rollIvfEpoch]] contract: invisible until the marker lands, the
+    * old epoch serves untouched, ingest restarts against the new
+    * directory with a fresh checkpoint and post-roll batches assign
+    * against the TRAINED codebook automatically).
+    */
+  def rollSemanticEpochTrained(
+      s: SparkSession,
+      indexDir: String,
+      newIndexDir: String): Unit = {
+    val p = s"$newIndexDir/v0/full"
+    SimilarityOps.writeSemSeedTrained(
+      s,
+      semGenerationRoots(s, indexDir)
+        .map(r => s.read.parquet(s"$r/cells")
+          .select(col("vec_id"), col("embedding")))
+        .reduce(_ unionByName _),
+      p)
+    graft.index.GenLog.markCommitted(s, p)
+  }
+
   /** Targets of the composed continuous VECTOR program — the embeddings
     * side of [[CorpusPipeline]]: all five vector index families (float
     * ANN buckets, int8 quantized scan tier, IVF cells, semantic-dedup

@@ -154,6 +154,89 @@ class StreamingSemanticSpec extends SparkSpec {
         rebuilt(all, seedCents))
   }
 
+  test("LLOYD-trained epoch roll: retrain, re-assign, stream on, serve ≡ monolithic trained rebuild") {
+    val (c0, c1, c2) = cuts
+    val src = Files.createTempDirectory("graft_semt_src").toString
+    val indexDir = Files.createTempDirectory("graft_semt_idx").toString
+    val ckpt = Files.createTempDirectory("graft_semt_ckpt").toString
+
+    // day 1: seed + two streamed batches under the stand-in epoch
+    StreamOps.seedSemanticIndex(spark, all.filter($"vec_id" <= c0), indexDir)
+    stageFile(src, all.filter($"vec_id" > c0 && $"vec_id" <= c1), "batch1", 1000000L)
+    stageFile(src, all.filter($"vec_id" > c1 && $"vec_id" <= c2), "batch2", 2000000L)
+    def run(dir: String, cp: String): Unit = {
+      val q = StreamOps
+        .semanticIndexStreamWriter(
+          spark.readStream
+            .schema(all.schema)
+            .option("maxFilesPerTrigger", "1")
+            .parquet(s"$src/embeddings.parquet"),
+          dir,
+          cp)
+        .start()
+      try q.processAllAvailable()
+      finally q.stop()
+    }
+    run(indexDir, ckpt)
+
+    // the TRAINED roll: Lloyd-train over the c2-prefix corpus gathered
+    // from the maintained roots, re-assign + re-prune under the new
+    // quantizer, blue/green into a new directory
+    val rolledDir = Files.createTempDirectory("graft_semt_rolled").toString
+    StreamOps.rollSemanticEpochTrained(spark, indexDir, rolledDir)
+    val rolledCents = spark.read.parquet(s"$rolledDir/v0/full/cents")
+    // it actually retrained: Lloyd moved the centroids off the first-k
+    // stand-in the old epoch was pinned to
+    val standInCents = spark.read.parquet(s"$indexDir/v0/full/cents")
+    assert(
+      rows(rolledCents.orderBy($"c_id")) !== rows(standInCents.orderBy($"c_id")),
+      "trained roll must move the centroids off the seed stand-in")
+    // roll ≡ monolithic trained rebuild over the same prefix corpus:
+    // the roots gather exactly the prefix vectors, and training +
+    // assignment + prune are deterministic
+    val prefix = all.filter($"vec_id" <= c2)
+    assert(
+      rows(StreamOps.serveSemanticContinuous(spark, rolledDir)) ===
+        rebuilt(prefix, rolledCents))
+    // the OLD epoch serves untouched (blue/green)
+    assert(
+      rows(StreamOps.serveSemanticContinuous(spark, indexDir)) ===
+        rebuilt(prefix, standInCents))
+
+    // day 2 under the new epoch: the ingest stream restarts against the
+    // rolled directory with a FRESH checkpoint over a fresh feed (the
+    // roll's seed already folded everything up to the roll point — the
+    // restarted source must carry only post-roll data); the next
+    // micro-batch assigns against the TRAINED codebook and its survivor
+    // log is final at commit — continuous state ≡ monolithic prune of
+    // the FULL corpus under the trained epoch
+    val src2 = Files.createTempDirectory("graft_semt_src2").toString
+    stageFile(src2, all.filter($"vec_id" > c2), "batch3", 3000000L)
+    val q2 = StreamOps
+      .semanticIndexStreamWriter(
+        spark.readStream
+          .schema(all.schema)
+          .option("maxFilesPerTrigger", "1")
+          .parquet(s"$src2/embeddings.parquet"),
+        rolledDir,
+        Files.createTempDirectory("graft_semt_ckpt2").toString)
+      .start()
+    try q2.processAllAvailable()
+    finally q2.stop()
+    assert(
+      rows(StreamOps.serveSemanticContinuous(spark, rolledDir)) ===
+        rebuilt(all, rolledCents))
+
+    // a second trained roll at full corpus lands exactly on the
+    // spec-gated registry query: q_dedup_semantic_trained trains the
+    // same deterministic Lloyd quantizer over the same vector set
+    val fullDir = Files.createTempDirectory("graft_semt_full").toString
+    StreamOps.rollSemanticEpochTrained(spark, rolledDir, fullDir)
+    assert(
+      rows(StreamOps.serveSemanticContinuous(spark, fullDir)) ===
+        rows(SparkEntry.queries("q_dedup_semantic_trained")(spark, sf)))
+  }
+
   test("at-least-once retry of a COMMITTED generation reproduces identical artifacts") {
     val (c0, c1, _) = cuts
     val indexDir = Files.createTempDirectory("graft_sem_retry").toString
