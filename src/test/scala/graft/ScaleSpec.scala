@@ -712,7 +712,124 @@ class ScaleSpec extends SparkSpec {
     info(f"semantic: 1x=$t1%.1fs 10x=$t10%.1fs ratio=$ratio%.1f survivors=$n10/$total10")
     assert(n10 > 0 && n10 < total10,
       s"10x prune must drop some but not all rows: $n10 of $total10")
+    // load-independent proxy (advice r10: wall-clock ratios on shared
+    // hosts can flake): the within-cell candidate PAIRS — the prune's
+    // actual work — must grow ≈ N^1.5/√k ≈ 10^1.5 ≈ 32×, far below the
+    // quadratic 100× an unclustered prune would do. The time bound stays
+    // as a generous backstop.
+    def pairsOf(d: String): Double =
+      SparkEntry.queries("q_cluster_stats")(spark, d)
+        .agg(sum(($"n_vecs" * ($"n_vecs" - lit(1))).cast("double") / 2))
+        .head().getDouble(0)
+    val (p1, p10) = (pairsOf(d1), pairsOf(d10))
+    info(f"semantic pairs: 1x=$p1%.0f 10x=$p10%.0f ratio=${p10 / p1}%.1f")
+    assert(p10 <= 60.0 * p1,
+      f"within-cell pair count left the N^1.5 envelope: $p1%.0f -> $p10%.0f")
     assert(ratio <= 8.0,
       f"semantic dedup grew beyond the N^1.5 envelope (ratio $ratio%.1f)")
+  }
+
+  /** The INCREMENTAL semantic apply at 10× (verdict-r10 #3, the
+    * q_dedup_semantic_incr SURVEY row): one batch committed against a
+    * 10× persisted cell store must do O(batch + probed slice) work —
+    * undercutting the monolithic re-prune and scaling with the batch,
+    * not the base — while the merged survivor set stays exactly the
+    * monolithic answer under the pinned epoch codebook.
+    */
+  test("incremental semantic dedup at 10x: delta == rebuild, apply is batch-sized") {
+    import spark.implicits._
+    import graft.ops.{SimilarityOps, StreamOps, Vec}
+    val SemBatchBase = 1000000L
+    val base1 = evec(0)
+    val base10 = (0 until Replicas).map(evec).reduce(_ unionByName _)
+    val idx1 = Files.createTempDirectory("graft_scale_semi1").toString
+    val idx10 = Files.createTempDirectory("graft_scale_semi10").toString
+    StreamOps.seedSemanticIndex(spark, base1, idx1)
+    StreamOps.seedSemanticIndex(spark, base10, idx10)
+    // batch: exact copies of replica-3 vectors (within-cell cos = 1
+    // witnesses through the persisted store) plus a shift-17 fresh
+    // family; ids above every base id (the monotone-ingest contract)
+    val batch = evec(3)
+      .filter($"vec_id" % 7 === 0)
+      .select(($"vec_id" + lit(SemBatchBase)).as("vec_id"), $"embedding")
+      .unionByName(
+        T(spark, Sf01, "embeddings").select(
+          ($"vec_id" + lit(SemBatchBase + 100000L)).as("vec_id"),
+          expr("concat(slice(embedding, 18, 47), slice(embedding, 1, 17))").as("embedding")))
+      .localCheckpoint(eager = true)
+
+    def applyOn(idx: String): Unit =
+      graft.index.GenLog.commitGeneration(
+        StreamOps.semFamily(idx), batch, idx, batchId = 0L)
+    applyOn(idx1) // warmup (codegen; the overwrite retry is idempotent)
+    val tApply1 = timed(applyOn(idx1))
+    val tApply10 = timed(applyOn(idx10))
+
+    // delta == rebuild at 10x: merged survivor logs ≡ the monolithic
+    // prune of base ∪ batch under the same pinned epoch codebook
+    val cents10 = spark.read.parquet(s"$idx10/v0/full/cents")
+    val all10 = base10.unionByName(batch)
+      .select($"vec_id", $"embedding")
+      .withColumn("n2", Vec.norm2($"embedding"))
+    // the rebuild alternative the apply must undercut is RE-SEEDING the
+    // store (assign + prune + write EVERYTHING — what a daily full
+    // rebuild would do), not a compute-only prune: the apply itself
+    // pays generation-write I/O, so the baseline must too
+    val tRebuild10 = timed(
+      SimilarityOps.writeSemSeedWith(
+        spark, all10, cents10,
+        s"${Files.createTempDirectory("graft_scale_semi_rb").toString}/full"))
+    assert(
+      StreamOps.serveSemanticContinuous(spark, idx10)
+        .collect().map(_.toString).toSeq ===
+        SimilarityOps.semSurvivorsWith(all10, cents10)
+          .orderBy($"vec_id").collect().map(_.toString).toSeq,
+      "semantic delta-apply diverged from the full rebuild at 10x")
+
+    info(f"incr semantic: apply1x=$tApply1%.1fs apply10x=$tApply10%.1fs rebuild10x=$tRebuild10%.1fs")
+    assert(tApply10 <= 0.8 * math.max(tRebuild10, 1.0),
+      f"apply should undercut the rebuild: $tApply10%.1fs vs $tRebuild10%.1fs")
+    assert(tApply10 <= 4.0 * math.max(tApply1, 1.0),
+      f"apply must scale with the batch, not the base: 1x=$tApply1%.1fs 10x=$tApply10%.1fs")
+  }
+
+  /** q_cluster_terms at 10× (verdict-r10 #3): the cluster-labeling
+    * inverted-token pass — explode to (cell, term), one hash aggregate,
+    * one window per cell — must stay ~linear in the corpus. Structural
+    * bound alongside the time ratio: the output is ≤ 3 rows per cell
+    * and k grows as ⌈√N⌉, so rows grow ≈ √10, not 10×.
+    */
+  test("q_cluster_terms at 10x: the labeling pass is linear, output sqrt-bounded") {
+    import spark.implicits._
+    val d1 = Files.createTempDirectory("graft_scale_ct1").toString
+    val d10 = Files.createTempDirectory("graft_scale_ct10").toString
+    // documents and embeddings replicated under the SAME id shift (5000
+    // clears the 0..4999 doc_id range; embedding ids keep gaps, which is
+    // fine — the linkage needs doc_id = vec_id, not density)
+    def docAligned(k: Int): DataFrame = T(spark, Sf01, "documents")
+      .select(($"doc_id" + lit(k * 5000L)).as("doc_id"), $"lang", $"text")
+    def evecAligned(k: Int): DataFrame = T(spark, Sf01, "embeddings")
+      .select(
+        ($"vec_id" + lit(k * 5000L)).as("vec_id"),
+        (if (k == 0) $"embedding"
+         else expr(s"concat(slice(embedding, ${k + 1}, ${64 - k}), slice(embedding, 1, $k))"))
+          .as("embedding"))
+    evecAligned(0).write.mode("overwrite").parquet(s"$d1/embeddings.parquet")
+    docAligned(0).write.mode("overwrite").parquet(s"$d1/documents.parquet")
+    (0 until Replicas).map(evecAligned).reduce(_ unionByName _)
+      .write.mode("overwrite").parquet(s"$d10/embeddings.parquet")
+    (0 until Replicas).map(docAligned).reduce(_ unionByName _)
+      .write.mode("overwrite").parquet(s"$d10/documents.parquet")
+    val q = SparkEntry.queries("q_cluster_terms")
+    q(spark, d1).foreach(_ => ()) // warmup
+    val t1 = timed(q(spark, d1).foreach(_ => ()))
+    val t10 = timed(q(spark, d10).foreach(_ => ()))
+    val (n1, n10) = (q(spark, d1).count(), q(spark, d10).count())
+    val ratio = t10 / math.max(t1, 1.0)
+    info(f"cluster terms: 1x=$t1%.1fs 10x=$t10%.1fs ratio=$ratio%.1f rows=$n1->$n10")
+    assert(n10 <= n1 * 6,
+      s"labeled rows must grow ~sqrt(10) with k, not 10x: $n1 -> $n10")
+    assert(ratio <= 6.0,
+      f"cluster labeling grew superlinearly (ratio $ratio%.1f)")
   }
 }
