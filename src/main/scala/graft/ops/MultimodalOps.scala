@@ -27,9 +27,11 @@ object MediaCodec extends Serializable {
   // ImageIO's default stream cache is FILE-backed: every encode/decode
   // spills through a temp file whose creation serializes all executor
   // threads (measured 10× off ideal scaling at 32 threads; 6× wall
-  // recovered by this line). Memory-cached streams are strictly better
-  // for our small per-row rasters.
-  javax.imageio.ImageIO.setUseCache(false)
+  // recovered by memory-cached streams). Scoped PER CALL via explicit
+  // MemoryCache image streams below — NOT the process-global
+  // ImageIO.setUseCache(false), which would change behavior for any
+  // co-resident ImageIO user in the same executor JVM (e.g. a user UDF
+  // decoding images large enough to want the file-backed cache).
 
   /** Fixed raster width: documents average a few hundred bytes, giving
     * small multi-row images that still exercise row defiltering.
@@ -50,7 +52,9 @@ object MediaCodec extends Serializable {
     val buf = img.getRaster.getDataBuffer.asInstanceOf[DataBufferByte].getData
     System.arraycopy(bytes, 0, buf, 0, bytes.length) // tail stays 0
     val bos = new java.io.ByteArrayOutputStream()
-    javax.imageio.ImageIO.write(img, "png", bos)
+    val ios = new javax.imageio.stream.MemoryCacheImageOutputStream(bos)
+    try javax.imageio.ImageIO.write(img, "png", ios)
+    finally ios.close()
     bos.toByteArray
   }
 
@@ -61,7 +65,9 @@ object MediaCodec extends Serializable {
     * ImageIO-supported layout, not just TYPE_BYTE_GRAY.
     */
   def decodePng(png: Array[Byte]): Raster = {
-    val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(png))
+    val img = javax.imageio.ImageIO.read(
+      new javax.imageio.stream.MemoryCacheImageInputStream(
+        new java.io.ByteArrayInputStream(png)))
     require(img != null, "not a decodable image payload")
     val (w, h) = (img.getWidth, img.getHeight)
     val px = new Array[Byte](w * h)
