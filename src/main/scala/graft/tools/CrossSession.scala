@@ -28,6 +28,7 @@ object CrossSession {
 
   def main(args: Array[String]): Unit = {
     val Array(phase, root, sfDir, outDir) = args
+    if (phase == "claim") { claimRace(root, sfDir, outDir); return }
     val spark = SparkSession.builder()
       .master("local[4]")
       .appName(s"graft-cross-$phase")
@@ -73,6 +74,36 @@ object CrossSession {
     println(
       s"[cross] phase=$phase builds=${GenLog.buildsRun.get()} " +
         s"skips=${GenLog.buildsSkipped.get()}")
+    spark.stop()
+  }
+
+  /** Cross-PROCESS claim race (driven by DurableRootSpec): two of these
+    * JVMs start concurrently against the same key under one root; the
+    * claim lease is a filesystem primitive, so exactly one process may
+    * run the (deliberately slow) build. Each prints whether ITS build
+    * ran; the spec asserts the sum is exactly 1 and both serve the same
+    * committed bytes.
+    */
+  private def claimRace(root: String, sfDir: String, outDir: String): Unit = {
+    val spark = SparkSession.builder()
+      .master("local[2]")
+      .appName("graft-cross-claim")
+      .config("spark.sql.shuffle.partitions", "2")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    val key = s"$root/racekey"
+    val ran = GenLog.buildOnce(spark, key) {
+      Thread.sleep(8000) // widen the race window past process startup skew
+      graft.T(spark, sfDir, "embeddings")
+        .limit(500)
+        .write.mode("overwrite").parquet(key)
+    }
+    val n = spark.read.parquet(key).count()
+    println(s"[cross] phase=claim built=${if (ran) 1 else 0} served=$n")
     spark.stop()
   }
 }

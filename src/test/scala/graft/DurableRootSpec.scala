@@ -83,4 +83,32 @@ class DurableRootSpec extends SparkSpec {
         rows(SparkEntry.queries("q_sim_batch")(spark, sf)),
       "adopt() on the durable root did not serve exactly")
   }
+
+  test("two PROCESSES racing one buildOnce key: exactly one builds, both serve") {
+    val root = Files.createTempDirectory("graft_claim_race").toString
+    val out = Files.createTempDirectory("graft_claim_out").toString
+    // launch both JVMs concurrently; each runs buildOnce on the same key
+    // with a deliberately slow build, so the loser's attempt lands while
+    // the winner's claim is live (the claim is a filesystem primitive —
+    // the in-JVM thread race in IndexCatalogSpec can't cover this)
+    val lines = new java.util.concurrent.ConcurrentLinkedQueue[String]
+    val procs = (1 to 2).map { _ =>
+      val cmd = Seq(
+        s"${System.getProperty("java.home")}/bin/java") ++ addOpens ++ Seq(
+        "-Xmx3g",
+        "-cp", System.getProperty("java.class.path"),
+        "graft.tools.CrossSession", "claim", root, sf, out)
+      Process(cmd).run(ProcessLogger(l => if (l.startsWith("[cross]")) lines.add(l), _ => ()))
+    }
+    val codes = procs.map(_.exitValue())
+    assert(codes === Seq(0, 0), s"claim racers exited $codes: $lines")
+    import scala.jdk.CollectionConverters._
+    val built = lines.asScala.toSeq.map { l =>
+      "built=(\\d)".r.findFirstMatchIn(l).get.group(1).toInt
+    }
+    assert(built.sum === 1, s"exactly one process may build: $lines")
+    assert(
+      lines.asScala.forall(_.contains("served=500")),
+      s"both processes must serve the committed artifact: $lines")
+  }
 }
