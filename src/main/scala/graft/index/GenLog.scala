@@ -65,6 +65,19 @@ object GenLog {
     */
   private[graft] val Superseded = "_GRAFT_SUPERSEDED"
 
+  /** Grace-delete a superseded artifact directory: tombstone it on the
+    * first call (files stay intact for readers whose scan listing was
+    * resolved before the fold committed), delete it on a later call —
+    * a live reader outlives its snapshot for one full compaction
+    * interval. Shared by the kernel's [[compact]] and the dedup
+    * families' bespoke compactions.
+    */
+  private[graft] def graceDelete(fs: FileSystem, path: Path): Unit = {
+    val tomb = new Path(path, Superseded)
+    if (fs.exists(tomb)) fs.delete(path, true)
+    else fs.create(tomb, true).close()
+  }
+
   /** A claim older than this is a crash orphan and re-claimable. Builds
     * that legitimately outlive the TTL would race a re-claimant — size it
     * above the slowest expected build (conf-tunable per deployment).
@@ -328,10 +341,7 @@ object GenLog {
     val fulls = versions(s, dir, requiring = FullSub).sorted
     val newestFull = fulls.max
     versions(s, dir, requiring = GenSub).filter(_ <= newestFull).foreach { v =>
-      val gen = new Path(s"$dir/v$v/$GenSub")
-      val tomb = new Path(gen, Superseded)
-      if (fs.exists(tomb)) fs.delete(gen, true) // tombstoned by an EARLIER compaction: grace elapsed
-      else fs.create(tomb, true).close()
+      graceDelete(fs, new Path(s"$dir/v$v/$GenSub"))
     }
     fulls.dropRight(math.max(keepFulls, 1)).foreach { v =>
       fs.delete(new Path(s"$dir/v$v/$FullSub"), true)

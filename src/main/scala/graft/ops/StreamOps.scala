@@ -843,21 +843,29 @@ object StreamOps {
     // batch's increments, landing at v == snapVer, would then be
     // invisible to every merge-on-read forever
     val committed = indexVersions(s, indexDir, requiring = "band_inc")
-    if (committed.isEmpty) return
-    val k = committed.max
-    if (indexVersions(s, indexDir, requiring = "band_index").max >= k) return
-    val (md5, band) = readDedupIndexState(s, indexDir, upTo = k)
-    // md5 first, band last: recognition keys on the band marker, so a
-    // crash anywhere before it leaves the fold invisible (the increments
-    // are still in place — reads are unchanged) and a rerun overwrites
-    graft.index.GenLog.commitParquet(md5, s"$indexDir/v$k/md5_index")
-    graft.index.GenLog.commitParquet(
-      band, s"$indexDir/v$k/band_index", partitionBy = Seq("band_idx"))
+    if (committed.nonEmpty &&
+      indexVersions(s, indexDir, requiring = "band_index").max < committed.max) {
+      val k = committed.max
+      val (md5, band) = readDedupIndexState(s, indexDir, upTo = k)
+      // md5 first, band last: recognition keys on the band marker, so a
+      // crash anywhere before it leaves the fold invisible (the increments
+      // are still in place — reads are unchanged) and a rerun overwrites
+      graft.index.GenLog.commitParquet(md5, s"$indexDir/v$k/md5_index")
+      graft.index.GenLog.commitParquet(
+        band, s"$indexDir/v$k/band_index", partitionBy = Seq("band_idx"))
+    }
+    // cleanup runs even with nothing to fold (the GenLog.compact shape),
+    // so a grace tombstone planted last compaction is collected now.
+    // Live-reader grace: folded increments are tombstoned first, deleted
+    // a compaction later — a reader that resolved its merge-on-read
+    // state just before the fold committed finishes its scan.
     val fs = new org.apache.hadoop.fs.Path(indexDir)
       .getFileSystem(s.sparkContext.hadoopConfiguration)
+    val snapVer = indexVersions(s, indexDir, requiring = "band_index").max
     Seq("md5_inc", "band_inc").foreach { sub =>
-      indexVersions(s, indexDir, requiring = sub).filter(_ <= k).foreach { v =>
-        fs.delete(new org.apache.hadoop.fs.Path(s"$indexDir/v$v/$sub"), true)
+      indexVersions(s, indexDir, requiring = sub).filter(_ <= snapVer).foreach { v =>
+        graft.index.GenLog.graceDelete(
+          fs, new org.apache.hadoop.fs.Path(s"$indexDir/v$v/$sub"))
       }
     }
   }
@@ -968,19 +976,22 @@ object StreamOps {
     // gate on band_inc, the batch's LAST-written artifact (the
     // compactDedupIndex rationale)
     val committed = indexVersions(s, indexDir, requiring = "band_inc")
-    if (committed.isEmpty) return
-    val k = committed.max
-    if (indexVersions(s, indexDir, requiring = "band_index").max >= k) return
-    // write-then-mark: a crash mid-fold leaves an uncommitted snapshot
-    // that readEmbedIndexState ignores (the increments are still there)
-    graft.index.GenLog.commitParquet(
-      readEmbedIndexState(s, indexDir, upTo = k),
-      s"$indexDir/v$k/band_index",
-      partitionBy = Seq("band_idx"))
+    if (committed.nonEmpty &&
+      indexVersions(s, indexDir, requiring = "band_index").max < committed.max) {
+      // write-then-mark: a crash mid-fold leaves an uncommitted snapshot
+      // that readEmbedIndexState ignores (the increments are still there)
+      graft.index.GenLog.commitParquet(
+        readEmbedIndexState(s, indexDir, upTo = committed.max),
+        s"$indexDir/v${committed.max}/band_index",
+        partitionBy = Seq("band_idx"))
+    }
+    // grace cleanup, unconditionally (the compactDedupIndex shape)
     val fs = new org.apache.hadoop.fs.Path(indexDir)
       .getFileSystem(s.sparkContext.hadoopConfiguration)
-    indexVersions(s, indexDir, requiring = "band_inc").filter(_ <= k).foreach { v =>
-      fs.delete(new org.apache.hadoop.fs.Path(s"$indexDir/v$v/band_inc"), true)
+    val snapVer = indexVersions(s, indexDir, requiring = "band_index").max
+    indexVersions(s, indexDir, requiring = "band_inc").filter(_ <= snapVer).foreach { v =>
+      graft.index.GenLog.graceDelete(
+        fs, new org.apache.hadoop.fs.Path(s"$indexDir/v$v/band_inc"))
     }
   }
 

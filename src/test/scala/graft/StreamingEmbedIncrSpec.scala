@@ -97,7 +97,14 @@ class StreamingEmbedIncrSpec extends SparkSpec {
     // maintenance: compaction folds increments into a full snapshot and
     // pruning drops the superseded seed — committed pairs never move
     StreamOps.compactEmbedIndex(spark, indexDir)
-    assert(exists("v2/band_index") && !exists("v1/band_inc") && !exists("v2/band_inc"))
+    // grace contract: folded increments are tombstoned first (files
+    // intact for readers that resolved pre-fold), deleted a compaction
+    // later
+    assert(exists("v2/band_index"))
+    for (v <- Seq("v1/band_inc", "v2/band_inc"))
+      assert(exists(s"$v/${graft.index.GenLog.Superseded}"), v)
+    StreamOps.compactEmbedIndex(spark, indexDir)
+    assert(!exists("v1/band_inc") && !exists("v2/band_inc"))
     StreamOps.pruneDedupIndexVersions(spark, indexDir, keep = 1)
     assert(pairs(StreamOps.readEmbedPairs(spark, indexDir)) === got,
       "maintenance must never touch committed per-batch outputs")

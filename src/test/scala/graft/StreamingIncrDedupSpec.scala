@@ -161,6 +161,12 @@ class StreamingIncrDedupSpec extends SparkSpec {
     // compaction folds increments into a full snapshot; no read changes
     StreamOps.compactDedupIndex(spark, indexDir)
     assert(exists("v2/band_index") && exists("v2/md5_index"))
+    // grace contract: folded increments are tombstoned first (files
+    // intact for readers that resolved pre-fold), deleted a compaction
+    // later
+    for (v <- Seq("v1/band_inc", "v2/band_inc", "v1/md5_inc"))
+      assert(exists(s"$v/${graft.index.GenLog.Superseded}"), v)
+    StreamOps.compactDedupIndex(spark, indexDir)
     assert(!exists("v1/band_inc") && !exists("v2/band_inc") && !exists("v1/md5_inc"))
     assert(exists("v1/remap") && exists("v1/assign"), "assign/remap dirs are permanent")
     val afterCompact = StreamOps
