@@ -30,8 +30,12 @@ class IndexCatalogSpec extends SparkSpec {
       SimilarityOps.writeAnnIndexFor(
         spark, T(spark, sf, "embeddings"), dir)
     }
+    val (runs0, skips0) = (GenLog.buildsRun.get(), GenLog.buildsSkipped.get())
     assert(build() === true && builds === 1)
     assert(build() === false && builds === 1, "second build must skip")
+    // the bench's catalog observability counters track exactly this
+    assert(GenLog.buildsRun.get() - runs0 === 1L)
+    assert(GenLog.buildsSkipped.get() - skips0 === 1L)
 
     // and through the public dataset-keyed path: no file is rewritten
     val canonical = s"${SimilarityOps.serveRoot(spark, sf)}/ann"

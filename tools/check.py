@@ -6,6 +6,7 @@ values exactly (columns sorted by name, rows in emitted order).
 Usage: python3 tools/check.py <sfDir> <verifyOutDir> [query ...]
 """
 import json
+import os
 import sys
 
 import duckdb
@@ -18,8 +19,16 @@ def main():
     sf_dir, out_dir = sys.argv[1], sys.argv[2]
     only = set(sys.argv[3:])
     con = duckdb.connect()
+    # run in UTC regardless of host TZ: Spark-written inputs (e.g. the
+    # MakeScaled 10x staging) carry isAdjustedToUTC=true timestamps,
+    # which DuckDB surfaces as TIMESTAMPTZ rendered in the session TZ
+    con.sql("SET timezone = 'UTC'")
     for t in TABLES:
-        con.sql(f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
+        # driver testdata stages single files; Spark-written staging
+        # (tools.MakeScaled) stages part-file directories — glob those
+        p = f"{sf_dir}/{t}.parquet"
+        src = f"{p}/*.parquet" if os.path.isdir(p) else p
+        con.sql(f"CREATE VIEW {t} AS SELECT * FROM '{src}'")
     oracle = json.load(open(f"{out_dir}/oracle_sql.json"))
     n_pass = n_fail = 0
     for name, sql in sorted(oracle.items()):
