@@ -1049,7 +1049,7 @@ object StreamOps {
     })
 
   /** ANN bucket family (the streaming form of q_sim_incr). */
-  private val AnnFamily = graft.index.GenLog.GenFamily(
+  private[graft] val AnnFamily = graft.index.GenLog.GenFamily(
     write = (s, vecs, path) => SimilarityOps.writeAnnIndexFor(s, vecs, path),
     fold = (s, roots, path) =>
       roots
