@@ -29,6 +29,7 @@ object CrossSession {
   def main(args: Array[String]): Unit = {
     val Array(phase, root, sfDir, outDir) = args
     if (phase == "claim") { claimRace(root, sfDir, outDir); return }
+    if (phase == "stall") { stall(root); return }
     val spark = SparkSession.builder()
       .master("local[4]")
       .appName(s"graft-cross-$phase")
@@ -75,6 +76,26 @@ object CrossSession {
       s"[cross] phase=$phase builds=${GenLog.buildsRun.get()} " +
         s"skips=${GenLog.buildsSkipped.get()}")
     spark.stop()
+  }
+
+  /** A claimant that wins the lease and then hangs forever — the spec
+    * kill -9s this process mid-build to create a REAL crash orphan
+    * (claim on disk, no marker, owner dead) and proves the TTL recovery
+    * against it.
+    */
+  private def stall(root: String): Unit = {
+    val spark = SparkSession.builder()
+      .master("local[2]")
+      .appName("graft-cross-stall")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    GenLog.buildOnce(spark, s"$root/racekey") {
+      println("[cross] phase=stall claimed=1")
+      Console.out.flush()
+      Thread.sleep(600000)
+    }
+    ()
   }
 
   /** Cross-PROCESS claim race (driven by DurableRootSpec): two of these

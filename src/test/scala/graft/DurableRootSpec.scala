@@ -111,4 +111,40 @@ class DurableRootSpec extends SparkSpec {
       lines.asScala.forall(_.contains("served=500")),
       s"both processes must serve the committed artifact: $lines")
   }
+
+  test("a kill -9'd claimant's key recovers: the TTL reclaims a REAL crash orphan") {
+    val root = Files.createTempDirectory("graft_kill_claim").toString
+    val key = s"$root/racekey"
+    // a claimant JVM that takes the lease and hangs mid-build forever
+    val claimed = new java.util.concurrent.CountDownLatch(1)
+    val cmd = Seq(
+      s"${System.getProperty("java.home")}/bin/java") ++ addOpens ++ Seq(
+      "-Xmx2g",
+      "-cp", System.getProperty("java.class.path"),
+      "graft.tools.CrossSession", "stall", root, sf, root)
+    val proc = Process(cmd).run(
+      ProcessLogger(l => if (l.contains("claimed=1")) claimed.countDown(), _ => ()))
+    assert(claimed.await(120, java.util.concurrent.TimeUnit.SECONDS),
+      "stalling claimant never took the lease")
+    assert(
+      new java.io.File(graft.index.GenLog.claimPath(key).toUri.getPath).exists,
+      "claim file must be on disk while the claimant hangs")
+    proc.destroy() // SIGKILL mid-build: claim on disk, no marker, owner dead
+    assert(proc.exitValue() !== 0)
+
+    // recovery in THIS session: the claim is a crash orphan once its age
+    // passes the TTL; buildOnce waits it out, reclaims, builds
+    spark.conf.set(graft.index.GenLog.ClaimTtlKey, "3000")
+    try {
+      var built = false
+      assert(graft.index.GenLog.buildOnce(spark, key) {
+        built = true
+        T(spark, sf, "embeddings").limit(10).write
+          .mode("overwrite").parquet(key)
+      } === true)
+      assert(built, "the orphaned key must recover and rebuild")
+      assert(spark.read.parquet(key).count() === 10)
+      assert(graft.index.GenLog.buildOnce(spark, key) { fail("must skip") } === false)
+    } finally spark.conf.unset(graft.index.GenLog.ClaimTtlKey)
+  }
 }
