@@ -435,9 +435,18 @@ object RelationalOps {
     */
   private def joinAsof(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
-    val ev = T(s, d, "events")
-      .filter($"event_type".isin("view", "purchase"))
-      .select($"event_id", $"user_id", $"ts", $"event_type")
+    asofOf(
+      T(s, d, "events")
+        .filter($"event_type".isin("view", "purchase"))
+        .select($"event_id", $"user_id", $"ts", $"event_type"))
+  }
+
+  /** The as-of kernel over an explicit (event_id, user_id, ts,
+    * event_type ∈ {view, purchase}) frame — split out so
+    * AsofPropertySpec can drive it over generated tie-heavy streams.
+    */
+  private[graft] def asofOf(ev: DataFrame): DataFrame = {
+    import ev.sparkSession.implicits._
     val w = Window
       .partitionBy($"user_id")
       .orderBy(

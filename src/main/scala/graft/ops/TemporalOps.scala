@@ -145,9 +145,18 @@ object TemporalOps {
     */
   private def winIslands(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
-    val days = events(s, d)
-      .select($"user_id", to_date($"ts").as("day"))
-      .distinct()
+    islandsOf(
+      events(s, d)
+        .select($"user_id", to_date($"ts").as("day"))
+        .distinct())
+  }
+
+  /** The islands kernel over an explicit DISTINCT (user_id, day) frame —
+    * split out so TemporalPropertySpec can drive it over generated
+    * streak patterns.
+    */
+  private[graft] def islandsOf(days: DataFrame): DataFrame = {
+    import days.sparkSession.implicits._
     val anchored = days.withColumn(
       "anchor",
       date_sub(
