@@ -982,6 +982,21 @@ object RelationalOps {
     */
   private def joinFuzzy(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
+    fuzzyPairsOf(T(s, d, "customer"))
+      .groupBy($"nat_a".as("c_nationkey"))
+      .agg(
+        count(lit(1)).as("n_pairs"),
+        min(concat($"name_a", lit("|"), $"name_b")).as("example_pair"))
+      .orderBy($"c_nationkey")
+  }
+
+  /** The SymSpell pair kernel over an explicit (c_custkey, c_nationkey,
+    * c_name) frame: verified edit-distance-≤1 pairs (k_a < k_b) with
+    * both names and side-a's nation — split out so FuzzyPropertySpec
+    * can drive it over generated adversarial vocabularies.
+    */
+  private[graft] def fuzzyPairsOf(cust: DataFrame): DataFrame = {
+    import cust.sparkSession.implicits._
     // empty-name guard: Spark's sequence(0, -1) infers step -1 and yields
     // [0, -1] (bogus variants) where DuckDB's generate_series(0, -1) is
     // empty — moot on c_name but a latent parity trap on free-form text,
@@ -998,7 +1013,7 @@ object RelationalOps {
                 name.substr(i + lit(2), length(name)))))
             .otherwise(array(name)),
           array(name)))
-    val v = T(s, d, "customer")
+    val v = cust
       .select($"c_custkey", explode(variants($"c_name")).as("variant"))
     val pairs = v
       .select($"c_custkey".as("k_a"), $"variant")
@@ -1006,22 +1021,16 @@ object RelationalOps {
       .filter($"k_a" < $"k_b")
       .select($"k_a", $"k_b")
       .distinct()
-    val names = T(s, d, "customer")
     pairs
       .join(
-        names.select(
+        cust.select(
           $"c_custkey".as("k_a"), $"c_nationkey".as("nat_a"),
           $"c_name".as("name_a")),
         Seq("k_a"))
       .join(
-        names.select($"c_custkey".as("k_b"), $"c_name".as("name_b")),
+        cust.select($"c_custkey".as("k_b"), $"c_name".as("name_b")),
         Seq("k_b"))
       .filter(levenshtein($"name_a", $"name_b") <= 1)
-      .groupBy($"nat_a".as("c_nationkey"))
-      .agg(
-        count(lit(1)).as("n_pairs"),
-        min(concat($"name_a", lit("|"), $"name_b")).as("example_pair"))
-      .orderBy($"c_nationkey")
   }
 
   private val FuzzySql =
