@@ -224,6 +224,69 @@ object TextOps {
       "(SELECT string_split(text, ' ') AS tk FROM documents) WHERE len(tk) >= 2" +
       ") GROUP BY bigram ORDER BY n DESC, bigram LIMIT 20"
 
+  /** q_text_boilerplate — CCNet-style cross-document boilerplate
+    * detection (Wenzek et al., arXiv:1911.00359 run paragraph-hash
+    * dedup; RefinedWeb line-frequency scrubbing is the same idea):
+    * a token 3-shingle occurring in ≥ [[BoilerMinDocs]] DISTINCT
+    * documents is boilerplate (headers, footers, navigation chrome,
+    * license blurbs), and the per-document report
+    * (n_shingles, n_boiler, boiler_pct) is the gate a curation
+    * pipeline thresholds on before training. Shape at 100 TB: the
+    * shingling is a map-side explode, document frequency is one hash
+    * aggregate on the shingle key, and the occurrence⋈frequency join
+    * is a plain equi-join on that key — 1:1 per occurrence (the
+    * frequency side is distinct by shingle), so the hottest
+    * boilerplate shingle fans out linearly, never quadratically, and
+    * AQE skew-split covers the hot key. boiler_pct is one IEEE
+    * division of two exact integers — bit-identical cross-engine (the
+    * q_win_dist precedent). Documents with fewer than 3 tokens carry
+    * no shingle and are out of scope by contract (mirrored in the
+    * oracle's len(tk) >= 3).
+    */
+  private val BoilerMinDocs = 3
+
+  private def textBoilerplate(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val sh = docs(s, d)
+      .select($"doc_id", split($"text", " ").as("tk"))
+      .filter(size($"tk") >= 3)
+      .select(
+        $"doc_id",
+        explode(expr(
+          "transform(sequence(1, size(tk) - 2), " +
+            "i -> concat_ws(' ', element_at(tk, i), element_at(tk, i + 1), element_at(tk, i + 2)))"))
+          .as("s3"))
+    val dfreq = sh
+      .select($"doc_id", $"s3")
+      .distinct()
+      .groupBy($"s3")
+      .agg(count(lit(1)).as("nd"))
+    sh.join(dfreq, Seq("s3"))
+      .groupBy($"doc_id")
+      .agg(
+        count(lit(1)).as("n_shingles"),
+        count(when($"nd" >= BoilerMinDocs, 1)).as("n_boiler"))
+      .select(
+        $"doc_id",
+        $"n_shingles",
+        $"n_boiler",
+        ($"n_boiler".cast("double") / $"n_shingles".cast("double")).as("boiler_pct"))
+      .orderBy($"doc_id")
+  }
+
+  private val BoilerplateSql =
+    "WITH toks AS (SELECT doc_id, string_split(text, ' ') AS tk FROM documents), " +
+      "sh AS (SELECT doc_id, unnest(list_transform(generate_series(1, len(tk) - 2), " +
+      "i -> tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2])) AS s3 " +
+      "FROM toks WHERE len(tk) >= 3), " +
+      "d AS (SELECT s3, count(DISTINCT doc_id) AS nd FROM sh GROUP BY 1), " +
+      "agg AS (SELECT sh.doc_id AS doc_id, count(*) AS ns, " +
+      "count(CASE WHEN d.nd >= 3 THEN 1 END) AS nb " +
+      "FROM sh JOIN d USING (s3) GROUP BY 1) " +
+      "SELECT doc_id, CAST(ns AS BIGINT) AS n_shingles, CAST(nb AS BIGINT) AS n_boiler, " +
+      "CAST(nb AS DOUBLE) / CAST(ns AS DOUBLE) AS boiler_pct " +
+      "FROM agg ORDER BY doc_id"
+
   /** q_text_keyterms — characteristic term per document by an integer-exact
     * tf-idf ranking: (tf DESC, df ASC, term) — highest in-doc frequency,
     * corpus rarity as the tiebreak. The classic tf·log(N/df) score is
@@ -1325,6 +1388,7 @@ object TextOps {
     QueryDef("q_text_fingerprint", textFingerprint, Some(FingerprintSql)),
     QueryDef("q_text_count_tokens", textCountTokens, Some(CountTokensSql)),
     QueryDef("q_text_ngrams", textNgrams, Some(NgramsSql)),
+    QueryDef("q_text_boilerplate", textBoilerplate, Some(BoilerplateSql)),
     QueryDef("q_text_keyterms", textKeyterms, Some(KeytermsSql)),
     QueryDef("q_text_redact", textRedact, Some(RedactSql)),
     QueryDef("q_text_clean", textClean, Some(CleanSql)),

@@ -1,0 +1,80 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.functions._
+
+/** q_text_boilerplate — CCNet-style cross-document boilerplate
+  * detection. Planted-corpus semantics: a 3-shingle is boilerplate iff
+  * it occurs in ≥ 3 DISTINCT documents (within-document repetition must
+  * not count), the shared-chrome docs score exactly their chrome
+  * shingles, a fully-unique doc scores 0, and the 2-doc/3-doc boundary
+  * is exact. Plus the plan gate: one explode, hash aggregates, one
+  * equi-join on the shingle key — no cartesian product.
+  */
+class BoilerplateSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def stage(texts: Seq[String]): String = {
+    val dir = Files.createTempDirectory("graft_boiler").toString
+    texts.zipWithIndex
+      .map { case (t, i) => (i.toLong, t, "en", "synthetic", t.length.toLong) }
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .coalesce(1)
+      .write.parquet(s"$dir/documents.parquet")
+    dir
+  }
+
+  private def run(dir: String): Map[Long, (Long, Long, Double)] =
+    SparkEntry.queries("q_text_boilerplate")(spark, dir)
+      .collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getDouble(3))))
+      .toMap
+
+  test("chrome in >=3 docs is boilerplate; unique text is not; ratio exact") {
+    val chrome = "copyright acme corp all rights reserved" // 6 tokens -> 4 internal shingles
+    val out = run(stage(Seq(
+      s"$chrome alpha beta gamma",
+      s"$chrome delta epsilon zeta",
+      s"$chrome eta theta iota",
+      "completely unique document body nothing shared here at all")))
+    // chrome docs: 9 tokens -> 7 shingles; the 4 chrome-internal
+    // shingles are in 3 docs (boiler), the 3 chrome→tail bridge
+    // shingles are unique per doc
+    for (d <- 0L to 2L) {
+      val (ns, nb, pct) = out(d)
+      assert(ns === 7L && nb === 4L, s"doc $d: $ns/$nb")
+      assert(pct === 4.0 / 7.0)
+    }
+    assert(out(3L) === ((7L, 0L, 0.0)), "unique doc must score zero")
+  }
+
+  test("the distinct-document threshold is exact at the 2-vs-3 boundary") {
+    val two = "twodoc shared shingle"    // in exactly 2 docs
+    val three = "threedoc shared shingle" // in exactly 3 docs
+    val out = run(stage(Seq(
+      s"$two a1 a2 a3",
+      s"$two b1 b2 b3",
+      s"$three c1 c2 c3",
+      s"$three d1 d2 d3",
+      s"$three e1 e2 e3")))
+    assert(out(0L)._2 === 0L && out(1L)._2 === 0L,
+      "a shingle in exactly 2 docs is below the threshold")
+    for (d <- 2L to 4L)
+      assert(out(d)._2 === 1L, s"doc $d: the 3-doc shingle is boilerplate")
+  }
+
+  test("within-document repetition does not reach the distinct-doc threshold") {
+    val rep = "spam spam spam spam spam spam spam spam spam spam"
+    val out = run(stage(Seq(rep, "unique one body", "unique two body")))
+    // 'spam spam spam' occurs 8 times in doc 0 but in ONE document
+    assert(out(0L)._2 === 0L, "multiplicity within one doc must not count")
+  }
+
+  test("plan shape: equi-join on the shingle key, no cartesian product") {
+    val plan = SparkEntry.queries("q_text_boilerplate")(spark, sf)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoopJoin"),
+      plan.linesIterator.take(20).mkString("\n"))
+  }
+}
