@@ -1534,6 +1534,56 @@ object StreamOps {
     graft.index.GenLog.markCommitted(s, p)
   }
 
+  /** Boilerplate shingle-stats family — the continuous lift of
+    * q_text_boilerplate: each micro-batch persists its docs' per-doc
+    * 3-shingle occurrence counts ([[TextOps.shingleCountsOf]] — O(batch)
+    * work and bytes, no prior state read), and because every document is
+    * wholly in one batch and shingle DOCUMENT-frequency is additive over
+    * disjoint doc sets, merge-on-read over the generation roots recovers
+    * the exact corpus-wide report: old documents' boiler counts rise as
+    * new documents push shared shingles over the threshold, with no
+    * recomputation of any generation. Fold = concatenation (doc sets
+    * disjoint), so compaction is read-invariant by construction.
+    */
+  private[graft] val BoilerFamily = graft.index.GenLog.GenFamily(
+    write = (_, docsRows, path) =>
+      TextOps.shingleCountsOf(docsRows)
+        .write
+        .mode(org.apache.spark.sql.SaveMode.Overwrite)
+        .parquet(path),
+    fold = (s, roots, path) =>
+      s.read.parquet(roots: _*)
+        .write
+        .mode(org.apache.spark.sql.SaveMode.Overwrite)
+        .parquet(path))
+
+  /** Seed the continuous boilerplate stats: the base corpus's counts as
+    * the committed v0 full snapshot.
+    */
+  def seedBoilerplateStats(s: SparkSession, base: DataFrame, dir: String): Unit =
+    graft.index.GenLog.seed(s, BoilerFamily, base, dir)
+
+  /** Continuous maintenance (kernel protocol; see the family note). */
+  def boilerplateStreamWriter(
+      docs: DataFrame,
+      dir: String,
+      checkpoint: String): org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
+    graft.index.GenLog.streamWriter(docs, BoilerFamily, dir, checkpoint)
+
+  /** The corpus-wide boilerplate report served merge-on-read from the
+    * maintained counts — ≡ the monolithic q_text_boilerplate over the
+    * union of all ingested documents at every point in time
+    * (StreamingBoilerplateSpec).
+    */
+  def serveBoilerplateContinuous(s: SparkSession, dir: String): DataFrame =
+    TextOps.boilerplateReportOf(
+      s.read.parquet(
+        graft.index.GenLog.roots(s, dir, what = "boilerplate stats"): _*))
+
+  /** Compaction (kernel protocol; fold = concatenation). */
+  def compactBoilerplateStats(s: SparkSession, dir: String, keepFulls: Int = 2): Unit =
+    graft.index.GenLog.compact(s, dir, BoilerFamily, keepFulls)
+
   /** Targets of the composed continuous VECTOR program — the embeddings
     * side of [[CorpusPipeline]]: all five vector index families (float
     * ANN buckets, int8 quantized scan tier, IVF cells, semantic-dedup

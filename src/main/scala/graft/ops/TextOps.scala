@@ -245,9 +245,15 @@ object TextOps {
     */
   private val BoilerMinDocs = 3
 
-  private def textBoilerplate(s: SparkSession, d: String): DataFrame = {
-    import s.implicits._
-    val sh = docs(s, d)
+  /** Per-document 3-shingle occurrence counts (doc_id, s3, n) — the
+    * ADDITIVE state unit of the boilerplate report: a document's counts
+    * are generation-local (each doc is wholly in one ingest batch) and
+    * shingle document-frequency over disjoint doc sets is a plain sum,
+    * so the continuous family persists exactly this frame per batch.
+    */
+  private[graft] def shingleCountsOf(docsDf: DataFrame): DataFrame = {
+    import docsDf.sparkSession.implicits._
+    docsDf
       .select($"doc_id", split($"text", " ").as("tk"))
       .filter(size($"tk") >= 3)
       .select(
@@ -256,16 +262,23 @@ object TextOps {
           "transform(sequence(1, size(tk) - 2), " +
             "i -> concat_ws(' ', element_at(tk, i), element_at(tk, i + 1), element_at(tk, i + 2)))"))
           .as("s3"))
-    val dfreq = sh
-      .select($"doc_id", $"s3")
-      .distinct()
-      .groupBy($"s3")
-      .agg(count(lit(1)).as("nd"))
-    sh.join(dfreq, Seq("s3"))
+      .groupBy($"doc_id", $"s3")
+      .agg(count(lit(1)).as("n"))
+  }
+
+  /** The report over a (doc_id, s3, n) counts frame: document frequency
+    * is one row-count per shingle (the frame is unique on (doc, s3)),
+    * and the per-doc totals weight by occurrence multiplicity.
+    */
+  private[graft] def boilerplateReportOf(counts: DataFrame): DataFrame = {
+    import counts.sparkSession.implicits._
+    val dfreq = counts.groupBy($"s3").agg(count(lit(1)).as("nd"))
+    counts
+      .join(dfreq, Seq("s3"))
       .groupBy($"doc_id")
       .agg(
-        count(lit(1)).as("n_shingles"),
-        count(when($"nd" >= BoilerMinDocs, 1)).as("n_boiler"))
+        sum($"n").as("n_shingles"),
+        sum(when($"nd" >= BoilerMinDocs, $"n").otherwise(0L)).as("n_boiler"))
       .select(
         $"doc_id",
         $"n_shingles",
@@ -273,6 +286,9 @@ object TextOps {
         ($"n_boiler".cast("double") / $"n_shingles".cast("double")).as("boiler_pct"))
       .orderBy($"doc_id")
   }
+
+  private def textBoilerplate(s: SparkSession, d: String): DataFrame =
+    boilerplateReportOf(shingleCountsOf(docs(s, d)))
 
   private val BoilerplateSql =
     "WITH toks AS (SELECT doc_id, string_split(text, ' ') AS tk FROM documents), " +
