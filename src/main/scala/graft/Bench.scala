@@ -24,6 +24,40 @@ object BenchSplits {
 }
 
 object Bench {
+
+  /** Queries whose measured median exceeds their BUDGETS.json budget at
+    * the file's scale factor — (name, measured, budget), empty on a
+    * clean run or when this run's scale isn't the budgeted one. A
+    * malformed or absent budget file disables the check rather than
+    * failing the bench (the budgets guard regressions; they must never
+    * cost the record itself).
+    */
+  private[graft] def budgetViolations(
+      sfDir: String,
+      results: Seq[(String, Double)],
+      budgetFile: String): Seq[(String, Double, Double)] =
+    try {
+      val f = java.nio.file.Paths.get(budgetFile)
+      if (!java.nio.file.Files.exists(f)) Nil
+      else {
+        val txt = new String(java.nio.file.Files.readAllBytes(f), "UTF-8")
+        val json = org.json4s.jackson.JsonMethods.parse(txt)
+        import org.json4s._
+        implicit val fmts: Formats = DefaultFormats
+        val budgetSf = (json \ "sf").extract[String]
+        if (!sfDir.contains(budgetSf)) Nil
+        else (json \ "budgets").extract[Map[String, Double]].toSeq.sorted.flatMap {
+          case (q, budget) =>
+            results.collectFirst {
+              case (`q`, t) if t > budget => (q, t, budget)
+            }
+        }
+      }
+    } catch {
+      case e: Throwable =>
+        System.err.println(s"[bench] budget check skipped: $e"); Nil
+    }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
@@ -170,14 +204,24 @@ object Bench {
     val splitsJson = splitEntries.mkString("{", ",", "}")
     val catalogJson =
       s"""{"builds_run":$measuredBuilds,"builds_skipped":$measuredSkips}"""
+    // Per-query latency budgets (BUDGETS.json: 2x the last recorded
+    // round's median, floored): the 2x TOTAL gate can hide one query
+    // regressing 5x while others improve — a violation here makes that
+    // single-query regression machine-checkable in the bench record
+    // itself, like the catalog counters. Budgets are scale-specific:
+    // only checked when this run's sf dir matches the file's.
+    val budgetViolations = Bench.budgetViolations(sfDir, results, "BUDGETS.json")
+    val budgetsJson = budgetViolations
+      .map { case (q, t, b) => jstr(q) + s""":{"sec":$t,"budget":$b}""" }
+      .mkString("{", ",", "}")
     val total = results.map(_._2).sum
-    val full = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errs,"partial_samples":$counts,"splits":$splitsJson,"catalog":$catalogJson,"sf":"$sfDir","iterations":$iters}"""
+    val full = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errs,"partial_samples":$counts,"splits":$splitsJson,"catalog":$catalogJson,"budget_violations":$budgetsJson,"sf":"$sfDir","iterations":$iters}"""
     println(full)
     // The harness snapshots only the TAIL of stdout; the full line above is
     // one long JSON record whose head (including "value") can fall outside
     // that window. Emit a short trailer that always fits in any tail, and
     // persist the full record to a repo file as the durable copy.
-    println(s"""{"metric":"total_only","value":$total,"unit":"sec","n_queries":${results.size},"n_errors":${errors.size}}""")
+    println(s"""{"metric":"total_only","value":$total,"unit":"sec","n_queries":${results.size},"n_errors":${errors.size},"n_budget_violations":${budgetViolations.size}}""")
     try {
       val out = java.nio.file.Paths.get("BENCH_LAST.json")
       java.nio.file.Files.write(out, (full + "\n").getBytes("UTF-8"))

@@ -78,12 +78,39 @@ object GenLog {
     else fs.create(tomb, true).close()
   }
 
-  /** A claim older than this is a crash orphan and re-claimable. Builds
-    * that legitimately outlive the TTL would race a re-claimant — size it
-    * above the slowest expected build (conf-tunable per deployment).
+  /** A claim whose mtime is older than this is a crash orphan and
+    * re-claimable. The WINNER heartbeats the claim (touches its mtime)
+    * every TTL/4 while its build runs, so staleness means ≥4 missed
+    * heartbeats — a presumed-dead claimant — not merely a slow build:
+    * the TTL is decoupled from build duration and sizes only the
+    * detection latency for real crashes (conf-tunable per deployment).
     */
   val ClaimTtlKey = "spark.graft.index.claimTtlMs"
   private val DefaultClaimTtlMs = 30L * 60L * 1000L
+
+  /** Filesystem schemes whose `create(overwrite=false)` (or the `file:`
+    * O_EXCL special case) is genuinely atomic — the claim lease's mutual
+    * exclusion is only as good as that primitive. Object stores that
+    * implement create-if-absent as exists-then-put would SILENTLY lose
+    * the exclusion (two winners Overwrite-writing one artifact), so
+    * [[buildOnce]] refuses unknown schemes up front; a deployment whose
+    * store does support conditional put (S3 If-None-Match, GCS
+    * if-generation-match, ABFS ETag) opts its scheme in via this
+    * comma-separated conf key.
+    */
+  val ClaimSchemesKey = "spark.graft.index.claimSchemes"
+  private val AtomicClaimSchemes = Set("file", "hdfs", "viewfs", "webhdfs")
+
+  private[graft] def requireClaimScheme(scheme: String, extra: Set[String]): Unit =
+    require(
+      AtomicClaimSchemes.contains(scheme) || extra.contains(scheme),
+      s"buildOnce's claim lease needs atomic create-if-absent, which scheme " +
+        s"'$scheme' is not known to provide. If this store supports a " +
+        s"conditional put (S3 If-None-Match, GCS if-generation-match, ABFS " +
+        s"ETag) and the Hadoop connector maps create(overwrite=false) onto " +
+        s"it, opt in with --conf $ClaimSchemesKey=$scheme; otherwise point " +
+        s"$RootKey at a filesystem with atomic create (file/hdfs) or " +
+        s"coordinate first builds externally.")
 
   /** Catalog-hit observability: how many [[buildOnce]] calls actually
     * built vs skipped on an existing marker, process-wide. Bench emits
@@ -140,6 +167,11 @@ object GenLog {
     */
   def buildOnce(s: SparkSession, path: String)(build: => Unit): Boolean = {
     val fs = fsOf(s, path)
+    requireClaimScheme(
+      Option(fs.getUri.getScheme).getOrElse("file"),
+      s.conf.getOption(ClaimSchemesKey)
+        .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
+        .getOrElse(Set.empty))
     val claim = claimPath(path)
     val ttlMs = s.conf.getOption(ClaimTtlKey).map(_.toLong).getOrElse(DefaultClaimTtlMs)
     while (true) {
@@ -147,10 +179,26 @@ object GenLog {
       fs.mkdirs(claim.getParent)
       val claimed = tryClaim(fs, claim)
       if (claimed) {
-        // Winner: the claim is released whether the build commits or
-        // throws — a failed build must not wedge the key until the TTL.
+        onClaimWon()
+        // Won the lease — but a previous winner may have committed and
+        // released in the gap between this caller's isCommitted check
+        // and its tryClaim. Without this re-check the build would re-run
+        // and its SaveMode.Overwrite would transiently delete the
+        // committed artifact under live readers, violating "after the
+        // marker lands, every caller skips".
+        if (isCommitted(s, path)) {
+          fs.delete(claim, false)
+          buildsSkipped.incrementAndGet()
+          return false
+        }
+        // Heartbeat while building: touch the claim's mtime every TTL/4
+        // so losers never see a live build as a crash orphan — staleness
+        // below means ≥4 missed heartbeats, not a slow build.
+        val hb = startHeartbeat(fs, claim, ttlMs)
+        // The claim is released whether the build commits or throws — a
+        // failed build must not wedge the key until the TTL.
         try { build; markCommitted(s, path) }
-        finally fs.delete(claim, false)
+        finally { hb.interrupt(); fs.delete(claim, false) }
         buildsRun.incrementAndGet()
         return true
       }
@@ -158,10 +206,60 @@ object GenLog {
       val stale =
         try System.currentTimeMillis() - fs.getFileStatus(claim).getModificationTime > ttlMs
         catch { case _: java.io.FileNotFoundException => false } // released — loop re-checks
-      if (stale) fs.delete(claim, false) // racing deleters are idempotent; one re-claimer wins
-      else Thread.sleep(50L)
+      if (stale) {
+        // Reclaim via rename-to-unique-name: rename succeeds for exactly
+        // ONE of any number of racing reclaimers (the source vanishes for
+        // the rest), so a slower reclaimer can never delete a faster
+        // re-claimer's freshly created claim — the unconditional-delete
+        // TOCTOU that could admit two concurrent builds. A laggard whose
+        // rename fails goes back through the loop and re-validates
+        // staleness against whatever claim now exists (fresh mtime →
+        // wait). Residual window, documented honestly: the staleness stat
+        // directly above and the rename are adjacent but not one atomic
+        // op, the irreducible gap of any mtime-based lease without a
+        // filesystem compare-and-swap; the winner's TTL/4 heartbeat makes
+        // "alive but stale-looking" require 4 consecutive missed touches.
+        val tomb = new Path(
+          claim.getParent,
+          claim.getName + s".reclaimed.${ProcessHandle.current().pid()}.${System.nanoTime()}")
+        val renamed =
+          try fs.rename(claim, tomb)
+          catch { case _: java.io.IOException => false }
+        if (renamed) fs.delete(tomb, false)
+        else Thread.sleep(50L)
+      } else Thread.sleep(50L)
     }
     false // unreachable
+  }
+
+  /** TEST SEAM: invoked between a successful tryClaim and the post-claim
+    * isCommitted re-check — observationally the instant at which, in the
+    * real race, a competing winner's commit-and-release has already
+    * landed (that release is WHY the tryClaim succeeded). Lets a spec
+    * deterministically interleave that commit into the exact gap the
+    * re-check closes. No-op in production.
+    */
+  @volatile private[graft] var onClaimWon: () => Unit = () => ()
+
+  /** Daemon thread that touches the claim's mtime every TTL/4 until
+    * interrupted — the liveness signal that keeps a long build's lease
+    * fresh. Touch errors are swallowed: a lost heartbeat degrades to the
+    * pre-heartbeat TTL behavior rather than failing the build.
+    */
+  private def startHeartbeat(fs: FileSystem, claim: Path, ttlMs: Long): Thread = {
+    val interval = math.max(ttlMs / 4, 20L)
+    val t = new Thread(() => {
+      try {
+        while (!Thread.currentThread().isInterrupted) {
+          Thread.sleep(interval)
+          try fs.setTimes(claim, System.currentTimeMillis(), -1)
+          catch { case _: java.io.IOException => () }
+        }
+      } catch { case _: InterruptedException => () }
+    }, s"graft-claim-heartbeat-${claim.getName}")
+    t.setDaemon(true)
+    t.start()
+    t
   }
 
   /** Atomic create-if-absent of the claim file. HDFS makes
@@ -346,6 +444,43 @@ object GenLog {
     fulls.dropRight(math.max(keepFulls, 1)).foreach { v =>
       fs.delete(new Path(s"$dir/v$v/$FullSub"), true)
     }
+  }
+
+  /** Count/size-triggered compaction policy: compact when the committed
+    * generations above the newest full exceed [[CompactMaxGensKey]]
+    * (default 8) OR their total bytes exceed [[CompactGenBytesFracKey]]
+    * (default 0.5) of the full snapshot's bytes. Each fold rewrites a
+    * full corpus snapshot, so its cost is amortized only if cadence
+    * scales with what accumulated: the count trigger bounds merge-on-read
+    * fan-in (reads union f + gens paths), the bytes trigger bounds the
+    * fraction of the corpus living in un-folded generations — a composed
+    * pipeline calls this per batch and self-tunes instead of relying on
+    * the caller's day-2 compaction loop. Returns whether it compacted.
+    */
+  val CompactMaxGensKey = "spark.graft.index.compact.maxGens"
+  val CompactGenBytesFracKey = "spark.graft.index.compact.genBytesFraction"
+
+  def maybeCompact(s: SparkSession, dir: String, fam: GenFamily, keepFulls: Int = 2): Boolean = {
+    val fulls = versions(s, dir, requiring = FullSub)
+    if (fulls.isEmpty) return false
+    val f = fulls.max
+    val gens = versions(s, dir, requiring = GenSub).filter(_ > f)
+    if (gens.isEmpty) return false
+    val maxGens =
+      s.conf.getOption(CompactMaxGensKey).map(_.toInt).getOrElse(8)
+    val frac =
+      s.conf.getOption(CompactGenBytesFracKey).map(_.toDouble).getOrElse(0.5)
+    val due = gens.size >= maxGens || {
+      val fs = fsOf(s, dir)
+      def bytes(p: String): Long =
+        try fs.getContentSummary(new Path(p)).getLength
+        catch { case _: java.io.IOException => 0L }
+      val fullBytes = bytes(s"$dir/v$f/$FullSub")
+      val genBytes = gens.map(v => bytes(s"$dir/v$v/$GenSub")).sum
+      fullBytes > 0L && genBytes >= (fullBytes * frac).toLong
+    }
+    if (due) compact(s, dir, fam, keepFulls)
+    due
   }
 
   /** Adopt a PRE-CATALOG index directory: drop a commit marker into

@@ -843,8 +843,13 @@ object StreamOps {
     // batch's increments, landing at v == snapVer, would then be
     // invisible to every merge-on-read forever
     val committed = indexVersions(s, indexDir, requiring = "band_inc")
-    if (committed.nonEmpty &&
-      indexVersions(s, indexDir, requiring = "band_index").max < committed.max) {
+    // an unseeded dir (or one whose seed crashed pre-commit) has no
+    // committed band_index at all — nothing to fold against and no
+    // snapshot to gate cleanup on, so return before any .max on an
+    // empty version list can throw
+    val snaps0 = indexVersions(s, indexDir, requiring = "band_index")
+    if (snaps0.isEmpty) return
+    if (committed.nonEmpty && snaps0.max < committed.max) {
       val k = committed.max
       val (md5, band) = readDedupIndexState(s, indexDir, upTo = k)
       // md5 first, band last: recognition keys on the band marker, so a
@@ -976,8 +981,11 @@ object StreamOps {
     // gate on band_inc, the batch's LAST-written artifact (the
     // compactDedupIndex rationale)
     val committed = indexVersions(s, indexDir, requiring = "band_inc")
-    if (committed.nonEmpty &&
-      indexVersions(s, indexDir, requiring = "band_index").max < committed.max) {
+    // no committed band_index → unseeded (or seed crashed pre-commit):
+    // return before an empty-Seq .max can throw (compactDedupIndex shape)
+    val snaps0 = indexVersions(s, indexDir, requiring = "band_index")
+    if (snaps0.isEmpty) return
+    if (committed.nonEmpty && snaps0.max < committed.max) {
       // write-then-mark: a crash mid-fold leaves an uncommitted snapshot
       // that readEmbedIndexState ignores (the increments are still there)
       graft.index.GenLog.commitParquet(
@@ -1577,6 +1585,16 @@ object StreamOps {
     */
   def serveBoilerplateContinuous(s: SparkSession, dir: String): DataFrame =
     TextOps.boilerplateReportOf(
+      s.read.parquet(
+        graft.index.GenLog.roots(s, dir, what = "boilerplate stats"): _*))
+
+  /** The corpus-scale (df-fraction) report from the SAME maintained
+    * counts — the threshold is derived from the served state's document
+    * count at read time, so it rises automatically as the stream grows
+    * the corpus: no family change, no re-seed, one serve-side knob.
+    */
+  def serveBoilerplateFracContinuous(s: SparkSession, dir: String): DataFrame =
+    TextOps.boilerplateFracReportOf(
       s.read.parquet(
         graft.index.GenLog.roots(s, dir, what = "boilerplate stats"): _*))
 

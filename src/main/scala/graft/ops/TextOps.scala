@@ -303,6 +303,67 @@ object TextOps {
       "CAST(nb AS DOUBLE) / CAST(ns AS DOUBLE) AS boiler_pct " +
       "FROM agg ORDER BY doc_id"
 
+  /** q_text_boilerplate_frac — the CORPUS-SCALE boilerplate threshold:
+    * a shingle is boilerplate when it appears in ≥ max([[BoilerMinDocs]],
+    * ⌈0.2 % of the shingled corpus⌉) distinct documents. The fixed
+    * absolute threshold of q_text_boilerplate degenerates at 100 TB —
+    * essentially every common-phrase shingle crosses 3 documents and
+    * boiler_pct saturates — so the production gate scales the document-
+    * frequency cut with the corpus: at 5 k docs the cut is 10, at 50 M
+    * it is 100 k, and only genuine cross-document chrome (headers,
+    * license blurbs, navigation) stays above it. The fraction is exact
+    * integer arithmetic (⌈n·2/1000⌉ = (n·2+999) div 1000) — no float
+    * threshold to drift cross-engine — and the corpus size is one extra
+    * O(1) broadcast-attached scalar, so the plan shape (map-side shingle
+    * explode → one hash agg → 1:1 equi-join) is unchanged.
+    */
+  private[graft] val BoilerFracNum = 2L    // numerator of the 0.2 % cut
+  private[graft] val BoilerFracDen = 1000L
+
+  private[graft] def boilerplateFracReportOf(counts: DataFrame): DataFrame = {
+    import counts.sparkSession.implicits._
+    // corpus size = distinct shingled documents, exact-integer fraction;
+    // one row, broadcast-attached (the codebook/threshold idiom)
+    val thr = counts
+      .agg(countDistinct($"doc_id").as("ndocs"))
+      .select(
+        greatest(
+          lit(BoilerMinDocs.toLong),
+          ($"ndocs" * BoilerFracNum + (BoilerFracDen - 1L)) / BoilerFracDen)
+          .as("thr"))
+    val dfreq = counts.groupBy($"s3").agg(count(lit(1)).as("nd"))
+    counts
+      .join(dfreq, Seq("s3"))
+      .crossJoin(broadcast(thr))
+      .groupBy($"doc_id")
+      .agg(
+        sum($"n").as("n_shingles"),
+        sum(when($"nd" >= $"thr", $"n").otherwise(0L)).as("n_boiler"))
+      .select(
+        $"doc_id",
+        $"n_shingles",
+        $"n_boiler",
+        ($"n_boiler".cast("double") / $"n_shingles".cast("double")).as("boiler_pct"))
+      .orderBy($"doc_id")
+  }
+
+  private def textBoilerplateFrac(s: SparkSession, d: String): DataFrame =
+    boilerplateFracReportOf(shingleCountsOf(docs(s, d)))
+
+  private val BoilerplateFracSql =
+    "WITH toks AS (SELECT doc_id, string_split(text, ' ') AS tk FROM documents), " +
+      "sh AS (SELECT doc_id, unnest(list_transform(generate_series(1, len(tk) - 2), " +
+      "i -> tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2])) AS s3 " +
+      "FROM toks WHERE len(tk) >= 3), " +
+      "t AS (SELECT greatest(3, (count(DISTINCT doc_id) * 2 + 999) // 1000) AS thr FROM sh), " +
+      "d AS (SELECT s3, count(DISTINCT doc_id) AS nd FROM sh GROUP BY 1), " +
+      "agg AS (SELECT sh.doc_id AS doc_id, count(*) AS ns, " +
+      "count(CASE WHEN d.nd >= t.thr THEN 1 END) AS nb " +
+      "FROM sh JOIN d USING (s3), t GROUP BY 1) " +
+      "SELECT doc_id, CAST(ns AS BIGINT) AS n_shingles, CAST(nb AS BIGINT) AS n_boiler, " +
+      "CAST(nb AS DOUBLE) / CAST(ns AS DOUBLE) AS boiler_pct " +
+      "FROM agg ORDER BY doc_id"
+
   /** q_text_keyterms — characteristic term per document by an integer-exact
     * tf-idf ranking: (tf DESC, df ASC, term) — highest in-doc frequency,
     * corpus rarity as the tiebreak. The classic tf·log(N/df) score is
@@ -1405,6 +1466,7 @@ object TextOps {
     QueryDef("q_text_count_tokens", textCountTokens, Some(CountTokensSql)),
     QueryDef("q_text_ngrams", textNgrams, Some(NgramsSql)),
     QueryDef("q_text_boilerplate", textBoilerplate, Some(BoilerplateSql)),
+    QueryDef("q_text_boilerplate_frac", textBoilerplateFrac, Some(BoilerplateFracSql)),
     QueryDef("q_text_keyterms", textKeyterms, Some(KeytermsSql)),
     QueryDef("q_text_redact", textRedact, Some(RedactSql)),
     QueryDef("q_text_clean", textClean, Some(CleanSql)),

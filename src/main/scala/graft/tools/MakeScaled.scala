@@ -98,10 +98,15 @@ object MakeScaled {
 
     write(reptd { k =>
       val tag = ('a' + k).toChar.toString
+      // NULL-preserving tag transform: a NULL-text source row stays NULL
+      // in every replica (coalesce would turn it into the non-null "za"
+      // and silently lose the base corpus's null profile at scale)
       t("documents").select(
         ($"doc_id" + lit(k * dk)).as("doc_id"),
-        concat_ws(" ",
-          expr(s"transform(split(coalesce(text, ''), ' '), t -> concat(t, 'z$tag'))"))
+        when($"text".isNotNull,
+          concat_ws(" ",
+            expr(s"transform(split(text, ' '), t -> concat(t, 'z$tag'))")))
+          .otherwise(lit(null).cast("string"))
           .as("text"),
         $"lang", $"source")
         .withColumn("n_chars", length($"text").cast("long"))

@@ -18,4 +18,36 @@ class BenchSplitSpec extends SparkSpec {
       assert(rows(serve()).sorted === rows(composed).sorted, name)
     }
   }
+
+  test("budget gate: violations flag only over-budget queries at the budgeted scale") {
+    val f = java.nio.file.Files.createTempFile("graft_budgets", ".json")
+    java.nio.file.Files.write(f,
+      """{"sf":"sf0.1","budgets":{"q_a":1.0,"q_b":2.0,"q_gone":1.0}}"""
+        .getBytes("UTF-8"))
+    val results = Seq("q_a" -> 1.5, "q_b" -> 1.9, "q_new" -> 99.0)
+    // q_a over, q_b under, q_new has no budget (new query), q_gone unmeasured
+    assert(
+      Bench.budgetViolations("/root/testdata/sf0.1", results, f.toString) ===
+        Seq(("q_a", 1.5, 1.0)))
+    // scale mismatch: budgets are sf0.1-specific, an sf0.01 run never flags
+    assert(Bench.budgetViolations("/root/testdata/sf0.01", results, f.toString)
+      === Nil)
+    // absent or malformed file disables the check, never fails the bench
+    assert(Bench.budgetViolations("/root/testdata/sf0.1", results,
+      "/nonexistent/budgets.json") === Nil)
+    java.nio.file.Files.write(f, "not json".getBytes("UTF-8"))
+    assert(Bench.budgetViolations("/root/testdata/sf0.1", results, f.toString)
+      === Nil)
+    // the checked-in BUDGETS.json covers the full registry
+    val txt = new String(java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get("BUDGETS.json")), "UTF-8")
+    val parsed = org.json4s.jackson.JsonMethods.parse(txt)
+    import org.json4s._
+    implicit val fmts: Formats = DefaultFormats
+    val budgeted = (parsed \ "budgets").extract[Map[String, Double]].keySet
+    val missing = SparkEntry.queries.keySet -- budgeted
+    // new queries land without a budget until the next round records a
+    // median; more than a handful unbudgeted means the file went stale
+    assert(missing.size <= 5, s"unbudgeted queries: $missing")
+  }
 }

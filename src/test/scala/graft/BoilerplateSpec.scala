@@ -77,4 +77,53 @@ class BoilerplateSpec extends SparkSpec {
     assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoopJoin"),
       plan.linesIterator.take(20).mkString("\n"))
   }
+
+  private def runFrac(dir: String): Map[Long, (Long, Long, Double)] =
+    SparkEntry.queries("q_text_boilerplate_frac")(spark, dir)
+      .collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getDouble(3))))
+      .toMap
+
+  test("frac variant: below the fraction knee the scaled cut IS the fixed >=3 cut") {
+    // 4 docs: ceil(4*2/1000) = 1 → max(3, 1) = 3 — q_text_boilerplate_frac
+    // must agree byte-for-byte with q_text_boilerplate on small corpora
+    val chrome = "copyright acme corp all rights reserved"
+    val dir = stage(Seq(
+      s"$chrome alpha beta gamma",
+      s"$chrome delta epsilon zeta",
+      s"$chrome eta theta iota",
+      "completely unique document body nothing shared here at all"))
+    assert(runFrac(dir) === run(dir))
+  }
+
+  test("frac variant: past the knee the cut scales and demotes small families") {
+    // 1600 shingled docs → thr = max(3, ceil(1600*2/1000)) = max(3, 4) = 4:
+    // a 3-doc family is boilerplate under the FIXED cut but NOT under the
+    // scaled one; a 10-doc chrome family stays boilerplate under both
+    val dir = Files.createTempDirectory("graft_boiler_frac").toString
+    val filler = spark.range(1587).select(
+      ($"id" + 100L).as("doc_id"),
+      concat(lit("solo"), $"id", lit(" body"), $"id", lit(" text"), $"id")
+        .as("text"),
+      lit("en").as("lang"),
+      lit("synthetic").as("source"),
+      lit(20L).as("n_chars"))
+    val fam3 = (0L until 3L).map(i =>
+      (i, s"threefam shared shingle tail$i x$i", "en", "synthetic", 20L))
+    val fam10 = (10L until 20L).map(i =>
+      (i, s"tenfam common chrome tail$i y$i", "en", "synthetic", 20L))
+    (fam3 ++ fam10).toDF("doc_id", "text", "lang", "source", "n_chars")
+      .unionByName(filler)
+      .coalesce(1)
+      .write.parquet(s"$dir/documents.parquet")
+    val fixed = run(dir)
+    val frac = runFrac(dir)
+    for (d <- 0L until 3L) {
+      assert(fixed(d)._2 === 1L, s"doc $d: 3-doc family flags under the fixed cut")
+      assert(frac(d)._2 === 0L, s"doc $d: 3-doc family must NOT flag under thr=4")
+    }
+    for (d <- 10L until 20L)
+      assert(fixed(d)._2 === 1L && frac(d)._2 === 1L,
+        s"doc $d: the 10-doc chrome flags under both cuts")
+  }
 }

@@ -1,0 +1,97 @@
+package graft
+
+import java.nio.file.Files
+
+import graft.index.GenLog
+import graft.ops.{SimilarityOps, StreamOps}
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** [[GenLog.maybeCompact]] — the self-tuning compaction cadence: a
+  * composed pipeline calls it once per batch and the policy decides,
+  * from what actually accumulated, whether this batch pays for a fold.
+  * Count trigger bounds merge-on-read fan-in; bytes trigger bounds the
+  * fraction of the corpus living in un-folded generations. Every
+  * decision must be read-invariant: the served answer before and after
+  * any policy-driven fold is identical.
+  */
+class CompactionPolicySpec extends SparkSpec {
+  import spark.implicits._
+
+  private def rows(df: DataFrame): Seq[String] =
+    df.collect().map(_.toString).toSeq
+
+  private def setup(): (String, Seq[DataFrame], Seq[String]) = {
+    val all = T(spark, sf, "embeddings")
+    val maxId = all.agg(max($"vec_id")).head().getLong(0)
+    val Batches = 6
+    val cuts = (0 to Batches).map(i => maxId / 2 + (maxId - maxId / 2) * i / Batches)
+    val dir = Files.createTempDirectory("graft_policy_idx").toString
+    StreamOps.seedAnnIndex(spark, all.filter($"vec_id" <= cuts(0)), dir)
+    val slices = (1 to Batches).map(i =>
+      all.filter($"vec_id" > cuts(i - 1) && $"vec_id" <= cuts(i)))
+    val probes = SimilarityOps.batchProbeFrame(spark, sf).localCheckpoint(true)
+    val expect = rows(SparkEntry.queries("q_sim_batch")(spark, sf))
+    (dir, slices, expect.map(_.toString))
+  }
+
+  private def probeRows(dir: String): Seq[String] =
+    rows(StreamOps.serveAnnContinuous(
+      spark, dir, SimilarityOps.batchProbeFrame(spark, sf)))
+
+  test("count trigger: gens accumulate below maxGens, fold exactly at it, reads invariant") {
+    val (dir, slices, expect) = setup()
+    spark.conf.set(GenLog.CompactMaxGensKey, "4")
+    // bytes trigger neutralized so the count policy is isolated
+    spark.conf.set(GenLog.CompactGenBytesFracKey, "1e9")
+    try {
+      var folds = 0
+      slices.zipWithIndex.foreach { case (b, i) =>
+        GenLog.commitGeneration(StreamOps.AnnFamily, b, dir, batchId = i.toLong)
+        val before = probeRows(dir)
+        val did = GenLog.maybeCompact(spark, dir, StreamOps.AnnFamily)
+        if (did) folds += 1
+        val gensAbove = {
+          val f = GenLog.versions(spark, dir, requiring = "full").max
+          GenLog.versions(spark, dir, requiring = "gen").count(_ > f)
+        }
+        // the policy's bound: never more than maxGens-1 gens survive a
+        // maybeCompact call (it folds the moment the count reaches 4)
+        assert(gensAbove <= 3, s"batch $i left $gensAbove gens above the full")
+        assert(did === ((i + 1) % 4 === 0),
+          s"batch $i: fold ran=$did — cadence must be every 4th batch")
+        assert(probeRows(dir) === before, s"fold after batch $i changed the answer")
+      }
+      assert(folds === 1, s"6 batches at maxGens=4 pay for exactly one fold, got $folds")
+      // quiesce: final answer is the full corpus
+      GenLog.compact(spark, dir, StreamOps.AnnFamily)
+      assert(probeRows(dir) === expect)
+    } finally {
+      spark.conf.unset(GenLog.CompactMaxGensKey)
+      spark.conf.unset(GenLog.CompactGenBytesFracKey)
+    }
+  }
+
+  test("bytes trigger: a gen mass exceeding the configured fraction of the full forces a fold") {
+    val (dir, slices, _) = setup()
+    // any nonzero gen mass trips a 0-fraction threshold; count neutralized
+    spark.conf.set(GenLog.CompactMaxGensKey, "1000")
+    spark.conf.set(GenLog.CompactGenBytesFracKey, "0.0")
+    try {
+      assert(!GenLog.maybeCompact(spark, dir, StreamOps.AnnFamily),
+        "no gens yet: nothing to fold regardless of thresholds")
+      GenLog.commitGeneration(StreamOps.AnnFamily, slices.head, dir, batchId = 0L)
+      val before = probeRows(dir)
+      assert(GenLog.maybeCompact(spark, dir, StreamOps.AnnFamily),
+        "one committed gen must trip the 0-fraction bytes trigger")
+      assert(probeRows(dir) === before)
+      // and a fraction no realistic gen mass reaches never fires
+      GenLog.commitGeneration(StreamOps.AnnFamily, slices(1), dir, batchId = 1L)
+      spark.conf.set(GenLog.CompactGenBytesFracKey, "1e9")
+      assert(!GenLog.maybeCompact(spark, dir, StreamOps.AnnFamily))
+    } finally {
+      spark.conf.unset(GenLog.CompactMaxGensKey)
+      spark.conf.unset(GenLog.CompactGenBytesFracKey)
+    }
+  }
+}

@@ -832,4 +832,70 @@ class ScaleSpec extends SparkSpec {
     assert(ratio <= 6.0,
       f"cluster labeling grew superlinearly (ratio $ratio%.1f)")
   }
+
+  /** q_text_boilerplate at 10× (verdict-r11 #3): the shingle-frequency
+    * pass is linear, the 500-doc hot chrome resolves exactly, and the
+    * df-FRACTION variant's cut actually scales — at 10× the fraction
+    * threshold (~0.2 % of ~50 k docs ≈ 101) suppresses the replica-local
+    * duplicate families the fixed ≥3 cut saturates on, while the hot
+    * chrome (nd = 500) stays boilerplate under both.
+    */
+  test("q_text_boilerplate at 10x: linear, hot chrome exact, frac cut scales with corpus") {
+    import spark.implicits._
+    val (_, d10) = dirs
+    assertLinear("q_text_boilerplate", 14.0)
+    val rep10 = SparkEntry.queries("q_text_boilerplate")(spark, d10)
+      .localCheckpoint(eager = true)
+    // every hot doc: 31 tokens → 29 shingles; the 28 chrome-only
+    // 3-shingles are in all 500 hot docs (boilerplate), the 29th carries
+    // the per-doc unique tail (not)
+    val hot = rep10.filter($"doc_id" >= HotBaseId)
+    assert(hot.count() === HotDocs.toLong)
+    assert(
+      hot.filter($"n_shingles" =!= 29L || $"n_boiler" =!= 28L).count() === 0L,
+      "hot-chrome documents must report exactly 28/29 boilerplate shingles")
+    val frac10 = SparkEntry.queries("q_text_boilerplate_frac")(spark, d10)
+      .localCheckpoint(eager = true)
+    assert(
+      frac10.filter($"doc_id" >= HotBaseId)
+        .filter($"n_boiler" =!= 28L).count() === 0L,
+      "the 500-doc chrome must stay boilerplate under the scaled cut")
+    val fixedBoiler = rep10.agg(sum($"n_boiler")).head().getLong(0)
+    val fracBoiler = frac10.agg(sum($"n_boiler")).head().getLong(0)
+    assert(fracBoiler < fixedBoiler,
+      s"the scaled cut must be strictly stricter at 10x than the fixed >=3 " +
+        s"(fixed $fixedBoiler, frac $fracBoiler)")
+  }
+
+  /** The boilerplate operator's natural skew adversary: ONE shingle
+    * present in EVERY document. The frequency side is distinct-by-shingle,
+    * so the occurrence⋈frequency join fans out 1:1 per occurrence — the
+    * hot key contributes N joined rows, never N² — and the report stays
+    * exact. Asserted structurally (joined cardinality + no nested-loop
+    * join in the plan), not just by wall time.
+    */
+  test("boilerplate skew: a shingle in EVERY document joins 1:1, never quadratically") {
+    import spark.implicits._
+    val n = 20000L
+    val docsDf = spark.range(n).select(
+      $"id".as("doc_id"),
+      // 5 tokens: global chrome shingle uniq<id> tail<id> → 3 shingles,
+      // of which (global chrome shingle) is in EVERY document
+      concat(lit("global chrome shingle uniq"), $"id", lit(" tail"), $"id")
+        .as("text"))
+    val counts = graft.ops.TextOps.shingleCountsOf(docsDf)
+      .localCheckpoint(eager = true)
+    val dfreq = counts.groupBy($"s3").agg(count(lit(1)).as("nd"))
+    val joined = counts.join(dfreq, Seq("s3"))
+    // 1:1 fan-out: every occurrence row joins exactly one frequency row
+    assert(joined.count() === 3L * n,
+      "the hot shingle must join 1:1 per occurrence, not N^2")
+    val plan = joined.queryExecution.executedPlan.toString
+    assert(!plan.contains("BroadcastNestedLoopJoin") && !plan.contains("CartesianProduct"),
+      s"boilerplate join degenerated to a nested loop:\n$plan")
+    val rep = graft.ops.TextOps.boilerplateReportOf(counts)
+    assert(
+      rep.filter($"n_shingles" =!= 3L || $"n_boiler" =!= 1L).count() === 0L,
+      "every doc must report exactly its one universal shingle as boilerplate")
+  }
 }

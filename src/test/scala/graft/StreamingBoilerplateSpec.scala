@@ -71,10 +71,14 @@ class StreamingBoilerplateSpec extends SparkSpec {
     try q.processAllAvailable()
     finally q.stop()
 
-    // end-of-feed identity with the oracle-checked registry query
+    // end-of-feed identity with the oracle-checked registry queries —
+    // both thresholds serve from the SAME maintained counts
     assert(
       rows(StreamOps.serveBoilerplateContinuous(spark, dir)) ===
         rows(SparkEntry.queries("q_text_boilerplate")(spark, sf)))
+    assert(
+      rows(StreamOps.serveBoilerplateFracContinuous(spark, dir)) ===
+        rows(SparkEntry.queries("q_text_boilerplate_frac")(spark, sf)))
 
     // RETROACTIVE frequency: serving over base+batches must raise some
     // BASE document's boiler count relative to the base-only report —
