@@ -415,6 +415,14 @@ object StreamOps {
       bm25IndexCommit(batch, p.bm25IndexDir, batchId)
       graft.index.GenLog.commitGeneration(
         ReportFamily, batch, p.reportSummaryDir, batchId)
+      // Self-tuning fold for the kernel-protocol report leg: foreachBatch
+      // serializes batches, so between-commits is exactly the safe point,
+      // and the policy (gens > N or gen-bytes > fraction of full) keeps
+      // merge-on-read fan-in bounded without the caller's day-2 loop.
+      // The dedup/bm25 legs keep their stopped-stream compactions — their
+      // bespoke folds rewrite multi-artifact state the day-2 cycle owns.
+      graft.index.GenLog.maybeCompact(
+        batch.sparkSession, p.reportSummaryDir, ReportFamily)
       Sinks.upsertSnapshotSwapJdbc(
         publishedCorpusReport(batch.sparkSession, p.reportSummaryDir),
         p.jdbcUrl,

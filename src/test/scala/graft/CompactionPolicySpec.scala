@@ -72,6 +72,63 @@ class CompactionPolicySpec extends SparkSpec {
     }
   }
 
+  test("composed pipeline: the report leg self-tunes its compaction in-stream") {
+    import java.nio.file.Files
+    val all = T(spark, sf, "documents")
+    val mx = all.agg(max($"doc_id")).head().getLong(0)
+    val base = Files.createTempDirectory("graft_policy_pipe").toString
+    val url = s"jdbc:derby:$base/db;create=true"
+    val pipe = StreamOps.CorpusPipeline(
+      lakeDir = s"$base/lake",
+      dedupIndexDir = s"$base/dedup",
+      bm25IndexDir = s"$base/bm25",
+      reportSummaryDir = s"$base/report",
+      jdbcUrl = url,
+      reportTable = "corpus_report")
+    // the EndToEndPipelineSpec curation shape: gate ∧ mix → per-slice md5
+    // first-writer dedup → pure-function split tag
+    def curated(lo: Long, hi: Long): DataFrame = {
+      val df = all.filter($"doc_id" > lo && $"doc_id" <= hi)
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(md5($"text")).orderBy($"doc_id")
+      val bucket = pmod(graft.ops.Hashing.h32($"doc_id".cast("string")), lit(100L))
+      graft.ops.CurationOps.qualityGate(df)
+        .filter(graft.ops.CurationOps.mixPredicate)
+        .withColumn("rn", row_number().over(w))
+        .filter($"rn" === 1).drop("rn")
+        .withColumn("split",
+          when(bucket < 80, "train").when(bucket < 90, "valid").otherwise("test"))
+    }
+    StreamOps.seedCorpusPipeline(spark, curated(-1L, mx / 2), pipe)
+    // 6 per-batch summary generations at maxGens=3: the policy must fold
+    // mid-stream (a committed full above v0) with no day-2 call, and the
+    // published accounting must equal the monolithic composition
+    spark.conf.set(GenLog.CompactMaxGensKey, "3")
+    try {
+      val cuts = (0 to 6).map(i => mx / 2 + (mx - mx / 2) * i / 6)
+      (1 to 6).foreach { b =>
+        StreamOps.corpusPipelineBatch(
+          curated(cuts(b - 1), cuts(b)), (b - 1).toLong, pipe)
+      }
+      val fulls = GenLog.versions(spark, s"$base/report", requiring = "full")
+      assert(fulls.max > 0L,
+        s"the in-stream policy never folded the report summaries: $fulls")
+      val gensLeft = GenLog.versions(spark, s"$base/report", requiring = "gen")
+        .count(_ > fulls.max)
+      assert(gensLeft <= 2, s"fan-in unbounded: $gensLeft gens above the full")
+      // additivity contract of the report leg: published ≡ the aggregate
+      // of exactly the curated frames fed (seed + 6 batches)
+      val fed = (curated(-1L, mx / 2) +:
+        (1 to 6).map(b => curated(cuts(b - 1), cuts(b))))
+        .reduce(_ unionByName _)
+      assert(
+        rows(StreamOps.publishedCorpusReport(spark, s"$base/report")
+          .orderBy("split", "lang")) ===
+          rows(StreamOps.corpusReport(fed).orderBy("split", "lang")),
+        "self-tuned folds changed the published accounting")
+    } finally spark.conf.unset(GenLog.CompactMaxGensKey)
+  }
+
   test("bytes trigger: a gen mass exceeding the configured fraction of the full forces a fold") {
     val (dir, slices, _) = setup()
     // any nonzero gen mass trips a 0-fraction threshold; count neutralized
