@@ -33,8 +33,10 @@ class ClaimLeaseSpec extends SparkSpec {
   test("heartbeat: a build slower than the TTL completes unmolested while a concurrent caller waits") {
     val dir = s"${Files.createTempDirectory("graft_lease_hb")}/idx"
     // TTL chosen above mtime-rounding granularity (some filesystems round
-    // setTimes to whole seconds) and well below the build's ~6s runtime
-    spark.conf.set(GenLog.ClaimTtlKey, "2500")
+    // setTimes to whole seconds) PLUS full-suite scheduling jitter (a
+    // loaded JVM can delay the heartbeat thread by a GC pause), and well
+    // below the build's ~7s runtime so the losers genuinely outwait it
+    spark.conf.set(GenLog.ClaimTtlKey, "4000")
     try {
       val builds = new java.util.concurrent.atomic.AtomicInteger
       val results = new java.util.concurrent.ConcurrentLinkedQueue[Boolean]
@@ -50,7 +52,7 @@ class ClaimLeaseSpec extends SparkSpec {
           // is one missed sample from a double build
           val claim = GenLog.claimPath(dir)
           (1 to 12).foreach { _ =>
-            Thread.sleep(500)
+            Thread.sleep(600)
             mtimes.add(fsOf(dir).getFileStatus(claim).getModificationTime)
           }
           spark.range(10).write.mode("overwrite").parquet(dir)

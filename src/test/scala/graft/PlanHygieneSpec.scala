@@ -48,7 +48,11 @@ class PlanHygieneSpec extends SparkSpec {
     // behind a lineage sever, so the served plan plans no BNLJ at all
     "q_retrieval_rrf",
     // r9: one-row temperature-weight total attach (CurationOps)
-    "q_sample_temperature")
+    "q_sample_temperature",
+    // r12: one-row corpus-scaled boilerplate threshold attach
+    // (TextOps.boilerplateFracReportOf — the df-fraction cut is a
+    // broadcast scalar, same idiom as the BM25 (N, L) stats row)
+    "q_text_boilerplate_frac")
 
   private lazy val plans: Map[String, String] =
     SparkEntry.queries.keys.toSeq.sorted.map { name =>
