@@ -103,7 +103,10 @@ object CrossSession {
     * claim lease is a filesystem primitive, so exactly one process may
     * run the (deliberately slow) build. Each prints whether ITS build
     * ran; the spec asserts the sum is exactly 1 and both serve the same
-    * committed bytes.
+    * committed bytes. The TTL is pinned 4× BELOW the build's sleep, so
+    * the assertion is simultaneously the cross-process HEARTBEAT proof:
+    * without the winner's liveness touches the loser JVM would reclaim
+    * the "stale" claim mid-build and the built-sum would be 2.
     */
   private def claimRace(root: String, sfDir: String, outDir: String): Unit = {
     val spark = SparkSession.builder()
@@ -114,11 +117,14 @@ object CrossSession {
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
       .config("spark.ui.enabled", "false")
+      .config(GenLog.ClaimTtlKey, "2000")
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
     val key = s"$root/racekey"
     val ran = GenLog.buildOnce(spark, key) {
-      Thread.sleep(8000) // widen the race window past process startup skew
+      // widen the race window past process startup skew AND outlive the
+      // 2s claim TTL 4x — only the heartbeat keeps the lease alive
+      Thread.sleep(8000)
       graft.T(spark, sfDir, "embeddings")
         .limit(500)
         .write.mode("overwrite").parquet(key)
