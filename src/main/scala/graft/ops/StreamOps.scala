@@ -1610,6 +1610,55 @@ object StreamOps {
   def compactBoilerplateStats(s: SparkSession, dir: String, keepFulls: Int = 2): Unit =
     graft.index.GenLog.compact(s, dir, BoilerFamily, keepFulls)
 
+  /** Passage-gram family — the continuous lift of q_text_passage_dup
+    * and the TENTH family on the kernel: each micro-batch persists its
+    * docs' positioned 5-gram rows ([[TextOps.passageGramsOf]] — O(batch)
+    * work and bytes, no prior state read). Every document is wholly in
+    * one batch and gram DOCUMENT-frequency is a distinct-count over
+    * disjoint doc sets, so merge-on-read over the generation roots
+    * recovers the exact corpus-wide coverage report — with the same
+    * RETROACTIVE property as the boilerplate stats: an OLD document's
+    * dup_frac rises the moment a new batch carries its passage (the
+    * 5-gram crosses the 2-distinct-docs bar), no generation recomputed.
+    * Fold = concatenation (disjoint doc sets), so compaction is
+    * read-invariant by construction.
+    */
+  private[graft] val PassageFamily = graft.index.GenLog.GenFamily(
+    write = (_, docsRows, path) =>
+      TextOps.passageGramsOf(docsRows)
+        .write
+        .mode(org.apache.spark.sql.SaveMode.Overwrite)
+        .parquet(path),
+    fold = (s, roots, path) =>
+      s.read.parquet(roots: _*)
+        .write
+        .mode(org.apache.spark.sql.SaveMode.Overwrite)
+        .parquet(path))
+
+  /** Seed the continuous passage grams: the base corpus as v0. */
+  def seedPassageGrams(s: SparkSession, base: DataFrame, dir: String): Unit =
+    graft.index.GenLog.seed(s, PassageFamily, base, dir)
+
+  /** Continuous maintenance (kernel protocol; see the family note). */
+  def passageStreamWriter(
+      docs: DataFrame,
+      dir: String,
+      checkpoint: String): org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
+    graft.index.GenLog.streamWriter(docs, PassageFamily, dir, checkpoint)
+
+  /** The corpus-wide passage-duplication report served merge-on-read
+    * from the maintained grams — ≡ the monolithic q_text_passage_dup
+    * over the union of all ingested documents at every point in time.
+    */
+  def servePassageDupContinuous(s: SparkSession, dir: String): DataFrame =
+    TextOps.passageDupReportOf(
+      s.read.parquet(
+        graft.index.GenLog.roots(s, dir, what = "passage grams"): _*))
+
+  /** Compaction (kernel protocol; fold = concatenation). */
+  def compactPassageGrams(s: SparkSession, dir: String, keepFulls: Int = 2): Unit =
+    graft.index.GenLog.compact(s, dir, PassageFamily, keepFulls)
+
   /** Targets of the composed continuous VECTOR program — the embeddings
     * side of [[CorpusPipeline]]: all five vector index families (float
     * ANN buckets, int8 quantized scan tier, IVF cells, semantic-dedup

@@ -364,6 +364,124 @@ object TextOps {
       "CAST(nb AS DOUBLE) / CAST(ns AS DOUBLE) AS boiler_pct " +
       "FROM agg ORDER BY doc_id"
 
+  /** q_text_passage_dup — cross-document EXACT-PASSAGE duplication
+    * coverage (Lee et al., "Deduplicating Training Data Makes Language
+    * Models Better", arXiv:2107.06499 — the suffix-array exact-substring
+    * stage; RefinedWeb runs the same scrub): a token 5-gram occurring in
+    * ≥ 2 DISTINCT documents marks a shared passage, and a document's
+    * report is the fraction of its token positions covered by ANY shared
+    * 5-gram — the "how much of this doc is copied from elsewhere" gate a
+    * curation pipeline thresholds on, finer than whole-doc near-dedup
+    * (it catches a quoted paragraph inside an otherwise-unique page).
+    *
+    * Exact-arithmetic construction, no suffix array needed for the
+    * window statistic: positions are integers, a shared occurrence at
+    * position i covers [i, i+4], and per-doc covered-position count is
+    * the INTERVAL UNION computed with the gaps-and-islands pattern
+    * (q_win_islands precedent) — islands split where a start exceeds the
+    * running max end (adjacent intervals sum identically either way, so
+    * only true gaps split). dup_frac is one IEEE division of two exact
+    * ints (the boiler_pct precedent).
+    *
+    * Shape at 100 TB: gram explode is map-side; document frequency is
+    * one hash aggregate on the gram key; the shared⋈occurrence join is
+    * 1:1 per occurrence (frequency side distinct by gram — the
+    * q_text_boilerplate skew posture: the hottest passage fans out
+    * linearly, never quadratically); the islands pass is one window per
+    * doc partition. Documents with fewer than 5 tokens carry no 5-gram
+    * and are out of scope by contract (mirrored in the oracle's
+    * len(tk) >= 5). Within-document repetition alone does NOT count —
+    * shared means distinct-doc frequency ≥ 2, the cross-document
+    * contract (PassageDupSpec pins it).
+    */
+  private val PassageK = 5
+
+  /** Per-document shared-passage gram occurrences with positions —
+    * (doc_id, g5, pos): the additive state unit of the passage report
+    * (documents are generation-local; gram document-frequency over
+    * disjoint doc sets is a plain distinct-count over the union).
+    */
+  private[graft] def passageGramsOf(docsDf: DataFrame): DataFrame = {
+    import docsDf.sparkSession.implicits._
+    docsDf
+      .select($"doc_id", split($"text", " ").as("tk"))
+      .filter(size($"tk") >= PassageK)
+      .select(
+        $"doc_id",
+        posexplode(expr(
+          s"transform(sequence(1, size(tk) - ${PassageK - 1}), " +
+            s"i -> concat_ws(' ', slice(tk, i, $PassageK)))"))
+          .as(Seq("p0", "g5")))
+      .select($"doc_id", ($"p0" + 1).as("pos"), $"g5")
+  }
+
+  private[graft] def passageDupReportOf(grams: DataFrame): DataFrame = {
+    import grams.sparkSession.implicits._
+    val shared = grams
+      .groupBy($"g5")
+      .agg(countDistinct($"doc_id").as("nd"))
+      .filter($"nd" >= 2)
+      .select($"g5")
+    val nTok = grams
+      .groupBy($"doc_id")
+      .agg((max($"pos") + (PassageK - 1)).cast("long").as("n_tokens"))
+    // shared occurrences as [pos, pos+K-1] intervals; union per doc via
+    // islands: split where a start exceeds the running max end
+    val w = Window.partitionBy($"doc_id").orderBy($"pos")
+    val covered = grams
+      .join(shared, Seq("g5"))
+      .select($"doc_id", $"pos", ($"pos" + (PassageK - 1)).as("pend"))
+      .withColumn(
+        "prev_max_end",
+        max($"pend").over(w.rowsBetween(Window.unboundedPreceding, -1)))
+      .withColumn(
+        "island",
+        sum(when($"prev_max_end".isNull || $"pos" > $"prev_max_end", 1L).otherwise(0L))
+          .over(w.rowsBetween(Window.unboundedPreceding, 0)))
+      .groupBy($"doc_id", $"island")
+      .agg((max($"pend") - min($"pos") + 1).as("len"))
+      .groupBy($"doc_id")
+      .agg(sum($"len").as("n_covered"), count(lit(1)).as("n_spans"))
+    nTok
+      .join(covered, Seq("doc_id"), "left")
+      .select(
+        $"doc_id",
+        $"n_tokens",
+        coalesce($"n_covered", lit(0L)).as("n_covered"),
+        coalesce($"n_spans", lit(0L)).as("n_spans"),
+        (coalesce($"n_covered", lit(0L)).cast("double") /
+          $"n_tokens".cast("double")).as("dup_frac"))
+      .orderBy($"doc_id")
+  }
+
+  private def textPassageDup(s: SparkSession, d: String): DataFrame =
+    passageDupReportOf(passageGramsOf(docs(s, d)))
+
+  private val PassageDupSql =
+    "WITH toks AS (SELECT doc_id, string_split(text, ' ') AS tk FROM documents), " +
+      "g AS (SELECT doc_id, unnest(generate_series(1, len(tk) - 4)) AS pos, " +
+      "unnest(list_transform(generate_series(1, len(tk) - 4), " +
+      "i -> array_to_string(list_slice(tk, i, i + 4), ' '))) AS g5 " +
+      "FROM toks WHERE len(tk) >= 5), " +
+      "ntok AS (SELECT doc_id, max(pos) + 4 AS n_tokens FROM g GROUP BY 1), " +
+      "shared AS (SELECT g5 FROM g GROUP BY g5 HAVING count(DISTINCT doc_id) >= 2), " +
+      "iv AS (SELECT doc_id, pos, pos + 4 AS pend FROM g JOIN shared USING (g5)), " +
+      "mk AS (SELECT doc_id, pos, pend, " +
+      "max(pend) OVER (PARTITION BY doc_id ORDER BY pos " +
+      "ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS prev_max_end FROM iv), " +
+      "isl AS (SELECT doc_id, pos, pend, " +
+      "sum(CASE WHEN prev_max_end IS NULL OR pos > prev_max_end THEN 1 ELSE 0 END) " +
+      "OVER (PARTITION BY doc_id ORDER BY pos " +
+      "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS island FROM mk), " +
+      "per_island AS (SELECT doc_id, island, max(pend) - min(pos) + 1 AS len " +
+      "FROM isl GROUP BY 1, 2), " +
+      "cov AS (SELECT doc_id, CAST(sum(len) AS BIGINT) AS n_covered, " +
+      "CAST(count(*) AS BIGINT) AS n_spans FROM per_island GROUP BY 1) " +
+      "SELECT n.doc_id, CAST(n.n_tokens AS BIGINT) AS n_tokens, " +
+      "coalesce(c.n_covered, 0) AS n_covered, coalesce(c.n_spans, 0) AS n_spans, " +
+      "CAST(coalesce(c.n_covered, 0) AS DOUBLE) / CAST(n.n_tokens AS DOUBLE) AS dup_frac " +
+      "FROM ntok n LEFT JOIN cov c ON c.doc_id = n.doc_id ORDER BY n.doc_id"
+
   /** q_text_keyterms — characteristic term per document by an integer-exact
     * tf-idf ranking: (tf DESC, df ASC, term) — highest in-doc frequency,
     * corpus rarity as the tiebreak. The classic tf·log(N/df) score is
@@ -1467,6 +1585,7 @@ object TextOps {
     QueryDef("q_text_ngrams", textNgrams, Some(NgramsSql)),
     QueryDef("q_text_boilerplate", textBoilerplate, Some(BoilerplateSql)),
     QueryDef("q_text_boilerplate_frac", textBoilerplateFrac, Some(BoilerplateFracSql)),
+    QueryDef("q_text_passage_dup", textPassageDup, Some(PassageDupSql)),
     QueryDef("q_text_keyterms", textKeyterms, Some(KeytermsSql)),
     QueryDef("q_text_redact", textRedact, Some(RedactSql)),
     QueryDef("q_text_clean", textClean, Some(CleanSql)),

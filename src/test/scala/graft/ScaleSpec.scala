@@ -871,6 +871,26 @@ class ScaleSpec extends SparkSpec {
         s"(fixed $fixedBoiler, frac $fracBoiler)")
   }
 
+  /** q_text_passage_dup at 10×: same linear shape as the boilerplate
+    * pass (gram explode → one hash agg → 1:1 equi-join → one window),
+    * and the 500-doc hot chrome resolves exactly: 27 5-grams per hot
+    * doc, the 26 chrome-only ones shared by all 500, interval union
+    * [1,30] of 31 tokens — one span, 30 covered.
+    */
+  test("q_text_passage_dup at 10x: linear, hot chrome interval-union exact") {
+    import spark.implicits._
+    val (_, d10) = dirs
+    assertLinear("q_text_passage_dup", 10.0)
+    val hot = SparkEntry.queries("q_text_passage_dup")(spark, d10)
+      .filter($"doc_id" >= HotBaseId)
+      .localCheckpoint(eager = true)
+    assert(hot.count() === HotDocs.toLong)
+    assert(
+      hot.filter($"n_tokens" =!= 31L || $"n_covered" =!= 30L || $"n_spans" =!= 1L)
+        .count() === 0L,
+      "hot-chrome documents must cover exactly the 30-token chrome span")
+  }
+
   /** The boilerplate operator's natural skew adversary: ONE shingle
     * present in EVERY document. The frequency side is distinct-by-shingle,
     * so the occurrence⋈frequency join fans out 1:1 per occurrence — the
