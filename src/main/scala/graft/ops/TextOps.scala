@@ -415,20 +415,22 @@ object TextOps {
       .select($"doc_id", ($"p0" + 1).as("pos"), $"g5")
   }
 
-  private[graft] def passageDupReportOf(grams: DataFrame): DataFrame = {
+  /** The maximal shared-passage spans per document — (doc_id,
+    * span_start, span_end, span_tokens), 1-based inclusive token
+    * positions, ordered — the ACTIONABLE scrub output a remover consumes
+    * (q_text_passage_dup's report is this frame's per-doc account).
+    * Shared occurrences are [pos, pos+K-1] intervals; the union per doc
+    * is the islands split where a start exceeds the running max end.
+    */
+  private[graft] def passageSpansOf(grams: DataFrame): DataFrame = {
     import grams.sparkSession.implicits._
     val shared = grams
       .groupBy($"g5")
       .agg(countDistinct($"doc_id").as("nd"))
       .filter($"nd" >= 2)
       .select($"g5")
-    val nTok = grams
-      .groupBy($"doc_id")
-      .agg((max($"pos") + (PassageK - 1)).cast("long").as("n_tokens"))
-    // shared occurrences as [pos, pos+K-1] intervals; union per doc via
-    // islands: split where a start exceeds the running max end
     val w = Window.partitionBy($"doc_id").orderBy($"pos")
-    val covered = grams
+    grams
       .join(shared, Seq("g5"))
       .select($"doc_id", $"pos", ($"pos" + (PassageK - 1)).as("pend"))
       .withColumn(
@@ -439,9 +441,25 @@ object TextOps {
         sum(when($"prev_max_end".isNull || $"pos" > $"prev_max_end", 1L).otherwise(0L))
           .over(w.rowsBetween(Window.unboundedPreceding, 0)))
       .groupBy($"doc_id", $"island")
-      .agg((max($"pend") - min($"pos") + 1).as("len"))
+      .agg(
+        min($"pos").cast("long").as("span_start"),
+        max($"pend").cast("long").as("span_end"))
+      .select(
+        $"doc_id",
+        $"span_start",
+        $"span_end",
+        ($"span_end" - $"span_start" + 1L).as("span_tokens"))
+      .orderBy($"doc_id", $"span_start")
+  }
+
+  private[graft] def passageDupReportOf(grams: DataFrame): DataFrame = {
+    import grams.sparkSession.implicits._
+    val nTok = grams
       .groupBy($"doc_id")
-      .agg(sum($"len").as("n_covered"), count(lit(1)).as("n_spans"))
+      .agg((max($"pos") + (PassageK - 1)).cast("long").as("n_tokens"))
+    val covered = passageSpansOf(grams)
+      .groupBy($"doc_id")
+      .agg(sum($"span_tokens").as("n_covered"), count(lit(1)).as("n_spans"))
     nTok
       .join(covered, Seq("doc_id"), "left")
       .select(
@@ -456,6 +474,34 @@ object TextOps {
 
   private def textPassageDup(s: SparkSession, d: String): DataFrame =
     passageDupReportOf(passageGramsOf(docs(s, d)))
+
+  /** q_text_passage_spans — the spans themselves: what the scrubber
+    * deletes (or the auditor samples). Same candidate machinery as
+    * q_text_passage_dup, emitted as maximal (doc_id, span_start,
+    * span_end, span_tokens) rows instead of the per-doc account.
+    */
+  private def textPassageSpans(s: SparkSession, d: String): DataFrame =
+    passageSpansOf(passageGramsOf(docs(s, d)))
+
+  private val PassageSpansSql =
+    "WITH toks AS (SELECT doc_id, string_split(text, ' ') AS tk FROM documents), " +
+      "g AS (SELECT doc_id, unnest(generate_series(1, len(tk) - 4)) AS pos, " +
+      "unnest(list_transform(generate_series(1, len(tk) - 4), " +
+      "i -> array_to_string(list_slice(tk, i, i + 4), ' '))) AS g5 " +
+      "FROM toks WHERE len(tk) >= 5), " +
+      "shared AS (SELECT g5 FROM g GROUP BY g5 HAVING count(DISTINCT doc_id) >= 2), " +
+      "iv AS (SELECT doc_id, pos, pos + 4 AS pend FROM g JOIN shared USING (g5)), " +
+      "mk AS (SELECT doc_id, pos, pend, " +
+      "max(pend) OVER (PARTITION BY doc_id ORDER BY pos " +
+      "ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS prev_max_end FROM iv), " +
+      "isl AS (SELECT doc_id, pos, pend, " +
+      "sum(CASE WHEN prev_max_end IS NULL OR pos > prev_max_end THEN 1 ELSE 0 END) " +
+      "OVER (PARTITION BY doc_id ORDER BY pos " +
+      "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS island FROM mk) " +
+      "SELECT doc_id, CAST(min(pos) AS BIGINT) AS span_start, " +
+      "CAST(max(pend) AS BIGINT) AS span_end, " +
+      "CAST(max(pend) - min(pos) + 1 AS BIGINT) AS span_tokens " +
+      "FROM isl GROUP BY doc_id, island ORDER BY doc_id, span_start"
 
   private val PassageDupSql =
     "WITH toks AS (SELECT doc_id, string_split(text, ' ') AS tk FROM documents), " +
@@ -1586,6 +1632,7 @@ object TextOps {
     QueryDef("q_text_boilerplate", textBoilerplate, Some(BoilerplateSql)),
     QueryDef("q_text_boilerplate_frac", textBoilerplateFrac, Some(BoilerplateFracSql)),
     QueryDef("q_text_passage_dup", textPassageDup, Some(PassageDupSql)),
+    QueryDef("q_text_passage_spans", textPassageSpans, Some(PassageSpansSql)),
     QueryDef("q_text_keyterms", textKeyterms, Some(KeytermsSql)),
     QueryDef("q_text_redact", textRedact, Some(RedactSql)),
     QueryDef("q_text_clean", textClean, Some(CleanSql)),

@@ -80,6 +80,36 @@ class PassageDupSpec extends SparkSpec {
     assert(frac === 10.0 / 13.0)
   }
 
+  private def spans(dir: String): Map[Long, Seq[(Long, Long, Long)]] =
+    SparkEntry.queries("q_text_passage_spans")(spark, dir)
+      .collect()
+      .map(r => (r.getLong(0), (r.getLong(1), r.getLong(2), r.getLong(3))))
+      .groupBy(_._1)
+      .map { case (d, xs) => d -> xs.map(_._2).toSeq }
+
+  test("q_text_passage_spans emits exactly the maximal spans the report accounts") {
+    val Q = (1 to 5).map(i => s"qq$i").mkString(" ")
+    val R = (1 to 5).map(i => s"zz$i").mkString(" ")
+    val dir = stage(Seq(
+      s"$Q gap1 gap2 gap3 $R",
+      s"$Q other tail words here",
+      s"lead words before $R end",
+      "totally unique body with no shared content at all"))
+    val sp = spans(dir)
+    // doc 0: two maximal spans with the 3-token gap between them
+    assert(sp(0L) === Seq((1L, 5L, 5L), (9L, 13L, 5L)))
+    assert(sp(1L) === Seq((1L, 5L, 5L)))
+    assert(sp(2L) === Seq((4L, 8L, 5L)))
+    assert(!sp.contains(3L), "a doc with no shared passage emits no span rows")
+    // account identity: the report's n_covered/n_spans are this frame's
+    // per-doc sums — one islands computation, two surfaces
+    val rep = run(dir)
+    sp.foreach { case (d, xs) =>
+      assert(rep(d)._2 === xs.map(_._3).sum, s"doc $d covered mismatch")
+      assert(rep(d)._3 === xs.size.toLong, s"doc $d span-count mismatch")
+    }
+  }
+
   test("plan shape: equi-join on the gram key, no cartesian product") {
     val plan = SparkEntry.queries("q_text_passage_dup")(spark, sf)
       .queryExecution.executedPlan.toString
