@@ -21,11 +21,14 @@ class ShufflePartitionsSpec extends SparkSpec {
 
   // the r11 bench's ten most expensive queries at sf0.1 — the plans with
   // the most shuffle surface, where a partition-count sensitivity or a
-  // shape regression would cost the most at cluster scale
+  // shape regression would cost the most at cluster scale — plus the
+  // round-12 text-frequency additions (shingle/gram hash aggregates and
+  // the islands window, all shuffle-heavy shapes new to the registry)
   private val Hottest = Seq(
     "q_dedup_cc", "q_pipeline_corpus2", "q_join_fuzzy",
     "q_retrieval_rrf_served", "q_retrieval_rrf", "q_dedup_near",
-    "q_parse_literal", "q_join_range", "q_dedup_incr", "q_profile_table")
+    "q_parse_literal", "q_join_range", "q_dedup_incr", "q_profile_table",
+    "q_text_boilerplate_frac", "q_text_passage_dup", "q_text_passage_spans")
 
   private def exchanges(df: DataFrame): Int =
     "(?<!Broadcast)Exchange".r
