@@ -422,17 +422,16 @@ object TextOps {
     * Shared occurrences are [pos, pos+K-1] intervals; the union per doc
     * is the islands split where a start exceeds the running max end.
     */
-  private[graft] def passageSpansOf(grams: DataFrame): DataFrame = {
-    import grams.sparkSession.implicits._
-    val shared = grams
-      .groupBy($"g5")
-      .agg(countDistinct($"doc_id").as("nd"))
-      .filter($"nd" >= 2)
-      .select($"g5")
+  /** Interval-union islands over (doc_id, pos) K-wide occurrences,
+    * carrying `extra` per-doc columns through — the ONE islands kernel
+    * behind q_text_passage_spans and q_split_decontaminate.
+    */
+  private def islandSpansOf(occ: DataFrame, extra: Seq[String]): DataFrame = {
+    import occ.sparkSession.implicits._
     val w = Window.partitionBy($"doc_id").orderBy($"pos")
-    grams
-      .join(shared, Seq("g5"))
-      .select($"doc_id", $"pos", ($"pos" + (PassageK - 1)).as("pend"))
+    occ
+      .select((col("doc_id") +: extra.map(col) :+
+        $"pos" :+ ($"pos" + (PassageK - 1)).as("pend")): _*)
       .withColumn(
         "prev_max_end",
         max($"pend").over(w.rowsBetween(Window.unboundedPreceding, -1)))
@@ -440,16 +439,24 @@ object TextOps {
         "island",
         sum(when($"prev_max_end".isNull || $"pos" > $"prev_max_end", 1L).otherwise(0L))
           .over(w.rowsBetween(Window.unboundedPreceding, 0)))
-      .groupBy($"doc_id", $"island")
+      .groupBy(($"doc_id" +: extra.map(col) :+ $"island"): _*)
       .agg(
         min($"pos").cast("long").as("span_start"),
         max($"pend").cast("long").as("span_end"))
-      .select(
-        $"doc_id",
-        $"span_start",
-        $"span_end",
-        ($"span_end" - $"span_start" + 1L).as("span_tokens"))
+      .select((col("doc_id") +: extra.map(col) :+
+        $"span_start" :+ $"span_end" :+
+        ($"span_end" - $"span_start" + 1L).as("span_tokens")): _*)
       .orderBy($"doc_id", $"span_start")
+  }
+
+  private[graft] def passageSpansOf(grams: DataFrame): DataFrame = {
+    import grams.sparkSession.implicits._
+    val shared = grams
+      .groupBy($"g5")
+      .agg(countDistinct($"doc_id").as("nd"))
+      .filter($"nd" >= 2)
+      .select($"g5")
+    islandSpansOf(grams.join(shared, Seq("g5")), Seq.empty)
   }
 
   private[graft] def passageDupReportOf(grams: DataFrame): DataFrame = {
@@ -527,6 +534,58 @@ object TextOps {
       "coalesce(c.n_covered, 0) AS n_covered, coalesce(c.n_spans, 0) AS n_spans, " +
       "CAST(coalesce(c.n_covered, 0) AS DOUBLE) / CAST(n.n_tokens AS DOUBLE) AS dup_frac " +
       "FROM ntok n LEFT JOIN cov c ON c.doc_id = n.doc_id ORDER BY n.doc_id"
+
+  /** q_split_decontaminate — eval-set DECONTAMINATION at passage
+    * granularity (the GPT-3 appendix-C n-gram scrub, Brown et al.
+    * arXiv:2005.14165; q_split_contamination's doc-level flag made
+    * actionable): for every valid/test document, the maximal token
+    * spans covered by a 5-gram that also occurs in ANY train-split
+    * document — the rows an eval-set scrubber deletes before
+    * publishing a benchmark, where the doc-level flag would either
+    * discard the whole document or miss a quoted train passage inside
+    * an otherwise-clean one. Splits are the standard q_split_assign
+    * hash ladder (deterministic, engine-independent); the train-gram
+    * side is a distinct-projection (one hash aggregate); the
+    * eval⋈train join is 1:1 per occurrence; the span union is the one
+    * islands kernel shared with q_text_passage_spans.
+    */
+  private def splitDecontaminate(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val bucket = pmod(graft.ops.Hashing.h32($"doc_id".cast("string")), lit(100L))
+    val splitCol = when(bucket < 80, "train")
+      .when(bucket < 90, "valid")
+      .otherwise("test")
+    val g = passageGramsOf(docs(s, d)).withColumn("split", splitCol)
+    val trainG = g.filter($"split" === "train").select($"g5").distinct()
+    islandSpansOf(
+      g.filter($"split" =!= "train").join(trainG, Seq("g5")),
+      Seq("split"))
+  }
+
+  private val DecontaminateSql = {
+    val b = s"${graft.ops.Hashing.h32Sql("CAST(doc_id AS VARCHAR)")} % 100"
+    "WITH toks AS (SELECT doc_id, " +
+      s"CASE WHEN $b < 80 THEN 'train' WHEN $b < 90 THEN 'valid' ELSE 'test' END AS split, " +
+      "string_split(text, ' ') AS tk FROM documents), " +
+      "g AS (SELECT doc_id, split, unnest(generate_series(1, len(tk) - 4)) AS pos, " +
+      "unnest(list_transform(generate_series(1, len(tk) - 4), " +
+      "i -> array_to_string(list_slice(tk, i, i + 4), ' '))) AS g5 " +
+      "FROM toks WHERE len(tk) >= 5), " +
+      "traing AS (SELECT DISTINCT g5 FROM g WHERE split = 'train'), " +
+      "iv AS (SELECT doc_id, split, pos, pos + 4 AS pend FROM g JOIN traing USING (g5) " +
+      "WHERE split <> 'train'), " +
+      "mk AS (SELECT doc_id, split, pos, pend, " +
+      "max(pend) OVER (PARTITION BY doc_id ORDER BY pos " +
+      "ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS prev_max_end FROM iv), " +
+      "isl AS (SELECT doc_id, split, pos, pend, " +
+      "sum(CASE WHEN prev_max_end IS NULL OR pos > prev_max_end THEN 1 ELSE 0 END) " +
+      "OVER (PARTITION BY doc_id ORDER BY pos " +
+      "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS island FROM mk) " +
+      "SELECT doc_id, split, CAST(min(pos) AS BIGINT) AS span_start, " +
+      "CAST(max(pend) AS BIGINT) AS span_end, " +
+      "CAST(max(pend) - min(pos) + 1 AS BIGINT) AS span_tokens " +
+      "FROM isl GROUP BY doc_id, split, island ORDER BY doc_id, span_start"
+  }
 
   /** q_text_keyterms — characteristic term per document by an integer-exact
     * tf-idf ranking: (tf DESC, df ASC, term) — highest in-doc frequency,
@@ -1633,6 +1692,7 @@ object TextOps {
     QueryDef("q_text_boilerplate_frac", textBoilerplateFrac, Some(BoilerplateFracSql)),
     QueryDef("q_text_passage_dup", textPassageDup, Some(PassageDupSql)),
     QueryDef("q_text_passage_spans", textPassageSpans, Some(PassageSpansSql)),
+    QueryDef("q_split_decontaminate", splitDecontaminate, Some(DecontaminateSql)),
     QueryDef("q_text_keyterms", textKeyterms, Some(KeytermsSql)),
     QueryDef("q_text_redact", textRedact, Some(RedactSql)),
     QueryDef("q_text_clean", textClean, Some(CleanSql)),
