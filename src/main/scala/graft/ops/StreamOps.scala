@@ -1659,6 +1659,20 @@ object StreamOps {
   def compactPassageGrams(s: SparkSession, dir: String, keepFulls: Int = 2): Unit =
     graft.index.GenLog.compact(s, dir, PassageFamily, keepFulls)
 
+  /** The eval-set decontamination spans served from the SAME maintained
+    * passage grams — the split label is a pure function of doc_id (the
+    * q_split_assign hash ladder), so it is re-derived at read time and
+    * the one gram state serves both the duplication report and the
+    * scrub: a train document ingested TODAY retroactively contaminates
+    * an eval document ingested last month, with no generation recompute
+    * (≡ the monolithic q_split_decontaminate over the union at every
+    * point in time).
+    */
+  def serveDecontaminateContinuous(s: SparkSession, dir: String): DataFrame =
+    TextOps.decontaminateSpansOf(
+      s.read.parquet(
+        graft.index.GenLog.roots(s, dir, what = "passage grams"): _*))
+
   /** Targets of the composed continuous VECTOR program — the embeddings
     * side of [[CorpusPipeline]]: all five vector index families (float
     * ANN buckets, int8 quantized scan tier, IVF cells, semantic-dedup

@@ -549,18 +549,24 @@ object TextOps {
     * eval⋈train join is 1:1 per occurrence; the span union is the one
     * islands kernel shared with q_text_passage_spans.
     */
-  private def splitDecontaminate(s: SparkSession, d: String): DataFrame = {
-    import s.implicits._
+  /** The decontamination spans over a (doc_id, pos, g5) gram frame —
+    * split labels re-derived from doc_id (a pure hash function), so the
+    * SAME persisted gram state serves this and the duplication report.
+    */
+  private[graft] def decontaminateSpansOf(grams: DataFrame): DataFrame = {
+    import grams.sparkSession.implicits._
     val bucket = pmod(graft.ops.Hashing.h32($"doc_id".cast("string")), lit(100L))
-    val splitCol = when(bucket < 80, "train")
-      .when(bucket < 90, "valid")
-      .otherwise("test")
-    val g = passageGramsOf(docs(s, d)).withColumn("split", splitCol)
+    val g = grams.withColumn(
+      "split",
+      when(bucket < 80, "train").when(bucket < 90, "valid").otherwise("test"))
     val trainG = g.filter($"split" === "train").select($"g5").distinct()
     islandSpansOf(
       g.filter($"split" =!= "train").join(trainG, Seq("g5")),
       Seq("split"))
   }
+
+  private def splitDecontaminate(s: SparkSession, d: String): DataFrame =
+    decontaminateSpansOf(passageGramsOf(docs(s, d)))
 
   private val DecontaminateSql = {
     val b = s"${graft.ops.Hashing.h32Sql("CAST(doc_id AS VARCHAR)")} % 100"

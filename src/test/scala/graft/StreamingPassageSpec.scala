@@ -67,10 +67,15 @@ class StreamingPassageSpec extends SparkSpec {
     try q.processAllAvailable()
     finally q.stop()
 
-    // end-of-feed identity with the oracle-checked registry query
+    // end-of-feed identity with the oracle-checked registry queries —
+    // BOTH surfaces (duplication report + decontamination scrub) serve
+    // from the one maintained gram state
     assert(
       rows(StreamOps.servePassageDupContinuous(spark, dir)) ===
         rows(SparkEntry.queries("q_text_passage_dup")(spark, sf)))
+    assert(
+      rows(StreamOps.serveDecontaminateContinuous(spark, dir)) ===
+        rows(SparkEntry.queries("q_split_decontaminate")(spark, sf)))
 
     // RETROACTIVE coverage: the batches carry near/exact copies of base
     // passages (the corpus's dup structure), so serving over base+batches
