@@ -207,26 +207,56 @@ object GenLog {
         try System.currentTimeMillis() - fs.getFileStatus(claim).getModificationTime > ttlMs
         catch { case _: java.io.FileNotFoundException => false } // released — loop re-checks
       if (stale) {
-        // Reclaim via rename-to-unique-name: rename succeeds for exactly
-        // ONE of any number of racing reclaimers (the source vanishes for
-        // the rest), so a slower reclaimer can never delete a faster
-        // re-claimer's freshly created claim — the unconditional-delete
-        // TOCTOU that could admit two concurrent builds. A laggard whose
-        // rename fails goes back through the loop and re-validates
-        // staleness against whatever claim now exists (fresh mtime →
-        // wait). Residual window, documented honestly: the staleness stat
-        // directly above and the rename are adjacent but not one atomic
-        // op, the irreducible gap of any mtime-based lease without a
-        // filesystem compare-and-swap; the winner's TTL/4 heartbeat makes
-        // "alive but stale-looking" require 4 consecutive missed touches.
-        val tomb = new Path(
-          claim.getParent,
-          claim.getName + s".reclaimed.${ProcessHandle.current().pid()}.${System.nanoTime()}")
-        val renamed =
-          try fs.rename(claim, tomb)
-          catch { case _: java.io.IOException => false }
-        if (renamed) fs.delete(tomb, false)
-        else Thread.sleep(50L)
+        // Reclaim through a SERIALIZED critical section: an atomic
+        // create-if-absent reclaim lock admits exactly one reclaimer,
+        // which RE-VALIDATES staleness inside the lock before renaming
+        // the orphan to a unique name and deleting it. The in-lock
+        // re-stat is what closes the stat→rename TOCTOU that a bare
+        // rename race leaves open: without it, reclaimer B (holding a
+        // stale observation) can rename away the FRESH claim reclaimer A
+        // just created after A's own rename-and-tryClaim — two
+        // concurrent builds (observed as a spec flake under a loaded
+        // JVM before this lock existed). Inside the lock no other
+        // reclaimer can touch the claim path, and any fresh claim has a
+        // current mtime, so the re-stat sees it and aborts. Residual,
+        // documented honestly: a stale-LOOKING-but-alive owner (4+
+        // consecutive missed heartbeats) releasing in the microseconds
+        // between re-stat and rename — mtime leases without a
+        // filesystem compare-and-swap cannot close that; the heartbeat
+        // makes the precondition itself an anomaly.
+        val rlock = new Path(claim.getParent, claim.getName + ".reclaim_lock")
+        if (tryClaim(fs, rlock)) {
+          try {
+            val still =
+              try System.currentTimeMillis() -
+                fs.getFileStatus(claim).getModificationTime > ttlMs
+              catch { case _: java.io.FileNotFoundException => false }
+            if (still) {
+              val tomb = new Path(
+                claim.getParent,
+                claim.getName +
+                  s".reclaimed.${ProcessHandle.current().pid()}.${System.nanoTime()}")
+              val renamed =
+                try fs.rename(claim, tomb)
+                catch { case _: java.io.IOException => false }
+              if (renamed) fs.delete(tomb, false)
+            }
+          } finally fs.delete(rlock, false)
+          // loop continues: the renamer (and everyone else) goes through
+          // isCommitted → tryClaim — the claim primitive still decides
+        } else {
+          // a reclaim is in progress elsewhere; its critical section is
+          // milliseconds (no build inside), so a lock older than a short
+          // bound is a crash orphan inside the reclaim itself — deletable
+          // unconditionally, because the section it re-admits re-validates
+          // staleness before touching anything
+          val rlockStale =
+            try System.currentTimeMillis() -
+              fs.getFileStatus(rlock).getModificationTime > math.min(ttlMs, 30000L)
+            catch { case _: java.io.FileNotFoundException => false }
+          if (rlockStale) fs.delete(rlock, false)
+          Thread.sleep(50L)
+        }
       } else Thread.sleep(50L)
     }
     false // unreachable

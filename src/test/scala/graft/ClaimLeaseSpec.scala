@@ -111,7 +111,12 @@ class ClaimLeaseSpec extends SparkSpec {
     fs.create(GenLog.claimPath(dir), false).close()
     assert(new java.io.File(GenLog.claimPath(dir).toUri.getPath)
       .setLastModified(System.currentTimeMillis() - 3600L * 1000L))
-    spark.conf.set(GenLog.ClaimTtlKey, "1000")
+    // the hour-old mtime makes the orphan stale IMMEDIATELY at any TTL;
+    // the TTL itself needs full-suite headroom (a GC pause delaying the
+    // new winner's heartbeat past a tight TTL would let a second
+    // reclaimer steal the rebuilt key — observed flaking at 1000ms
+    // under a loaded 32-thread suite JVM)
+    spark.conf.set(GenLog.ClaimTtlKey, "4000")
     try {
       val builds = new java.util.concurrent.atomic.AtomicInteger
       val errors = new java.util.concurrent.ConcurrentLinkedQueue[Throwable]
