@@ -45,7 +45,9 @@ object Bench {
         import org.json4s._
         implicit val fmts: Formats = DefaultFormats
         val budgetSf = (json \ "sf").extract[String]
-        if (!sfDir.contains(budgetSf)) Nil
+        // exact basename match: substring containment would apply an
+        // sf0.1 budget file to sf0.15 / sf0.1-alt dirs at the wrong scale
+        if (new java.io.File(sfDir).getName != budgetSf) Nil
         else (json \ "budgets").extract[Map[String, Double]].toSeq.sorted.flatMap {
           case (q, budget) =>
             results.collectFirst {

@@ -1622,10 +1622,26 @@ object StreamOps {
     * 5-gram crosses the 2-distinct-docs bar), no generation recomputed.
     * Fold = concatenation (disjoint doc sets), so compaction is
     * read-invariant by construction.
+    *
+    * The persisted gram key is NOT the 5-token string: every consumer
+    * (duplication report, spans, min-match-length variants, the
+    * decontamination scrub) uses only gram EQUALITY plus positions, so
+    * the state stores a 16-byte md5 fingerprint — `unhex(md5(g5))`,
+    * BinaryType. The full string would cost ~K× the corpus text bytes
+    * per generation (every token position carries its 5-token window);
+    * the fingerprint caps the key at 16 B — on real text, where 5-grams
+    * are mostly corpus-unique and parquet dictionaries fall back to
+    * plain encoding, that is the on-disk AND shuffle width (128-bit
+    * keeps cross-gram collisions negligible at 100 TB gram counts where
+    * 64-bit demonstrably would not: ~10¹³ grams → birthday ≈ certain at
+    * 64 bits, ≈ 10⁻¹³ at 128). StreamingPassageSpec pins the slim
+    * schema, the logical-width shrink, and serve ≡ registry for every
+    * consumer.
     */
   private[graft] val PassageFamily = graft.index.GenLog.GenFamily(
     write = (_, docsRows, path) =>
       TextOps.passageGramsOf(docsRows)
+        .withColumn("g5", unhex(md5(col("g5"))))
         .write
         .mode(org.apache.spark.sql.SaveMode.Overwrite)
         .parquet(path),
@@ -1651,9 +1667,29 @@ object StreamOps {
     * over the union of all ingested documents at every point in time.
     */
   def servePassageDupContinuous(s: SparkSession, dir: String): DataFrame =
-    TextOps.passageDupReportOf(
-      s.read.parquet(
-        graft.index.GenLog.roots(s, dir, what = "passage grams"): _*))
+    TextOps.passageDupReportOf(passageState(s, dir))
+
+  /** The maximal scrub spans served from the same maintained grams
+    * (≡ q_text_passage_spans over the union at every point in time).
+    */
+  def servePassageSpansContinuous(s: SparkSession, dir: String): DataFrame =
+    TextOps.passageSpansOf(passageState(s, dir))
+
+  /** The corpus-scale ≥50-token-match report served from the SAME
+    * maintained grams (≡ q_text_passage_dup50 over the union): the
+    * min-match-length contract is a serve-side knob on one state — the
+    * q_text_boilerplate_frac precedent, no re-seed, no second family.
+    */
+  def servePassageDup50Continuous(s: SparkSession, dir: String): DataFrame =
+    TextOps.passageMinlenReportOf(passageState(s, dir))
+
+  /** The ≥50-token scrub spans from the same state (≡ q_text_passage_spans50). */
+  def servePassageSpans50Continuous(s: SparkSession, dir: String): DataFrame =
+    TextOps.passageMinlenSpansOf(passageState(s, dir))
+
+  private def passageState(s: SparkSession, dir: String): DataFrame =
+    s.read.parquet(
+      graft.index.GenLog.roots(s, dir, what = "passage grams"): _*)
 
   /** Compaction (kernel protocol; fold = concatenation). */
   def compactPassageGrams(s: SparkSession, dir: String, keepFulls: Int = 2): Unit =
@@ -1669,9 +1705,7 @@ object StreamOps {
     * point in time).
     */
   def serveDecontaminateContinuous(s: SparkSession, dir: String): DataFrame =
-    TextOps.decontaminateSpansOf(
-      s.read.parquet(
-        graft.index.GenLog.roots(s, dir, what = "passage grams"): _*))
+    TextOps.decontaminateSpansOf(passageState(s, dir))
 
   /** Targets of the composed continuous VECTOR program — the embeddings
     * side of [[CorpusPipeline]]: all five vector index families (float

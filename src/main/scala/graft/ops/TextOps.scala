@@ -329,7 +329,12 @@ object TextOps {
       .select(
         greatest(
           lit(BoilerMinDocs.toLong),
-          ($"ndocs" * BoilerFracNum + (BoilerFracDen - 1L)) / BoilerFracDen)
+          // exact INTEGER ceil-division: Column `/` on longs is DOUBLE
+          // division in Spark (ndocs=1600 would give thr=4.199 and
+          // misclassify a family with nd exactly at the cut), so floor
+          // back to long — values are non-negative, floor ≡ integer div
+          floor(($"ndocs" * BoilerFracNum + (BoilerFracDen - 1L)) / BoilerFracDen)
+            .cast("long"))
           .as("thr"))
     val dfreq = counts.groupBy($"s3").agg(count(lit(1)).as("nd"))
     counts
@@ -422,16 +427,17 @@ object TextOps {
     * Shared occurrences are [pos, pos+K-1] intervals; the union per doc
     * is the islands split where a start exceeds the running max end.
     */
-  /** Interval-union islands over (doc_id, pos) K-wide occurrences,
+  /** Interval-union islands over (doc_id, pos, pend) token intervals,
     * carrying `extra` per-doc columns through — the ONE islands kernel
-    * behind q_text_passage_spans and q_split_decontaminate.
+    * behind q_text_passage_spans, q_split_decontaminate, and the
+    * min-match-length variants (whose kept runs are variable-width
+    * intervals, hence the explicit pend).
     */
-  private def islandSpansOf(occ: DataFrame, extra: Seq[String]): DataFrame = {
-    import occ.sparkSession.implicits._
+  private def intervalSpansOf(iv: DataFrame, extra: Seq[String]): DataFrame = {
+    import iv.sparkSession.implicits._
     val w = Window.partitionBy($"doc_id").orderBy($"pos")
-    occ
-      .select((col("doc_id") +: extra.map(col) :+
-        $"pos" :+ ($"pos" + (PassageK - 1)).as("pend")): _*)
+    iv
+      .select((col("doc_id") +: extra.map(col) :+ $"pos" :+ $"pend"): _*)
       .withColumn(
         "prev_max_end",
         max($"pend").over(w.rowsBetween(Window.unboundedPreceding, -1)))
@@ -449,6 +455,16 @@ object TextOps {
       .orderBy($"doc_id", $"span_start")
   }
 
+  /** K-wide occurrences → intervals: the adapter the fixed-K callers
+    * (passage spans, decontaminate) feed the interval kernel with.
+    */
+  private def islandSpansOf(occ: DataFrame, extra: Seq[String]): DataFrame = {
+    import occ.sparkSession.implicits._
+    intervalSpansOf(
+      occ.withColumn("pend", $"pos" + (PassageK - 1)),
+      extra)
+  }
+
   private[graft] def passageSpansOf(grams: DataFrame): DataFrame = {
     import grams.sparkSession.implicits._
     val shared = grams
@@ -459,12 +475,16 @@ object TextOps {
     islandSpansOf(grams.join(shared, Seq("g5")), Seq.empty)
   }
 
-  private[graft] def passageDupReportOf(grams: DataFrame): DataFrame = {
+  /** Per-doc coverage account of a span frame against the gram frame's
+    * token extents — the shared report shape of q_text_passage_dup and
+    * its min-match-length variant.
+    */
+  private def coverageReportOf(grams: DataFrame, spans: DataFrame): DataFrame = {
     import grams.sparkSession.implicits._
     val nTok = grams
       .groupBy($"doc_id")
       .agg((max($"pos") + (PassageK - 1)).cast("long").as("n_tokens"))
-    val covered = passageSpansOf(grams)
+    val covered = spans
       .groupBy($"doc_id")
       .agg(sum($"span_tokens").as("n_covered"), count(lit(1)).as("n_spans"))
     nTok
@@ -478,6 +498,9 @@ object TextOps {
           $"n_tokens".cast("double")).as("dup_frac"))
       .orderBy($"doc_id")
   }
+
+  private[graft] def passageDupReportOf(grams: DataFrame): DataFrame =
+    coverageReportOf(grams, passageSpansOf(grams))
 
   private def textPassageDup(s: SparkSession, d: String): DataFrame =
     passageDupReportOf(passageGramsOf(docs(s, d)))
@@ -526,6 +549,106 @@ object TextOps {
       "sum(CASE WHEN prev_max_end IS NULL OR pos > prev_max_end THEN 1 ELSE 0 END) " +
       "OVER (PARTITION BY doc_id ORDER BY pos " +
       "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS island FROM mk), " +
+      "per_island AS (SELECT doc_id, island, max(pend) - min(pos) + 1 AS len " +
+      "FROM isl GROUP BY 1, 2), " +
+      "cov AS (SELECT doc_id, CAST(sum(len) AS BIGINT) AS n_covered, " +
+      "CAST(count(*) AS BIGINT) AS n_spans FROM per_island GROUP BY 1) " +
+      "SELECT n.doc_id, CAST(n.n_tokens AS BIGINT) AS n_tokens, " +
+      "coalesce(c.n_covered, 0) AS n_covered, coalesce(c.n_spans, 0) AS n_spans, " +
+      "CAST(coalesce(c.n_covered, 0) AS DOUBLE) / CAST(n.n_tokens AS DOUBLE) AS dup_frac " +
+      "FROM ntok n LEFT JOIN cov c ON c.doc_id = n.doc_id ORDER BY n.doc_id"
+
+  /** q_text_passage_dup50 / q_text_passage_spans50 — the CORPUS-SCALE
+    * passage contract: a position counts as duplicated only when it sits
+    * inside a run of ≥ [[PassageMinMatch]]−K+1 CONSECUTIVE shared gram
+    * positions, i.e. an exact cross-document match of at least
+    * [[PassageMinMatch]] tokens — the match length Lee et al.
+    * (arXiv:2107.06499, ExactSubstr) actually deduplicate at. The plain
+    * df ≥ 2 cut on single 5-grams (q_text_passage_dup) saturates on a
+    * large corpus exactly as q_text_boilerplate's fixed cut does:
+    * essentially every natural-language 5-gram occurs in ≥ 2 documents,
+    * dup_frac → 1.0 corpus-wide, and the spans would scrub common
+    * phrases. Requiring a 50-token CHAIN of shared grams is scale-stable
+    * — common phrases never chain for 50 tokens; only genuinely copied
+    * passages do (ScaleSpec pins the non-saturation at 10×).
+    *
+    * Construction on the SAME gram state (no new scan, no suffix array):
+    * shared grams as before (one hash agg, df ≥ 2); per doc, maximal
+    * runs of consecutive shared positions via the pos − row_number
+    * ladder (one window + one hash agg); runs kept iff they span ≥
+    * [[PassageMinMatch]] tokens (re − rs + K ≥ M); kept runs are
+    * variable-width token intervals [rs, re+K−1] unioned by the one
+    * interval-islands kernel (two kept runs can still overlap when the
+    * position gap between them is < K). A 50-token match has all its
+    * 5-grams shared — the necessary-condition statistic of the
+    * suffix-array scrub, exact over positions, linear in corpus size.
+    */
+  private[graft] val PassageMinMatch = 50 // tokens; Lee et al. §4.1
+
+  private[graft] def passageMinlenSpansOf(grams: DataFrame): DataFrame = {
+    import grams.sparkSession.implicits._
+    val shared = grams
+      .groupBy($"g5")
+      .agg(countDistinct($"doc_id").as("nd"))
+      .filter($"nd" >= 2)
+      .select($"g5")
+    val occ = grams.join(shared, Seq("g5")).select($"doc_id", $"pos")
+    val w = Window.partitionBy($"doc_id").orderBy($"pos")
+    val runs = occ
+      .withColumn("grp", $"pos" - row_number().over(w))
+      .groupBy($"doc_id", $"grp")
+      .agg(min($"pos").as("rs"), max($"pos").as("re"))
+      .filter($"re" - $"rs" + lit(PassageK.toLong) >= PassageMinMatch.toLong)
+    intervalSpansOf(
+      runs.select(
+        $"doc_id",
+        $"rs".as("pos"),
+        ($"re" + (PassageK - 1)).as("pend")),
+      Seq.empty)
+  }
+
+  private[graft] def passageMinlenReportOf(grams: DataFrame): DataFrame =
+    coverageReportOf(grams, passageMinlenSpansOf(grams))
+
+  private def textPassageDup50(s: SparkSession, d: String): DataFrame =
+    passageMinlenReportOf(passageGramsOf(docs(s, d)))
+
+  private def textPassageSpans50(s: SparkSession, d: String): DataFrame =
+    passageMinlenSpansOf(passageGramsOf(docs(s, d)))
+
+  // Shared CTE prefix: grams → shared occurrences → kept ≥50-token runs
+  // as token intervals — byte-identical between the two minlen oracles.
+  private val MinlenRunsSqlPrefix =
+    "WITH toks AS (SELECT doc_id, string_split(text, ' ') AS tk FROM documents), " +
+      "g AS (SELECT doc_id, unnest(generate_series(1, len(tk) - 4)) AS pos, " +
+      "unnest(list_transform(generate_series(1, len(tk) - 4), " +
+      "i -> array_to_string(list_slice(tk, i, i + 4), ' '))) AS g5 " +
+      "FROM toks WHERE len(tk) >= 5), " +
+      "shared AS (SELECT g5 FROM g GROUP BY g5 HAVING count(DISTINCT doc_id) >= 2), " +
+      "occ AS (SELECT doc_id, pos FROM g JOIN shared USING (g5)), " +
+      "rn AS (SELECT doc_id, pos, pos - row_number() OVER " +
+      "(PARTITION BY doc_id ORDER BY pos) AS grp FROM occ), " +
+      "r AS (SELECT doc_id, min(pos) AS rs, max(pos) AS re FROM rn " +
+      "GROUP BY doc_id, grp HAVING max(pos) - min(pos) + 5 >= 50), " +
+      "iv AS (SELECT doc_id, rs AS pos, re + 4 AS pend FROM r), " +
+      "mk AS (SELECT doc_id, pos, pend, " +
+      "max(pend) OVER (PARTITION BY doc_id ORDER BY pos " +
+      "ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS prev_max_end FROM iv), " +
+      "isl AS (SELECT doc_id, pos, pend, " +
+      "sum(CASE WHEN prev_max_end IS NULL OR pos > prev_max_end THEN 1 ELSE 0 END) " +
+      "OVER (PARTITION BY doc_id ORDER BY pos " +
+      "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS island FROM mk)"
+
+  private val PassageSpans50Sql =
+    MinlenRunsSqlPrefix +
+      " SELECT doc_id, CAST(min(pos) AS BIGINT) AS span_start, " +
+      "CAST(max(pend) AS BIGINT) AS span_end, " +
+      "CAST(max(pend) - min(pos) + 1 AS BIGINT) AS span_tokens " +
+      "FROM isl GROUP BY doc_id, island ORDER BY doc_id, span_start"
+
+  private val PassageDup50Sql =
+    MinlenRunsSqlPrefix +
+      ", ntok AS (SELECT doc_id, max(pos) + 4 AS n_tokens FROM g GROUP BY 1), " +
       "per_island AS (SELECT doc_id, island, max(pend) - min(pos) + 1 AS len " +
       "FROM isl GROUP BY 1, 2), " +
       "cov AS (SELECT doc_id, CAST(sum(len) AS BIGINT) AS n_covered, " +
@@ -1698,6 +1821,8 @@ object TextOps {
     QueryDef("q_text_boilerplate_frac", textBoilerplateFrac, Some(BoilerplateFracSql)),
     QueryDef("q_text_passage_dup", textPassageDup, Some(PassageDupSql)),
     QueryDef("q_text_passage_spans", textPassageSpans, Some(PassageSpansSql)),
+    QueryDef("q_text_passage_dup50", textPassageDup50, Some(PassageDup50Sql)),
+    QueryDef("q_text_passage_spans50", textPassageSpans50, Some(PassageSpans50Sql)),
     QueryDef("q_split_decontaminate", splitDecontaminate, Some(DecontaminateSql)),
     QueryDef("q_text_keyterms", textKeyterms, Some(KeytermsSql)),
     QueryDef("q_text_redact", textRedact, Some(RedactSql)),

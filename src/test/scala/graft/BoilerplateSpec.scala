@@ -126,4 +126,32 @@ class BoilerplateSpec extends SparkSpec {
       assert(fixed(d)._2 === 1L && frac(d)._2 === 1L,
         s"doc $d: the 10-doc chrome flags under both cuts")
   }
+
+  test("frac variant: a family EXACTLY at the scaled threshold flags (integer thr)") {
+    // 1600 shingled docs → thr = max(3, ⌈1600·2/1000⌉) = 4 EXACTLY. A
+    // 4-doc family must flag: nd = 4 ≥ thr = 4. Under Column double
+    // division the expression (1600·2+999)/1000 evaluates to 4.199 and
+    // 4 ≥ 4.199 is FALSE — the boundary family silently demotes, and
+    // the sf0.01 oracle can't see it (its fraction sits under the
+    // max(3,·) floor). This is the ADVICE-r12 exact-integer regression
+    // gate.
+    val dir = Files.createTempDirectory("graft_boiler_thr").toString
+    val filler = spark.range(1596).select(
+      ($"id" + 100L).as("doc_id"),
+      concat(lit("solo"), $"id", lit(" body"), $"id", lit(" text"), $"id")
+        .as("text"),
+      lit("en").as("lang"),
+      lit("synthetic").as("source"),
+      lit(20L).as("n_chars"))
+    val fam4 = (0L until 4L).map(i =>
+      (i, s"fourfam boundary shingle tail$i z$i", "en", "synthetic", 20L))
+    fam4.toDF("doc_id", "text", "lang", "source", "n_chars")
+      .unionByName(filler)
+      .coalesce(1)
+      .write.parquet(s"$dir/documents.parquet")
+    val frac = runFrac(dir)
+    for (d <- 0L until 4L)
+      assert(frac(d)._2 === 1L,
+        s"doc $d: nd=4 must flag at thr=4 — a 4.199 double threshold is the bug")
+  }
 }

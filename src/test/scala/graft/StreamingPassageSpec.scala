@@ -68,14 +68,42 @@ class StreamingPassageSpec extends SparkSpec {
     finally q.stop()
 
     // end-of-feed identity with the oracle-checked registry queries —
-    // BOTH surfaces (duplication report + decontamination scrub) serve
+    // EVERY passage surface (duplication report, scrub spans, both
+    // ≥50-token min-match variants, the decontamination scrub) serves
     // from the one maintained gram state
     assert(
       rows(StreamOps.servePassageDupContinuous(spark, dir)) ===
         rows(SparkEntry.queries("q_text_passage_dup")(spark, sf)))
     assert(
+      rows(StreamOps.servePassageSpansContinuous(spark, dir)) ===
+        rows(SparkEntry.queries("q_text_passage_spans")(spark, sf)))
+    assert(
+      rows(StreamOps.servePassageDup50Continuous(spark, dir)) ===
+        rows(SparkEntry.queries("q_text_passage_dup50")(spark, sf)))
+    assert(
+      rows(StreamOps.servePassageSpans50Continuous(spark, dir)) ===
+        rows(SparkEntry.queries("q_text_passage_spans50")(spark, sf)))
+    assert(
       rows(StreamOps.serveDecontaminateContinuous(spark, dir)) ===
         rows(SparkEntry.queries("q_split_decontaminate")(spark, sf)))
+
+    // SLIM state: the persisted gram key is the 16-byte md5 fingerprint,
+    // not the 5-token string — every consumer above used equality only.
+    // Logical width is the scale measure (shuffle + real-text parquet,
+    // where grams are mostly unique and dictionaries fall back to plain
+    // encoding; the synthetic corpus's tiny vocab would let a string
+    // dictionary hide the cost on disk): 16 B fixed vs the strings' ~27 B
+    // mean here — and ~6× a 5-gram of real 5-byte words.
+    val state = spark.read.parquet(s"$dir/v0/full")
+    assert(state.schema("g5").dataType ===
+      org.apache.spark.sql.types.BinaryType)
+    val fpBytes = state
+      .agg(sum(length($"g5"))).head().getLong(0)
+    assert(fpBytes === state.count() * 16L, "every fingerprint is exactly 16 B")
+    val strBytes = TextOps.passageGramsOf(all.filter($"doc_id" <= c0))
+      .agg(sum(length($"g5"))).head().getLong(0)
+    assert(fpBytes < strBytes,
+      s"fingerprint state ($fpBytes B) must be narrower than strings ($strBytes B)")
 
     // RETROACTIVE coverage: the batches carry near/exact copies of base
     // passages (the corpus's dup structure), so serving over base+batches
