@@ -922,4 +922,73 @@ class ScaleSpec extends SparkSpec {
       rep.filter($"n_shingles" =!= 3L || $"n_boiler" =!= 1L).count() === 0L,
       "every doc must report exactly its one universal shingle as boilerplate")
   }
+
+  /** The corpus-scale contract contrast (verdict-r12 #1): a growing
+    * corpus whose documents RECOMBINE A SHARED PHRASE POOL — how
+    * natural language behaves at 100 TB: common phrases appear in ever
+    * more documents as the corpus grows, long passages only in genuine
+    * copies — saturates the df ≥ 2 cut (median dup_frac rises toward
+    * 1.0 with document count, scrubbing everything) while the
+    * ≥ 50-token min-match contract stays at EXACTLY zero coverage…
+    * yet still fires on a genuinely copied passage planted in the big
+    * corpus. Deterministic construction: doc i's 12 phrases are
+    * splitmix64-selected from a 400-phrase pool, so no two documents
+    * chain 9+ consecutive phrases (400⁹ sequences) unless planted.
+    */
+  test("passage contract at corpus growth: df cut saturates, 50-token contract does not") {
+    import spark.implicits._
+    def smix(z0: Long): Long = {
+      var x = z0 + 0x9E3779B97F4A7C15L
+      x = (x ^ (x >>> 30)) * 0xBF58476D1CE4E5B9L
+      x = (x ^ (x >>> 27)) * 0x94D049BB133111EBL
+      x ^ (x >>> 31)
+    }
+    val phrases = (0 until 400)
+      .map(p => (0 until 5).map(t => s"ph${p}w$t").mkString(" "))
+    def doc(i: Int): String = (0 until 12)
+      .map(j => phrases(java.lang.Long.remainderUnsigned(smix(i * 4096L + j), 400L).toInt))
+      .mkString(" ")
+    val copied = (0 until 60).map(i => s"copied$i").mkString(" ")
+    def stage(n: Int, plantCopy: Boolean): String = {
+      val dir = Files.createTempDirectory(s"graft_scale_sat$n").toString
+      val base = (0 until n).map(i => (i.toLong, doc(i)))
+      val planted =
+        if (plantCopy)
+          Seq((n.toLong, s"$copied lead1 lead2 lead3 lead4 lead5"),
+            (n + 1L, s"tail1 tail2 tail3 tail4 tail5 $copied"))
+        else Seq.empty
+      import spark.implicits._
+      (base ++ planted)
+        .map { case (d, t) => (d, t, "en", "synthetic", t.length.toLong) }
+        .toDF("doc_id", "text", "lang", "source", "n_chars")
+        .repartition(8)
+        .write.parquet(s"$dir/documents.parquet")
+      dir
+    }
+    def median(df: DataFrame): Double = {
+      val xs = df.select($"dup_frac").collect().map(_.getDouble(0)).sorted
+      xs(xs.length / 2)
+    }
+    val (small, big) = (stage(20, plantCopy = false), stage(1000, plantCopy = true))
+    val plainSmall = median(SparkEntry.queries("q_text_passage_dup")(spark, small))
+    val plainBig = median(SparkEntry.queries("q_text_passage_dup")(spark, big))
+    info(f"df>=2 cut median dup_frac: 20 docs $plainSmall%.2f -> 1000 docs $plainBig%.2f")
+    assert(plainSmall < 0.7, "the small corpus must start unsaturated")
+    assert(plainBig > 0.95 && plainBig > plainSmall + 0.25,
+      f"the fixed df cut must SATURATE as the corpus grows " +
+        f"($plainSmall%.2f -> $plainBig%.2f)")
+    // the 50-token contract: zero coverage on every recombined doc at
+    // BOTH scales — growth does not move it — while the one genuine
+    // copy pair is caught exactly
+    val minBig = SparkEntry.queries("q_text_passage_dup50")(spark, big)
+      .localCheckpoint(eager = true)
+    assert(median(minBig) === 0.0)
+    assert(minBig.filter($"dup_frac" > 0.0).count() === 2L,
+      "exactly the two planted copies flag under the 50-token contract")
+    assert(minBig.filter($"doc_id" >= 1000L)
+      .filter($"n_covered" =!= 60L).count() === 0L,
+      "the planted 60-token copy must be covered exactly")
+    val minSmall = SparkEntry.queries("q_text_passage_dup50")(spark, small)
+    assert(minSmall.agg(sum($"n_covered")).head().getLong(0) === 0L)
+  }
 }
