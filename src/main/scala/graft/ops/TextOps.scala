@@ -433,7 +433,7 @@ object TextOps {
     * min-match-length variants (whose kept runs are variable-width
     * intervals, hence the explicit pend).
     */
-  private def intervalSpansOf(iv: DataFrame, extra: Seq[String]): DataFrame = {
+  private[graft] def intervalSpansOf(iv: DataFrame, extra: Seq[String]): DataFrame = {
     import iv.sparkSession.implicits._
     val w = Window.partitionBy($"doc_id").orderBy($"pos")
     iv
