@@ -25,17 +25,47 @@ object BenchSplits {
 
 object Bench {
 
+  /** Fixed CPU-bound calibration probe: data-independent pure-Spark
+    * compute (an xxhash64 chain summed over a range — whole-stage
+    * codegen, no I/O, no shuffle beyond the final partial-sum collect),
+    * timed as the median of 3 after one warm run. Its wall time
+    * characterizes the HOST'S momentary throughput: round 12 recorded
+    * 78.7–116.3 s totals on IDENTICAL code purely from host load. The
+    * bench emits the probe in the record, and the budget gate scales
+    * each budget by probe/probe_baseline (the baseline is recorded in
+    * BUDGETS.json at derivation time), so a slow-host day cannot mask a
+    * genuine regression behind uniform inflation and a fast-host day
+    * cannot fossilize slack into re-derived budgets.
+    */
+  private[graft] def calibrationProbe(s: SparkSession): Double = {
+    def once(): Double = {
+      val t0 = System.nanoTime()
+      // bit_xor, not sum: summing 2^26 uniform longs overflows under
+      // ANSI arithmetic; xor keeps the same per-row work overflow-free
+      s.range(0L, 1L << 26, 1L, s.sparkContext.defaultParallelism)
+        .selectExpr("bit_xor(xxhash64(xxhash64(xxhash64(id))))")
+        .write.mode("overwrite").format("noop").save()
+      (System.nanoTime() - t0) / 1e9
+    }
+    once() // codegen + JIT warm; untimed
+    Seq(once(), once(), once()).sorted.apply(1)
+  }
+
   /** Queries whose measured median exceeds their BUDGETS.json budget at
-    * the file's scale factor — (name, measured, budget), empty on a
-    * clean run or when this run's scale isn't the budgeted one. A
-    * malformed or absent budget file disables the check rather than
-    * failing the bench (the budgets guard regressions; they must never
-    * cost the record itself).
+    * the file's scale factor — (name, measured, effective budget), empty
+    * on a clean run or when this run's scale isn't the budgeted one.
+    * When the file records the derivation-time calibration probe and
+    * this run measured one, each budget is scaled by the probe ratio
+    * (clamped to [0.25, 4] so a pathological probe sample can neither
+    * zero the gate nor disable it). A malformed or absent budget file
+    * disables the check rather than failing the bench (the budgets
+    * guard regressions; they must never cost the record itself).
     */
   private[graft] def budgetViolations(
       sfDir: String,
       results: Seq[(String, Double)],
-      budgetFile: String): Seq[(String, Double, Double)] =
+      budgetFile: String,
+      calibration: Double = 0.0): Seq[(String, Double, Double)] =
     try {
       val f = java.nio.file.Paths.get(budgetFile)
       if (!java.nio.file.Files.exists(f)) Nil
@@ -48,11 +78,19 @@ object Bench {
         // exact basename match: substring containment would apply an
         // sf0.1 budget file to sf0.15 / sf0.1-alt dirs at the wrong scale
         if (new java.io.File(sfDir).getName != budgetSf) Nil
-        else (json \ "budgets").extract[Map[String, Double]].toSeq.sorted.flatMap {
-          case (q, budget) =>
-            results.collectFirst {
-              case (`q`, t) if t > budget => (q, t, budget)
-            }
+        else {
+          val probe = (json \ "probe").extractOpt[Double].getOrElse(0.0)
+          val ratio =
+            if (probe > 0.0 && calibration > 0.0)
+              math.min(4.0, math.max(0.25, calibration / probe))
+            else 1.0
+          (json \ "budgets").extract[Map[String, Double]].toSeq.sorted.flatMap {
+            case (q, budget) =>
+              val eff = budget * ratio
+              results.collectFirst {
+                case (`q`, t) if t > eff => (q, t, eff)
+              }
+          }
         }
       }
     } catch {
@@ -98,6 +136,9 @@ object Bench {
       }
     }
     System.gc() // drop warmup garbage so no measured query eats the pause
+    // Host-throughput calibration, after warmup so JIT noise is out of
+    // the sample — recorded in the JSON and fed to the budget gate.
+    val calibration = Bench.calibrationProbe(spark)
     // name order: stable across rounds, so per-query numbers are
     // comparable. COMPARABILITY CAVEAT (round 10): served/incremental
     // queries now ride the build-once index catalog, so iteration 1
@@ -212,12 +253,13 @@ object Bench {
     // single-query regression machine-checkable in the bench record
     // itself, like the catalog counters. Budgets are scale-specific:
     // only checked when this run's sf dir matches the file's.
-    val budgetViolations = Bench.budgetViolations(sfDir, results, "BUDGETS.json")
+    val budgetViolations =
+      Bench.budgetViolations(sfDir, results, "BUDGETS.json", calibration)
     val budgetsJson = budgetViolations
       .map { case (q, t, b) => jstr(q) + s""":{"sec":$t,"budget":$b}""" }
       .mkString("{", ",", "}")
     val total = results.map(_._2).sum
-    val full = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errs,"partial_samples":$counts,"splits":$splitsJson,"catalog":$catalogJson,"budget_violations":$budgetsJson,"sf":"$sfDir","iterations":$iters}"""
+    val full = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errs,"partial_samples":$counts,"splits":$splitsJson,"catalog":$catalogJson,"budget_violations":$budgetsJson,"calibration":$calibration,"sf":"$sfDir","iterations":$iters}"""
     println(full)
     // The harness snapshots only the TAIL of stdout; the full line above is
     // one long JSON record whose head (including "value") can fall outside

@@ -314,12 +314,17 @@ object StreamOps {
   /** Targets of the composed continuous corpus program — the engine-side
     * form of the reference's extract → transform → load → report loop
     * (main.py:421-453): curated lake, the two maintained index families,
-    * and the published report table.
+    * the two text-frequency families (boilerplate shingle counts +
+    * passage-gram fingerprints — a production curation stream maintains
+    * the frequency state ALONGSIDE dedup: one source, one foreachBatch,
+    * shared safe-points), and the published report table.
     */
   case class CorpusPipeline(
       lakeDir: String,
       dedupIndexDir: String,
       bm25IndexDir: String,
+      boilerStatsDir: String,
+      passageGramsDir: String,
       reportSummaryDir: String,
       jdbcUrl: String,
       reportTable: String,
@@ -391,9 +396,11 @@ object StreamOps {
   /** ONE micro-batch through every leg of the composed program: curated
     * rows land in a deterministic per-batch lake partition, the near-dup
     * index takes its O(batch) increments, the postings index its O(batch)
-    * generation, the report summary its O(groups) generation, and the
-    * report publishes atomically (staging-table swap) from the summary
-    * roots — every leg O(batch), nothing re-reads the lake. foreachBatch
+    * generation, the two text-frequency families their O(batch) shingle-
+    * count / gram-fingerprint generations (policy-folded in-stream), the
+    * report summary its O(groups) generation, and the report publishes
+    * atomically (staging-table swap) from the summary roots — every leg
+    * O(batch), nothing re-reads the lake. foreachBatch
     * is AT-LEAST-ONCE, so every leg is
     * idempotent per batchId: a retried batch overwrites its own lake
     * files, re-derives the same index commits from the same persisted
@@ -406,13 +413,26 @@ object StreamOps {
       batchId: Long,
       p: CorpusPipeline): Unit = {
     if (!batch0.isEmpty) {
-      val batch = batch0.localCheckpoint(true) // four consumers below
+      val batch = batch0.localCheckpoint(true) // six consumers below
       batch.select(CorpusLakeCols.map(col): _*)
         .write
         .mode(org.apache.spark.sql.SaveMode.Overwrite)
         .parquet(s"${p.lakeDir}/batch=$batchId")
       incrDedupCommit(batch, p.dedupIndexDir, batchId)
       bm25IndexCommit(batch, p.bm25IndexDir, batchId)
+      // Text-frequency legs: generation-local state (per-batch shingle
+      // counts / gram fingerprints), so the commit is the same O(batch)
+      // kernel write as the report leg, idempotent per batchId, and the
+      // in-stream policy fold applies — no standalone writer, no second
+      // read of the feed.
+      graft.index.GenLog.commitGeneration(
+        BoilerFamily, batch, p.boilerStatsDir, batchId)
+      graft.index.GenLog.maybeCompact(
+        batch.sparkSession, p.boilerStatsDir, BoilerFamily)
+      graft.index.GenLog.commitGeneration(
+        PassageFamily, batch, p.passageGramsDir, batchId)
+      graft.index.GenLog.maybeCompact(
+        batch.sparkSession, p.passageGramsDir, PassageFamily)
       graft.index.GenLog.commitGeneration(
         ReportFamily, batch, p.reportSummaryDir, batchId)
       // Self-tuning fold for the kernel-protocol report leg: foreachBatch
@@ -444,6 +464,8 @@ object StreamOps {
       s, curatedBase.select(col("doc_id"), col("lang"), col("text")),
       p.dedupIndexDir)
     seedBm25Index(s, curatedBase, p.bm25IndexDir)
+    seedBoilerplateStats(s, curatedBase, p.boilerStatsDir)
+    seedPassageGrams(s, curatedBase, p.passageGramsDir)
     graft.index.GenLog.seed(s, ReportFamily, curatedBase, p.reportSummaryDir)
     curatedBase.select(CorpusLakeCols.map(col): _*)
       .write

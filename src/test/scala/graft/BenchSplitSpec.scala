@@ -38,6 +38,27 @@ class BenchSplitSpec extends SparkSpec {
     java.nio.file.Files.write(f, "not json".getBytes("UTF-8"))
     assert(Bench.budgetViolations("/root/testdata/sf0.1", results, f.toString)
       === Nil)
+    // calibration-normalized gate: with a recorded derivation probe,
+    // budgets scale by thisRun/baseline — a slow host (ratio 2) stops
+    // flagging uniform inflation, a fast host (ratio 0.5) catches a
+    // regression absolute budgets would hide; no probe on either side
+    // or a wild ratio degrades safely
+    java.nio.file.Files.write(f,
+      """{"sf":"sf0.1","probe":1.0,"budgets":{"q_a":1.0,"q_b":2.0}}"""
+        .getBytes("UTF-8"))
+    val d = "/root/testdata/sf0.1"
+    // slow host: q_a at 1.5 is inside its 2.0 effective budget
+    assert(Bench.budgetViolations(d, results, f.toString, calibration = 2.0)
+      === Nil)
+    // fast host: q_b at 1.9 now exceeds its 1.0 effective budget
+    assert(Bench.budgetViolations(d, results, f.toString, calibration = 0.5)
+      === Seq(("q_a", 1.5, 0.5), ("q_b", 1.9, 1.0)))
+    // ratio clamps at 4x: an absurd probe cannot disable the gate
+    assert(Bench.budgetViolations(d, Seq("q_a" -> 4.1), f.toString,
+      calibration = 100.0) === Seq(("q_a", 4.1, 4.0)))
+    // no calibration measured -> raw budgets (back-compat)
+    assert(Bench.budgetViolations(d, results, f.toString) ===
+      Seq(("q_a", 1.5, 1.0)))
     // the checked-in BUDGETS.json covers the full registry
     val txt = new String(java.nio.file.Files.readAllBytes(
       java.nio.file.Paths.get("BUDGETS.json")), "UTF-8")

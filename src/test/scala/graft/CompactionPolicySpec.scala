@@ -82,6 +82,8 @@ class CompactionPolicySpec extends SparkSpec {
       lakeDir = s"$base/lake",
       dedupIndexDir = s"$base/dedup",
       bm25IndexDir = s"$base/bm25",
+      boilerStatsDir = s"$base/boiler",
+      passageGramsDir = s"$base/passage",
       reportSummaryDir = s"$base/report",
       jdbcUrl = url,
       reportTable = "corpus_report")

@@ -16,6 +16,8 @@ import org.apache.spark.sql.functions._
   *   → curated-lake append
   *   → incremental near-dedup index maintenance (O(batch) commits)
   *   → lexical index generation (O(batch) postings commits)
+  *   → text-frequency state (boilerplate shingle counts + passage-gram
+  *     fingerprints, O(batch) generations, policy-folded in-stream)
   *   → ATOMIC JDBC report publish (staging-table swap)
   *
   * seeded from yesterday's batch-built state, exactly like a production
@@ -127,10 +129,14 @@ class EndToEndPipelineSpec extends SparkSpec {
     val lakeCols =
       Seq($"doc_id", $"lang", $"text", $"source", $"n_chars", $"split")
     val sumIdx = Files.createTempDirectory("graft_e2e_sum").toString
+    val boilerIdx = Files.createTempDirectory("graft_e2e_boiler").toString
+    val passageIdx = Files.createTempDirectory("graft_e2e_passage").toString
     val pipe = StreamOps.CorpusPipeline(
       lakeDir = lake,
       dedupIndexDir = dedupIdx,
       bm25IndexDir = bm25Idx,
+      boilerStatsDir = boilerIdx,
+      passageGramsDir = passageIdx,
       reportSummaryDir = sumIdx,
       jdbcUrl = url,
       reportTable = "corpus_report")
@@ -210,6 +216,31 @@ class EndToEndPipelineSpec extends SparkSpec {
       rows(StreamOps.serveBm25Continuous(spark, bm25Idx)) ===
         rows(TextOps.serveBm25(spark, rebuilt)))
 
+    // text-frequency legs: every served surface equals the monolithic
+    // kernel over the batch-curated corpus — ONE read of the feed
+    // maintained boilerplate(+frac), passage dup(+50), and the
+    // decontaminate scrub alongside dedup/bm25/report
+    val boilerWant = rows(TextOps.boilerplateReportOf(
+      TextOps.shingleCountsOf(curatedAll)))
+    val fracWant = rows(TextOps.boilerplateFracReportOf(
+      TextOps.shingleCountsOf(curatedAll)))
+    val passageWant = rows(TextOps.passageDupReportOf(
+      TextOps.passageGramsOf(curatedAll)))
+    val passage50Want = rows(TextOps.passageMinlenReportOf(
+      TextOps.passageGramsOf(curatedAll)))
+    val decontWant = rows(TextOps.decontaminateSpansOf(
+      TextOps.passageGramsOf(curatedAll)))
+    assert(rows(StreamOps.serveBoilerplateContinuous(spark, boilerIdx)) ===
+      boilerWant)
+    assert(rows(StreamOps.serveBoilerplateFracContinuous(spark, boilerIdx)) ===
+      fracWant)
+    assert(rows(StreamOps.servePassageDupContinuous(spark, passageIdx)) ===
+      passageWant)
+    assert(rows(StreamOps.servePassageDup50Continuous(spark, passageIdx)) ===
+      passage50Want)
+    assert(rows(StreamOps.serveDecontaminateContinuous(spark, passageIdx)) ===
+      decontWant, "the decontaminate publish output diverged")
+
     // published JDBC report ≡ the batch report (atomic swap each batch)
     assert(
       rows(spark.read.jdbc(url, "corpus_report", props)) ===
@@ -235,6 +266,10 @@ class EndToEndPipelineSpec extends SparkSpec {
       rows(spark.read.jdbc(url, "corpus_report", props)) ===
         rows(report(curatedAll)),
       "batch retry changed the published report")
+    assert(rows(StreamOps.serveBoilerplateContinuous(spark, boilerIdx)) ===
+      boilerWant, "batch retry changed the boilerplate stats")
+    assert(rows(StreamOps.servePassageDupContinuous(spark, passageIdx)) ===
+      passageWant, "batch retry changed the passage report")
 
     // the report leg is O(batch): the published frame re-aggregates the
     // persisted per-batch summaries — its plan must never scan the lake
@@ -247,14 +282,20 @@ class EndToEndPipelineSpec extends SparkSpec {
         .contains(lake),
       "report publish plan reads the curated lake")
 
-    // compaction of all three maintained families is read-invariant
+    // compaction of all five maintained families is read-invariant
     StreamOps.compactDedupIndex(spark, dedupIdx)
     StreamOps.compactBm25Index(spark, bm25Idx)
+    StreamOps.compactBoilerplateStats(spark, boilerIdx)
+    StreamOps.compactPassageGrams(spark, passageIdx)
     StreamOps.compactCorpusReport(spark, sumIdx)
     assert(
       rows(StreamOps.publishedCorpusReport(spark, sumIdx)) ===
         rows(report(curatedAll)),
       "report summary compaction changed the aggregate")
+    assert(rows(StreamOps.serveBoilerplateFracContinuous(spark, boilerIdx)) ===
+      fracWant, "boilerplate compaction changed the frac report")
+    assert(rows(StreamOps.serveDecontaminateContinuous(spark, passageIdx)) ===
+      decontWant, "passage compaction changed the decontaminate spans")
     val got2 = StreamOps
       .readDedupAssignments(spark, dedupIdx)
       .collect()
@@ -355,5 +396,18 @@ class EndToEndPipelineSpec extends SparkSpec {
       rows(spark.read.jdbc(url, "corpus_report", props)) ===
         rows(report(curatedAll2)),
       "day-2 published report diverged")
+    // day-2 text-frequency state: RETROACTIVE across the restart — the
+    // compacted day-1 fulls plus day-2 generations serve the monolithic
+    // day-2 corpus answers
+    assert(
+      rows(StreamOps.serveBoilerplateFracContinuous(spark, boilerIdx)) ===
+        rows(TextOps.boilerplateFracReportOf(
+          TextOps.shingleCountsOf(curatedAll2))),
+      "day-2 boilerplate frac diverged")
+    assert(
+      rows(StreamOps.servePassageDup50Continuous(spark, passageIdx)) ===
+        rows(TextOps.passageMinlenReportOf(
+          TextOps.passageGramsOf(curatedAll2))),
+      "day-2 passage 50-token report diverged")
   }
 }
