@@ -141,11 +141,41 @@ object GenLog {
   def isCommitted(s: SparkSession, path: String): Boolean =
     fsOf(s, path).exists(new Path(path, Marker))
 
-  def markCommitted(s: SparkSession, path: String): Unit = {
+  def markCommitted(s: SparkSession, path: String, buildId: String = ""): Unit = {
     val fs = fsOf(s, path)
     fs.mkdirs(new Path(path))
-    fs.create(new Path(path, Marker), true).close()
+    val out = fs.create(new Path(path, Marker), true)
+    if (buildId.nonEmpty) out.write(buildId.getBytes("UTF-8"))
+    out.close()
   }
+
+  /** The winner UUID recorded in a committed marker — None when no
+    * marker exists, Some("") for markers written by the generation
+    * writers (whose per-batchId retries re-mark BY DESIGN and need no
+    * attribution). Only [[buildOnce]] markers carry a UUID.
+    */
+  private[graft] def committedBuildId(fs: FileSystem, path: String): Option[String] =
+    try {
+      val in = fs.open(new Path(path, Marker))
+      try {
+        val buf = new Array[Byte](64)
+        val n = in.read(buf)
+        Some(if (n <= 0) "" else new String(buf, 0, n, "UTF-8"))
+      } finally in.close()
+    } catch { case _: java.io.IOException => None }
+
+  /** Thrown when a [[buildOnce]] winner, arriving at its own commit,
+    * finds a marker ALREADY on the artifact — the observable footprint
+    * of the residual lease race (an alive-but-heartbeat-silent owner
+    * releasing between a reclaimer's in-lock re-stat and rename, which
+    * mtime leases cannot close without filesystem CAS). The race cannot
+    * be prevented here, but it can no longer pass silently: the second
+    * committer fails loudly with both UUIDs instead of stacking its
+    * marker over an artifact its own Overwrite may have clobbered —
+    * operators get a signal to re-verify the key instead of serving
+    * possibly-torn bytes.
+    */
+  final class DoubleBuildDetected(msg: String) extends IllegalStateException(msg)
 
   /** Build-once-serve-many: run `build` only when `path` carries no
     * commit marker, mark on success, report whether it ran. Builds must
@@ -191,13 +221,44 @@ object GenLog {
           buildsSkipped.incrementAndGet()
           return false
         }
+        // Per-winner identity, written into the claim (so a live
+        // observer can attribute a running build) and into the commit
+        // marker (so a second committer — the residual lease race's
+        // footprint — is DETECTED at commit time instead of silently
+        // stacking markers). Best-effort on the claim: attribution must
+        // not fail the build.
+        val buildId = java.util.UUID.randomUUID().toString
+        try {
+          val o = fs.create(claim, true)
+          o.write(buildId.getBytes("UTF-8")); o.close()
+        } catch { case _: java.io.IOException => () }
         // Heartbeat while building: touch the claim's mtime every TTL/4
         // so losers never see a live build as a crash orphan — staleness
         // below means ≥4 missed heartbeats, not a slow build.
         val hb = startHeartbeat(fs, claim, ttlMs)
         // The claim is released whether the build commits or throws — a
         // failed build must not wedge the key until the TTL.
-        try { build; markCommitted(s, path) }
+        try {
+          build
+          // Post-build double-build detector: this winner passed the
+          // isCommitted re-check above, so a marker present NOW was
+          // committed by a CONCURRENT winner mid-build — both builds'
+          // Overwrites interleaved and the artifact may be torn. Refuse
+          // to overwrite the foreign marker; fail loudly with both
+          // identities so the anomaly is operable, not silent.
+          committedBuildId(fs, path) match {
+            case Some(foreign) =>
+              val msg = s"double build detected at $path: a concurrent " +
+                s"winner (buildId=${if (foreign.isEmpty) "<unattributed>" else foreign}) " +
+                s"committed while this winner (buildId=$buildId) was still " +
+                s"building — the residual claim-lease race fired; re-verify " +
+                s"or rebuild this key before serving it"
+              System.err.println(s"[graft] $msg")
+              throw new DoubleBuildDetected(msg)
+            case None =>
+              markCommitted(s, path, buildId)
+          }
+        }
         finally { hb.interrupt(); fs.delete(claim, false) }
         buildsRun.incrementAndGet()
         return true
@@ -247,19 +308,67 @@ object GenLog {
         } else {
           // a reclaim is in progress elsewhere; its critical section is
           // milliseconds (no build inside), so a lock older than a short
-          // bound is a crash orphan inside the reclaim itself — deletable
-          // unconditionally, because the section it re-admits re-validates
-          // staleness before touching anything
-          val rlockStale =
-            try System.currentTimeMillis() -
-              fs.getFileStatus(rlock).getModificationTime > math.min(ttlMs, 30000L)
-            catch { case _: java.io.FileNotFoundException => false }
-          if (rlockStale) fs.delete(rlock, false)
+          // bound is a crash orphan inside the reclaim itself. Removal
+          // goes through [[sweepStaleRlock]]'s rename-then-re-stat
+          // discipline, never a bare stat-then-delete: a FRESH lock that
+          // won the path after this caller's staleness observation is
+          // restored, not destroyed.
+          sweepStaleRlock(fs, rlock, math.min(ttlMs, 30000L))
           Thread.sleep(50L)
         }
       } else Thread.sleep(50L)
     }
     false // unreachable
+  }
+
+  /** Remove a crash-orphaned reclaim lock without ever destroying a live
+    * one. A bare stat-then-delete can race: the holder releases, another
+    * reclaimer creates a FRESH lock, and the holder of the stale
+    * observation deletes that fresh lock — briefly admitting two
+    * reclaimers into the serialized section. Instead: rename the lock to
+    * a unique tombstone (atomic — exactly one sweeper takes the file),
+    * then re-stat the TOMBSTONE, which only this sweeper references, so
+    * the decision is race-free; a lock that turns out fresh is renamed
+    * straight back, and only a genuinely stale one is deleted. If the
+    * rename-back itself loses to a brand-new lock (possible only after
+    * the anomalous stall the staleness bound encodes), the tombstone is
+    * dropped and the displaced holder's section still re-validates claim
+    * staleness before touching anything — the claim rename remains the
+    * final arbiter, and the commit-time double-build detector makes even
+    * that interleave observable. `afterStat` is a TEST SEAM between the
+    * staleness observation and the rename, letting a spec interleave the
+    * exact release-and-reacquire the restore path exists for; no-op in
+    * production.
+    */
+  private[graft] def sweepStaleRlock(
+      fs: FileSystem,
+      rlock: Path,
+      boundMs: Long,
+      afterStat: () => Unit = () => ()): Unit = {
+    val stale =
+      try System.currentTimeMillis() -
+        fs.getFileStatus(rlock).getModificationTime > boundMs
+      catch { case _: java.io.FileNotFoundException => false }
+    if (stale) {
+      afterStat()
+      val tomb = new Path(
+        rlock.getParent,
+        rlock.getName +
+          s".swept.${ProcessHandle.current().pid()}.${System.nanoTime()}")
+      val took =
+        try fs.rename(rlock, tomb)
+        catch { case _: java.io.IOException => false }
+      if (took) {
+        val stillStale =
+          try System.currentTimeMillis() -
+            fs.getFileStatus(tomb).getModificationTime > boundMs
+          catch { case _: java.io.FileNotFoundException => true }
+        if (stillStale) fs.delete(tomb, false)
+        else if (!(try fs.rename(tomb, rlock)
+                   catch { case _: java.io.IOException => false }))
+          fs.delete(tomb, false)
+      }
+    }
   }
 
   /** TEST SEAM: invoked between a successful tryClaim and the post-claim

@@ -24,6 +24,19 @@ import org.apache.hadoop.fs.Path
   *    provide atomic create-if-absent (object stores without a
   *    conditional put would silently lose the mutual exclusion), with
   *    a conf opt-in for stores that do.
+  *
+  * And the round-13 observability/immunity layer on top:
+  *
+  *  - DOUBLE-BUILD DETECTOR: every buildOnce winner carries a UUID
+  *    (written into its claim and its commit marker); a winner whose
+  *    commit finds a marker ALREADY present — the footprint of the
+  *    residual lease race, which mtime leases cannot close without
+  *    filesystem CAS — fails loudly with both identities instead of
+  *    silently stacking its marker over a possibly-torn artifact;
+  *  - RLOCK SWEEP: a crash-orphaned reclaim lock is removed through
+  *    rename-then-re-stat, never stat-then-delete, so a holder of a
+  *    stale observation can no longer destroy the FRESH lock a new
+  *    reclaimer created after the orphan's release.
   */
 class ClaimLeaseSpec extends SparkSpec {
 
@@ -141,6 +154,73 @@ class ClaimLeaseSpec extends SparkSpec {
         .map(_.getPath.getName).filter(_.contains("_GRAFT_CLAIM"))
       assert(leftovers.isEmpty, s"reclaim left debris: ${leftovers.toSeq}")
     } finally spark.conf.unset(GenLog.ClaimTtlKey)
+  }
+
+  test("double-build detector: a foreign marker landing mid-build fails the commit loudly") {
+    val dir = s"${Files.createTempDirectory("graft_lease_double")}/idx"
+    val fs = fsOf(dir)
+    // The build thunk ITSELF plays the concurrent winner: it commits a
+    // foreign-UUID marker while "this" winner is still building — the
+    // exact interleave of the residual race (an alive-but-silent owner
+    // and a reclaimed second winner both past the post-claim re-check).
+    val e = intercept[GenLog.DoubleBuildDetected] {
+      GenLog.buildOnce(spark, dir) {
+        spark.range(4).write.mode("overwrite").parquet(dir)
+        GenLog.markCommitted(spark, dir, "foreign-winner-uuid")
+      }
+    }
+    assert(e.getMessage.contains(dir))
+    assert(e.getMessage.contains("foreign-winner-uuid"),
+      "the alarm must attribute the concurrent committer")
+    // the foreign commit is preserved — the detector refuses to stack
+    // its own marker over it — and the claim is still released
+    assert(GenLog.committedBuildId(fs, dir) === Some("foreign-winner-uuid"))
+    assert(!fs.exists(GenLog.claimPath(dir)), "claim must be released on the alarm path")
+    // a clean key round-trips its winner UUID through the marker
+    val dir2 = s"${Files.createTempDirectory("graft_lease_double")}/idx2"
+    assert(GenLog.buildOnce(spark, dir2) {
+      spark.range(4).write.mode("overwrite").parquet(dir2)
+    } === true)
+    val id = GenLog.committedBuildId(fsOf(dir2), dir2)
+    assert(id.exists(_.length === 36), s"buildOnce marker must carry the winner UUID, got $id")
+  }
+
+  test("rlock sweep: rename-then-re-stat removes orphans but restores a displaced fresh lock") {
+    val base = Files.createTempDirectory("graft_lease_sweep").toString
+    val fs = fsOf(base)
+    def mk(name: String, ageMs: Long): Path = {
+      val p = new Path(base, name)
+      fs.create(p, false).close()
+      assert(new java.io.File(p.toUri.getPath)
+        .setLastModified(System.currentTimeMillis() - ageMs))
+      p
+    }
+    def debris(): Seq[String] =
+      fs.listStatus(new Path(base)).map(_.getPath.getName)
+        .filter(_.contains(".swept.")).toSeq
+    // a genuine crash orphan (hour-old) is swept
+    val orphan = mk("a.reclaim_lock", 3600L * 1000L)
+    GenLog.sweepStaleRlock(fs, orphan, 30000L)
+    assert(!fs.exists(orphan), "an hour-old reclaim lock must be swept")
+    // a fresh lock is left alone (first stat already says live)
+    val fresh = mk("b.reclaim_lock", 0L)
+    GenLog.sweepStaleRlock(fs, fresh, 30000L)
+    assert(fs.exists(fresh), "a live reclaim lock must never be touched")
+    // THE advised race: the observation is stale, but between it and the
+    // removal the orphan's holder releases and a NEW reclaimer acquires —
+    // a bare stat-then-delete would destroy the new holder's lock; the
+    // rename-then-re-stat discipline restores it instead
+    val raced = mk("c.reclaim_lock", 3600L * 1000L)
+    GenLog.sweepStaleRlock(fs, raced, 30000L, afterStat = () => {
+      fs.delete(raced, false) // the stalled holder finally releases
+      fs.create(raced, false).close() // a new reclaimer wins the path NOW
+    })
+    assert(fs.exists(raced),
+      "a fresh lock that won the path after the stale observation must be restored")
+    assert(System.currentTimeMillis() -
+      fs.getFileStatus(raced).getModificationTime < 30000L,
+      "the restored lock must be the NEW holder's (fresh mtime), not the orphan")
+    assert(debris() === Seq.empty, s"sweep left tombstone debris")
   }
 
   test("scheme gate: unknown schemes are refused with an actionable message, conf opts in") {
