@@ -1,0 +1,64 @@
+package graft
+
+import java.nio.file.Files
+
+import scala.sys.process._
+
+/** The one execution dimension local[*] cannot test: a REAL executor
+  * boundary. Every other suite (and the bench) runs one JVM, where task
+  * closures, broadcasts, the custom codegen expressions, and the TopKAgg
+  * UDAF never get serialized to a separate process — a Kryo/Java
+  * registration gap or a non-serializable capture would pass everything
+  * and then fail on the first real cluster.
+  *
+  * This spec forks [[graft.tools.ClusterCheck]] (the DurableRootSpec
+  * pattern: a separate JVM with this JVM's classpath, SPARK_HOME
+  * inherited) on `local-cluster[2,4,2048]` — two real
+  * CoarseGrainedExecutorBackend PROCESSES — over the custom-kernel query
+  * slice, then asserts every result is row-identical to this suite's
+  * single-JVM local[*] session.
+  */
+class LocalClusterSpec extends SparkSpec {
+
+  private val addOpens = Seq(
+    "java.base/java.lang", "java.base/java.lang.invoke",
+    "java.base/java.lang.reflect", "java.base/java.io",
+    "java.base/java.net", "java.base/java.nio",
+    "java.base/java.util", "java.base/java.util.concurrent",
+    "java.base/java.util.concurrent.atomic",
+    "java.base/sun.nio.ch", "java.base/sun.nio.cs",
+    "java.base/sun.security.action", "java.base/sun.util.calendar",
+  ).flatMap(p => Seq("--add-opens", s"$p=ALL-UNNAMED"))
+
+  test("two real executor processes produce the single-JVM answers for the custom-kernel slice") {
+    val out = Files.createTempDirectory("graft_cluster_out").toString
+    val cmd = Seq(
+      s"${System.getProperty("java.home")}/bin/java") ++ addOpens ++ Seq(
+      "-Xmx4g",
+      "-cp", System.getProperty("java.class.path"),
+      "graft.tools.ClusterCheck", sf, out)
+    val buf = new StringBuilder
+    // SPARK_SCALA_VERSION: the Worker's executor-command builder derives
+    // it from spark-class in a normal deployment; an in-process Worker
+    // (local-cluster) has no shell wrapper and fails with "Cannot find
+    // any build directories." without the env
+    val code = Process(cmd, None, "SPARK_SCALA_VERSION" -> "2.13")
+      .!(ProcessLogger(l => buf.append(l).append('\n'), _ => ()))
+    assert(code === 0, s"ClusterCheck exited $code:\n${buf.toString.takeRight(4000)}")
+    val line = buf.toString.linesIterator.find(_.startsWith("[cluster]")).getOrElse(
+      fail(s"no [cluster] line:\n${buf.toString.takeRight(4000)}"))
+    // the boundary really existed: both executor processes registered
+    assert(line.contains("executors=2"), line)
+
+    // every dumped result ≡ this suite's single-JVM answer, row-exact —
+    // sorted on the full row rendering (same schema both sides), since
+    // output file order is partitioning-dependent by design
+    graft.tools.ClusterCheck.Queries.foreach { q =>
+      val clustered =
+        spark.read.parquet(s"$out/$q").collect().map(_.toString).sorted.toSeq
+      val local =
+        SparkEntry.queries(q)(spark, sf).collect().map(_.toString).sorted.toSeq
+      assert(clustered === local, s"$q diverged across the executor boundary")
+    }
+  }
+}
