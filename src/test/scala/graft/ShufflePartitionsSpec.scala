@@ -24,11 +24,14 @@ class ShufflePartitionsSpec extends SparkSpec {
   // shape regression would cost the most at cluster scale — plus the
   // round-12 text-frequency additions (shingle/gram hash aggregates and
   // the islands window, all shuffle-heavy shapes new to the registry)
+  // and the round-13 min-match passage contract (run-grouping window
+  // over the md5 gram ladder)
   private val Hottest = Seq(
     "q_dedup_cc", "q_pipeline_corpus2", "q_join_fuzzy",
     "q_retrieval_rrf_served", "q_retrieval_rrf", "q_dedup_near",
     "q_parse_literal", "q_join_range", "q_dedup_incr", "q_profile_table",
-    "q_text_boilerplate_frac", "q_text_passage_dup", "q_text_passage_spans")
+    "q_text_boilerplate_frac", "q_text_passage_dup", "q_text_passage_spans",
+    "q_text_passage_dup50", "q_text_passage_spans50")
 
   private def exchanges(df: DataFrame): Int =
     "(?<!Broadcast)Exchange".r
