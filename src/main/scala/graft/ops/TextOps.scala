@@ -658,6 +658,73 @@ object TextOps {
       "CAST(coalesce(c.n_covered, 0) AS DOUBLE) / CAST(n.n_tokens AS DOUBLE) AS dup_frac " +
       "FROM ntok n LEFT JOIN cov c ON c.doc_id = n.doc_id ORDER BY n.doc_id"
 
+  /** q_text_scrub50 — the SCRUBBED corpus itself: every document's text
+    * with its ≥[[PassageMinMatch]]-token cross-document duplicated spans
+    * REMOVED — the output Lee et al. (arXiv:2107.06499 §4.1) actually
+    * train on (ExactSubstr deletes the matched substrings), completing
+    * the family: q_text_passage_dup50 measures, q_text_passage_spans50
+    * locates, this emits. Documents below K tokens carry no gram and
+    * pass through untouched; a fully-covered document emits an empty
+    * string (kept, so the account stays per-row complete — dropping is
+    * the caller's threshold decision).
+    *
+    * Shape at 100 TB: the span side collapses to ONE row per scrubbed
+    * doc (collect_list of its few spans — bounded by doc length / M),
+    * so the only shuffle joining spans to text is a doc-keyed equi-join
+    * whose right side is tiny relative to the corpus; the token-level
+    * work (index every token, test it against the doc's spans, re-join
+    * the survivors) happens WITHIN the row as whole-stage-codegen'd
+    * higher-order functions — no per-token explode, no token-level
+    * shuffle, unlike the naive posexplode⋈anti-join⋈re-aggregate plan
+    * whose collect_list would re-shuffle the whole corpus text.
+    */
+  private[graft] def scrubMinlenOf(docsDf: DataFrame): DataFrame = {
+    import docsDf.sparkSession.implicits._
+    val spans = passageMinlenSpansOf(passageGramsOf(docsDf))
+    val spanArr = spans
+      .groupBy($"doc_id")
+      .agg(
+        collect_list(struct($"span_start".as("s"), $"span_end".as("e")))
+          .as("spans"),
+        sum($"span_tokens").as("n_covered"))
+    docsDf
+      .select($"doc_id", split($"text", " ").as("tk"))
+      .join(spanArr, Seq("doc_id"), "left")
+      .select(
+        $"doc_id",
+        expr(
+          // 1-based token position p kept iff no span covers it; spans
+          // are disjoint (islands output) and clipped to the doc extent
+          "array_join(transform(filter(" +
+            "transform(tk, (t, i) -> struct(t AS t, CAST(i + 1 AS BIGINT) AS p)), " +
+            "x -> spans IS NULL OR NOT exists(spans, s -> x.p >= s.s AND x.p <= s.e)), " +
+            "x -> x.t), ' ')").as("clean_text"),
+        size($"tk").cast("long").as("n_tokens"),
+        coalesce($"n_covered", lit(0L)).as("n_removed"))
+      .orderBy($"doc_id")
+  }
+
+  private def textScrub50(s: SparkSession, d: String): DataFrame =
+    scrubMinlenOf(docs(s, d))
+
+  private val Scrub50Sql =
+    MinlenRunsSqlPrefix +
+      ", spans AS (SELECT doc_id, min(pos) AS s, max(pend) AS e " +
+      "FROM isl GROUP BY doc_id, island), " +
+      "cov AS (SELECT doc_id, unnest(generate_series(s, e)) AS pos FROM spans), " +
+      "ncov AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_removed FROM cov GROUP BY 1), " +
+      "tok AS (SELECT doc_id, unnest(generate_series(1, len(tk))) AS pos, " +
+      "unnest(tk) AS tok FROM toks), " +
+      "kept AS (SELECT t.doc_id, t.pos, t.tok FROM tok t " +
+      "LEFT JOIN cov c ON c.doc_id = t.doc_id AND c.pos = t.pos " +
+      "WHERE c.pos IS NULL), " +
+      "agg AS (SELECT doc_id, string_agg(tok, ' ' ORDER BY pos) AS clean_text " +
+      "FROM kept GROUP BY doc_id) " +
+      "SELECT d.doc_id, coalesce(a.clean_text, '') AS clean_text, " +
+      "CAST(len(d.tk) AS BIGINT) AS n_tokens, coalesce(n.n_removed, 0) AS n_removed " +
+      "FROM toks d LEFT JOIN agg a USING (doc_id) LEFT JOIN ncov n USING (doc_id) " +
+      "ORDER BY d.doc_id"
+
   /** q_split_decontaminate — eval-set DECONTAMINATION at passage
     * granularity (the GPT-3 appendix-C n-gram scrub, Brown et al.
     * arXiv:2005.14165; q_split_contamination's doc-level flag made
@@ -1823,6 +1890,7 @@ object TextOps {
     QueryDef("q_text_passage_spans", textPassageSpans, Some(PassageSpansSql)),
     QueryDef("q_text_passage_dup50", textPassageDup50, Some(PassageDup50Sql)),
     QueryDef("q_text_passage_spans50", textPassageSpans50, Some(PassageSpans50Sql)),
+    QueryDef("q_text_scrub50", textScrub50, Some(Scrub50Sql)),
     QueryDef("q_split_decontaminate", splitDecontaminate, Some(DecontaminateSql)),
     QueryDef("q_text_keyterms", textKeyterms, Some(KeytermsSql)),
     QueryDef("q_text_redact", textRedact, Some(RedactSql)),

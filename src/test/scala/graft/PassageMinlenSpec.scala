@@ -115,6 +115,42 @@ class PassageMinlenSpec extends SparkSpec {
     assert(!sp.contains(2L) && !sp.contains(3L))
   }
 
+  test("scrub: the planted copy is deleted from both carriers, everything else survives verbatim") {
+    val passage = (1 to 50).map(i => s"pp$i").mkString(" ")
+    val dir = stage(Seq(
+      s"$passage ta1 ta2 ta3 ta4 ta5",
+      s"lead1 lead2 $passage tb1 tb2 tb3 tb4 tb5",
+      "short doc", // 2 tokens: below K, no gram — must pass through untouched
+      passage)) // the WHOLE doc is the copy → empty clean_text, still a row
+    val got = SparkEntry.queries("q_text_scrub50")(spark, dir)
+      .collect()
+      .map(r => r.getLong(0) -> ((r.getString(1), r.getLong(2), r.getLong(3))))
+      .toMap
+    assert(got(0L) === (("ta1 ta2 ta3 ta4 ta5", 55L, 50L)))
+    assert(got(1L) === (("lead1 lead2 tb1 tb2 tb3 tb4 tb5", 57L, 50L)))
+    assert(got(2L) === (("short doc", 2L, 0L)),
+      "a sub-K document must survive byte-identical")
+    assert(got(3L) === (("", 50L, 50L)),
+      "a fully-copied document emits an empty row, not a dropped one")
+    // account consistency: n_removed ≡ the dup50 report's n_covered
+    val rep = SparkEntry.queries("q_text_passage_dup50")(spark, dir)
+      .collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
+    assert(got.view.filterKeys(rep.contains).mapValues(_._3).toMap ===
+      rep.filter { case (d, _) => got.contains(d) })
+  }
+
+  test("scrub plan shape: the token pass is within-row — no posexplode, no token-level shuffle") {
+    val df = SparkEntry.queries("q_text_scrub50")(spark, sf)
+    val plan = df.queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoopJoin"))
+    // the text side must never explode into per-token rows: the only
+    // Generate (explode) nodes allowed are the gram ladder's, which are
+    // fed by the SPAN side; the clean_text projection is higher-order
+    // functions over the intact tk array
+    assert(plan.contains("array_join") && plan.contains("transform"),
+      "clean_text must be computed by within-row higher-order functions")
+  }
+
   test("plan shape: equi-joins only, no cartesian product") {
     for (q <- Seq("q_text_passage_dup50", "q_text_passage_spans50")) {
       val plan = SparkEntry.queries(q)(spark, sf)

@@ -31,7 +31,7 @@ class ShufflePartitionsSpec extends SparkSpec {
     "q_retrieval_rrf_served", "q_retrieval_rrf", "q_dedup_near",
     "q_parse_literal", "q_join_range", "q_dedup_incr", "q_profile_table",
     "q_text_boilerplate_frac", "q_text_passage_dup", "q_text_passage_spans",
-    "q_text_passage_dup50", "q_text_passage_spans50")
+    "q_text_passage_dup50", "q_text_passage_spans50", "q_text_scrub50")
 
   private def exchanges(df: DataFrame): Int =
     "(?<!Broadcast)Exchange".r
