@@ -1709,6 +1709,17 @@ object StreamOps {
   def servePassageSpans50Continuous(s: SparkSession, dir: String): DataFrame =
     TextOps.passageMinlenSpansOf(passageState(s, dir))
 
+  /** The scrubbed corpus served from the maintained grams plus a text
+    * frame (the curated lake): spans come merge-on-read from the gram
+    * state, the deletion itself is the within-row kernel — the corpus
+    * is never re-grammed (≡ q_text_scrub50 over the union at every
+    * point in time; the publish output a curation stream ships).
+    */
+  def serveScrub50Continuous(s: SparkSession, dir: String, docsDf: DataFrame): DataFrame =
+    TextOps.scrubWithSpans(
+      docsDf,
+      TextOps.passageMinlenSpansOf(passageState(s, dir)))
+
   private def passageState(s: SparkSession, dir: String): DataFrame =
     s.read.parquet(
       graft.index.GenLog.roots(s, dir, what = "passage grams"): _*)

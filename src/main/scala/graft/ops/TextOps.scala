@@ -678,9 +678,15 @@ object TextOps {
     * shuffle, unlike the naive posexplode⋈anti-join⋈re-aggregate plan
     * whose collect_list would re-shuffle the whole corpus text.
     */
-  private[graft] def scrubMinlenOf(docsDf: DataFrame): DataFrame = {
+  private[graft] def scrubMinlenOf(docsDf: DataFrame): DataFrame =
+    scrubWithSpans(docsDf, passageMinlenSpansOf(passageGramsOf(docsDf)))
+
+  /** The scrub against an EXTERNALLY-computed span frame — the seam the
+    * continuous serve rides (spans from the maintained gram state, text
+    * from the curated lake: one state, one lake, no re-scan).
+    */
+  private[graft] def scrubWithSpans(docsDf: DataFrame, spans: DataFrame): DataFrame = {
     import docsDf.sparkSession.implicits._
-    val spans = passageMinlenSpansOf(passageGramsOf(docsDf))
     val spanArr = spans
       .groupBy($"doc_id")
       .agg(

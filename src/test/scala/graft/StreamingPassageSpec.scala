@@ -86,6 +86,10 @@ class StreamingPassageSpec extends SparkSpec {
     assert(
       rows(StreamOps.serveDecontaminateContinuous(spark, dir)) ===
         rows(SparkEntry.queries("q_split_decontaminate")(spark, sf)))
+    assert(
+      rows(StreamOps.serveScrub50Continuous(spark, dir, all)) ===
+        rows(SparkEntry.queries("q_text_scrub50")(spark, sf)),
+      "the served scrub (state spans + lake text, no re-gram) diverged")
 
     // SLIM state: the persisted gram key is the 16-byte md5 fingerprint,
     // not the 5-token string — every consumer above used equality only.
