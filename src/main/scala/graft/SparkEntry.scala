@@ -12,7 +12,7 @@ object SparkEntry {
   private lazy val all: Seq[QueryDef] =
     IngestOps.defs ++ ReportOps.defs ++ RelationalOps.defs ++
       ScalarOps.defs ++ StreamOps.defs ++ DedupOps.defs ++
-      SimilarityOps.defs ++ TextOps.defs ++ MultimodalOps.defs ++
+      SimilarityOps.defs ++ TextOps.defs ++ LmOps.defs ++ MultimodalOps.defs ++
       CurationOps.defs ++ LayoutOps.defs ++ TemporalOps.defs
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */

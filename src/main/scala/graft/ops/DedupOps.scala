@@ -1571,8 +1571,84 @@ object DedupOps {
       "lang, COUNT(*) AS n_docs, CAST(SUM(n_chars) AS BIGINT) AS sum_chars " +
       "FROM d GROUP BY 1, 2 ORDER BY split, lang"
 
+  /** q_dedup_passage_cc — cluster documents that share an exact
+    * ≥50-token passage: the Lee et al. (arXiv:2107.06499 §4.1,
+    * ExactSubstr) duplication relation turned into connected components
+    * over the corpus — the grouping a curation pipeline acts on when it
+    * keeps ONE carrier of a copied passage instead of scrubbing the
+    * passage everywhere (the complement of q_text_scrub50's deletion:
+    * there the passage is removed from all carriers, here the caller
+    * keeps cluster representatives whole).
+    *
+    * The edge relation is EXACT, not a chain heuristic: two documents
+    * share a ≥[[TextOps.PassageMinMatch]]-token passage iff they share
+    * at least one aligned 50-token window, so window-fingerprint
+    * equality (md5 of each 50-token slice, one per token position — the
+    * same row count as the 5-gram state, 16 bytes each) is a complete
+    * and sound pair witness. Components form by the min-doc STAR trick:
+    * each window links its carriers to the window's minimum doc_id —
+    * linear in occurrences, never the quadratic within-window pair
+    * blowup — and stars preserve connectivity exactly (every carrier
+    * pair is 2-hop via the hub). Closure runs on [[ccAssign]], the same
+    * hook-and-contract/bounded-driver-finish kernel as q_dedup_cc; the
+    * oracle replays it with the shared recursive-CTE fragment check.py
+    * replaces iteratively at 10× scale.
+    *
+    * Scale shape: one distinct on (window, doc) — a single shuffle on
+    * the fingerprint key that the min-doc aggregate and the hub join
+    * both reuse — then edges ≤ occurrences, and the ccAssign quotient
+    * graph is tiny (only docs that actually share passages carry
+    * edges).
+    */
+  private def passageCc(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val m = TextOps.PassageMinMatch
+    val occ = docs(s, d)
+      .select($"doc_id", split($"text", " ").as("tk"))
+      .filter(size($"tk") >= m)
+      .select(
+        $"doc_id",
+        explode(expr(
+          s"transform(sequence(1, size(tk) - ${m - 1}), " +
+            s"i -> md5(array_join(slice(tk, i, $m), ' ')))")).as("g50"))
+      .distinct()
+    val hub = occ.groupBy($"g50").agg(min($"doc_id").as("hub"))
+    val edges = occ
+      .join(hub, Seq("g50"))
+      .filter($"doc_id" =!= $"hub")
+      .select($"doc_id".as("a_id"), $"hub".as("b_id"))
+      .distinct()
+    ccAssign(s, edges, docs(s, d).select($"doc_id"))
+      .withColumn(
+        "cluster_size",
+        count(lit(1)).over(Window.partitionBy($"cluster_id")))
+      .orderBy($"doc_id")
+  }
+
+  private val PassageCcSql =
+    "WITH RECURSIVE toks AS (SELECT doc_id, string_split(text, ' ') AS tk " +
+      "FROM documents), " +
+      "occ AS (SELECT DISTINCT doc_id, g50 FROM (SELECT doc_id, " +
+      "unnest(list_transform(generate_series(1, len(tk) - 49), " +
+      "i -> md5(array_to_string(list_slice(tk, i, i + 49), ' ')))) AS g50 " +
+      "FROM toks WHERE len(tk) >= 50)), " +
+      "hub AS (SELECT g50, min(doc_id) AS hub FROM occ GROUP BY 1), " +
+      "e0 AS (SELECT DISTINCT o.doc_id AS a, h.hub AS b " +
+      "FROM occ o JOIN hub h USING (g50) WHERE o.doc_id <> h.hub), " +
+      "edges AS (SELECT a AS src, b AS dst FROM e0 " +
+      "UNION ALL SELECT b, a FROM e0), " +
+      "reach(id, r) AS (SELECT src, src FROM edges " +
+      "UNION SELECT e.src, r.r FROM edges e JOIN reach r ON r.id = e.dst), " +
+      "lbl AS (SELECT id, min(r) AS cluster_id FROM reach GROUP BY id), " +
+      "asgn AS (SELECT d.doc_id, coalesce(l.cluster_id, d.doc_id) AS cluster_id " +
+      "FROM documents d LEFT JOIN lbl l ON l.id = d.doc_id) " +
+      "SELECT doc_id, cluster_id, " +
+      "count(*) OVER (PARTITION BY cluster_id) AS cluster_size " +
+      "FROM asgn ORDER BY doc_id"
+
   val defs: Seq[QueryDef] = Seq(
     QueryDef("q_pipeline_corpus", pipelineCorpus, Some(PipelineSql)),
+    QueryDef("q_dedup_passage_cc", passageCc, Some(PassageCcSql)),
     QueryDef("q_pipeline_corpus2", pipelineCorpus2, Some(Pipeline2Sql)),
     QueryDef(
       "q_dedup_exact",

@@ -1158,6 +1158,49 @@ object StreamOps {
   def compactBm25Index(s: SparkSession, indexDir: String, keepFulls: Int = 2): Unit =
     graft.index.GenLog.compact(s, indexDir, Bm25Family, keepFulls)
 
+  // merge-on-read postings + summed corpus stats — the two frames every
+  // LM serve derives from (generation-local postings union like the
+  // BM25 serve; stats rows sum because each generation's `l` is its own
+  // batch's token count)
+  private def lmFrames(s: SparkSession, indexDir: String): (DataFrame, DataFrame) = {
+    val roots = bm25GenerationRoots(s, indexDir)
+    val postings = roots
+      .map(p => s.read.parquet(s"$p/postings"))
+      .reduce(_ unionByName _)
+    val nTotal = roots
+      .map(p => s.read.parquet(s"$p/stats"))
+      .reduce(_ unionByName _)
+      .agg(sum(col("l")).as("n_total"))
+    (postings, nTotal)
+  }
+
+  /** Serve the q_lm_unigram model from the continuous LEXICAL index —
+    * cf = Σ tf over merge-on-read postings, N = Σ generation stats — so
+    * the unigram LM is one more serve on the state the BM25 family
+    * already maintains: no new stream, no corpus re-read
+    * (StreamingLmSpec asserts ≡ the registry query at every stage).
+    */
+  def serveLmUnigramContinuous(s: SparkSession, indexDir: String): DataFrame = {
+    val (postings, nTotal) = lmFrames(s, indexDir)
+    LmOps.lmUnigramFromCounts(
+      postings
+        .groupBy(col("term"))
+        .agg(sum(col("tf")).as("cf"))
+        .crossJoin(broadcast(nTotal)))
+  }
+
+  /** Serve q_lm_score's scored rows from the SAME postings state —
+    * exact by the tf-grouping identity documented at
+    * [[LmOps.lmScoreFromPostings]]; docs with zero model tokens carry no
+    * postings and no score (the registry query reports them with
+    * n_tokens = 0 from the corpus side, which an index serve by design
+    * never reads).
+    */
+  def serveLmScoreContinuous(s: SparkSession, indexDir: String): DataFrame = {
+    val (postings, nTotal) = lmFrames(s, indexDir)
+    LmOps.lmScoreFromPostings(postings, nTotal)
+  }
+
   /** Seed the continuous ANN index: the base corpus becomes the
     * committed v0 full bucket-partitioned snapshot.
     */

@@ -1115,7 +1115,7 @@ object TextOps {
     * 11-term frame), so at 100 TB only matching postings ever shuffle;
     * dl/stats are full-corpus single-pass aggregates.
     */
-  private def bm25TokensOf(docsDf: DataFrame): DataFrame =
+  private[graft] def bm25TokensOf(docsDf: DataFrame): DataFrame =
     docsDf
       .select(col("doc_id"), explode(split(lower(col("text")), " ")).as("term"))
       .filter(col("term").rlike("^[a-z0-9]{3,}$"))

@@ -2,7 +2,7 @@ package graft
 
 import java.nio.file.Files
 
-import graft.ops.{CurationOps, DedupOps, StreamOps, TextOps}
+import graft.ops.{CurationOps, DedupOps, LmOps, StreamOps, TextOps}
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
@@ -392,6 +392,13 @@ class EndToEndPipelineSpec extends SparkSpec {
     assert(
       rows(StreamOps.serveBm25Continuous(spark, bm25Idx)) ===
         rows(TextOps.serveBm25(spark, rebuilt2)))
+    // the LM rides the SAME postings state the pipeline maintains for
+    // BM25 — across day-2 restart + compaction, the model must equal a
+    // from-scratch train over the curated corpus (zero LM-specific legs)
+    assert(
+      rows(StreamOps.serveLmUnigramContinuous(spark, bm25Idx)) ===
+        rows(LmOps.lmUnigramOf(curatedAll2)),
+      "day-2 LM model diverged from the batch train")
     assert(
       rows(spark.read.jdbc(url, "corpus_report", props)) ===
         rows(report(curatedAll2)),

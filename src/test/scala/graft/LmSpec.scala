@@ -1,0 +1,91 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.functions._
+
+/** The unigram-LM quality family (q_lm_unigram / q_lm_score /
+  * q_lm_bucket — CCNet's filtering role, Wenzek et al. arXiv:1911.00359,
+  * under the house no-transcendentals rule: mean inverse relative
+  * frequency instead of log-perplexity). Hand-computable corpora pin the
+  * model probabilities, the tokenizer contract, the score ladder
+  * (per-token r6, decimal sum, one IEEE division), unscorable-doc
+  * totality, and the tercile assignment with its doc_id tie-break.
+  */
+class LmSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def stage(rows: Seq[(String, String)]): String = {
+    val dir = Files.createTempDirectory("graft_lm").toString
+    rows.zipWithIndex
+      .map { case ((t, l), i) => (i.toLong, t, l, "synthetic", t.length.toLong) }
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .coalesce(1)
+      .write.parquet(s"$dir/documents.parquet")
+    dir
+  }
+
+  // the portable rounding ladder, replicated for expectations
+  private def r6(x: Double): Double = math.floor(x * 1e6 + 0.5) / 1e6
+
+  // aaa: cf 5, bbb: cf 3, ccc: cf 1, N = 9; doc 2 has no model token
+  // (zz is 2 chars, ! is punctuation); doc 3 exercises lowercasing
+  private lazy val dir = stage(Seq(
+    ("aaa aaa aaa bbb", "en"),
+    ("aaa bbb ccc", "en"),
+    ("zz !", "en"),
+    ("AAA Bbb", "en")))
+
+  test("q_lm_unigram: exact counts, N, and fixed-point MLE probabilities") {
+    val got = SparkEntry.queries("q_lm_unigram")(spark, dir)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+    assert(got === Array(
+      ("aaa", 5L, 9L, r6(5.0 / 9.0)),
+      ("bbb", 3L, 9L, r6(3.0 / 9.0)),
+      ("ccc", 1L, 9L, r6(1.0 / 9.0))))
+  }
+
+  test("q_lm_score: per-doc mean rarity via the decimal ladder; zero-token docs stay total") {
+    val got = SparkEntry.queries("q_lm_score")(spark, dir)
+      .collect()
+      .map(r => r.getLong(0) ->
+        ((r.getLong(1), if (r.isNullAt(2)) None else Some(r.getDouble(2)))))
+      .toMap
+    // rarities: aaa → r6(9/5) = 1.8, bbb → 3.0, ccc → 9.0; the engine
+    // sums them EXACTLY in decimal(38,6), so expectations use the exact
+    // decimal total as a literal (3·1.8 + 3 = 8.4 etc.), not chained
+    // double additions whose intermediate rounding could drift an ulp
+    assert(got(0L) === ((4L, Some(r6(8.4 / 4)))), "3·aaa + bbb over 4")
+    assert(got(1L) === ((3L, Some(r6(13.8 / 3)))), "aaa + bbb + ccc over 3")
+    assert(got(2L) === ((0L, None)), "unscorable doc: a row with n_tokens=0, NULL score")
+    assert(got(3L) === ((2L, Some(r6(4.8 / 2)))), "lowercased aaa + bbb over 2")
+  }
+
+  test("q_lm_bucket: per-language terciles, commonest language = bucket 1, unscorable excluded") {
+    val got = SparkEntry.queries("q_lm_bucket")(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(3)))
+    // rarity order: doc0 2.1 < doc3 2.4 < doc1 4.6 → buckets 1,2,3
+    assert(got === Array((0L, "en", 1L), (1L, "en", 3L), (3L, "en", 2L)))
+  }
+
+  test("bucket ties break by doc_id; languages bucket independently") {
+    // four identical en docs (all tie) + one fr doc: en ntile(3) over the
+    // tie order (doc_id) gives 1,1,2,3; fr's single doc is its bucket 1
+    val d2 = stage(Seq(
+      ("tok1 tok2", "en"), ("tok1 tok2", "en"),
+      ("tok1 tok2", "en"), ("tok1 tok2", "en"),
+      ("tok1 tok2", "fr")))
+    val got = SparkEntry.queries("q_lm_bucket")(spark, d2)
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(3)))
+    assert(got === Array(
+      (0L, "en", 1L), (1L, "en", 1L), (2L, "en", 2L), (3L, "en", 3L),
+      (4L, "fr", 1L)))
+  }
+
+  test("score direction: a rare-token doc outranks a common-token doc (the filter's premise)") {
+    val sc = SparkEntry.queries("q_lm_score")(spark, dir)
+      .collect().filterNot(_.isNullAt(2))
+      .map(r => r.getLong(0) -> r.getDouble(2)).toMap
+    assert(sc(1L) > sc(0L), "doc with the hapax scores rarer than the common-token doc")
+  }
+}

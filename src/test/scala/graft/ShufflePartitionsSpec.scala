@@ -31,7 +31,11 @@ class ShufflePartitionsSpec extends SparkSpec {
     "q_retrieval_rrf_served", "q_retrieval_rrf", "q_dedup_near",
     "q_parse_literal", "q_join_range", "q_dedup_incr", "q_profile_table",
     "q_text_boilerplate_frac", "q_text_passage_dup", "q_text_passage_spans",
-    "q_text_passage_dup50", "q_text_passage_spans50", "q_text_scrub50")
+    "q_text_passage_dup50", "q_text_passage_spans50", "q_text_scrub50",
+    // round-13 batch 2: the LM family (vocab join + doc agg + per-lang
+    // ntile window) and the passage-share closure (fingerprint distinct
+    // + hub star + ccAssign)
+    "q_lm_unigram", "q_lm_score", "q_lm_bucket", "q_dedup_passage_cc")
 
   private def exchanges(df: DataFrame): Int =
     "(?<!Broadcast)Exchange".r

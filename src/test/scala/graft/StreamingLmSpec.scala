@@ -1,0 +1,99 @@
+package graft
+
+import java.nio.file.Files
+
+import graft.ops.{LmOps, StreamOps, TextOps}
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** The unigram LM served from the CONTINUOUS lexical index
+  * ([[StreamOps.serveLmUnigramContinuous]] / serveLmScoreContinuous):
+  * the model (cf = Σ tf over merge-on-read postings, N = Σ generation
+  * stats) and the per-doc scores (the tf-grouping identity documented at
+  * [[LmOps.lmScoreFromPostings]]) must equal the registry queries at
+  * every point — mid-stream against the prefix corpus, after
+  * compaction, and at end-of-feed against the oracle-checked q_lm_*.
+  * One state, one more serve: the stream feeding this spec is the SAME
+  * bm25IndexStreamWriter the lexical family runs — no LM-specific
+  * maintenance exists to test.
+  */
+class StreamingLmSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def rows(df: DataFrame): Seq[String] =
+    df.collect().map(_.toString).toSeq
+
+  private lazy val all = T(spark, sf, "documents")
+  private lazy val cuts: (Long, Long) = {
+    val m = all.agg(max($"doc_id")).head().getLong(0)
+    (m * 8 / 10, m * 9 / 10)
+  }
+
+  // the registry computations over an arbitrary prefix corpus
+  private def wantUnigram(dd: DataFrame): Seq[String] =
+    rows(LmOps.lmUnigramOf(dd))
+  private def wantScore(dd: DataFrame): Seq[String] = {
+    val ft = TextOps.bm25TokensOf(dd)
+    rows(
+      LmOps.lmScoreOf(dd, LmOps.rarityAggOf(ft, LmOps.unigramCountsOf(ft)))
+        .filter($"n_tokens" > 0))
+  }
+
+  private def stageFile(dir: String, df: DataFrame, name: String): Unit = {
+    val fs = new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val tmp = s"$dir/_stage_$name"
+    df.coalesce(1).write.parquet(tmp)
+    val part = fs
+      .listStatus(new org.apache.hadoop.fs.Path(tmp))
+      .filter(_.getPath.getName.endsWith(".parquet"))
+      .head
+      .getPath
+    fs.mkdirs(new org.apache.hadoop.fs.Path(s"$dir/documents.parquet"))
+    fs.rename(part, new org.apache.hadoop.fs.Path(s"$dir/documents.parquet/$name.parquet"))
+    fs.delete(new org.apache.hadoop.fs.Path(tmp), true)
+  }
+
+  test("LM model + scores from the streamed postings ≡ registry at every stage") {
+    val (c0, c1) = cuts
+    val src = Files.createTempDirectory("graft_lm_src").toString
+    val indexDir = Files.createTempDirectory("graft_lm_idx").toString
+    val ckpt = Files.createTempDirectory("graft_lm_ckpt").toString
+
+    StreamOps.seedBm25Index(spark, all.filter($"doc_id" <= c0), indexDir)
+    stageFile(src, all.filter($"doc_id" > c0 && $"doc_id" <= c1), "batch1")
+
+    def run(): Unit = {
+      val q = StreamOps
+        .bm25IndexStreamWriter(
+          StreamOps.docsStream(
+            spark, s"$src/documents.parquet", Map("maxFilesPerTrigger" -> "1")),
+          indexDir,
+          ckpt)
+        .start()
+      try q.processAllAvailable()
+      finally q.stop()
+    }
+    run()
+
+    // mid-stream: seed + one streamed generation ≡ the prefix corpus
+    val prefix = all.filter($"doc_id" <= c1)
+    assert(rows(StreamOps.serveLmUnigramContinuous(spark, indexDir)) ===
+      wantUnigram(prefix))
+    assert(rows(StreamOps.serveLmScoreContinuous(spark, indexDir)) ===
+      wantScore(prefix))
+
+    // compaction folds generations without moving a probability
+    StreamOps.compactBm25Index(spark, indexDir)
+    assert(rows(StreamOps.serveLmUnigramContinuous(spark, indexDir)) ===
+      wantUnigram(prefix))
+
+    // end-of-feed: the serves land on the oracle-checked registry queries
+    stageFile(src, all.filter($"doc_id" > c1), "batch2")
+    run()
+    assert(rows(StreamOps.serveLmUnigramContinuous(spark, indexDir)) ===
+      rows(SparkEntry.queries("q_lm_unigram")(spark, sf)))
+    assert(rows(StreamOps.serveLmScoreContinuous(spark, indexDir)) ===
+      rows(SparkEntry.queries("q_lm_score")(spark, sf).filter($"n_tokens" > 0)))
+  }
+}
