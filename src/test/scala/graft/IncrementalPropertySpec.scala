@@ -2,7 +2,7 @@ package graft
 
 import java.nio.file.Files
 
-import graft.ops.{DedupOps, SimilarityOps, StreamOps, TextOps, Vec}
+import graft.ops.{DedupOps, LmOps, SimilarityOps, StreamOps, TextOps, Vec}
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
 import org.scalacheck.Gen
@@ -264,6 +264,43 @@ class IncrementalPropertySpec extends SparkSpec {
       .collect().map(_.toString).sorted.toSeq
     assert(incr === mono)
     assert(incr.nonEmpty)
+  }
+
+  test("q_lm_*: postings-served model and scores == corpus train over 200 corpora with random splits") {
+    // the SIXTH delta ≡ rebuild family: the LM serves ride the bm25
+    // postings generations, so generation-merged postings (base + inc)
+    // must produce the byte-identical model AND per-doc scores as a
+    // monolithic train over the union corpus — this quantifies the
+    // tf-grouping identity (Σ_tok r6(N/cf) = Σ_term tf·r6(N/cf)) and
+    // the cross-generation cf/N additivity over random corpora and
+    // random split points, empty/all/single-doc edges included
+    val dir = Files.createTempDirectory("graft_prop_lm").toString
+    val base = textFrame(_ == 0)
+    val delta = textFrame(_ == 1)
+    TextOps.writeBm25IndexFrom(spark, base, s"$dir/base")
+    TextOps.writeBm25IndexFrom(spark, delta, s"$dir/inc")
+    val union = base.unionByName(delta)
+    val postings = spark.read.parquet(s"$dir/base/postings")
+      .unionByName(spark.read.parquet(s"$dir/inc/postings"))
+    val nTotal = spark.read.parquet(s"$dir/base/stats")
+      .unionByName(spark.read.parquet(s"$dir/inc/stats"))
+      .agg(sum($"l").as("n_total"))
+    val gotModel = LmOps.lmUnigramFromCounts(
+      postings.groupBy($"term").agg(sum($"tf").as("cf"))
+        .crossJoin(broadcast(nTotal)))
+      .collect().map(_.toString).toSeq
+    val wantModel = LmOps.lmUnigramOf(union).collect().map(_.toString).toSeq
+    assert(gotModel === wantModel)
+    assert(gotModel.nonEmpty)
+    val gotScores = LmOps.lmScoreFromPostings(postings, nTotal)
+      .collect().map(_.toString).toSeq
+    val ft = TextOps.bm25TokensOf(union)
+    val wantScores = LmOps
+      .lmScoreOf(union, LmOps.rarityAggOf(ft, LmOps.unigramCountsOf(ft)))
+      .filter($"n_tokens" > 0)
+      .collect().map(_.toString).toSeq
+    assert(gotScores === wantScores)
+    assert(gotScores.nonEmpty)
   }
 
   test("q_sim_incr: generation-merged ANN serve == monolithic over 200 corpora with random splits") {
