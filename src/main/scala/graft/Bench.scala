@@ -16,6 +16,7 @@ object BenchSplits {
       "q_sim_ivf_served" -> ops.SimilarityOps.simIvfServedSplit(s, d),
       "q_sim_quantized_served" -> ops.SimilarityOps.simQuantizedServedSplit(s, d),
       "q_index_bm25_served" -> ops.TextOps.bm25Split(s, d),
+      "q_lm_score" -> ops.LmOps.lmScoreSplit(s, d),
       "q_index_bm25_incr" -> ops.TextOps.bm25IncrSplit(s, d),
       "q_retrieval_rrf_served" -> ops.TextOps.rrfServedSplit(s, d),
       "q_dedup_incr" -> ops.DedupOps.dedupIncrSplit(s, d),
@@ -37,17 +38,19 @@ object Bench {
     * genuine regression behind uniform inflation and a fast-host day
     * cannot fossilize slack into re-derived budgets.
     */
+  /** One probe sample (see [[calibrationProbe]]); callers warm first. */
+  private def probeOnce(s: SparkSession): Double = {
+    val t0 = System.nanoTime()
+    // bit_xor, not sum: summing uniform longs overflows under ANSI
+    // arithmetic; xor keeps the same per-row work overflow-free
+    s.range(0L, 1L << 27, 1L, s.sparkContext.defaultParallelism)
+      .selectExpr("bit_xor(xxhash64(xxhash64(xxhash64(id))))")
+      .write.mode("overwrite").format("noop").save()
+    (System.nanoTime() - t0) / 1e9
+  }
+
   private[graft] def calibrationProbe(s: SparkSession): Double = {
-    def once(): Double = {
-      val t0 = System.nanoTime()
-      // bit_xor, not sum: summing uniform longs overflows under ANSI
-      // arithmetic; xor keeps the same per-row work overflow-free
-      s.range(0L, 1L << 27, 1L, s.sparkContext.defaultParallelism)
-        .selectExpr("bit_xor(xxhash64(xxhash64(xxhash64(id))))")
-        .write.mode("overwrite").format("noop").save()
-      (System.nanoTime() - t0) / 1e9
-    }
-    once() // codegen + JIT warm; untimed
+    probeOnce(s) // codegen + JIT warm; untimed
     // MIN of 5, not median: the probe measures sustained host
     // throughput, and a GC pause or scheduling hiccup inside one ~0.5 s
     // sample only ever biases UPWARD — the minimum discards transient
@@ -55,7 +58,17 @@ object Bench {
     // every sample). An early probe at median-of-3 over a 2× shorter
     // run was observed doubling between back-to-back bench runs whose
     // query medians moved 1.15×.
-    Seq.fill(5)(once()).min
+    //
+    // SAMPLED ACROSS THE MEASURED WINDOW, not once: the round-13 r12
+    // baseline was derived from a record whose single post-warmup probe
+    // ran in a load window unlike its 20-minute measured loop, and the
+    // normalized gate then mis-scaled every budget (123 spurious
+    // violations on a run whose RAW medians were 0.95× the baseline's).
+    // main() therefore re-samples between iteration rounds and keeps
+    // the MEDIAN across rounds — the same statistic the query timings
+    // use; this standalone form (used by specs) keeps the one-window
+    // semantics.
+    Seq.fill(5)(probeOnce(s)).min
   }
 
   /** Queries whose measured median exceeds their BUDGETS.json budget at
@@ -87,9 +100,17 @@ object Bench {
         if (new java.io.File(sfDir).getName != budgetSf) Nil
         else {
           val probe = (json \ "probe").extractOpt[Double].getOrElse(0.0)
+          // ASYMMETRIC clamp [0.5, 4]: round 13 measured the probe
+          // ratio at 0.41 between two windows whose QUERY medians moved
+          // 0.95-1.0× — a pure-CPU all-core probe overstates load
+          // sensitivity for this mixed scan/shuffle workload, so a fast
+          // probe must tighten budgets at most 2× (false alarms are the
+          // costly direction); a slow probe still relaxes up to 4× (the
+          // masking case the normalization exists for — over-relaxing
+          // only loosens the gate, never fires it falsely).
           val ratio =
             if (probe > 0.0 && calibration > 0.0)
-              math.min(4.0, math.max(0.25, calibration / probe))
+              math.min(4.0, math.max(0.5, calibration / probe))
             else 1.0
           (json \ "budgets").extract[Map[String, Double]].toSeq.sorted.flatMap {
             case (q, budget) =>
@@ -143,9 +164,13 @@ object Bench {
       }
     }
     System.gc() // drop warmup garbage so no measured query eats the pause
-    // Host-throughput calibration, after warmup so JIT noise is out of
-    // the sample — recorded in the JSON and fed to the budget gate.
-    val calibration = Bench.calibrationProbe(spark)
+    // Host-throughput calibration: warmed once here, then SAMPLED
+    // BETWEEN ITERATION ROUNDS of the measured loop below and minimized
+    // over the whole window — a probe taken once outside the loop can
+    // land in a load window unlike the queries' (the round-13 poisoned
+    // baseline) and mis-scale every budget.
+    probeOnce(spark) // codegen + JIT warm; untimed
+    val calSamples = collection.mutable.Buffer(Seq.fill(3)(probeOnce(spark)).min)
     // name order: stable across rounds, so per-query numbers are
     // comparable. COMPARABILITY CAVEAT (round 10): served/incremental
     // queries now ride the build-once index catalog, so iteration 1
@@ -174,21 +199,30 @@ object Bench {
     // rebuild would show builds_run > 0 regardless.)
     val builds0 = graft.index.GenLog.buildsRun.get()
     val skips0 = graft.index.GenLog.buildsSkipped.get()
-    for (_ <- 1 to iters; (name, fn) <- names) {
-      val t0 = System.nanoTime()
-      // noop sink materializes every output column; count() would let the
-      // optimizer prune the very expressions being measured
-      try {
-        fn(spark, sfDir).write.mode("overwrite").format("noop").save()
-        // only successful runs are timed: a fast-failing query must not
-        // lower the reported total (it reports into "errors" instead)
-        samples(name) = ((System.nanoTime() - t0) / 1e9) :: samples(name)
-      } catch {
-        case e: Throwable =>
-          System.err.println(s"[bench] $name: $e")
-          errors(name) = s"${e.getClass.getSimpleName}: ${Option(e.getMessage).getOrElse("").take(200)}"
+    for (it <- 1 to iters) {
+      for ((name, fn) <- names) {
+        val t0 = System.nanoTime()
+        // noop sink materializes every output column; count() would let the
+        // optimizer prune the very expressions being measured
+        try {
+          fn(spark, sfDir).write.mode("overwrite").format("noop").save()
+          // only successful runs are timed: a fast-failing query must not
+          // lower the reported total (it reports into "errors" instead)
+          samples(name) = ((System.nanoTime() - t0) / 1e9) :: samples(name)
+        } catch {
+          case e: Throwable =>
+            System.err.println(s"[bench] $name: $e")
+            errors(name) = s"${e.getClass.getSimpleName}: ${Option(e.getMessage).getOrElse("").take(200)}"
+        }
       }
+      // a probe sample inside the same load window as this round's queries
+      calSamples += Seq.fill(3)(probeOnce(spark)).min
     }
+    // MEDIAN across rounds — the same statistic the query timings use,
+    // so the probe reflects the typical load the medians saw (a min
+    // would pick the one clean window and re-create the mismatch);
+    // min-of-3 WITHIN a sample point still discards GC/scheduler spikes
+    val calibration = { val s = calSamples.sorted; s(s.size / 2) }
     val results = names.flatMap { case (name, _) =>
       val ts = samples(name).sorted
       if (ts.isEmpty) None else Some(name -> ts(ts.size / 2))

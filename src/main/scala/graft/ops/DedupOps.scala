@@ -1600,10 +1600,13 @@ object DedupOps {
     * graph is tiny (only docs that actually share passages carry
     * edges).
     */
-  private def passageCc(s: SparkSession, d: String): DataFrame = {
-    import s.implicits._
+  /** Distinct (doc_id, g50) window-fingerprint occurrences straight off
+    * the corpus text — the registry path's edge witness.
+    */
+  private[graft] def passageWindowsOf(docsDf: DataFrame): DataFrame = {
+    import docsDf.sparkSession.implicits._
     val m = TextOps.PassageMinMatch
-    val occ = docs(s, d)
+    docsDf
       .select($"doc_id", split($"text", " ").as("tk"))
       .filter(size($"tk") >= m)
       .select(
@@ -1612,18 +1615,38 @@ object DedupOps {
           s"transform(sequence(1, size(tk) - ${m - 1}), " +
             s"i -> md5(array_join(slice(tk, i, $m), ' ')))")).as("g50"))
       .distinct()
+  }
+
+  /** Closure over any distinct (doc_id, g50) occurrence frame — the seam
+    * the continuous serve shares with the registry query (the serve
+    * derives its windows from the maintained 5-gram state instead of the
+    * corpus text; equality of 46 consecutive gram fingerprints ⇔
+    * equality of the 50-token window, so the fingerprint DIALECT may
+    * differ between callers as long as it is equality-faithful).
+    */
+  private[graft] def passageCcFromOcc(
+      s: SparkSession,
+      occ: DataFrame,
+      universe: DataFrame): DataFrame = {
+    import s.implicits._
     val hub = occ.groupBy($"g50").agg(min($"doc_id").as("hub"))
     val edges = occ
       .join(hub, Seq("g50"))
       .filter($"doc_id" =!= $"hub")
       .select($"doc_id".as("a_id"), $"hub".as("b_id"))
       .distinct()
-    ccAssign(s, edges, docs(s, d).select($"doc_id"))
+    ccAssign(s, edges, universe)
       .withColumn(
         "cluster_size",
         count(lit(1)).over(Window.partitionBy($"cluster_id")))
       .orderBy($"doc_id")
   }
+
+  private def passageCc(s: SparkSession, d: String): DataFrame =
+    passageCcFromOcc(
+      s,
+      passageWindowsOf(docs(s, d)),
+      docs(s, d).select(col("doc_id")))
 
   private val PassageCcSql =
     "WITH RECURSIVE toks AS (SELECT doc_id, string_split(text, ' ') AS tk " +

@@ -92,7 +92,7 @@ object LmOps {
     * The serve therefore never touches the corpus text — the model AND
     * the scores ride the index the lexical family already maintains.
     */
-  private[graft] def lmScoreFromPostings(
+  private[graft] def lmScoreAggFromPostings(
       postings: DataFrame,
       nTotal: DataFrame): DataFrame = {
     import postings.sparkSession.implicits._
@@ -110,11 +110,43 @@ object LmOps {
         $"tf")
       .groupBy($"doc_id")
       .agg(sum($"rterm").as("sr"), sum($"tf").as("n_tokens"))
+  }
+
+  private[graft] def lmScoreFromPostings(
+      postings: DataFrame,
+      nTotal: DataFrame): DataFrame = {
+    import postings.sparkSession.implicits._
+    lmScoreAggFromPostings(postings, nTotal)
       .select(
         $"doc_id",
         $"n_tokens",
         X.r6($"sr".cast("double") / $"n_tokens".cast("double")).as("rarity6"))
       .orderBy($"doc_id")
+  }
+
+  /** Bench split for q_lm_score: build commits the lexical index once
+    * (the SAME artifact the bm25 splits build — in production the LM
+    * rides it for free); serve scores the whole corpus from postings +
+    * the lake's doc-id universe (totality: unscorable docs emit their
+    * n_tokens = 0 row exactly like the composed query).
+    */
+  private[graft] def lmScoreSplit(
+      s: SparkSession, d: String): (() => Unit, () => DataFrame) = {
+    val root = SimilarityOps.serveRoot(s, d) + "/lm"
+    val build = () => {
+      graft.index.GenLog.buildOnce(s, root) {
+        TextOps.writeBm25IndexFrom(s, docs(s, d), s"$root/idx")
+        ()
+      }
+      ()
+    }
+    val serve = () => {
+      val postings = s.read.parquet(s"$root/idx/postings")
+      val nTotal = s.read.parquet(s"$root/idx/stats")
+        .agg(sum(col("l")).as("n_total"))
+      lmScoreOf(docs(s, d), lmScoreAggFromPostings(postings, nTotal))
+    }
+    (build, serve)
   }
 
   private def lmUnigram(s: SparkSession, d: String): DataFrame =
@@ -227,8 +259,147 @@ object LmOps {
       "FROM score s JOIN documents d USING (doc_id) WHERE s.n_tokens > 0 " +
       "ORDER BY s.doc_id"
 
+  // ---- bigram model ---------------------------------------------------
+
+  /** Ordered model-token bigrams per document: adjacency AFTER the
+    * tokenizer filter (the model sees the same token stream the unigram
+    * side counts — a dropped punctuation token does not break a pair),
+    * one row per consecutive (w1, w2). Within-row higher-order functions
+    * (filter → transform over the intact array), then one explode — no
+    * token-level shuffle before the count.
+    */
+  private[graft] def bigramsOf(docsDf: DataFrame): DataFrame = {
+    import docsDf.sparkSession.implicits._
+    docsDf
+      .select(
+        $"doc_id",
+        expr("filter(split(lower(text), ' '), t -> t rlike '^[a-z0-9]{3,}$')")
+          .as("tk"))
+      .filter(size($"tk") >= 2)
+      .select(
+        $"doc_id",
+        explode(expr(
+          "transform(sequence(1, size(tk) - 1), " +
+            "i -> struct(element_at(tk, i) AS w1, element_at(tk, i + 1) AS w2))"))
+          .as("b"))
+      .select($"doc_id", $"b.w1".as("w1"), $"b.w2".as("w2"))
+  }
+
+  /** Additive bigram statistics over any doc frame — (w1, w2, cf2):
+    * bigrams are within-document, so counts are additive over disjoint
+    * doc sets and the frame is a GenLog generation payload (the
+    * BoilerFamily pattern); the left-context totals cfl(w1) = Σ_w2 cf2
+    * are DERIVED at serve time, never stored.
+    */
+  private[graft] def bigramCountsOf(docsDf: DataFrame): DataFrame = {
+    import docsDf.sparkSession.implicits._
+    bigramsOf(docsDf).groupBy($"w1", $"w2").agg(count(lit(1)).as("cf2"))
+  }
+
+  /** The bigram model projection over any (w1, w2, cf2) counts frame —
+    * the seam the continuous serve shares with the registry query. MLE
+    * conditional probability p(w2|w1) = cf2 / cfl in the same
+    * fixed-point ladder as the unigram p6.
+    */
+  private[graft] def lmBigramFromCounts(counts: DataFrame): DataFrame = {
+    import counts.sparkSession.implicits._
+    val agg = counts.groupBy($"w1", $"w2").agg(sum($"cf2").as("cf2"))
+    val cfl = agg.groupBy($"w1").agg(sum($"cf2").as("cfl"))
+    agg
+      .join(cfl, Seq("w1"))
+      .select(
+        $"w1",
+        $"w2",
+        $"cf2",
+        $"cfl",
+        X.r6($"cf2".cast("double") / $"cfl".cast("double")).as("p6"))
+      .orderBy($"cf2".desc, $"w1", $"w2")
+  }
+
+  /** q_lm_bigram — the conditional model table: every observed token
+    * pair with its pair count, left-context total, and fixed-point MLE
+    * conditional probability. The bigram step past q_lm_unigram on the
+    * CCNet ladder: a Kneser-Ney LM is the published filter's engine
+    * (Wenzek et al. arXiv:1911.00359 use KenLM); the MLE table is its
+    * exact-arithmetic core — smoothing choices are caller policy, the
+    * corpus statistics are what the engine must get right at scale.
+    * Scale shape: one hash aggregate over pair rows (map-side combine),
+    * one aggregate + self-join on w1 for the context totals — bigram
+    * types are bounded by language like the vocabulary, just wider.
+    */
+  private def lmBigram(s: SparkSession, d: String): DataFrame =
+    lmBigramFromCounts(bigramCountsOf(docs(s, d)))
+
+  // oracle-side mirror: filtered ordered token array, positional
+  // double-unnest zip into (w1, w2) pairs
+  private val BigramCtes =
+    "toks AS (SELECT doc_id, list_filter(string_split(lower(text), ' '), " +
+      "t -> regexp_full_match(t, '[a-z0-9]{3,}')) AS tk FROM documents), " +
+      "bg AS (SELECT doc_id, " +
+      "unnest(list_transform(generate_series(1, len(tk) - 1), i -> tk[i])) AS w1, " +
+      "unnest(list_transform(generate_series(1, len(tk) - 1), i -> tk[i + 1])) AS w2 " +
+      "FROM toks WHERE len(tk) >= 2), " +
+      "cf2 AS (SELECT w1, w2, CAST(count(*) AS BIGINT) AS cf2 FROM bg GROUP BY 1, 2), " +
+      "cfl AS (SELECT w1, CAST(count(*) AS BIGINT) AS cfl FROM bg GROUP BY 1)"
+
+  private val LmBigramSql =
+    s"WITH $BigramCtes " +
+      "SELECT c.w1, c.w2, c.cf2, l.cfl, " +
+      "floor(CAST(c.cf2 AS DOUBLE) / CAST(l.cfl AS DOUBLE) * 1e6 + 0.5) / 1e6 AS p6 " +
+      "FROM cf2 c JOIN cfl l USING (w1) ORDER BY c.cf2 DESC, c.w1, c.w2"
+
+  /** q_lm_bigram_score — per-document bigram surprise: the mean inverse
+    * conditional frequency of the doc's pairs (Σ cfl/cf2 over bigrams,
+    * / n_bigrams) — the second-order complement of q_lm_score: a doc of
+    * individually common tokens in an UNSEEN-RARE order scores high
+    * here and low there (word-salad detection, the failure mode unigram
+    * filters famously miss). Same ladder: per-pair r6, decimal(38,6)
+    * sum, one IEEE division; total over the corpus (docs with < 2 model
+    * tokens emit n_bigrams = 0, NULL score).
+    */
+  private def lmBigramScore(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val bg = bigramsOf(docs(s, d))
+    val agg = bigramCountsOf(docs(s, d))
+    val cfl = agg.groupBy($"w1").agg(sum($"cf2").as("cfl"))
+    val perDoc = bg
+      .join(agg, Seq("w1", "w2"))
+      .join(cfl, Seq("w1"))
+      .select(
+        $"doc_id",
+        X.r6($"cfl".cast("double") / $"cf2".cast("double")).as("r"))
+      .groupBy($"doc_id")
+      .agg(
+        sum($"r".cast("decimal(38,6)")).as("sr"),
+        count(lit(1)).as("n_bigrams"))
+    docs(s, d)
+      .select($"doc_id")
+      .join(perDoc, Seq("doc_id"), "left")
+      .select(
+        $"doc_id",
+        coalesce($"n_bigrams", lit(0L)).as("n_bigrams"),
+        when(
+          $"n_bigrams" > 0,
+          X.r6($"sr".cast("double") / $"n_bigrams".cast("double")))
+          .as("surprise6"))
+      .orderBy($"doc_id")
+  }
+
+  private val LmBigramScoreSql =
+    s"WITH $BigramCtes, " +
+      "sc AS (SELECT doc_id, floor(CAST(l.cfl AS DOUBLE) / CAST(c.cf2 AS DOUBLE) " +
+      "* 1e6 + 0.5) / 1e6 AS r FROM bg JOIN cf2 c USING (w1, w2) JOIN cfl l USING (w1)), " +
+      "agg AS (SELECT doc_id, CAST(sum(CAST(r AS DECIMAL(38,6))) AS DOUBLE) AS sr, " +
+      "CAST(count(*) AS BIGINT) AS n_bigrams FROM sc GROUP BY 1) " +
+      "SELECT d.doc_id, coalesce(a.n_bigrams, 0) AS n_bigrams, " +
+      "CASE WHEN a.n_bigrams > 0 THEN " +
+      "floor(a.sr / a.n_bigrams * 1e6 + 0.5) / 1e6 END AS surprise6 " +
+      "FROM documents d LEFT JOIN agg a USING (doc_id) ORDER BY d.doc_id"
+
   val defs: Seq[QueryDef] = Seq(
     QueryDef("q_lm_unigram", lmUnigram, Some(LmUnigramSql)),
     QueryDef("q_lm_score", lmScore, Some(LmScoreSql)),
-    QueryDef("q_lm_bucket", lmBucket, Some(LmBucketSql)))
+    QueryDef("q_lm_bucket", lmBucket, Some(LmBucketSql)),
+    QueryDef("q_lm_bigram", lmBigram, Some(LmBigramSql)),
+    QueryDef("q_lm_bigram_score", lmBigramScore, Some(LmBigramScoreSql)))
 }

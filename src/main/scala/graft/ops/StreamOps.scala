@@ -325,6 +325,7 @@ object StreamOps {
       bm25IndexDir: String,
       boilerStatsDir: String,
       passageGramsDir: String,
+      bigramStatsDir: String,
       reportSummaryDir: String,
       jdbcUrl: String,
       reportTable: String,
@@ -434,6 +435,10 @@ object StreamOps {
       graft.index.GenLog.maybeCompact(
         batch.sparkSession, p.passageGramsDir, PassageFamily)
       graft.index.GenLog.commitGeneration(
+        BigramFamily, batch, p.bigramStatsDir, batchId)
+      graft.index.GenLog.maybeCompact(
+        batch.sparkSession, p.bigramStatsDir, BigramFamily)
+      graft.index.GenLog.commitGeneration(
         ReportFamily, batch, p.reportSummaryDir, batchId)
       // Self-tuning fold for the kernel-protocol report leg: foreachBatch
       // serializes batches, so between-commits is exactly the safe point,
@@ -466,6 +471,7 @@ object StreamOps {
     seedBm25Index(s, curatedBase, p.bm25IndexDir)
     seedBoilerplateStats(s, curatedBase, p.boilerStatsDir)
     seedPassageGrams(s, curatedBase, p.passageGramsDir)
+    seedBigramStats(s, curatedBase, p.bigramStatsDir)
     graft.index.GenLog.seed(s, ReportFamily, curatedBase, p.reportSummaryDir)
     curatedBase.select(CorpusLakeCols.map(col): _*)
       .write
@@ -1675,6 +1681,56 @@ object StreamOps {
   def compactBoilerplateStats(s: SparkSession, dir: String, keepFulls: Int = 2): Unit =
     graft.index.GenLog.compact(s, dir, BoilerFamily, keepFulls)
 
+  /** Bigram-count family — the continuous lift of q_lm_bigram: each
+    * micro-batch persists its docs' (w1, w2, cf2) pair counts
+    * ([[LmOps.bigramCountsOf]] — O(batch) work and bytes, no prior
+    * state read). Bigrams are within-document, so pair counts are
+    * additive over disjoint doc sets and merge-on-read re-aggregation
+    * recovers the exact corpus model; fold re-aggregates (the
+    * ReportFamily pattern — the snapshot stays O(bigram types), not
+    * O(generations)). Left-context totals cfl(w1) are derived at serve
+    * time from the same counts, never stored. Unlike the unigram model
+    * (which rides the bm25 postings for free), pair adjacency is not in
+    * any existing state — this is the family that carries it.
+    */
+  private[graft] val BigramFamily = graft.index.GenLog.GenFamily(
+    write = (_, docsRows, path) =>
+      LmOps.bigramCountsOf(docsRows)
+        .write
+        .mode(org.apache.spark.sql.SaveMode.Overwrite)
+        .parquet(path),
+    fold = (s, roots, path) =>
+      s.read.parquet(roots: _*)
+        .groupBy(col("w1"), col("w2"))
+        .agg(sum(col("cf2")).as("cf2"))
+        .write
+        .mode(org.apache.spark.sql.SaveMode.Overwrite)
+        .parquet(path))
+
+  /** Seed the continuous bigram counts: the base corpus as v0. */
+  def seedBigramStats(s: SparkSession, base: DataFrame, dir: String): Unit =
+    graft.index.GenLog.seed(s, BigramFamily, base, dir)
+
+  /** Continuous maintenance (kernel protocol; see the family note). */
+  def bigramStreamWriter(
+      docs: DataFrame,
+      dir: String,
+      checkpoint: String): org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
+    graft.index.GenLog.streamWriter(docs, BigramFamily, dir, checkpoint)
+
+  /** The conditional model served merge-on-read from the maintained
+    * counts — ≡ the monolithic q_lm_bigram over the union of all
+    * ingested documents at every point in time (StreamingLmSpec).
+    */
+  def serveLmBigramContinuous(s: SparkSession, dir: String): DataFrame =
+    LmOps.lmBigramFromCounts(
+      s.read.parquet(
+        graft.index.GenLog.roots(s, dir, what = "bigram stats"): _*))
+
+  /** Compaction (kernel protocol; fold = re-aggregation). */
+  def compactBigramStats(s: SparkSession, dir: String, keepFulls: Int = 2): Unit =
+    graft.index.GenLog.compact(s, dir, BigramFamily, keepFulls)
+
   /** Passage-gram family — the continuous lift of q_text_passage_dup
     * and the TENTH family on the kernel: each micro-batch persists its
     * docs' positioned 5-gram rows ([[TextOps.passageGramsOf]] — O(batch)
@@ -1782,6 +1838,23 @@ object StreamOps {
     */
   def serveDecontaminateContinuous(s: SparkSession, dir: String): DataFrame =
     TextOps.decontaminateSpansOf(passageState(s, dir))
+
+  /** q_dedup_passage_cc served from the SAME maintained passage grams —
+    * no second persisted family: a 50-token window is exactly 46
+    * consecutive gram fingerprints ([[TextOps.windowFingerprintsFromGrams]]),
+    * so the edge witness re-derives merge-on-read from the state, the
+    * closure runs on the same ccAssign kernel, and the doc universe
+    * comes from the curated lake (the scrub-serve pattern: one state,
+    * one lake, the corpus never re-grammed). Retroactive like every
+    * serve on this state: a newly ingested copy of an OLD document's
+    * passage links the old document the moment the batch commits.
+    */
+  def servePassageCcContinuous(
+      s: SparkSession, dir: String, docsDf: DataFrame): DataFrame =
+    DedupOps.passageCcFromOcc(
+      s,
+      TextOps.windowFingerprintsFromGrams(passageState(s, dir)),
+      docsDf.select(col("doc_id")))
 
   /** Targets of the composed continuous VECTOR program — the embeddings
     * side of [[CorpusPipeline]]: all five vector index families (float

@@ -420,6 +420,37 @@ object TextOps {
       .select($"doc_id", ($"p0" + 1).as("pos"), $"g5")
   }
 
+  /** 50-token window fingerprints DERIVED from the positioned 5-gram
+    * frame — the identity that lets q_dedup_passage_cc serve from the
+    * maintained gram state without a second persisted family: a
+    * 50-token window starting at token i is EXACTLY the [[PassageK]]-gram
+    * sequence at positions i..i+45 (M − K + 1 = 46 consecutive grams),
+    * and gram positions are contiguous per document by construction, so
+    * equality of the 46-gram fingerprint chain ⇔ equality of the
+    * 50-token window (md5-of-md5s inherits the state's negligible-
+    * collision contract). One sliding window per doc partition
+    * (ROWS BETWEEN CURRENT AND 45 FOLLOWING) — the same doc-keyed
+    * exchange the spans kernels already pay; the 46×16 B frame is
+    * transient, the emitted key is one md5. Works on both gram key
+    * dialects (raw 5-token strings from [[passageGramsOf]], 16-byte
+    * binaries from the slimmed state): hex() canonicalizes either
+    * faithfully to equality.
+    */
+  private[graft] def windowFingerprintsFromGrams(grams: DataFrame): DataFrame = {
+    import grams.sparkSession.implicits._
+    val m = PassageMinMatch - PassageK + 1 // 46 grams = one 50-token window
+    val w = Window
+      .partitionBy($"doc_id")
+      .orderBy($"pos")
+      .rowsBetween(Window.currentRow, m - 1)
+    grams
+      .select($"doc_id", $"pos", $"g5")
+      .withColumn("ws", collect_list(hex($"g5")).over(w))
+      .filter(size($"ws") === m)
+      .select($"doc_id", md5(concat_ws("", $"ws")).as("g50"))
+      .distinct()
+  }
+
   /** The maximal shared-passage spans per document — (doc_id,
     * span_start, span_end, span_tokens), 1-based inclusive token
     * positions, ordered — the ACTIONABLE scrub output a remover consumes

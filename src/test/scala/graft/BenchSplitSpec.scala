@@ -56,6 +56,12 @@ class BenchSplitSpec extends SparkSpec {
     // ratio clamps at 4x: an absurd probe cannot disable the gate
     assert(Bench.budgetViolations(d, Seq("q_a" -> 4.1), f.toString,
       calibration = 100.0) === Seq(("q_a", 4.1, 4.0)))
+    // ...and tightens at most 2x downward: the pure-CPU probe overstates
+    // load sensitivity vs the mixed query workload (round-13 measured a
+    // 0.41 probe ratio across windows whose query medians moved <1.05x),
+    // so an ultra-fast probe must not manufacture false violations
+    assert(Bench.budgetViolations(d, Seq("q_b" -> 1.1), f.toString,
+      calibration = 0.01) === Seq(("q_b", 1.1, 1.0)))
     // no calibration measured -> raw budgets (back-compat)
     assert(Bench.budgetViolations(d, results, f.toString) ===
       Seq(("q_a", 1.5, 1.0)))

@@ -84,6 +84,7 @@ class CompactionPolicySpec extends SparkSpec {
       bm25IndexDir = s"$base/bm25",
       boilerStatsDir = s"$base/boiler",
       passageGramsDir = s"$base/passage",
+      bigramStatsDir = s"$base/bigram",
       reportSummaryDir = s"$base/report",
       jdbcUrl = url,
       reportTable = "corpus_report")

@@ -131,12 +131,14 @@ class EndToEndPipelineSpec extends SparkSpec {
     val sumIdx = Files.createTempDirectory("graft_e2e_sum").toString
     val boilerIdx = Files.createTempDirectory("graft_e2e_boiler").toString
     val passageIdx = Files.createTempDirectory("graft_e2e_passage").toString
+    val bigramIdx = Files.createTempDirectory("graft_e2e_bigram").toString
     val pipe = StreamOps.CorpusPipeline(
       lakeDir = lake,
       dedupIndexDir = dedupIdx,
       bm25IndexDir = bm25Idx,
       boilerStatsDir = boilerIdx,
       passageGramsDir = passageIdx,
+      bigramStatsDir = bigramIdx,
       reportSummaryDir = sumIdx,
       jdbcUrl = url,
       reportTable = "corpus_report")
@@ -416,5 +418,16 @@ class EndToEndPipelineSpec extends SparkSpec {
         rows(TextOps.passageMinlenReportOf(
           TextOps.passageGramsOf(curatedAll2))),
       "day-2 passage 50-token report diverged")
+    assert(
+      rows(StreamOps.servePassageCcContinuous(spark, passageIdx, curatedAll2)) ===
+        rows(DedupOps.passageCcFromOcc(
+          spark,
+          DedupOps.passageWindowsOf(curatedAll2),
+          curatedAll2.select($"doc_id"))),
+      "day-2 passage clusters diverged from the batch closure")
+    assert(
+      rows(StreamOps.serveLmBigramContinuous(spark, bigramIdx)) ===
+        rows(LmOps.lmBigramFromCounts(LmOps.bigramCountsOf(curatedAll2))),
+      "day-2 bigram model diverged from the batch train")
   }
 }

@@ -82,6 +82,39 @@ class LmSpec extends SparkSpec {
       (4L, "fr", 1L)))
   }
 
+  // bigram corpus: cf2(aaa,bbb)=3 (one via a DROPPED token bridge),
+  // cf2(bbb,aaa)=1, cf2(aaa,ccc)=1; cfl(aaa)=4, cfl(bbb)=1
+  private lazy val bdir = stage(Seq(
+    ("aaa bbb aaa bbb", "en"),
+    ("aaa ccc", "en"),
+    ("aaa zz bbb", "en"), // zz is sub-3-chars: dropped, aaa-bbb still pair
+    ("solo", "en")))      // one model token: no bigram, stays total
+
+  test("q_lm_bigram: exact pair counts, left-context totals, conditional p6; filter-then-pair") {
+    val got = SparkEntry.queries("q_lm_bigram")(spark, bdir)
+      .collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getLong(3), r.getDouble(4)))
+    assert(got === Array(
+      ("aaa", "bbb", 3L, 4L, r6(3.0 / 4.0)),
+      ("aaa", "ccc", 1L, 4L, r6(1.0 / 4.0)),
+      ("bbb", "aaa", 1L, 1L, r6(1.0 / 1.0))),
+      "a dropped sub-3-char token must BRIDGE its neighbors, not break the pair")
+  }
+
+  test("q_lm_bigram_score: per-doc mean inverse conditional frequency; sub-2-token docs stay total") {
+    val got = SparkEntry.queries("q_lm_bigram_score")(spark, bdir)
+      .collect()
+      .map(r => r.getLong(0) ->
+        ((r.getLong(1), if (r.isNullAt(2)) None else Some(r.getDouble(2)))))
+      .toMap
+    // rarities: (aaa,bbb) → r6(4/3), (bbb,aaa) → 1.0, (aaa,ccc) → 4.0;
+    // exact decimal sums as literals (2·1.333333 + 1 = 3.666666)
+    assert(got(0L) === ((3L, Some(r6(3.666666 / 3)))))
+    assert(got(1L) === ((1L, Some(r6(4.0 / 1)))))
+    assert(got(2L) === ((1L, Some(r6(1.333333 / 1)))))
+    assert(got(3L) === ((0L, None)), "a one-token doc emits n_bigrams=0, NULL")
+  }
+
   test("score direction: a rare-token doc outranks a common-token doc (the filter's premise)") {
     val sc = SparkEntry.queries("q_lm_score")(spark, dir)
       .collect().filterNot(_.isNullAt(2))

@@ -147,6 +147,29 @@ class ScaleSpec extends SparkSpec {
     assertLinear("q_dedup_cc", maxRatio = 6.0) // observed 2.9
   }
 
+  test("q_dedup_passage_cc and q_lm_* at 10x: per-replica structure, linear") {
+    import spark.implicits._
+    val (d1, d10) = dirs
+    // passage clusters are EXACT (md5 window equality — no LSH recall
+    // noise), so replica structure is exact: token tagging preserves
+    // within-replica 50-token matches and breaks every cross-replica
+    // one, and the 31-token hot docs are below the window length, so
+    // 10x carries exactly 10x the 1x non-singleton clusters
+    def nontrivial(d: String): Long =
+      SparkEntry.queries("q_dedup_passage_cc")(spark, d)
+        .filter($"cluster_size" >= 2)
+        .agg(countDistinct($"cluster_id")).head().getLong(0)
+    val c1 = nontrivial(d1)
+    assert(c1 > 0, "the sf0.1 corpus must carry real 50-token duplicate passages")
+    assert(nontrivial(d10) === Replicas * c1)
+    // LM vocabulary is replica-namespaced: exactly 10x the 1x terms plus
+    // the hot-doc vocabulary (30 shared chrome tokens + 1 unique per doc)
+    def vocab(d: String): Long = SparkEntry.queries("q_lm_unigram")(spark, d).count()
+    assert(vocab(d10) === Replicas * vocab(d1) + 30L + HotDocs)
+    assertLinear("q_dedup_passage_cc", maxRatio = 12.0)
+    assertLinear("q_lm_score", maxRatio = 12.0)
+  }
+
   test("banded pair join at 10x keeps its plan shape: equi-join, no cartesian") {
     import graft.ops.DedupOps
     val (_, d10) = dirs

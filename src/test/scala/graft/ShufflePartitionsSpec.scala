@@ -35,7 +35,8 @@ class ShufflePartitionsSpec extends SparkSpec {
     // round-13 batch 2: the LM family (vocab join + doc agg + per-lang
     // ntile window) and the passage-share closure (fingerprint distinct
     // + hub star + ccAssign)
-    "q_lm_unigram", "q_lm_score", "q_lm_bucket", "q_dedup_passage_cc")
+    "q_lm_unigram", "q_lm_score", "q_lm_bucket", "q_dedup_passage_cc",
+    "q_lm_bigram", "q_lm_bigram_score")
 
   private def exchanges(df: DataFrame): Int =
     "(?<!Broadcast)Exchange".r

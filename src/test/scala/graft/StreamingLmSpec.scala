@@ -96,4 +96,46 @@ class StreamingLmSpec extends SparkSpec {
     assert(rows(StreamOps.serveLmScoreContinuous(spark, indexDir)) ===
       rows(SparkEntry.queries("q_lm_score")(spark, sf).filter($"n_tokens" > 0)))
   }
+
+  test("bigram model from streamed counts ≡ monolithic train at every stage") {
+    val (c0, c1) = cuts
+    val src = Files.createTempDirectory("graft_bg_src").toString
+    val dir = Files.createTempDirectory("graft_bg_idx").toString
+    val ckpt = Files.createTempDirectory("graft_bg_ckpt").toString
+
+    StreamOps.seedBigramStats(spark, all.filter($"doc_id" <= c0), dir)
+    stageFile(src, all.filter($"doc_id" > c0 && $"doc_id" <= c1), "batch1")
+
+    def run(): Unit = {
+      val q = StreamOps
+        .bigramStreamWriter(
+          StreamOps.docsStream(
+            spark, s"$src/documents.parquet", Map("maxFilesPerTrigger" -> "1")),
+          dir,
+          ckpt)
+        .start()
+      try q.processAllAvailable()
+      finally q.stop()
+    }
+    run()
+
+    // mid-stream: pair counts are additive over disjoint doc sets, and
+    // the conditional table (cfl derived at serve time) must equal a
+    // from-scratch train over the prefix corpus
+    def want(dd: DataFrame): Seq[String] =
+      rows(LmOps.lmBigramFromCounts(LmOps.bigramCountsOf(dd)))
+    val prefix = all.filter($"doc_id" <= c1)
+    assert(rows(StreamOps.serveLmBigramContinuous(spark, dir)) === want(prefix))
+
+    // compaction folds by RE-AGGREGATION (not concatenation): the
+    // snapshot stays O(bigram types) and no probability moves
+    StreamOps.compactBigramStats(spark, dir)
+    assert(rows(StreamOps.serveLmBigramContinuous(spark, dir)) === want(prefix))
+
+    // end-of-feed: the serve lands on the oracle-checked registry query
+    stageFile(src, all.filter($"doc_id" > c1), "batch2")
+    run()
+    assert(rows(StreamOps.serveLmBigramContinuous(spark, dir)) ===
+      rows(SparkEntry.queries("q_lm_bigram")(spark, sf)))
+  }
 }

@@ -90,6 +90,11 @@ class StreamingPassageSpec extends SparkSpec {
       rows(StreamOps.serveScrub50Continuous(spark, dir, all)) ===
         rows(SparkEntry.queries("q_text_scrub50")(spark, sf)),
       "the served scrub (state spans + lake text, no re-gram) diverged")
+    assert(
+      rows(StreamOps.servePassageCcContinuous(spark, dir, all)) ===
+        rows(SparkEntry.queries("q_dedup_passage_cc")(spark, sf)),
+      "the served passage clusters (windows re-derived from gram chains, " +
+        "universe from the lake) diverged from the registry closure")
 
     // SLIM state: the persisted gram key is the 16-byte md5 fingerprint,
     // not the 5-token string — every consumer above used equality only.
