@@ -43,7 +43,12 @@ object ClusterCheck {
     "q_sim_served",
     "q_index_bm25_served",
     "q_join_broadcast",
-    "q_text_passage_dup50")
+    "q_text_passage_dup50",
+    // round-13 batch 2: the closure kernel (localCheckpoint blocks live
+    // on executor block managers; the bounded driver finish collects
+    // across RPC) and the LM ladder's decimal aggregation
+    "q_dedup_passage_cc",
+    "q_lm_bigram_score")
 
   def main(args: Array[String]): Unit = {
     val Array(sfDir, outDir) = args

@@ -52,7 +52,13 @@ class PlanHygieneSpec extends SparkSpec {
     // r12: one-row corpus-scaled boilerplate threshold attach
     // (TextOps.boilerplateFracReportOf — the df-fraction cut is a
     // broadcast scalar, same idiom as the BM25 (N, L) stats row)
-    "q_text_boilerplate_frac")
+    "q_text_boilerplate_frac",
+    // the unigram LM family: the one-row corpus-total attach
+    // (crossJoin(broadcast(N)) — the boilerplate_frac idiom); the
+    // bigram family carries none (cfl comes from a keyed join)
+    "q_lm_unigram",
+    "q_lm_score",
+    "q_lm_bucket")
 
   private lazy val plans: Map[String, String] =
     SparkEntry.queries.keys.toSeq.sorted.map { name =>
