@@ -396,10 +396,103 @@ object LmOps {
       "floor(a.sr / a.n_bigrams * 1e6 + 0.5) / 1e6 END AS surprise6 " +
       "FROM documents d LEFT JOIN agg a USING (doc_id) ORDER BY d.doc_id"
 
+  // ---- cross-split application -----------------------------------------
+
+  /** The q_split_assign hash ladder as a column over doc_id — the same
+    * pure function every split-aware operator shares, so the assignment
+    * is engine-independent and needs no persisted split table.
+    */
+  private def splitCol(docId: Column): Column = {
+    val bucket = pmod(Hashing.h32(docId.cast("string")), lit(100L))
+    when(bucket < 80, "train").when(bucket < 90, "valid").otherwise("test")
+  }
+
+  /** q_lm_apply — the PRODUCTION shape of the CCNet filter: the model is
+    * trained on the TRAIN split only and applied to every valid/test
+    * document (Wenzek et al. train on curated text and score the crawl —
+    * scoring a doc with a model that saw it is the leakage q_split_assign
+    * exists to prevent). Out-of-vocabulary tokens — eval terms the train
+    * split never produced, impossible in the self-scoring q_lm_score —
+    * are REPORTED (n_oov) rather than smoothed: smoothing choices are
+    * caller policy, and the exact-arithmetic contract scores the
+    * in-vocab tokens (mean train-rarity, denominators from TRAIN totals)
+    * while the OOV rate is itself a quality signal (CCNet's models treat
+    * high-OOV documents as tail). Total over the eval split: a doc with
+    * zero model tokens or all-OOV tokens keeps its row with a NULL
+    * score. Scale shape: identical to q_lm_score (one counts aggregate —
+    * over the train 80 % — one term join, one doc-keyed reduce); the
+    * split label is a pure hash of doc_id, computed map-side, never
+    * joined.
+    */
+  private def lmApply(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val fts = TextOps.bm25TokensOf(docs(s, d))
+      .withColumn("split", splitCol($"doc_id"))
+    val counts = unigramCountsOf(
+      fts.filter($"split" === "train").select($"doc_id", $"term"))
+    val agg = fts
+      .filter($"split" =!= "train")
+      .join(counts, Seq("term"), "left")
+      .select(
+        $"doc_id",
+        when(
+          $"cf".isNotNull,
+          X.r6($"n_total".cast("double") / $"cf".cast("double"))).as("r"))
+      .groupBy($"doc_id")
+      .agg(
+        count(lit(1)).as("n_tokens"),
+        sum(when($"r".isNull, 1L).otherwise(0L)).as("n_oov"),
+        sum($"r".cast("decimal(38,6)")).as("sr"))
+    docs(s, d)
+      .select($"doc_id", splitCol($"doc_id").as("split"))
+      .filter($"split" =!= "train")
+      .join(agg, Seq("doc_id"), "left")
+      .select(
+        $"doc_id",
+        $"split",
+        coalesce($"n_tokens", lit(0L)).as("n_tokens"),
+        coalesce($"n_oov", lit(0L)).as("n_oov"),
+        when(
+          $"n_tokens" - $"n_oov" > 0,
+          X.r6($"sr".cast("double") /
+            ($"n_tokens" - $"n_oov").cast("double")))
+          .as("rarity6"))
+      .orderBy($"doc_id")
+  }
+
+  private val LmApplySql = {
+    val b = s"${Hashing.h32Sql("CAST(doc_id AS VARCHAR)")} % 100"
+    val split = s"CASE WHEN $b < 80 THEN 'train' WHEN $b < 90 THEN 'valid' ELSE 'test' END"
+    "WITH tok AS (SELECT doc_id, unnest(string_split(lower(text),' ')) AS term " +
+      "FROM documents), " +
+      "ft AS (SELECT doc_id, term FROM tok " +
+      "WHERE regexp_full_match(term,'[a-z0-9]{3,}')), " +
+      s"fts AS (SELECT doc_id, $split AS split, term FROM ft), " +
+      "cf AS (SELECT term, CAST(count(*) AS BIGINT) AS cf FROM fts " +
+      "WHERE split = 'train' GROUP BY 1), " +
+      "tot AS (SELECT CAST(count(*) AS BIGINT) AS n_total FROM fts " +
+      "WHERE split = 'train'), " +
+      "ev AS (SELECT f.doc_id, c.cf FROM fts f LEFT JOIN cf c USING (term) " +
+      "WHERE f.split <> 'train'), " +
+      "sc AS (SELECT doc_id, CASE WHEN cf IS NOT NULL THEN " +
+      "floor(CAST(n_total AS DOUBLE) / CAST(cf AS DOUBLE) * 1e6 + 0.5) / 1e6 " +
+      "END AS r FROM ev CROSS JOIN tot), " +
+      "agg AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tokens, " +
+      "CAST(count(*) FILTER (WHERE r IS NULL) AS BIGINT) AS n_oov, " +
+      "CAST(sum(CAST(r AS DECIMAL(38,6))) AS DOUBLE) AS sr FROM sc GROUP BY 1) " +
+      s"SELECT d.doc_id, $split AS split, " +
+      "coalesce(a.n_tokens, 0) AS n_tokens, coalesce(a.n_oov, 0) AS n_oov, " +
+      "CASE WHEN a.n_tokens - a.n_oov > 0 THEN " +
+      "floor(a.sr / (a.n_tokens - a.n_oov) * 1e6 + 0.5) / 1e6 END AS rarity6 " +
+      s"FROM documents d LEFT JOIN agg a USING (doc_id) WHERE ($split) <> 'train' " +
+      "ORDER BY d.doc_id"
+  }
+
   val defs: Seq[QueryDef] = Seq(
     QueryDef("q_lm_unigram", lmUnigram, Some(LmUnigramSql)),
     QueryDef("q_lm_score", lmScore, Some(LmScoreSql)),
     QueryDef("q_lm_bucket", lmBucket, Some(LmBucketSql)),
     QueryDef("q_lm_bigram", lmBigram, Some(LmBigramSql)),
-    QueryDef("q_lm_bigram_score", lmBigramScore, Some(LmBigramScoreSql)))
+    QueryDef("q_lm_bigram_score", lmBigramScore, Some(LmBigramScoreSql)),
+    QueryDef("q_lm_apply", lmApply, Some(LmApplySql)))
 }

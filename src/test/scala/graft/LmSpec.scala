@@ -115,6 +115,36 @@ class LmSpec extends SparkSpec {
     assert(got(3L) === ((0L, None)), "a one-token doc emits n_bigrams=0, NULL")
   }
 
+  test("q_lm_apply: train-only model, OOV accounted, eval rows stay total") {
+    // every doc = "shared common token{i}": the per-doc token is OOV for
+    // every eval doc (it never occurs in train), the two common tokens
+    // are in-vocab with cf = |train| each, N = 3·|train|
+    val n = 50
+    val dir = stage((0 until n).map(i => (s"shared common token$i", "en")))
+    // replicate the split ladder to partition ids the way the engine does
+    val buckets = spark.range(n)
+      .select($"id", pmod(ops.Hashing.h32($"id".cast("string")), lit(100L)).as("b"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val trainIds = buckets.filter(_._2 < 80).keySet
+    val evalIds = buckets.keySet -- trainIds
+    assert(trainIds.nonEmpty && evalIds.nonEmpty, "fixture must split both ways")
+    val nTrain = trainIds.size.toLong
+    val r = r6((3.0 * nTrain) / nTrain) // = 3.0: rarity of each common token
+    val got = SparkEntry.queries("q_lm_apply")(spark, dir)
+      .collect()
+      .map(x => x.getLong(0) ->
+        ((x.getString(1), x.getLong(2), x.getLong(3),
+          if (x.isNullAt(4)) None else Some(x.getDouble(4)))))
+      .toMap
+    assert(got.keySet === evalIds, "exactly the eval docs are scored")
+    for ((id, (split, nt, oov, sc)) <- got) {
+      assert(split === (if (buckets(id) < 90) "valid" else "test"))
+      assert(nt === 3L && oov === 1L, s"doc $id: the per-doc token must be OOV")
+      // sum = 2r in exact decimal, / 2 in-vocab tokens = r
+      assert(sc === Some(r6(2 * r / 2)), s"doc $id")
+    }
+  }
+
   test("score direction: a rare-token doc outranks a common-token doc (the filter's premise)") {
     val sc = SparkEntry.queries("q_lm_score")(spark, dir)
       .collect().filterNot(_.isNullAt(2))

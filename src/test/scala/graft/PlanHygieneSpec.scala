@@ -58,7 +58,8 @@ class PlanHygieneSpec extends SparkSpec {
     // bigram family carries none (cfl comes from a keyed join)
     "q_lm_unigram",
     "q_lm_score",
-    "q_lm_bucket")
+    "q_lm_bucket",
+    "q_lm_apply")
 
   private lazy val plans: Map[String, String] =
     SparkEntry.queries.keys.toSeq.sorted.map { name =>

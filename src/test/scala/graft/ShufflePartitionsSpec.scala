@@ -36,7 +36,7 @@ class ShufflePartitionsSpec extends SparkSpec {
     // ntile window) and the passage-share closure (fingerprint distinct
     // + hub star + ccAssign)
     "q_lm_unigram", "q_lm_score", "q_lm_bucket", "q_dedup_passage_cc",
-    "q_lm_bigram", "q_lm_bigram_score")
+    "q_lm_bigram", "q_lm_bigram_score", "q_lm_apply")
 
   private def exchanges(df: DataFrame): Int =
     "(?<!Broadcast)Exchange".r
