@@ -71,6 +71,19 @@ object Bench {
     Seq.fill(5)(probeOnce(s)).min
   }
 
+  /** Per-query gate statistic: the MIN across a query's interleaved
+    * iteration samples (see main()'s budget-gate comment — regressions
+    * slow every sample, transient load only some). Name order follows
+    * `order`; queries with no successful sample are absent.
+    */
+  private[graft] def gateTimes(
+      order: Seq[String],
+      samples: collection.Map[String, List[Double]]): Seq[(String, Double)] =
+    order.flatMap { name =>
+      val ts = samples.getOrElse(name, Nil)
+      if (ts.isEmpty) None else Some(name -> ts.min)
+    }
+
   /** Queries whose measured median exceeds their BUDGETS.json budget at
     * the file's scale factor — (name, measured, effective budget), empty
     * on a clean run or when this run's scale isn't the budgeted one.
@@ -227,6 +240,17 @@ object Bench {
       val ts = samples(name).sorted
       if (ts.isEmpty) None else Some(name -> ts(ts.size / 2))
     }
+    // Budget gate basis: the MIN across interleaved iterations, not the
+    // median the headline numbers report. A genuine code regression slows
+    // EVERY iteration, so the min still catches it; a host-load window
+    // (the round-13 q_index_bm25_incr false flag: 3.20 s median vs 1.36 s
+    // on identical code in a clean window) inflates only the samples it
+    // overlaps, and with a full list-round between a query's samples the
+    // min escapes it. The calibration probe still scales the budgets —
+    // min-of-iterations handles TRANSIENT load the probe can't see,
+    // the probe handles SUSTAINED load that slows every sample
+    // (BenchSplitSpec pins both directions).
+    val gateResults = gateTimes(names.map(_._1), samples)
     val measuredBuilds = graft.index.GenLog.buildsRun.get() - builds0
     val measuredSkips = graft.index.GenLog.buildsSkipped.get() - skips0
     // Escape backslash, quote, AND control chars: Spark exception messages
@@ -295,12 +319,12 @@ object Bench {
     // itself, like the catalog counters. Budgets are scale-specific:
     // only checked when this run's sf dir matches the file's.
     val budgetViolations =
-      Bench.budgetViolations(sfDir, results, "BUDGETS.json", calibration)
+      Bench.budgetViolations(sfDir, gateResults, "BUDGETS.json", calibration)
     val budgetsJson = budgetViolations
       .map { case (q, t, b) => jstr(q) + s""":{"sec":$t,"budget":$b}""" }
       .mkString("{", ",", "}")
     val total = results.map(_._2).sum
-    val full = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errs,"partial_samples":$counts,"splits":$splitsJson,"catalog":$catalogJson,"budget_violations":$budgetsJson,"calibration":$calibration,"sf":"$sfDir","iterations":$iters}"""
+    val full = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errs,"partial_samples":$counts,"splits":$splitsJson,"catalog":$catalogJson,"budget_violations":$budgetsJson,"budget_basis":"min","calibration":$calibration,"sf":"$sfDir","iterations":$iters}"""
     println(full)
     // The harness snapshots only the TAIL of stdout; the full line above is
     // one long JSON record whose head (including "value") can fall outside

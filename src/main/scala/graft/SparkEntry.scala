@@ -28,4 +28,11 @@ object SparkEntry {
     */
   lazy val oracleSql: Map[String, String] =
     all.flatMap(q => q.oracle.map(q.name -> _)).toMap
+
+  /** Data-dependent oracle generators (see [[QueryDef.oracleGen]]):
+    * Verify invokes each with the live session + sf dir and merges the
+    * rendered SQL into oracle_sql.json beside the static entries.
+    */
+  lazy val oracleSqlDynamic: Map[String, (SparkSession, String) => String] =
+    all.flatMap(q => q.oracleGen.map(q.name -> _)).toMap
 }

@@ -41,7 +41,20 @@ object Verify {
       case c if c < ' ' => f"\\u${c.toInt}%04x"
       case c => c.toString
     } + "\""
-    val json = SparkEntry.oracleSql
+    // Data-dependent oracles (trained-codebook literals) render HERE,
+    // against the same sf dir the queries just ran on — each guarded so a
+    // generator failure costs that one oracle (weaker rows-only check),
+    // never the dump.
+    val dynamic = SparkEntry.oracleSqlDynamic
+      .filter { case (name, _) => only.isEmpty || only(name) }
+      .flatMap { case (name, gen) =>
+        try Some(name -> gen(spark, sfDir))
+        catch { case e: Throwable =>
+          System.err.println(s"[verify] oracle gen $name failed: ${e.getMessage}")
+          None
+        }
+      }
+    val json = (SparkEntry.oracleSql ++ dynamic)
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
     spark.stop()

@@ -8,11 +8,21 @@ import org.apache.spark.sql.types.LongType
   * (when SQL-expressible) the DuckDB oracle SQL the driver hash-compares
   * against at sf0.01. Oracle is None for approximate / sink-only ops, which
   * get the driver's weaker rows-only check.
+  *
+  * `oracleGen` is the DATA-DEPENDENT oracle variant: a generator invoked
+  * by Verify at dump time with the session and sf dir, for queries whose
+  * exact SQL mirror needs model state computed from the corpus (e.g. the
+  * Lloyd-trained codebooks — the training loop is not oracle-expressible,
+  * but its deterministic OUTPUT rendered as exact-decimal literals makes
+  * assignment + prune + top-k hash-checkable end-to-end, the
+  * q_dedup_embed_rh hyperplane-literal idiom with trained instead of
+  * seeded state). At most one of oracle/oracleGen is set.
   */
 final case class QueryDef(
     name: String,
     fn: (SparkSession, String) => DataFrame,
-    oracle: Option[String] = None)
+    oracle: Option[String] = None,
+    oracleGen: Option[(SparkSession, String) => String] = None)
 
 /** The reference's fixed 7-field output row (main.py:164-172), the typed
   * ingest boundary promised in SURVEY §1.4: `Option` fields are exactly

@@ -403,10 +403,36 @@ object SimilarityOps {
     ivfSearch(e, cents, NProbe)
   }
 
-  private val IvfSql =
+  /** Exact-decimal SQL literal for a (trained) codebook: each float
+    * widened to double is exact, and BigDecimal of that double renders
+    * the exact decimal string, so DuckDB parses back the IDENTICAL
+    * double the engine's arithmetic uses — the q_dedup_embed_rh
+    * hyperplane-literal idiom, applied to Lloyd output instead of a
+    * seeded matrix. cn2 is recomputed in SQL from the same literals
+    * through the same left fold, so every IEEE operation downstream
+    * matches bit-for-bit.
+    */
+  private def centsLitCte(cb: Seq[(Long, Seq[Float])]): String = {
+    val rows = cb
+      .map { case (id, v) =>
+        s"(CAST($id AS BIGINT), CAST(" +
+          v.map(f => new java.math.BigDecimal(f.toDouble).toPlainString)
+            .mkString("[", ", ", "]") +
+          " AS DOUBLE[]))"
+      }
+      .mkString(", ")
+    s"cents AS (SELECT c_id, c, ${Vec.norm2Sql("c")} AS cn2 " +
+      s"FROM (VALUES $rows) AS t(c_id, c))"
+  }
+
+  /** The IVF oracle chain, parameterized by the cents CTE: the fixed
+    * first-k stand-in codebook for q_sim_ivf, a trained-codebook literal
+    * ([[centsLitCte]]) for q_sim_ivf_trained's dump-time oracle.
+    */
+  private def ivfSqlWith(centsCte: String): String =
     s"WITH e AS (SELECT vec_id, embedding, ${Vec.norm2Sql("embedding")} AS n2 " +
       "FROM embeddings), " +
-      s"cents AS (SELECT vec_id AS c_id, embedding AS c, n2 AS cn2 FROM e WHERE vec_id < $IvfCells), " +
+      s"$centsCte, " +
       "scored AS (SELECT e.vec_id, e.embedding, e.n2, cents.c_id, " +
       s"${Vec.dotSql("e.embedding", "cents.c")} / (sqrt(e.n2) * sqrt(cents.cn2)) AS ccos " +
       "FROM e, cents), " +
@@ -420,6 +446,23 @@ object SimilarityOps {
       "* 1000000 + 0.5) / 1000000 AS cos " +
       "FROM cells JOIN pcells ON cell = pcell, probe WHERE vec_id <> 0 " +
       "ORDER BY cos DESC, vec_id LIMIT 10"
+
+  private val IvfSql = ivfSqlWith(
+    s"cents AS (SELECT vec_id AS c_id, embedding AS c, n2 AS cn2 " +
+      s"FROM e WHERE vec_id < $IvfCells)")
+
+  /** Dump-time oracle for q_sim_ivf_trained: the training loop itself is
+    * not oracle-expressible, but its output is deterministic (IvfTrainSpec)
+    * — so Verify re-trains the codebook on the dump's own sf dir, renders
+    * it as exact-decimal literals, and the assignment + probe + top-k
+    * become hash-checkable end-to-end exactly like q_sim_ivf.
+    */
+  private[graft] def ivfTrainedOracle(s: SparkSession, d: String): String = {
+    import s.implicits._
+    val e = emb(s, d)
+      .select($"vec_id", $"embedding", Vec.norm2($"embedding").as("n2"))
+    ivfSqlWith(centsLitCte(trainCodebook(e, IvfCells, iters = 4)))
+  }
 
   /** q_sim_ivf_batch — batch-probe IVF: the q_sim_batch generalization
     * applied to the inverted-file path (q_sim_ivf still serves the single
@@ -1450,14 +1493,15 @@ object SimilarityOps {
       .parquet(s"$path/survivors")
   }
 
-  /** The shared CTE chain of the semantic-dedup oracles: cells via the
-    * same argmin/tie-break as the engine, dropped via the anchor rule.
+  /** The shared CTE chain of the semantic-dedup oracles, parameterized
+    * by the cents CTE (first-k stand-in, or a trained-codebook literal
+    * for q_dedup_semantic_trained): cells via the same argmin/tie-break
+    * as the engine, dropped via the anchor rule.
     */
-  private val SemCtes =
+  private def semCtesWith(centsCte: String): String =
     s"e AS (SELECT vec_id, embedding, ${Vec.norm2Sql("embedding")} AS n2 " +
       "FROM embeddings), " +
-      "cents AS (SELECT vec_id AS c_id, embedding AS c, n2 AS cn2 FROM e " +
-      s"WHERE vec_id < (SELECT GREATEST($IvfCells, CAST(ceil(sqrt(count(*))) AS BIGINT)) FROM e)), " +
+      s"$centsCte, " +
       "scored AS (SELECT e.vec_id, e.embedding, e.n2, cents.c_id, " +
       s"${Vec.dotSql("e.embedding", "cents.c")} / (sqrt(e.n2) * sqrt(cents.cn2)) AS ccos " +
       "FROM e, cents), " +
@@ -1468,10 +1512,30 @@ object SimilarityOps {
       "ON a.cell = b.cell AND a.vec_id < b.vec_id " +
       s"WHERE ${Vec.dotSql("a.embedding", "b.embedding")} / (sqrt(a.n2) * sqrt(b.n2)) > $SemTau)"
 
+  private val SemCtes = semCtesWith(
+    "cents AS (SELECT vec_id AS c_id, embedding AS c, n2 AS cn2 FROM e " +
+      s"WHERE vec_id < (SELECT GREATEST($IvfCells, CAST(ceil(sqrt(count(*))) AS BIGINT)) FROM e))")
+
   private val SemanticSql =
     s"WITH $SemCtes " +
       "SELECT vec_id, cell FROM cells " +
       "WHERE vec_id NOT IN (SELECT vec_id FROM dropped) ORDER BY vec_id"
+
+  /** Dump-time oracle for q_dedup_semantic_trained — [[ivfTrainedOracle]]'s
+    * idiom on the dedup family: re-train the √N-cell codebook on the
+    * dump's sf dir (deterministic, SemanticDedupSpec), render it as
+    * exact-decimal literals, and the assignment + anchor prune are
+    * hash-checked end-to-end like q_dedup_semantic.
+    */
+  private[graft] def semTrainedOracle(s: SparkSession, d: String): String = {
+    import s.implicits._
+    val e = emb(s, d)
+      .select($"vec_id", $"embedding", Vec.norm2($"embedding").as("n2"))
+    val cb = trainCodebook(e, semCellCount(e).toInt, iters = 2)
+    s"WITH ${semCtesWith(centsLitCte(cb))} " +
+      "SELECT vec_id, cell FROM cells " +
+      "WHERE vec_id NOT IN (SELECT vec_id FROM dropped) ORDER BY vec_id"
+  }
 
   /** The incremental oracle IS the delta ≡ rebuild identity: the full
     * survivor set restricted to batch ids (monotone anchor rule).
@@ -1503,7 +1567,8 @@ object SimilarityOps {
     QueryDef("q_dedup_semantic_incr", dedupSemanticIncr, Some(SemanticIncrSql)),
     QueryDef("q_cluster_stats", clusterStats, Some(ClusterStatsSql)),
     QueryDef("q_cluster_terms", clusterTerms, Some(ClusterTermsSql)),
-    QueryDef("q_dedup_semantic_trained", dedupSemanticTrained, None),
+    QueryDef("q_dedup_semantic_trained", dedupSemanticTrained, None,
+      oracleGen = Some(semTrainedOracle)),
     QueryDef("q_embed_quantize", embedQuantize, Some(QuantizeSql)),
     QueryDef("q_sim_quantized", simQuantized, Some(QuantizedSql)),
     QueryDef("q_sim_quantized_served", simQuantizedServed, Some(QuantizedSql)),
@@ -1517,7 +1582,8 @@ object SimilarityOps {
     QueryDef("q_sim_served", simServed, Some(BatchSql)),
     QueryDef("q_sim_incr", simIncr, Some(BatchSql)),
     QueryDef("q_sim_ivf_served", simIvfServed, Some(IvfBatchSql)),
-    QueryDef("q_sim_ivf_trained", simIvfTrained, None),
+    QueryDef("q_sim_ivf_trained", simIvfTrained, None,
+      oracleGen = Some(ivfTrainedOracle)),
     QueryDef(
       "q_multimodal",
       multimodal,

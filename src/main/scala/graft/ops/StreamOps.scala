@@ -1207,6 +1207,31 @@ object StreamOps {
     LmOps.lmScoreFromPostings(postings, nTotal)
   }
 
+  /** Serve q_lm_score_lang's scored rows from the SAME postings state —
+    * the per-language production default (one LM per language, CCNet
+    * arXiv:1911.00359) still rides the maintained lexical index: the
+    * lake's (doc_id, lang) map joins language onto each posting (the
+    * index deliberately persists no lake metadata), then the tf-grouping
+    * identity applies per (lang, term) exactly as it does per term
+    * ([[LmOps.lmScoreLangAggFromPostings]]). Docs with zero model tokens
+    * carry no postings and no row, as with [[serveLmScoreContinuous]].
+    */
+  def serveLmScoreLangContinuous(
+      s: SparkSession,
+      indexDir: String,
+      docLang: DataFrame): DataFrame = {
+    import s.implicits._
+    val (postings, _) = lmFrames(s, indexDir)
+    LmOps.lmScoreLangAggFromPostings(postings, docLang)
+      .join(docLang.select($"doc_id", $"lang"), Seq("doc_id"))
+      .select(
+        $"doc_id",
+        $"lang",
+        $"n_tokens",
+        X.r6($"sr".cast("double") / $"n_tokens".cast("double")).as("rarity6"))
+      .orderBy($"doc_id")
+  }
+
   /** Seed the continuous ANN index: the base corpus becomes the
     * committed v0 full bucket-partitioned snapshot.
     */

@@ -447,7 +447,12 @@ object TextOps {
       .select($"doc_id", $"pos", $"g5")
       .withColumn("ws", collect_list(hex($"g5")).over(w))
       .filter(size($"ws") === m)
-      .select($"doc_id", md5(concat_ws("", $"ws")).as("g50"))
+      // "|" separator (outside the hex alphabet): the raw-string gram
+      // dialect hex()es to VARIABLE-length pieces, and an unseparated
+      // concatenation of variable-length pieces is not injective — two
+      // different chains could concatenate equal and fabricate a
+      // window-equality edge beyond the accepted md5-collision contract
+      .select($"doc_id", md5(concat_ws("|", $"ws")).as("g50"))
       .distinct()
   }
 

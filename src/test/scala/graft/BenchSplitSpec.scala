@@ -19,6 +19,30 @@ class BenchSplitSpec extends SparkSpec {
     }
   }
 
+  test("budget gate basis: min across interleaved iterations, not the median") {
+    // The reported medians and the gate statistic deliberately differ: a
+    // transient host-load window inflates SOME samples (the round-13
+    // q_index_bm25_incr false flag: one 3.2 s sample on code whose clean
+    // time is 1.3 s) and the min escapes it, while a genuine regression
+    // slows EVERY sample and the min still catches it.
+    val samples = Map(
+      "q_loaded" -> List(3.2, 1.3, 1.4), // one contaminated sample
+      "q_regressed" -> List(3.2, 3.1, 3.3), // all samples slow
+      "q_failed" -> List.empty[Double])
+    val gate = Bench.gateTimes(
+      Seq("q_loaded", "q_regressed", "q_failed", "q_absent"), samples)
+    assert(gate === Seq("q_loaded" -> 1.3, "q_regressed" -> 3.1))
+    // against a 2.0 budget: the load window does NOT flag, the true
+    // regression DOES
+    val f = java.nio.file.Files.createTempFile("graft_budgets_min", ".json")
+    java.nio.file.Files.write(f,
+      """{"sf":"sf0.1","budgets":{"q_loaded":2.0,"q_regressed":2.0}}"""
+        .getBytes("UTF-8"))
+    assert(
+      Bench.budgetViolations("/root/testdata/sf0.1", gate, f.toString) ===
+        Seq(("q_regressed", 3.1, 2.0)))
+  }
+
   test("budget gate: violations flag only over-budget queries at the budgeted scale") {
     val f = java.nio.file.Files.createTempFile("graft_budgets", ".json")
     java.nio.file.Files.write(f,
