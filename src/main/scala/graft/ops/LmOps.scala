@@ -405,9 +405,15 @@ object LmOps {
     * q_lm_score's (term alone), which only sharpens skew — the hottest
     * term of one language no longer collides with its homographs.
     */
-  private def lmScoreLang(s: SparkSession, d: String): DataFrame = {
-    import s.implicits._
-    val ftl = langTokensOf(docs(s, d))
+  private def lmScoreLang(s: SparkSession, d: String): DataFrame =
+    lmScoreLangOf(docs(s, d))
+
+  /** [[lmScoreLang]] over an arbitrary doc frame — the seam the
+    * continuous-serve spec compares against on prefix corpora.
+    */
+  private[graft] def lmScoreLangOf(docsDf: DataFrame): DataFrame = {
+    import docsDf.sparkSession.implicits._
+    val ftl = langTokensOf(docsDf)
     val agg = ftl
       .join(unigramCountsLangOf(ftl), Seq("lang", "term"))
       .select(
@@ -417,7 +423,7 @@ object LmOps {
       .agg(
         sum($"r".cast("decimal(38,6)")).as("sr"),
         count(lit(1)).as("n_tokens"))
-    docs(s, d)
+    docsDf
       .select($"doc_id", $"lang")
       .join(agg, Seq("doc_id"), "left")
       .select(
@@ -478,6 +484,23 @@ object LmOps {
   private[graft] def bigramCountsOf(docsDf: DataFrame): DataFrame = {
     import docsDf.sparkSession.implicits._
     bigramsOf(docsDf).groupBy($"w1", $"w2").agg(count(lit(1)).as("cf2"))
+  }
+
+  /** [[bigramCountsOf]] keyed one column wider by the SPLIT of the pair's
+    * document — the continuous BigramFamily's generation payload: summing
+    * cf2 over split recovers the corpus counts exactly (splits partition
+    * the doc set), while filtering split = 'train' recovers the
+    * q_lm_bigram_apply model's counts — ONE maintained state serves the
+    * corpus model, the per-split models, and the train-only apply. The
+    * split is [[splitCol]]'s pure hash of doc_id, computed at write time
+    * from the batch alone (no lake read, no carried column trusted).
+    */
+  private[graft] def bigramCountsSplitOf(docsDf: DataFrame): DataFrame = {
+    import docsDf.sparkSession.implicits._
+    bigramsOf(docsDf)
+      .withColumn("split", splitCol($"doc_id"))
+      .groupBy($"split", $"w1", $"w2")
+      .agg(count(lit(1)).as("cf2"))
   }
 
   /** The bigram model projection over any (w1, w2, cf2) counts frame —
@@ -586,7 +609,7 @@ object LmOps {
     * pure function every split-aware operator shares, so the assignment
     * is engine-independent and needs no persisted split table.
     */
-  private def splitCol(docId: Column): Column = {
+  private[graft] def splitCol(docId: Column): Column = {
     val bucket = pmod(Hashing.h32(docId.cast("string")), lit(100L))
     when(bucket < 80, "train").when(bucket < 90, "valid").otherwise("test")
   }
@@ -688,11 +711,26 @@ object LmOps {
     */
   private def lmBigramApply(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
-    val trainDocs = docs(s, d).filter(splitCol($"doc_id") === "train")
-    val agg = bigramCountsOf(trainDocs)
+    lmBigramApplyFromCounts(
+      bigramCountsOf(docs(s, d).filter(splitCol($"doc_id") === "train")),
+      docs(s, d))
+  }
+
+  /** The apply seam over any TRAIN-split (w1, w2, cf2) counts frame —
+    * re-aggregated first, so merge-on-read generation unions from the
+    * continuous BigramFamily ([[bigramCountsSplitOf]] payloads filtered
+    * to split = 'train') serve the byte-identical answer
+    * ([[graft.ops.StreamOps.serveLmBigramApplyContinuous]]).
+    */
+  private[graft] def lmBigramApplyFromCounts(
+      trainCounts: DataFrame,
+      allDocs: DataFrame): DataFrame = {
+    import allDocs.sparkSession.implicits._
+    val agg =
+      trainCounts.groupBy($"w1", $"w2").agg(sum($"cf2").as("cf2"))
     val model = agg.join(
       agg.groupBy($"w1").agg(sum($"cf2").as("cfl")), Seq("w1"))
-    val perDoc = bigramsOf(docs(s, d).filter(splitCol($"doc_id") =!= "train"))
+    val perDoc = bigramsOf(allDocs.filter(splitCol($"doc_id") =!= "train"))
       .join(model, Seq("w1", "w2"), "left")
       .select(
         $"doc_id",
@@ -704,7 +742,7 @@ object LmOps {
         count(lit(1)).as("n_bigrams"),
         sum(when($"r".isNull, 1L).otherwise(0L)).as("n_oov"),
         sum($"r".cast("decimal(38,6)")).as("sr"))
-    docs(s, d)
+    allDocs
       .select($"doc_id", splitCol($"doc_id").as("split"))
       .filter($"split" =!= "train")
       .join(perDoc, Seq("doc_id"), "left")

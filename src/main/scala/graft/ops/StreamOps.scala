@@ -1719,14 +1719,19 @@ object StreamOps {
     * any existing state — this is the family that carries it.
     */
   private[graft] val BigramFamily = graft.index.GenLog.GenFamily(
+    // payload keyed (split, w1, w2): splits partition the doc set, so
+    // summing cf2 over split recovers the corpus counts exactly while
+    // filtering split = 'train' serves q_lm_bigram_apply's train-only
+    // model from the SAME state — at most 3× the pair-type rows for a
+    // second first-class serve (LmOps.bigramCountsSplitOf)
     write = (_, docsRows, path) =>
-      LmOps.bigramCountsOf(docsRows)
+      LmOps.bigramCountsSplitOf(docsRows)
         .write
         .mode(org.apache.spark.sql.SaveMode.Overwrite)
         .parquet(path),
     fold = (s, roots, path) =>
       s.read.parquet(roots: _*)
-        .groupBy(col("w1"), col("w2"))
+        .groupBy(col("split"), col("w1"), col("w2"))
         .agg(sum(col("cf2")).as("cf2"))
         .write
         .mode(org.apache.spark.sql.SaveMode.Overwrite)
@@ -1751,6 +1756,24 @@ object StreamOps {
     LmOps.lmBigramFromCounts(
       s.read.parquet(
         graft.index.GenLog.roots(s, dir, what = "bigram stats"): _*))
+
+  /** q_lm_bigram_apply served from the SAME maintained counts: the
+    * split-keyed payload filtered to split = 'train' IS the train-only
+    * pair model (merge-on-read re-aggregation restores exact counts),
+    * and the eval docs score against it through the registry's own seam
+    * — cross-split leakage protection with no second state
+    * (StreamingLmSpec asserts ≡ the registry query at every stage).
+    */
+  def serveLmBigramApplyContinuous(
+      s: SparkSession,
+      dir: String,
+      allDocs: DataFrame): DataFrame =
+    LmOps.lmBigramApplyFromCounts(
+      s.read
+        .parquet(graft.index.GenLog.roots(s, dir, what = "bigram stats"): _*)
+        .filter(col("split") === "train")
+        .select(col("w1"), col("w2"), col("cf2")),
+      allDocs)
 
   /** Compaction (kernel protocol; fold = re-aggregation). */
   def compactBigramStats(s: SparkSession, dir: String, keepFulls: Int = 2): Unit =

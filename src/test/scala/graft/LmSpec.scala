@@ -151,4 +151,158 @@ class LmSpec extends SparkSpec {
       .map(r => r.getLong(0) -> r.getDouble(2)).toMap
     assert(sc(1L) > sc(0L), "doc with the hapax scores rarer than the common-token doc")
   }
+
+  test("langTerciles ≡ the window ntile formulation on generated skewed corpora") {
+    // the two-pass distributed rank must be ROW-IDENTICAL to
+    // ntile(3) over (partition by lang order by rarity6, doc_id) — the
+    // formulation it replaces for scale — across language skew (90 %+
+    // one lang), heavy rarity ties, languages with n < 3, and empty
+    // slices from range boundaries
+    import org.apache.spark.sql.expressions.Window
+    val rnd = new scala.util.Random(20260815L)
+    for (trial <- 1 to 30) {
+      val langs = Seq("en", "fr", "de", "sw").take(1 + rnd.nextInt(4))
+      val n = 1 + rnd.nextInt(200)
+      val rows = (0 until n).map { i =>
+        // Zipf-ish lang choice: index 0 dominates
+        val lang = langs(math.min(langs.size - 1, (math.abs(rnd.nextGaussian()) * 0.8).toInt))
+        // coarse rarity grid forces cross-partition ties
+        (i.toLong, lang, (rnd.nextInt(5) + 1) / 2.0)
+      }
+      val scored = rows.toDF("doc_id", "lang", "rarity6")
+      val w = Window.partitionBy($"lang").orderBy($"rarity6", $"doc_id")
+      val want = scored
+        .select($"doc_id", $"lang", $"rarity6",
+          ntile(3).over(w).cast("long").as("bucket"))
+        .collect().map(_.toString).sorted.toSeq
+      val got = ops.LmOps.langTerciles(scored)
+        .collect().map(_.toString).sorted.toSeq
+      assert(got === want, s"trial $trial (n=$n, langs=$langs)")
+    }
+  }
+
+  test("q_lm_bucket plan: no per-language window over the full scored frame") {
+    // the round-13 scale defect was ntile(3) over partitionBy(lang) —
+    // one task sorts an entire language. The replacement may only use
+    // single-column lang windows over AGGREGATED (P×|langs|) inputs; any
+    // window over raw scored rows must partition by (pid, lang), whose
+    // size is bounded by the range slice
+    import org.apache.spark.sql.catalyst.plans.logical
+    val plan = SparkEntry.queries("q_lm_bucket")(spark, dir)
+      .queryExecution.optimizedPlan
+    val wins = plan.collect { case w: logical.Window => w }
+    assert(wins.nonEmpty, "expected window nodes in the bucket plan")
+    for (w <- wins if w.partitionSpec.size == 1) {
+      val aggregated =
+        w.child.collectFirst { case a: logical.Aggregate => a }.isDefined
+      assert(aggregated,
+        s"single-column window over a non-aggregated input: ${w.partitionSpec}")
+    }
+  }
+
+  test("range partitioning balances a 90%-one-language corpus (the shape the window lacked)") {
+    // directly pins the load-balance claim: with 9 of 10 docs in one
+    // language, partitioning by the RANK KEY spreads the hot language
+    // over many partitions, where partitionBy(lang) would put it in one
+    val n = 2000
+    val scored = (0 until n)
+      .map(i => (i.toLong, if (i % 10 == 0) "fr" else "en", (i % 7) / 2.0))
+      .toDF("doc_id", "lang", "rarity6")
+    val parts = 16
+    val sizes = scored
+      .repartitionByRange(parts, $"lang", $"rarity6", $"doc_id")
+      .select(org.apache.spark.sql.functions.spark_partition_id().as("pid"))
+      .groupBy($"pid").count().collect().map(_.getLong(1))
+    assert(sizes.length > 1, "hot language must span multiple partitions")
+    assert(sizes.max <= 2L * n / parts,
+      s"range partitions must stay balanced, got ${sizes.mkString(",")}")
+  }
+
+  // two-language corpus: en as in `dir`, plus fr docs sharing the same
+  // SURFACE tokens — under per-language models fr's counts are its own
+  private lazy val dirLang = stage(Seq(
+    ("aaa aaa aaa bbb", "en"),
+    ("aaa bbb ccc", "en"),
+    ("zz !", "en"),
+    ("AAA Bbb", "en"),
+    ("aaa ddd", "fr"),
+    ("aaa aaa", "fr")))
+
+  test("q_lm_unigram_lang: per-language counts and totals, self-contained per language") {
+    val got = SparkEntry.queries("q_lm_unigram_lang")(spark, dirLang)
+      .collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getLong(3), r.getDouble(4)))
+    // en: aaa 5, bbb 3, ccc 1 over N=9 — IDENTICAL to the single-lang
+    // fixture even though fr adds three more aaa; fr: aaa 3, ddd 1, N=4
+    assert(got.toSet === Set(
+      ("en", "aaa", 5L, 9L, r6(5.0 / 9.0)),
+      ("en", "bbb", 3L, 9L, r6(3.0 / 9.0)),
+      ("en", "ccc", 1L, 9L, r6(1.0 / 9.0)),
+      ("fr", "aaa", 3L, 4L, r6(3.0 / 4.0)),
+      ("fr", "ddd", 1L, 4L, r6(1.0 / 4.0))))
+  }
+
+  test("q_lm_score_lang: a doc scores only against its own language's model") {
+    val got = SparkEntry.queries("q_lm_score_lang")(spark, dirLang)
+      .collect()
+      .map(r => r.getLong(0) ->
+        ((r.getString(1), r.getLong(2),
+          if (r.isNullAt(3)) None else Some(r.getDouble(3)))))
+      .toMap
+    // en docs: byte-identical to the single-language fixture's q_lm_score
+    assert(got(0L) === (("en", 4L, Some(r6(8.4 / 4)))))
+    assert(got(1L) === (("en", 3L, Some(r6(13.8 / 3)))))
+    assert(got(2L) === (("en", 0L, None)))
+    assert(got(3L) === (("en", 2L, Some(r6(4.8 / 2)))))
+    // fr: rarity(aaa) = r6(4/3), rarity(ddd) = 4.0 — from fr counts only
+    assert(got(4L) === (("fr", 2L, Some(r6((r6(4.0 / 3) + 4.0) / 2)))))
+    assert(got(5L) === (("fr", 2L, Some(r6(4.0 / 3)))))
+  }
+
+  test("per-language isolation: fr scores invariant under any change to the en sub-corpus") {
+    val base = Seq(("aaa ddd", "fr"), ("aaa aaa", "fr"))
+    val d1 = stage(Seq(("aaa bbb", "en")) ++ base)
+    val d2 = stage(Seq(("xxx yyy zzz xxx", "en"), ("aaa aaa aaa", "en")) ++ base)
+    def fr(d: String): Seq[String] =
+      SparkEntry.queries("q_lm_score_lang")(spark, d)
+        .filter($"lang" === "fr")
+        .drop("doc_id") // fixture doc_ids shift with the en row count
+        .collect().map(_.toString).toSeq
+    assert(fr(d1) === fr(d2),
+      "per-language scoring must not see other languages' counts")
+    // ...which is exactly what the corpus-global q_lm_score cannot offer
+    def frGlobal(d: String): Seq[String] =
+      SparkEntry.queries("q_lm_score")(spark, d)
+        .join(T(spark, d, "documents").select($"doc_id", $"lang"), Seq("doc_id"))
+        .filter($"lang" === "fr")
+        .drop("doc_id")
+        .collect().map(_.toString).toSeq
+    assert(frGlobal(d1) !== frGlobal(d2),
+      "the global model's fr scores move with the en corpus — the gap the _lang family closes")
+  }
+
+  test("q_lm_bigram_apply: train-only pair model, per-pair OOV, eval rows stay total") {
+    // every doc = "shared common token{i}": pairs are (shared, common) —
+    // in-vocab for eval docs, cf2 = cfl = |train| so r = 1.0 — and
+    // (common, token{i}) — OOV for eval docs (train never saw the pair)
+    val n = 50
+    val dir = stage((0 until n).map(i => (s"shared common token$i", "en")))
+    val buckets = spark.range(n)
+      .select($"id", pmod(ops.Hashing.h32($"id".cast("string")), lit(100L)).as("b"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val evalIds = buckets.filter(_._2 >= 80).keySet
+    assert(evalIds.nonEmpty && evalIds.size < n, "fixture must split both ways")
+    val got = SparkEntry.queries("q_lm_bigram_apply")(spark, dir)
+      .collect()
+      .map(x => x.getLong(0) ->
+        ((x.getString(1), x.getLong(2), x.getLong(3),
+          if (x.isNullAt(4)) None else Some(x.getDouble(4)))))
+      .toMap
+    assert(got.keySet === evalIds, "exactly the eval docs are scored")
+    for ((id, (split, nb, oov, sc)) <- got) {
+      assert(split === (if (buckets(id) < 90) "valid" else "test"))
+      assert(nb === 2L && oov === 1L, s"doc $id: (common, token$id) must be OOV")
+      assert(sc === Some(1.0), s"doc $id: the surviving pair scores cfl/cf2 = 1")
+    }
+  }
 }

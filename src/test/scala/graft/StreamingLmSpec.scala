@@ -82,6 +82,13 @@ class StreamingLmSpec extends SparkSpec {
       wantUnigram(prefix))
     assert(rows(StreamOps.serveLmScoreContinuous(spark, indexDir)) ===
       wantScore(prefix))
+    // the per-language production default rides the SAME postings: lang
+    // joins on from the lake map, and the (lang, term) tf-grouping
+    // identity must reproduce the registry computation exactly
+    assert(
+      rows(StreamOps.serveLmScoreLangContinuous(
+        spark, indexDir, prefix.select($"doc_id", $"lang"))) ===
+        rows(LmOps.lmScoreLangOf(prefix).filter($"n_tokens" > 0)))
 
     // compaction folds generations without moving a probability
     StreamOps.compactBm25Index(spark, indexDir)
@@ -95,6 +102,11 @@ class StreamingLmSpec extends SparkSpec {
       rows(SparkEntry.queries("q_lm_unigram")(spark, sf)))
     assert(rows(StreamOps.serveLmScoreContinuous(spark, indexDir)) ===
       rows(SparkEntry.queries("q_lm_score")(spark, sf).filter($"n_tokens" > 0)))
+    assert(
+      rows(StreamOps.serveLmScoreLangContinuous(
+        spark, indexDir, all.select($"doc_id", $"lang"))) ===
+        rows(SparkEntry.queries("q_lm_score_lang")(spark, sf)
+          .filter($"n_tokens" > 0)))
   }
 
   test("bigram model from streamed counts ≡ monolithic train at every stage") {
@@ -124,18 +136,32 @@ class StreamingLmSpec extends SparkSpec {
     // from-scratch train over the prefix corpus
     def want(dd: DataFrame): Seq[String] =
       rows(LmOps.lmBigramFromCounts(LmOps.bigramCountsOf(dd)))
+    // the train-only apply from the SAME split-keyed state: filtering
+    // the payload to split='train' must equal a from-scratch train-split
+    // count over the prefix corpus, eval docs scored through the
+    // registry's own seam
+    def wantApply(dd: DataFrame): Seq[String] =
+      rows(LmOps.lmBigramApplyFromCounts(
+        LmOps.bigramCountsOf(dd.filter(LmOps.splitCol($"doc_id") === "train")),
+        dd))
+    def gotApply(dd: DataFrame): Seq[String] =
+      rows(StreamOps.serveLmBigramApplyContinuous(spark, dir, dd))
     val prefix = all.filter($"doc_id" <= c1)
     assert(rows(StreamOps.serveLmBigramContinuous(spark, dir)) === want(prefix))
+    assert(gotApply(prefix) === wantApply(prefix))
 
     // compaction folds by RE-AGGREGATION (not concatenation): the
     // snapshot stays O(bigram types) and no probability moves
     StreamOps.compactBigramStats(spark, dir)
     assert(rows(StreamOps.serveLmBigramContinuous(spark, dir)) === want(prefix))
+    assert(gotApply(prefix) === wantApply(prefix))
 
-    // end-of-feed: the serve lands on the oracle-checked registry query
+    // end-of-feed: the serves land on the oracle-checked registry queries
     stageFile(src, all.filter($"doc_id" > c1), "batch2")
     run()
     assert(rows(StreamOps.serveLmBigramContinuous(spark, dir)) ===
       rows(SparkEntry.queries("q_lm_bigram")(spark, sf)))
+    assert(gotApply(all) ===
+      rows(SparkEntry.queries("q_lm_bigram_apply")(spark, sf)))
   }
 }
