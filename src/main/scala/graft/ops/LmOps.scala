@@ -49,6 +49,28 @@ object LmOps {
 
   private def docs(s: SparkSession, d: String) = T(s, d, "documents")
 
+  /** Model-state materialization barrier for every token ⋈ counts join.
+    *
+    * Token frequencies are Zipfian ("the" ≈ 5 % of English tokens), so
+    * the join that attaches per-term counts to the token stream is the
+    * family's one skew-prone shuffle. The intended mitigation is AQE's
+    * OptimizeSkewedJoin — but that rule only fires when BOTH join
+    * children are plain ENSURE_REQUIREMENTS shuffle stages, and a counts
+    * AGGREGATE feeding the join directly is already hash-distributed on
+    * the key: no splittable stage on that side, rule bails, and the hot
+    * term's entire partition rides in one task (TermSkewSpec reproduces
+    * this: plain agg → no split; explicit repartition → still no split,
+    * REPARTITION_BY_COL origin is excluded from the rule). Checkpointing
+    * the counts — bounded model state, O(vocabulary) — turns them into a
+    * freshly scanned relation, so EnsureRequirements plants clean
+    * exchanges on both sides: small counts still auto-broadcast from
+    * runtime size stats (the test-scale plan is unchanged), corpus-scale
+    * counts sort-merge with the skew split ARMED. Also pays the counts
+    * branch's token scan once instead of per consumer.
+    */
+  private def pinned(counts: DataFrame): DataFrame =
+    counts.localCheckpoint(true)
+
   /** (term, cf, n_total) — the unigram counts every query here shares;
     * also exactly reconstructible from the BM25 postings generations.
     */
@@ -105,7 +127,7 @@ object LmOps {
       .agg(sum($"tf").as("cf"))
       .crossJoin(broadcast(nTotal.select($"n_total")))
     postings
-      .join(counts, Seq("term"))
+      .join(pinned(counts), Seq("term"))
       .select(
         $"doc_id",
         ($"tf".cast("decimal(12,0)") *
@@ -175,7 +197,7 @@ object LmOps {
     */
   private[graft] def rarityAggOf(ft: DataFrame, counts: DataFrame): DataFrame = {
     import ft.sparkSession.implicits._
-    ft.join(counts, Seq("term"))
+    ft.join(pinned(counts), Seq("term"))
       .select(
         $"doc_id",
         X.r6($"n_total".cast("double") / $"cf".cast("double")).as("r"))
@@ -415,7 +437,7 @@ object LmOps {
     import docsDf.sparkSession.implicits._
     val ftl = langTokensOf(docsDf)
     val agg = ftl
-      .join(unigramCountsLangOf(ftl), Seq("lang", "term"))
+      .join(pinned(unigramCountsLangOf(ftl)), Seq("lang", "term"))
       .select(
         $"doc_id",
         X.r6($"n_total".cast("double") / $"cf".cast("double")).as("r"))
@@ -570,8 +592,7 @@ object LmOps {
     val agg = bigramCountsOf(docs(s, d))
     val cfl = agg.groupBy($"w1").agg(sum($"cf2").as("cfl"))
     val perDoc = bg
-      .join(agg, Seq("w1", "w2"))
-      .join(cfl, Seq("w1"))
+      .join(pinned(agg.join(cfl, Seq("w1"))), Seq("w1", "w2"))
       .select(
         $"doc_id",
         X.r6($"cfl".cast("double") / $"cf2".cast("double")).as("r"))
@@ -639,7 +660,7 @@ object LmOps {
       fts.filter($"split" === "train").select($"doc_id", $"term"))
     val agg = fts
       .filter($"split" =!= "train")
-      .join(counts, Seq("term"), "left")
+      .join(pinned(counts), Seq("term"), "left")
       .select(
         $"doc_id",
         when(
@@ -728,8 +749,8 @@ object LmOps {
     import allDocs.sparkSession.implicits._
     val agg =
       trainCounts.groupBy($"w1", $"w2").agg(sum($"cf2").as("cf2"))
-    val model = agg.join(
-      agg.groupBy($"w1").agg(sum($"cf2").as("cfl")), Seq("w1"))
+    val model = pinned(agg.join(
+      agg.groupBy($"w1").agg(sum($"cf2").as("cfl")), Seq("w1")))
     val perDoc = bigramsOf(allDocs.filter(splitCol($"doc_id") =!= "train"))
       .join(model, Seq("w1", "w2"), "left")
       .select(
@@ -816,7 +837,7 @@ object LmOps {
         broadcast(pl.groupBy($"lang").agg(sum($"tf").as("n_total"))),
         Seq("lang"))
     pl
-      .join(counts, Seq("lang", "term"))
+      .join(pinned(counts), Seq("lang", "term"))
       .select(
         $"doc_id",
         ($"tf".cast("decimal(12,0)") *

@@ -53,13 +53,14 @@ class PlanHygieneSpec extends SparkSpec {
     // (TextOps.boilerplateFracReportOf — the df-fraction cut is a
     // broadcast scalar, same idiom as the BM25 (N, L) stats row)
     "q_text_boilerplate_frac",
-    // the unigram LM family: the one-row corpus-total attach
-    // (crossJoin(broadcast(N)) — the boilerplate_frac idiom); the
-    // bigram family carries none (cfl comes from a keyed join)
-    "q_lm_unigram",
-    "q_lm_score",
-    "q_lm_bucket",
-    "q_lm_apply")
+    // q_lm_unigram: the one-row corpus-total attach
+    // (crossJoin(broadcast(N)) — the boilerplate_frac idiom). The REST
+    // of the LM family no longer carries a BNLJ in its final plan: the
+    // token ⋈ counts joins materialize their counts behind the
+    // skew-arming checkpoint (LmOps.pinned), so the one-row attach lives
+    // inside the checkpointed lineage; the _lang variants attach
+    // per-language totals by a keyed broadcast join, never a cross
+    "q_lm_unigram")
 
   private lazy val plans: Map[String, String] =
     SparkEntry.queries.keys.toSeq.sorted.map { name =>
