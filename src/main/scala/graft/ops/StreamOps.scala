@@ -448,12 +448,19 @@ object StreamOps {
       // bespoke folds rewrite multi-artifact state the day-2 cycle owns.
       graft.index.GenLog.maybeCompact(
         batch.sparkSession, p.reportSummaryDir, ReportFamily)
-      Sinks.upsertSnapshotSwapJdbc(
-        publishedCorpusReport(batch.sparkSession, p.reportSummaryDir),
-        p.jdbcUrl,
-        p.reportTable,
-        Seq("split", "lang"),
-        p.props)
+      // empty jdbcUrl = no external warehouse configured: the summary
+      // family above is still maintained and publishedCorpusReport still
+      // serves — only the push to the external table is skipped (also
+      // the multi-executor harness case: embedded Derby is one-JVM-only,
+      // and no network server ships in this environment)
+      if (p.jdbcUrl.nonEmpty) {
+        Sinks.upsertSnapshotSwapJdbc(
+          publishedCorpusReport(batch.sparkSession, p.reportSummaryDir),
+          p.jdbcUrl,
+          p.reportTable,
+          Seq("split", "lang"),
+          p.props)
+      }
     }
   }
 
@@ -477,9 +484,11 @@ object StreamOps {
       .write
       .mode(org.apache.spark.sql.SaveMode.Overwrite)
       .parquet(s"${p.lakeDir}/batch=seed")
-    Sinks.upsertSnapshotSwapJdbc(
-      publishedCorpusReport(s, p.reportSummaryDir), p.jdbcUrl, p.reportTable,
-      Seq("split", "lang"), p.props)
+    if (p.jdbcUrl.nonEmpty) {
+      Sinks.upsertSnapshotSwapJdbc(
+        publishedCorpusReport(s, p.reportSummaryDir), p.jdbcUrl, p.reportTable,
+        Seq("split", "lang"), p.props)
+    }
   }
 
   /** The composed continuous corpus program as a stream writer: feed it

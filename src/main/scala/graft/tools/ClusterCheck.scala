@@ -50,8 +50,102 @@ object ClusterCheck {
     "q_dedup_passage_cc",
     "q_lm_bigram_score")
 
+  /** The composed CorpusPipeline feed as a deterministic check program —
+    * shared verbatim between the forked local-cluster run and the spec's
+    * in-process local[*] reference run, so a row diff can only come from
+    * the execution boundary. Drives the streaming side the batch slice
+    * above cannot: foreachBatch GenLog commits (heartbeated lease,
+    * claim/commit protocol), the in-stream maybeCompact folds, the
+    * localCheckpoint batch blocks on executor block managers, then a
+    * full day-2 compaction cycle — and returns every served surface.
+    * The pipeline runs with NO external JDBC target (empty url):
+    * embedded Derby is one-JVM-only, so the published report is read
+    * from the maintained summary family instead.
+    */
+  private[graft] def runPipeline(
+      s: SparkSession,
+      sfDir: String,
+      work: String): Seq[(String, org.apache.spark.sql.DataFrame)] = {
+    import org.apache.spark.sql.{DataFrame, functions => F}
+    import F.{col, lit, max, md5, pmod, row_number, when}
+    import graft.ops.{CurationOps, Hashing, StreamOps}
+    val all = graft.T(s, sfDir, "documents")
+    val mx = all.agg(max(col("doc_id"))).head().getLong(0)
+    val cut = mx * 8 / 10
+    val c1 = mx * 9 / 10
+    // the batch-curated seed: gate ∧ mix, md5 first-writer-wins, split
+    // tag — the EndToEndPipelineSpec reference composition
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(md5(col("text"))).orderBy(col("doc_id"))
+    val bucket = pmod(Hashing.h32(col("doc_id").cast("string")), lit(100L))
+    val base = CurationOps
+      .qualityGate(all.filter(col("doc_id") <= cut))
+      .filter(CurationOps.mixPredicate)
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .drop("rn")
+      .withColumn(
+        "split",
+        when(bucket < 80, "train").when(bucket < 90, "valid").otherwise("test"))
+      .localCheckpoint(true)
+    // stage today's feed as two ordered files (mtime drives file order
+    // under maxFilesPerTrigger=1 — the StreamingLmSpec idiom)
+    val src = s"$work/src/documents.parquet"
+    def stage(df: DataFrame, name: String, mtime: Long): Unit = {
+      val fs = new org.apache.hadoop.fs.Path(src)
+        .getFileSystem(s.sparkContext.hadoopConfiguration)
+      val tmp = s"$work/_stage_$name"
+      df.coalesce(1).write.parquet(tmp)
+      val part = fs.listStatus(new org.apache.hadoop.fs.Path(tmp))
+        .filter(_.getPath.getName.endsWith(".parquet")).head.getPath
+      fs.mkdirs(new org.apache.hadoop.fs.Path(src))
+      fs.rename(part, new org.apache.hadoop.fs.Path(s"$src/$name.parquet"))
+      fs.delete(new org.apache.hadoop.fs.Path(tmp), true)
+      new java.io.File(s"$src/$name.parquet").setLastModified(mtime)
+    }
+    stage(all.filter(col("doc_id") > cut && col("doc_id") <= c1), "feed1", 1000000L)
+    stage(all.filter(col("doc_id") > c1), "feed2", 2000000L)
+    val pipe = StreamOps.CorpusPipeline(
+      lakeDir = s"$work/lake",
+      dedupIndexDir = s"$work/dedup",
+      bm25IndexDir = s"$work/bm25",
+      boilerStatsDir = s"$work/boiler",
+      passageGramsDir = s"$work/passage",
+      bigramStatsDir = s"$work/bigram",
+      reportSummaryDir = s"$work/summary",
+      jdbcUrl = "",
+      reportTable = "")
+    StreamOps.seedCorpusPipeline(s, base, pipe)
+    val q = StreamOps
+      .corpusPipelineWriter(
+        StreamOps.liftCuratedDocs(s, src, Map("maxFilesPerTrigger" -> "1")),
+        pipe,
+        s"$work/ckpt")
+      .start()
+    try q.processAllAvailable()
+    finally q.stop()
+    // the day-2 cycle, also across the boundary
+    StreamOps.compactDedupIndex(s, pipe.dedupIndexDir)
+    StreamOps.compactBm25Index(s, pipe.bm25IndexDir)
+    StreamOps.compactCorpusReport(s, pipe.reportSummaryDir)
+    Seq(
+      "lake" -> s.read.parquet(pipe.lakeDir)
+        .select("doc_id", "lang", "source", "n_chars", "split"),
+      "dedup" -> StreamOps.readDedupAssignments(s, pipe.dedupIndexDir),
+      "bm25" -> StreamOps.serveBm25Continuous(s, pipe.bm25IndexDir),
+      "boiler" -> StreamOps.serveBoilerplateContinuous(s, pipe.boilerStatsDir),
+      "passage50" -> StreamOps.servePassageDup50Continuous(s, pipe.passageGramsDir),
+      "bigram" -> StreamOps.serveLmBigramContinuous(s, pipe.bigramStatsDir),
+      "report" -> StreamOps.publishedCorpusReport(s, pipe.reportSummaryDir))
+  }
+
+  /** Surface names [[runPipeline]] dumps — the spec iterates these. */
+  private[graft] val StreamSurfaces =
+    Seq("lake", "dedup", "bm25", "boiler", "passage50", "bigram", "report")
+
   def main(args: Array[String]): Unit = {
-    val Array(sfDir, outDir) = args
+    val Array(sfDir, outDir) = args.take(2)
+    val streamMode = args.length > 2 && args(2) == "stream"
     val spark = SparkSession.builder()
       .master("local-cluster[2,4,2048]")
       .appName("graft-cluster-check")
@@ -88,11 +182,20 @@ object ClusterCheck {
       while (executors() < 2 && System.currentTimeMillis() < deadline)
         Thread.sleep(200L)
       val execs = executors()
-      Queries.foreach { n =>
-        SparkEntry.queries(n)(spark, sfDir)
-          .write.mode("overwrite").parquet(s"$outDir/$n")
+      if (streamMode) {
+        val work = java.nio.file.Files
+          .createTempDirectory("graft_cluster_stream").toString
+        runPipeline(spark, sfDir, work).foreach { case (name, df) =>
+          df.write.mode("overwrite").parquet(s"$outDir/$name")
+        }
+        println(s"[cluster] executors=$execs surfaces=${StreamSurfaces.size}")
+      } else {
+        Queries.foreach { n =>
+          SparkEntry.queries(n)(spark, sfDir)
+            .write.mode("overwrite").parquet(s"$outDir/$n")
+        }
+        println(s"[cluster] executors=$execs queries=${Queries.size}")
       }
-      println(s"[cluster] executors=$execs queries=${Queries.size}")
     } finally spark.stop()
   }
 }

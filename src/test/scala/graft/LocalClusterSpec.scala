@@ -61,4 +61,38 @@ class LocalClusterSpec extends SparkSpec {
       assert(clustered === local, s"$q diverged across the executor boundary")
     }
   }
+
+  test("the composed streaming pipeline survives real executor processes") {
+    // the batch slice above never exercises the STREAMING kernel across
+    // the boundary: foreachBatch GenLog commits (heartbeated lease,
+    // claim/commit markers), in-stream maybeCompact folds, the batch
+    // localCheckpoint blocks on executor block managers, and the day-2
+    // compaction cycle. Fork the same deterministic pipeline program
+    // (ClusterCheck.runPipeline) onto local-cluster[2,4,2048], run it
+    // in-process as the single-JVM reference, and require every served
+    // surface row-identical.
+    val out = Files.createTempDirectory("graft_cluster_stream_out").toString
+    val cmd = Seq(
+      s"${System.getProperty("java.home")}/bin/java") ++ addOpens ++ Seq(
+      "-Xmx4g",
+      "-cp", System.getProperty("java.class.path"),
+      "graft.tools.ClusterCheck", sf, out, "stream")
+    val buf = new StringBuilder
+    val code = Process(cmd, None, "SPARK_SCALA_VERSION" -> "2.13")
+      .!(ProcessLogger(l => buf.append(l).append('\n'), _ => ()))
+    assert(code === 0, s"ClusterCheck stream exited $code:\n${buf.toString.takeRight(4000)}")
+    val line = buf.toString.linesIterator.find(_.startsWith("[cluster]")).getOrElse(
+      fail(s"no [cluster] line:\n${buf.toString.takeRight(4000)}"))
+    assert(line.contains("executors=2"), line)
+
+    val work = Files.createTempDirectory("graft_local_stream_ref").toString
+    val local = graft.tools.ClusterCheck.runPipeline(spark, sf, work)
+      .map { case (n, df) => n -> df.collect().map(_.toString).sorted.toSeq }
+      .toMap
+    graft.tools.ClusterCheck.StreamSurfaces.foreach { n =>
+      val clustered =
+        spark.read.parquet(s"$out/$n").collect().map(_.toString).sorted.toSeq
+      assert(clustered === local(n), s"surface $n diverged across the executor boundary")
+    }
+  }
 }
