@@ -1562,6 +1562,442 @@ object SimilarityOps {
       "row_number() OVER (PARTITION BY cell ORDER BY n DESC, term) AS rn FROM cnt) " +
       "SELECT cell, rn, term, n FROM trank WHERE rn <= 3 ORDER BY cell, rn"
 
+  // ───────────────────────── product quantization ─────────────────────────
+  //
+  // PQ (Jégou, Douze, Schmid — "Product Quantization for Nearest Neighbor
+  // Search", TPAMI 2011; the compressed tier of FAISS's IVFADC): split the
+  // 64-dim vector into PqM=4 subvectors of PqSub=16 dims, quantize each
+  // against its OWN PqK-entry sub-codebook (argmin L2, the paper's metric),
+  // and score a probe against the CODES ONLY via asymmetric distance
+  // computation — per (subspace, code) the probe's partial dot product is a
+  // PqM×PqK lookup table computed ONCE, so the scan tier reads PqM small
+  // ints per vector instead of 64 floats (here 4×16 codes = 4 B of payload
+  // vs 256 B raw; production PqK=256 keeps that 64× ratio at billion-vector
+  // scale, where the codes table is the only thing that still fits in
+  // memory). The ADC estimate is cosine(q, x̂) for the reconstruction
+  // x̂ = concat of chosen sub-centroids: dot(q, x̂) = Σ_m qd[m][code_m]
+  // (the lookup) and ‖x̂‖² = Σ_m cn2[m][code_m] EXACTLY (subvectors are
+  // disjoint coordinates), so the only approximation is quantization
+  // itself. Sums run in fixed subspace order (((m0+m1)+m2)+m3) so every
+  // IEEE add matches the oracle bit-for-bit.
+  //
+  // Like q_sim_ivf, the oracle-hashed variant uses a deterministic stand-in
+  // codebook (subvectors of the first PqK vectors); q_sim_pq_trained runs
+  // per-subspace Lloyd (L2 flavor) end-to-end with the dump-time
+  // decimal-literal oracle, and q_sim_ivfpq composes the coarse IVF prune
+  // with the ADC scan — the production IVFADC shape.
+
+  private[graft] val PqM = 4
+  private[graft] val PqSub = 16
+  private[graft] val PqK = 16
+
+  /** Per-subspace stand-in codebooks from a (vec_id, embedding) frame: one
+    * row per (m, c_id) with the sliced sub-centroid and its exact norm².
+    */
+  private[graft] def pqStandinCents(e: DataFrame): DataFrame = {
+    import e.sparkSession.implicits._
+    e.filter($"vec_id" < PqK)
+      .select(
+        $"vec_id".as("c_id"),
+        explode(array((0 until PqM).map(m =>
+          struct(
+            lit(m).as("m"),
+            slice($"embedding", m * PqSub + 1, PqSub).as("c"))): _*)).as("mc"))
+      .select(
+        $"mc.m".as("m"),
+        $"c_id",
+        $"mc.c".as("c"),
+        Vec.norm2($"mc.c").as("cn2"))
+  }
+
+  /** One-row broadcastable bundle of all PqM sub-codebooks:
+    * `mcb ARRAY<STRUCT<m, cb ARRAY<STRUCT<c_id, c, cn2>>>>`, both levels
+    * sorted (m asc, c_id asc) so `element_at(mcb, m+1).cb[k+1]` is a
+    * positional lookup — the "ship the quantizer" step, PQ edition.
+    */
+  private[graft] def pqCodebookRow(cents: DataFrame): DataFrame = {
+    import cents.sparkSession.implicits._
+    cents
+      .groupBy($"m")
+      .agg(sort_array(collect_list(struct($"c_id", $"c", $"cn2"))).as("cb"))
+      .groupBy()
+      .agg(sort_array(collect_list(struct($"m", $"cb"))).as("mcb"))
+  }
+
+  /** Subspace-m encode against the broadcast bundle: argmin-L2 as an
+    * `array_min` over struct(d2, c_id, cn2) — d2 = cn2 − 2·dot(x_m, c)
+    * (the ‖x_m‖² term is constant within a row's argmin, so dropping it
+    * changes no comparison), ties broken c_id asc by the struct order, and
+    * the winning centroid's cn2 rides along for the reconstruction norm.
+    * Higher-order functions, not k inline projections: 64 unrolled dot
+    * products per row re-breaks janino the way the pre-round-5 IVF
+    * assignment did (see [[scoredCol]]), while the HOF form stays one
+    * map-side pass with zero Exchanges.
+    */
+  private[graft] def pqEncCol(m: Int): org.apache.spark.sql.Column = {
+    val xm = slice(col("embedding"), m * PqSub + 1, PqSub)
+    val cb = element_at(col("mcb"), m + 1).getField("cb")
+    array_min(transform(cb, c =>
+      struct(
+        (c.getField("cn2") - lit(2d) * Vec.dot(xm, c.getField("c"))).as("d2"),
+        c.getField("c_id").as("c_id"),
+        c.getField("cn2").as("cn2"))))
+  }
+
+  /** The probe's ADC bundle: per-subspace partial-dot lookup tables
+    * `qd[m][c_id+1] = dot(q_m, c)` plus the probe norm — one broadcast row
+    * of PqM×PqK doubles, the entire per-query model state of an ADC scan.
+    */
+  private[graft] def pqProbeTab(e: DataFrame, cbRow: DataFrame): DataFrame = {
+    import e.sparkSession.implicits._
+    e.filter($"vec_id" === 0)
+      .select($"embedding".as("p"), Vec.norm2($"embedding").as("pn2"))
+      .crossJoin(broadcast(cbRow))
+      .select(
+        $"pn2",
+        transform($"mcb", mc =>
+          transform(mc.getField("cb"), c =>
+            Vec.dot(
+              slice($"p", mc.getField("m") * lit(PqSub) + lit(1), lit(PqSub)),
+              c.getField("c")))).as("qd"))
+  }
+
+  /** ADC top-k over an encoded frame (vec_id [, extra cols], e0..e3):
+    * Σ_m qd[m][code_m] / (sqrt(Σ_m cn2_m) · sqrt(‖q‖²)), fixed-order adds,
+    * TakeOrderedAndProject — the scan never touches a float vector.
+    */
+  private[graft] def pqAdcTopK(
+      encoded: DataFrame,
+      qtab: DataFrame,
+      extra: Seq[String]): DataFrame = {
+    import encoded.sparkSession.implicits._
+    val dotSum = (0 until PqM)
+      .map(m =>
+        element_at(
+          element_at($"qd", m + 1),
+          (col(s"e$m").getField("c_id") + lit(1L)).cast("int")))
+      .reduce(_ + _)
+    val rn2 = (0 until PqM).map(m => col(s"e$m").getField("cn2")).reduce(_ + _)
+    encoded
+      .filter($"vec_id" =!= 0)
+      .crossJoin(broadcast(qtab))
+      .select(
+        ($"vec_id" +: extra.map(col)) :+
+          X.r6(dotSum / (sqrt(rn2) * sqrt($"pn2"))).as("cos"): _*)
+      .orderBy($"cos".desc, $"vec_id")
+      .limit(10)
+  }
+
+  /** Encode a (vec_id [, extra], embedding) frame: map-side, one broadcast
+    * of the codebook bundle, PqM argmin structs per row.
+    */
+  private[graft] def pqEncode(vecs: DataFrame, cbRow: DataFrame, extra: Seq[String]): DataFrame = {
+    import vecs.sparkSession.implicits._
+    vecs
+      .crossJoin(broadcast(cbRow))
+      .select(
+        ($"vec_id" +: extra.map(col)) ++
+          (0 until PqM).map(m => pqEncCol(m).as(s"e$m")): _*)
+  }
+
+  /** q_sim_pq — the ADC scan end-to-end with the stand-in codebooks:
+    * encode the corpus (map-side), score the standard probe against codes
+    * only, top-10. The whole plan is scan → broadcast → TakeOrdered: no
+    * Exchange touches the corpus (plan-pinned in PqSpec).
+    */
+  private[graft] def simPq(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val e = emb(s, d).select($"vec_id", $"embedding")
+    val cbRow = pqCodebookRow(pqStandinCents(e))
+    pqAdcTopK(pqEncode(e, cbRow, Nil), pqProbeTab(e, cbRow), Nil)
+  }
+
+  /** Per-subspace Lloyd with the PQ paper's L2 assignment (the cosine
+    * [[trainCodebook]] is the coarse quantizer's flavor; sub-codebooks
+    * quantize RESIDUAL-scale geometry where direction alone is not
+    * enough): seeds = the k lowest vec_ids' subvectors, argmin
+    * (cn2 − 2·dot) with c_id tie-break — the exact encode rule, so
+    * training and encoding can never disagree on a boundary — and the
+    * same exact-decimal elementwise means, partition-order-free. Model
+    * state (k×PqSub floats per pass) collects to the driver exactly like
+    * [[trainCodebook]]; every data pass stays distributed.
+    */
+  private[graft] def trainSubCodebook(
+      xs: DataFrame, // (vec_id, x ARRAY<FLOAT>)
+      k: Int,
+      iters: Int): Seq[(Long, Seq[Float])] = {
+    val s = xs.sparkSession
+    import s.implicits._
+    var cb: Seq[(Long, Seq[Float])] = xs
+      .filter($"vec_id" < k)
+      .orderBy($"vec_id")
+      .select($"vec_id", $"x")
+      .as[(Long, Seq[Float])]
+      .collect()
+      .toSeq
+      .zipWithIndex
+      .map { case ((_, v), i) => (i.toLong, v) }
+    require(
+      cb.size == k,
+      s"trainSubCodebook: ${cb.size} seed vectors with vec_id < $k (need exactly $k)")
+    for (_ <- 1 to iters) {
+      val cents =
+        cb.toDF("c_id", "c").select($"c_id", $"c", Vec.norm2($"c").as("cn2"))
+      val cbRow = cents
+        .groupBy()
+        .agg(sort_array(collect_list(struct($"c_id", $"c", $"cn2"))).as("cb"))
+      val assigned = xs
+        .crossJoin(broadcast(cbRow))
+        .select(
+          $"x",
+          array_min(transform($"cb", c =>
+            struct(
+              (c.getField("cn2") - lit(2d) * Vec.dot($"x", c.getField("c"))).as("d2"),
+              c.getField("c_id").as("c_id")))).getField("c_id").as("cell"))
+      val means = assigned
+        .select($"cell", posexplode($"x").as(Seq("pos", "v")))
+        .groupBy($"cell", $"pos")
+        .agg((sum($"v".cast("decimal(27,10)")) / count(lit(1)))
+          .cast("float")
+          .as("mv"))
+        .groupBy($"cell")
+        .agg(
+          transform(sort_array(collect_list(struct($"pos", $"mv"))), p =>
+            p.getField("mv")).as("c"))
+        .as[(Long, Seq[Float])]
+        .collect()
+        .toMap
+      cb = cb.map { case (id, old) => (id, means.getOrElse(id, old)) }
+    }
+    cb
+  }
+
+  /** All PqM trained sub-codebooks as a cents frame (m, c_id, c, cn2). */
+  private[graft] def pqTrainedCents(s: SparkSession, d: String): Seq[(Int, Long, Seq[Float])] = {
+    import s.implicits._
+    val e = emb(s, d).select($"vec_id", $"embedding")
+    (0 until PqM).flatMap { m =>
+      trainSubCodebook(
+        e.select($"vec_id", slice($"embedding", m * PqSub + 1, PqSub).as("x")),
+        PqK,
+        iters = 3).map { case (id, v) => (m, id, v) }
+    }
+  }
+
+  private[graft] def pqCentsFrame(s: SparkSession, cents: Seq[(Int, Long, Seq[Float])]): DataFrame = {
+    import s.implicits._
+    cents
+      .toDF("m", "c_id", "c")
+      .select($"m", $"c_id", $"c", Vec.norm2($"c").as("cn2"))
+  }
+
+  /** q_sim_pq_trained — the production PQ path: per-subspace Lloyd, then
+    * the identical encode + ADC scan. Oracle at dump time: the trained
+    * sub-codebooks rendered as exact-decimal literals
+    * ([[pqTrainedOracle]]), so assignment, reconstruction norm, and top-k
+    * are hash-checked end-to-end like q_sim_ivf_trained.
+    */
+  private[graft] def simPqTrained(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val e = emb(s, d).select($"vec_id", $"embedding")
+    val cbRow = pqCodebookRow(pqCentsFrame(s, pqTrainedCents(s, d)))
+    pqAdcTopK(pqEncode(e, cbRow, Nil), pqProbeTab(e, cbRow), Nil)
+  }
+
+  /** q_sim_ivfpq — FAISS's IVFADC composition: the coarse quantizer
+    * prunes the corpus to nprobe cells (the IVF story: read 2 of 16 cell
+    * partitions), the ADC scan ranks the survivors from codes alone (the
+    * PQ story: the pruned scan reads small ints, not floats). Both
+    * codebooks are the deterministic stand-ins so the full chain keeps a
+    * SQL oracle.
+    */
+  private[graft] def simIvfPq(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val e = emb(s, d).select($"vec_id", $"embedding", Vec.norm2($"embedding").as("n2"))
+    val coarse = e
+      .filter($"vec_id" < IvfCells)
+      .select($"vec_id".as("c_id"), $"embedding".as("c"), $"n2".as("cn2"))
+    val assigned = e
+      .crossJoin(broadcast(codebookRow(coarse)))
+      .select($"vec_id", $"embedding", scoredCol.as("scored"))
+    val cells = assigned.select(
+      $"vec_id",
+      $"embedding",
+      (-array_max($"scored").getField("nid")).as("cell"))
+    val probeCells = assigned
+      .filter($"vec_id" === 0)
+      .select(explode(slice(reverse(array_sort($"scored")), 1, NProbe)).as("sc"))
+      .select((-$"sc.nid").as("pcell"))
+    val candidates = cells
+      .join(broadcast(probeCells), $"cell" === $"pcell")
+      .select($"vec_id", $"cell", $"embedding")
+    val cbRow = pqCodebookRow(pqStandinCents(e.select($"vec_id", $"embedding")))
+    pqAdcTopK(
+      pqEncode(candidates, cbRow, Seq("cell")),
+      pqProbeTab(e.select($"vec_id", $"embedding"), cbRow),
+      Seq("cell"))
+  }
+
+  /** q_sim_pq_served — the codes table as the PERSISTED scan tier: build
+    * writes the sub-codebooks (PqM×PqK rows — the model artifact) and the
+    * corpus as (vec_id, k0..k3 SMALLINT) — the 64×-compressed index that
+    * is the entire point of PQ at 100 TB. Serve re-derives the lookup
+    * tables from the persisted codebooks (floats round-trip parquet
+    * exactly; norms recomputed through the same fold) and ADC-scans the
+    * codes; the raw embeddings table is touched only for the probe row.
+    * Same output contract and oracle as q_sim_pq: compressing the scan
+    * tier must not change a single hit.
+    */
+  private[graft] def writePqIndex(s: SparkSession, d: String, path: String): Unit = {
+    import s.implicits._
+    graft.index.GenLog.buildOnce(s, path) {
+      val e = emb(s, d).select($"vec_id", $"embedding")
+      val cents = pqStandinCents(e)
+      cents
+        .select($"m", $"c_id", $"c")
+        .coalesce(1)
+        .write
+        .mode(org.apache.spark.sql.SaveMode.Overwrite)
+        .parquet(s"$path/codebook")
+      pqEncode(e, pqCodebookRow(cents), Nil)
+        .select(
+          $"vec_id" +:
+            (0 until PqM).map(m =>
+              col(s"e$m").getField("c_id").cast("smallint").as(s"k$m")): _*)
+        .write
+        .mode(org.apache.spark.sql.SaveMode.Overwrite)
+        .parquet(s"$path/codes")
+    }
+    ()
+  }
+
+  private[graft] def simPqServed(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val path = s"${serveRoot(s, d)}/pq"
+    writePqIndex(s, d, path)
+    val cents = s.read
+      .parquet(s"$path/codebook")
+      .select($"m", $"c_id", $"c", Vec.norm2($"c").as("cn2"))
+    val cbRow = pqCodebookRow(cents)
+    // cn2 lookup tables ride next to qd: same (m, c_id)-positional shape
+    val qtab = pqProbeTab(emb(s, d).select($"vec_id", $"embedding"), cbRow)
+      .crossJoin(broadcast(cbRow.select(
+        transform($"mcb", mc =>
+          transform(mc.getField("cb"), c => c.getField("cn2"))).as("ct"))))
+    val codes = s.read.parquet(s"$path/codes")
+    val dotSum = (0 until PqM)
+      .map(m =>
+        element_at(
+          element_at($"qd", m + 1),
+          (col(s"k$m").cast("long") + lit(1L)).cast("int")))
+      .reduce(_ + _)
+    val rn2 = (0 until PqM)
+      .map(m =>
+        element_at(
+          element_at($"ct", m + 1),
+          (col(s"k$m").cast("long") + lit(1L)).cast("int")))
+      .reduce(_ + _)
+    codes
+      .filter($"vec_id" =!= 0)
+      .crossJoin(broadcast(qtab))
+      .select($"vec_id", X.r6(dotSum / (sqrt(rn2) * sqrt($"pn2"))).as("cos"))
+      .orderBy($"cos".desc, $"vec_id")
+      .limit(10)
+  }
+
+  /** The m-values frame both engines iterate: DuckDB rendering. */
+  private val PqMs = s"(SELECT unnest([${(0 until PqM).mkString(", ")}]) AS m) ms"
+
+  /** The PQ oracle chain after a `cents(m, c_id, c, cn2)` CTE: slice,
+    * argmin-encode (same d2 + tie-break), pivot codes/norms to fixed
+    * columns so the adds run in the engine's subspace order, lookup the
+    * probe's partial dots, top-10.
+    */
+  private def pqSqlChain(centsCte: String): String = {
+    val slices = s"list_slice(e.embedding, ms.m * $PqSub + 1, (ms.m + 1) * $PqSub)"
+    val kCols = (0 until PqM)
+      .map(m => s"max(CASE WHEN m = $m THEN c_id END) AS k$m")
+      .mkString(", ")
+    val nCols = (0 until PqM)
+      .map(m => s"max(CASE WHEN m = $m THEN cn2 END) AS n$m")
+      .mkString(", ")
+    val qJoins = (0 until PqM)
+      .map(m => s"JOIN qd q$m ON q$m.m = $m AND q$m.c_id = encp.k$m")
+      .mkString(" ")
+    val dotSum = (0 until PqM).map(m => s"q$m.qdot").mkString(" + ")
+    val rn2 = (0 until PqM).map(m => s"encp.n$m").mkString(" + ")
+    s"$centsCte, " +
+      s"xm AS (SELECT e.vec_id, ms.m AS m, $slices AS x FROM e, $PqMs), " +
+      "scored AS (SELECT xm.vec_id, xm.m, cents.c_id, cents.cn2, " +
+      s"cents.cn2 - 2 * ${Vec.dotSql("xm.x", "cents.c")} AS d2 " +
+      "FROM xm JOIN cents ON xm.m = cents.m), " +
+      "enc AS (SELECT vec_id, m, c_id, cn2 FROM (SELECT *, " +
+      "row_number() OVER (PARTITION BY vec_id, m ORDER BY d2, c_id) AS rn " +
+      "FROM scored) WHERE rn = 1), " +
+      s"encp AS (SELECT vec_id, $kCols, $nCols FROM enc GROUP BY vec_id), " +
+      s"probe AS (SELECT embedding AS p, ${Vec.norm2Sql("embedding")} AS pn2 " +
+      "FROM e WHERE vec_id = 0), " +
+      "qd AS (SELECT cents.m AS m, cents.c_id AS c_id, " +
+      s"${Vec.dotSql(s"list_slice(probe.p, cents.m * $PqSub + 1, (cents.m + 1) * $PqSub)", "cents.c")} AS qdot " +
+      "FROM cents, probe), " +
+      "adc AS (SELECT encp.vec_id, " +
+      s"floor((($dotSum) / (sqrt($rn2) * sqrt(probe.pn2))) * 1000000 + 0.5) / 1000000 AS cos " +
+      s"FROM encp $qJoins, probe WHERE encp.vec_id <> 0)"
+  }
+
+  private val PqStandinCentsSql =
+    s"sub AS (SELECT ms.m AS m, e.vec_id AS c_id, " +
+      s"list_slice(e.embedding, ms.m * $PqSub + 1, (ms.m + 1) * $PqSub) AS c " +
+      s"FROM e, $PqMs WHERE e.vec_id < $PqK), " +
+      s"cents AS (SELECT m, c_id, c, ${Vec.norm2Sql("c")} AS cn2 FROM sub)"
+
+  private val PqSql =
+    "WITH e AS (SELECT vec_id, embedding FROM embeddings), " +
+      s"${pqSqlChain(PqStandinCentsSql)} " +
+      "SELECT vec_id, cos FROM adc ORDER BY cos DESC, vec_id LIMIT 10"
+
+  /** Dump-time oracle for q_sim_pq_trained: [[ivfTrainedOracle]]'s idiom
+    * per subspace — the trained (m, c_id) sub-centroids as exact-decimal
+    * VALUES literals, cn2 recomputed in SQL through the same fold.
+    */
+  private[graft] def pqTrainedOracle(s: SparkSession, d: String): String = {
+    val rows = pqTrainedCents(s, d)
+      .map { case (m, id, v) =>
+        s"($m, CAST($id AS BIGINT), CAST(" +
+          v.map(f => new java.math.BigDecimal(f.toDouble).toPlainString)
+            .mkString("[", ", ", "]") +
+          " AS DOUBLE[]))"
+      }
+      .mkString(", ")
+    val centsCte =
+      s"cents AS (SELECT m, c_id, c, ${Vec.norm2Sql("c")} AS cn2 " +
+        s"FROM (VALUES $rows) AS t(m, c_id, c))"
+    "WITH e AS (SELECT vec_id, embedding FROM embeddings), " +
+      s"${pqSqlChain(centsCte)} " +
+      "SELECT vec_id, cos FROM adc ORDER BY cos DESC, vec_id LIMIT 10"
+  }
+
+  /** IVFADC oracle: the coarse IVF prefix (cell assignment + nprobe cells,
+    * q_sim_ivf's exact chain under c-prefixed names) feeding the PQ chain;
+    * the final join keeps only probed-cell candidates.
+    */
+  private val IvfPqSql =
+    s"WITH e AS (SELECT vec_id, embedding, ${Vec.norm2Sql("embedding")} AS n2 " +
+      "FROM embeddings), " +
+      s"ccents AS (SELECT vec_id AS c_id, embedding AS c, n2 AS cn2 FROM e WHERE vec_id < $IvfCells), " +
+      "cscored AS (SELECT e.vec_id, e.n2, ccents.c_id, " +
+      s"${Vec.dotSql("e.embedding", "ccents.c")} / (sqrt(e.n2) * sqrt(ccents.cn2)) AS ccos " +
+      "FROM e, ccents), " +
+      "cranked AS (SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY ccos DESC, c_id) AS rn " +
+      "FROM cscored), " +
+      "cellsc AS (SELECT vec_id, c_id AS cell FROM cranked WHERE rn = 1), " +
+      s"pcells AS (SELECT c_id AS pcell FROM cranked WHERE vec_id = 0 AND rn <= $NProbe), " +
+      s"${pqSqlChain(PqStandinCentsSql)} " +
+      "SELECT adc.vec_id, cellsc.cell, adc.cos FROM adc " +
+      "JOIN cellsc ON adc.vec_id = cellsc.vec_id " +
+      "JOIN pcells ON cellsc.cell = pcells.pcell " +
+      "ORDER BY adc.cos DESC, adc.vec_id LIMIT 10"
+
   val defs: Seq[QueryDef] = Seq(
     QueryDef("q_dedup_semantic", dedupSemantic, Some(SemanticSql)),
     QueryDef("q_dedup_semantic_incr", dedupSemanticIncr, Some(SemanticIncrSql)),
@@ -1584,6 +2020,11 @@ object SimilarityOps {
     QueryDef("q_sim_ivf_served", simIvfServed, Some(IvfBatchSql)),
     QueryDef("q_sim_ivf_trained", simIvfTrained, None,
       oracleGen = Some(ivfTrainedOracle)),
+    QueryDef("q_sim_pq", simPq, Some(PqSql)),
+    QueryDef("q_sim_pq_served", simPqServed, Some(PqSql)),
+    QueryDef("q_sim_ivfpq", simIvfPq, Some(IvfPqSql)),
+    QueryDef("q_sim_pq_trained", simPqTrained, None,
+      oracleGen = Some(pqTrainedOracle)),
     QueryDef(
       "q_multimodal",
       multimodal,
