@@ -1848,6 +1848,27 @@ object SimilarityOps {
     * Same output contract and oracle as q_sim_pq: compressing the scan
     * tier must not change a single hit.
     */
+  /** Codes write for an arbitrary corpus slice against a FIXED codebook —
+    * the shared kernel of the monolithic build and the per-generation
+    * incremental build (a batch encodes against the epoch's quantizer,
+    * exactly the IVF rule in [[writeIvfCellsFrom]]: increments stay
+    * generation-local, retraining is an epoch roll).
+    */
+  private[graft] def writePqCodesFor(
+      vecs: DataFrame,
+      cbRow: DataFrame,
+      path: String): Unit = {
+    import vecs.sparkSession.implicits._
+    pqEncode(vecs, cbRow, Nil)
+      .select(
+        $"vec_id" +:
+          (0 until PqM).map(m =>
+            col(s"e$m").getField("c_id").cast("smallint").as(s"k$m")): _*)
+      .write
+      .mode(org.apache.spark.sql.SaveMode.Overwrite)
+      .parquet(path)
+  }
+
   private[graft] def writePqIndex(s: SparkSession, d: String, path: String): Unit = {
     import s.implicits._
     graft.index.GenLog.buildOnce(s, path) {
@@ -1859,32 +1880,34 @@ object SimilarityOps {
         .write
         .mode(org.apache.spark.sql.SaveMode.Overwrite)
         .parquet(s"$path/codebook")
-      pqEncode(e, pqCodebookRow(cents), Nil)
-        .select(
-          $"vec_id" +:
-            (0 until PqM).map(m =>
-              col(s"e$m").getField("c_id").cast("smallint").as(s"k$m")): _*)
-        .write
-        .mode(org.apache.spark.sql.SaveMode.Overwrite)
-        .parquet(s"$path/codes")
+      writePqCodesFor(e, pqCodebookRow(cents), s"$path/codes")
     }
     ()
   }
 
-  private[graft] def simPqServed(s: SparkSession, d: String): DataFrame = {
+  /** ADC serve from a persisted codebook + one or more codes GENERATIONS
+    * merged on read: vector ids are disjoint across generations (monotone
+    * ingest) so the union is exact, and every generation's scan reads the
+    * 4-smallint payload only. The cn2 lookup tables ride next to qd in the
+    * same (m, c_id)-positional shape; norms are recomputed through the
+    * same fold from the persisted float centroids (exact parquet
+    * round-trip), so serving is bit-identical to the in-session path.
+    */
+  private[graft] def servePqCodes(
+      s: SparkSession,
+      d: String,
+      codebookPath: String,
+      codesPaths: Seq[String]): DataFrame = {
     import s.implicits._
-    val path = s"${serveRoot(s, d)}/pq"
-    writePqIndex(s, d, path)
     val cents = s.read
-      .parquet(s"$path/codebook")
+      .parquet(codebookPath)
       .select($"m", $"c_id", $"c", Vec.norm2($"c").as("cn2"))
     val cbRow = pqCodebookRow(cents)
-    // cn2 lookup tables ride next to qd: same (m, c_id)-positional shape
     val qtab = pqProbeTab(emb(s, d).select($"vec_id", $"embedding"), cbRow)
       .crossJoin(broadcast(cbRow.select(
         transform($"mcb", mc =>
           transform(mc.getField("cb"), c => c.getField("cn2"))).as("ct"))))
-    val codes = s.read.parquet(s"$path/codes")
+    val codes = codesPaths.map(p => s.read.parquet(p)).reduce(_ unionByName _)
     val dotSum = (0 until PqM)
       .map(m =>
         element_at(
@@ -1903,6 +1926,39 @@ object SimilarityOps {
       .select($"vec_id", X.r6(dotSum / (sqrt(rn2) * sqrt($"pn2"))).as("cos"))
       .orderBy($"cos".desc, $"vec_id")
       .limit(10)
+  }
+
+  private[graft] def simPqServed(s: SparkSession, d: String): DataFrame = {
+    val path = s"${serveRoot(s, d)}/pq"
+    writePqIndex(s, d, path)
+    servePqCodes(s, d, s"$path/codebook", Seq(s"$path/codes"))
+  }
+
+  /** q_sim_pq_incr — incremental CODES maintenance, the PQ sibling of
+    * q_sim_incr: the newest 10% of vector ids are today's batch, encoded
+    * against the epoch's FIXED sub-codebooks into their own generation —
+    * O(batch) build work and bytes, the base codes never rewritten — and
+    * serving unions the generations on read (disjoint ids ⇒ exact). The
+    * oracle is the monolithic PqSql: merge-on-read must not change a hit.
+    */
+  private def simPqIncr(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val root = s"${serveRoot(s, d)}/pq_incr"
+    graft.index.GenLog.buildOnce(s, root) {
+      val e = emb(s, d).select($"vec_id", $"embedding")
+      val cents = pqStandinCents(e)
+      cents
+        .select($"m", $"c_id", $"c")
+        .coalesce(1)
+        .write
+        .mode(org.apache.spark.sql.SaveMode.Overwrite)
+        .parquet(s"$root/codebook")
+      val cbRow = pqCodebookRow(cents)
+      val thr = e.agg(expr("(max(vec_id) * 9) div 10")).head().getLong(0)
+      writePqCodesFor(e.filter($"vec_id" <= thr), cbRow, s"$root/gen0")
+      writePqCodesFor(e.filter($"vec_id" > thr), cbRow, s"$root/gen1")
+    }
+    servePqCodes(s, d, s"$root/codebook", Seq(s"$root/gen0", s"$root/gen1"))
   }
 
   /** The m-values frame both engines iterate: DuckDB rendering. */
@@ -2022,6 +2078,7 @@ object SimilarityOps {
       oracleGen = Some(ivfTrainedOracle)),
     QueryDef("q_sim_pq", simPq, Some(PqSql)),
     QueryDef("q_sim_pq_served", simPqServed, Some(PqSql)),
+    QueryDef("q_sim_pq_incr", simPqIncr, Some(PqSql)),
     QueryDef("q_sim_ivfpq", simIvfPq, Some(IvfPqSql)),
     QueryDef("q_sim_pq_trained", simPqTrained, None,
       oracleGen = Some(pqTrainedOracle)),

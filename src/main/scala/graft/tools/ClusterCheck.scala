@@ -48,7 +48,12 @@ object ClusterCheck {
     // on executor block managers; the bounded driver finish collects
     // across RPC) and the LM ladder's decimal aggregation
     "q_dedup_passage_cc",
-    "q_lm_bigram_score")
+    "q_lm_bigram_score",
+    // round-14: the PQ family's HOF argmin encode + broadcast ADC lookup
+    // tables (nested-lambda eval on executors) and the Lloyd trainer's
+    // driver-collect/broadcast alternation across real processes
+    "q_sim_pq",
+    "q_sim_pq_trained")
 
   /** The composed CorpusPipeline feed as a deterministic check program —
     * shared verbatim between the forked local-cluster run and the spec's

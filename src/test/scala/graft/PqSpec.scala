@@ -167,6 +167,19 @@ class PqSpec extends SparkSpec {
     assert(srv == reg, s"served differs:\n$srv\nvs\n$reg")
   }
 
+  test("incremental codes: the batch generation is O(batch) and " +
+    "merge-on-read serves the monolithic answer") {
+    import spark.implicits._
+    val incr =
+      SparkEntry.queries("q_sim_pq_incr")(spark, sf).collect().toSeq
+    val mono = S.simPq(spark, sf).collect().toSeq
+    assert(incr == mono, s"merge-on-read diverged:\n$incr\nvs\n$mono")
+    val root = s"${S.serveRoot(spark, sf)}/pq_incr"
+    val gen1 = spark.read.parquet(s"$root/gen1").count()
+    val n = e.count()
+    assert(gen1 > 0 && gen1 <= n / 5, s"gen1 $gen1 of $n is not batch-sized")
+  }
+
   test("q_sim_pq plan: corpus side is shuffle-free — every hash exchange " +
     "is the PqM-row codebook build, the cut is a TakeOrdered") {
     val p = SparkEntry
