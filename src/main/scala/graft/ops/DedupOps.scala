@@ -1669,7 +1669,111 @@ object DedupOps {
       "count(*) OVER (PARTITION BY cluster_id) AS cluster_size " +
       "FROM asgn ORDER BY doc_id"
 
+  // ─────────────────── centrality over the duplicate graph ───────────────────
+
+  /** q_dedup_rank — PageRank (Page/Brin/Motwani/Winograd 1999) over the
+    * verified near-dup graph: within a duplicate CLUSTER, the document
+    * with the highest stationary mass is the best-connected
+    * representative — the centrality-based canonicalization step of a
+    * dedup pipeline (the same role link-graph centrality plays in
+    * Common-Crawl-style corpus ranking), where q_dedup_cc only names the
+    * cluster and "keep min doc_id" is an arbitrary tie-rule.
+    *
+    * Cross-engine bit-identity without floats: FIXED-POINT INTEGER
+    * arithmetic end-to-end. Mass lives in units of 10⁻¹² (SCALE = 10¹²):
+    * pr₀ = SCALE div N, teleport BASE = (15·pr₀) div 100, and each of the
+    * 3 unrolled iterations is pr'(u) = BASE + (85·Σ_{v→u} pr(v) div
+    * deg(v)) div 100 — every op an integer multiply/divide/sum, so Spark
+    * and DuckDB agree to the last unit (floor vs truncation is moot: all
+    * operands positive). Dangling/isolated mass leaks (no redistribution)
+    * — declared, identical in the oracle.
+    *
+    * Scale shape: the banded-Jaccard edge lineage runs ONCE and the
+    * symmetrized (src, dst, deg) frame materializes behind a
+    * localCheckpoint; each iteration is then one equi-join of the slim
+    * (doc_id, pr) frame against it plus one dst-keyed sum (map-side
+    * partial combine absorbs hub in-degree skew), with pr re-checkpointed
+    * per round so lineage — and recovery cost — stays one iteration deep,
+    * the standard distributed-PageRank discipline. Driver state: two
+    * scalars (N-derived constants).
+    */
+  private val PrScale = 1000000000000L
+  private val PrIters = 3
+
+  /** The fixed-point kernel over explicit (doc_id) nodes and undirected
+    * (a_id, b_id) pairs — exposed so PageRankSpec can drive planted
+    * graphs through the exact production arithmetic.
+    */
+  private[graft] def pageRank(
+      docs: DataFrame,
+      pairs: DataFrame,
+      iters: Int = PrIters): DataFrame = {
+    val s = docs.sparkSession
+    import s.implicits._
+    val n = docs.count()
+    val pr0 = PrScale / n
+    val base = 15L * pr0 / 100L
+    val edges = pairs
+      .select($"a_id".as("src"), $"b_id".as("dst"))
+      .unionAll(pairs.select($"b_id".as("src"), $"a_id".as("dst")))
+    val edgesDeg = edges
+      .join(edges.groupBy($"src").agg(count(lit(1)).as("deg")), "src")
+      .localCheckpoint()
+    var pr = docs.select($"doc_id", lit(pr0).as("pr"))
+    for (_ <- 1 to iters) {
+      val contribs = edgesDeg
+        .join(pr.withColumnRenamed("doc_id", "src"), "src")
+        .groupBy($"dst")
+        .agg(sum(expr("pr div deg")).as("s"))
+      pr = docs
+        .join(contribs, $"doc_id" === $"dst", "left")
+        .select(
+          $"doc_id",
+          (lit(base) + expr(s"85 * coalesce(s, 0L) div 100")).as("pr"))
+        .localCheckpoint()
+    }
+    pr.orderBy("doc_id")
+  }
+
+  private def dedupRank(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    pageRank(
+      T(s, d, "documents").select($"doc_id"),
+      bandedJaccardPairs(s, hashedToks(s, d), 9, 10, ordered = false)
+        .select($"a_id", $"b_id"))
+  }
+
+  private val RankSql = {
+    val iters = (1 to PrIters)
+      .map { i =>
+        s"c$i AS (SELECT ed.dst, sum(p.pr // ed.deg) AS s " +
+          s"FROM ed JOIN pr${i - 1} p ON p.doc_id = ed.src GROUP BY ed.dst), " +
+          s"pr$i AS (SELECT d.doc_id, (SELECT base FROM params) + " +
+          s"(85 * coalesce(c$i.s, 0)) // 100 AS pr " +
+          s"FROM docs d LEFT JOIN c$i ON c$i.dst = d.doc_id)"
+      }
+      .mkString(", ")
+    // MATERIALIZED: DuckDB inlines plain CTEs per reference, and `ed` is
+    // read by all three iterations while `edges` feeds both deg and ed —
+    // without the hint the expensive banded-Jaccard `pairs` pipeline
+    // re-runs once per reference (minutes at the 10x gate instead of
+    // seconds)
+    s"WITH $NearCtes, " +
+      "docs AS (SELECT doc_id FROM documents), " +
+      s"params AS (SELECT $PrScale // count(*) AS pr0, " +
+      s"(15 * ($PrScale // count(*))) // 100 AS base FROM docs), " +
+      "upairs AS MATERIALIZED (SELECT a_id, b_id FROM pairs), " +
+      "edges AS MATERIALIZED (SELECT a_id AS src, b_id AS dst FROM upairs " +
+      "UNION ALL SELECT b_id AS src, a_id AS dst FROM upairs), " +
+      "deg AS (SELECT src, count(*) AS deg FROM edges GROUP BY src), " +
+      "ed AS MATERIALIZED (SELECT e.src, e.dst, d.deg FROM edges e JOIN deg d ON d.src = e.src), " +
+      "pr0 AS (SELECT doc_id, (SELECT pr0 FROM params) AS pr FROM docs), " +
+      s"$iters " +
+      s"SELECT doc_id, pr FROM pr$PrIters ORDER BY doc_id"
+  }
+
   val defs: Seq[QueryDef] = Seq(
+    QueryDef("q_dedup_rank", dedupRank, Some(RankSql)),
     QueryDef("q_pipeline_corpus", pipelineCorpus, Some(PipelineSql)),
     QueryDef("q_dedup_passage_cc", passageCc, Some(PassageCcSql)),
     QueryDef("q_pipeline_corpus2", pipelineCorpus2, Some(Pipeline2Sql)),

@@ -1,0 +1,103 @@
+package graft
+
+import graft.ops.{DedupOps => D}
+import org.apache.spark.sql.functions._
+
+/** Contracts for q_dedup_rank's fixed-point integer PageRank (SURVEY §2):
+  * the arithmetic is pure BIGINT, so the spec can compute EXACT expected
+  * values with a ten-line driver-side reference and demand equality to the
+  * unit — no float tolerance anywhere.
+  */
+class PageRankSpec extends SparkSpec {
+
+  private val Scale = 1000000000000L
+
+  /** Driver-side reference: same constants, same floor arithmetic. */
+  private def reference(
+      n: Long,
+      pairs: Seq[(Long, Long)],
+      iters: Int): Map[Long, Long] = {
+    val nbrs = (pairs ++ pairs.map(p => (p._2, p._1)))
+      .groupBy(_._1)
+      .view
+      .mapValues(_.map(_._2))
+      .toMap
+    val pr0 = Scale / n
+    val base = 15L * pr0 / 100L
+    var pr = (0L until n).map(v => v -> pr0).toMap
+    for (_ <- 1 to iters) {
+      pr = (0L until n).map { u =>
+        val s = nbrs
+          .collect { case (v, ns) if ns.contains(u) => pr(v) / ns.size }
+          .sum
+        u -> (base + 85L * s / 100L)
+      }.toMap
+    }
+    pr
+  }
+
+  private def run(n: Long, pairs: Seq[(Long, Long)]): Map[Long, Long] = {
+    import spark.implicits._
+    D.pageRank(
+        (0L until n).toDF("doc_id"),
+        pairs.toDF("a_id", "b_id"))
+      .as[(Long, Long)]
+      .collect()
+      .toMap
+  }
+
+  test("planted star: the hub out-ranks its leaves, unit-exact vs the " +
+    "driver reference") {
+    // 0-1, 0-2, 0-3 (hub 0), 4..9 isolated
+    val pairs = Seq((0L, 1L), (0L, 2L), (0L, 3L))
+    val got = run(10, pairs)
+    val want = reference(10, pairs, 3)
+    assert(got == want, s"got $got\nwant $want")
+    assert(got(0L) > got(1L), "hub must out-rank a leaf")
+    assert(got(1L) == got(2L) && got(2L) == got(3L), "leaves are symmetric")
+    // isolated nodes hold exactly the teleport mass
+    val base = 15L * (Scale / 10) / 100L
+    (4L to 9L).foreach(v => assert(got(v) == base, s"isolated $v: ${got(v)}"))
+  }
+
+  test("planted two-clique vs chain: clique members out-rank chain ends") {
+    // clique {0,1,2} (all pairs) vs chain 3-4-5
+    val pairs = Seq((0L, 1L), (0L, 2L), (1L, 2L), (3L, 4L), (4L, 5L))
+    val got = run(6, pairs)
+    assert(got == reference(6, pairs, 3))
+    assert(got(4L) > got(3L), "chain middle out-ranks its end")
+    assert(got(0L) > got(3L), "clique member out-ranks a chain end")
+  }
+
+  test("partition-order-free and mass is bounded by the invariant") {
+    import spark.implicits._
+    val pairs = (0L until 40L).map(i => (i, (i * 7 + 1) % 41)).filter(p => p._1 != p._2)
+    val a = run(41, pairs)
+    val b = D.pageRank(
+        (0L until 41L).toDF("doc_id").repartition(7),
+        pairs.toDF("a_id", "b_id").repartition(5))
+      .as[(Long, Long)]
+      .collect()
+      .toMap
+    assert(a == b, "result depends on partitioning")
+    // floor division only leaks mass: total never exceeds SCALE, never
+    // drops below the teleport floor
+    val total = a.values.sum
+    val base = 15L * (Scale / 41) / 100L
+    assert(total <= Scale && total >= base * 41, s"total $total")
+  }
+
+  test("q_dedup_rank plan: the edge lineage is checkpointed once and each " +
+    "iteration joins the slim pr frame — no re-derivation of the minhash " +
+    "pipeline per round") {
+    val p = SparkEntry
+      .queries("q_dedup_rank")(spark, sf)
+      .queryExecution
+      .executedPlan
+      .toString
+    // the final plan hangs off the LAST iteration's localCheckpoint scan:
+    // no minhash/band operators survive into the per-round lineage
+    assert(p.contains("Scan ExistingRDD"), p)
+    assert(!p.contains("posexplode"), p)
+  }
+}
