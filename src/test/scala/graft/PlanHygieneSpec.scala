@@ -60,7 +60,17 @@ class PlanHygieneSpec extends SparkSpec {
     // skew-arming checkpoint (LmOps.pinned), so the one-row attach lives
     // inside the checkpointed lineage; the _lang variants attach
     // per-language totals by a keyed broadcast join, never a cross
-    "q_lm_unigram")
+    "q_lm_unigram",
+    // the PQ family: every member attaches ONE-ROW broadcast state by
+    // construction — the PqM-sub-codebook bundle for the map-side encode
+    // and the probe's ADC lookup-table row (plus the one-row coarse
+    // codebook inside q_sim_ivfpq's IVF leg). PqSpec separately pins
+    // that these plans carry zero corpus-side hash exchanges.
+    "q_sim_pq",
+    "q_sim_pq_served",
+    "q_sim_pq_incr",
+    "q_sim_pq_trained",
+    "q_sim_ivfpq")
 
   private lazy val plans: Map[String, String] =
     SparkEntry.queries.keys.toSeq.sorted.map { name =>
