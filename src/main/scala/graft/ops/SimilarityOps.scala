@@ -1964,12 +1964,12 @@ object SimilarityOps {
   /** The m-values frame both engines iterate: DuckDB rendering. */
   private val PqMs = s"(SELECT unnest([${(0 until PqM).mkString(", ")}]) AS m) ms"
 
-  /** The PQ oracle chain after a `cents(m, c_id, c, cn2)` CTE: slice,
-    * argmin-encode (same d2 + tie-break), pivot codes/norms to fixed
-    * columns so the adds run in the engine's subspace order, lookup the
-    * probe's partial dots, top-10.
+  /** The encode prefix of every PQ oracle (through the pivoted `encp`):
+    * slice, argmin-encode (same d2 + tie-break), codes/norms pivoted to
+    * fixed columns so the downstream adds run in the engine's subspace
+    * order. Shared by the single-probe, batch-probe, and IVFADC chains.
     */
-  private def pqSqlChain(centsCte: String): String = {
+  private def pqEncCtes(centsCte: String): String = {
     val slices = s"list_slice(e.embedding, ms.m * $PqSub + 1, (ms.m + 1) * $PqSub)"
     val kCols = (0 until PqM)
       .map(m => s"max(CASE WHEN m = $m THEN c_id END) AS k$m")
@@ -1977,11 +1977,6 @@ object SimilarityOps {
     val nCols = (0 until PqM)
       .map(m => s"max(CASE WHEN m = $m THEN cn2 END) AS n$m")
       .mkString(", ")
-    val qJoins = (0 until PqM)
-      .map(m => s"JOIN qd q$m ON q$m.m = $m AND q$m.c_id = encp.k$m")
-      .mkString(" ")
-    val dotSum = (0 until PqM).map(m => s"q$m.qdot").mkString(" + ")
-    val rn2 = (0 until PqM).map(m => s"encp.n$m").mkString(" + ")
     s"$centsCte, " +
       s"xm AS (SELECT e.vec_id, ms.m AS m, $slices AS x FROM e, $PqMs), " +
       "scored AS (SELECT xm.vec_id, xm.m, cents.c_id, cents.cn2, " +
@@ -1990,14 +1985,27 @@ object SimilarityOps {
       "enc AS (SELECT vec_id, m, c_id, cn2 FROM (SELECT *, " +
       "row_number() OVER (PARTITION BY vec_id, m ORDER BY d2, c_id) AS rn " +
       "FROM scored) WHERE rn = 1), " +
-      s"encp AS (SELECT vec_id, $kCols, $nCols FROM enc GROUP BY vec_id), " +
+      s"encp AS (SELECT vec_id, $kCols, $nCols FROM enc GROUP BY vec_id)"
+  }
+
+  private def pqDotSumSql = (0 until PqM).map(m => s"q$m.qdot").mkString(" + ")
+  private def pqRn2Sql = (0 until PqM).map(m => s"encp.n$m").mkString(" + ")
+
+  /** The PQ oracle chain after a `cents(m, c_id, c, cn2)` CTE: encode
+    * prefix, the single probe's partial-dot lookups, ADC top-10.
+    */
+  private def pqSqlChain(centsCte: String): String = {
+    val qJoins = (0 until PqM)
+      .map(m => s"JOIN qd q$m ON q$m.m = $m AND q$m.c_id = encp.k$m")
+      .mkString(" ")
+    s"${pqEncCtes(centsCte)}, " +
       s"probe AS (SELECT embedding AS p, ${Vec.norm2Sql("embedding")} AS pn2 " +
       "FROM e WHERE vec_id = 0), " +
       "qd AS (SELECT cents.m AS m, cents.c_id AS c_id, " +
       s"${Vec.dotSql(s"list_slice(probe.p, cents.m * $PqSub + 1, (cents.m + 1) * $PqSub)", "cents.c")} AS qdot " +
       "FROM cents, probe), " +
       "adc AS (SELECT encp.vec_id, " +
-      s"floor((($dotSum) / (sqrt($rn2) * sqrt(probe.pn2))) * 1000000 + 0.5) / 1000000 AS cos " +
+      s"floor((($pqDotSumSql) / (sqrt($pqRn2Sql) * sqrt(probe.pn2))) * 1000000 + 0.5) / 1000000 AS cos " +
       s"FROM encp $qJoins, probe WHERE encp.vec_id <> 0)"
   }
 
@@ -2031,6 +2039,83 @@ object SimilarityOps {
     "WITH e AS (SELECT vec_id, embedding FROM embeddings), " +
       s"${pqSqlChain(centsCte)} " +
       "SELECT vec_id, cos FROM adc ORDER BY cos DESC, vec_id LIMIT 10"
+  }
+
+  /** q_sim_pq_batch — batch-probe ADC: the QPS serving shape of the
+    * compressed tier (the q_sim_batch/q_sim_ivf_batch generalization on
+    * codes). Each probe in the batch gets its OWN partial-dot lookup row
+    * (B×PqM×PqK doubles — bounded model state, one broadcast); the codes
+    * scan runs ONCE for all probes, and the per-probe cut is the
+    * mergeable [[graft.expr.TopKAgg]] — k-pair state combining map-side,
+    * so the shuffle ships ≤10 pairs per probe per task instead of B×N
+    * scored rows into a window sort (the q_agg_topk discipline applied
+    * where it matters: a full-scan ADC has no bucket prune to shrink the
+    * window input first). Ties (r6'd cos) break vec_id-asc in both the
+    * aggregator's total order and the oracle's window.
+    */
+  private def simPqBatch(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val e = emb(s, d).select($"vec_id", $"embedding")
+    val cbRow = pqCodebookRow(pqStandinCents(e))
+    val probeTabs = e
+      .filter($"vec_id" < BatchProbes)
+      .crossJoin(broadcast(cbRow))
+      .select(
+        $"vec_id".as("probe_id"),
+        Vec.norm2($"embedding").as("pn2"),
+        transform($"mcb", mc =>
+          transform(mc.getField("cb"), c =>
+            Vec.dot(
+              slice(
+                $"embedding",
+                mc.getField("m") * lit(PqSub) + lit(1),
+                lit(PqSub)),
+              c.getField("c")))).as("qd"))
+    val dotSum = (0 until PqM)
+      .map(m =>
+        element_at(
+          element_at($"qd", m + 1),
+          (col(s"e$m").getField("c_id") + lit(1L)).cast("int")))
+      .reduce(_ + _)
+    val rn2 = (0 until PqM).map(m => col(s"e$m").getField("cn2")).reduce(_ + _)
+    val scored = pqEncode(e, cbRow, Nil)
+      .crossJoin(broadcast(probeTabs))
+      .filter($"vec_id" =!= $"probe_id")
+      .select(
+        $"probe_id",
+        $"vec_id",
+        X.r6(dotSum / (sqrt(rn2) * sqrt($"pn2"))).as("cos"))
+    val topk = udaf(
+      new graft.expr.TopKAgg(10),
+      org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[(Double, Long)]())
+    scored
+      .groupBy($"probe_id")
+      .agg(topk($"cos", $"vec_id").as("top"))
+      .select($"probe_id", explode($"top").as("p"))
+      .select($"probe_id", $"p._2".as("vec_id"), $"p._1".as("cos"))
+      .orderBy($"probe_id", $"cos".desc, $"vec_id")
+  }
+
+  private val PqBatchSql = {
+    val qJoins = (0 until PqM)
+      .map(m =>
+        s"JOIN qdb q$m ON q$m.m = $m AND q$m.c_id = encp.k$m" +
+          (if (m > 0) s" AND q$m.probe_id = q0.probe_id" else ""))
+      .mkString(" ")
+    "WITH e AS (SELECT vec_id, embedding FROM embeddings), " +
+      s"${pqEncCtes(PqStandinCentsSql)}, " +
+      "qdb AS (SELECT pr.vec_id AS probe_id, cents.m AS m, cents.c_id AS c_id, " +
+      s"${Vec.dotSql(s"list_slice(pr.embedding, cents.m * $PqSub + 1, (cents.m + 1) * $PqSub)", "cents.c")} AS qdot " +
+      s"FROM e pr, cents WHERE pr.vec_id < $BatchProbes), " +
+      s"pn AS (SELECT vec_id AS probe_id, ${Vec.norm2Sql("embedding")} AS pn2 " +
+      s"FROM e WHERE vec_id < $BatchProbes), " +
+      "adcb AS (SELECT q0.probe_id, encp.vec_id, " +
+      s"floor((($pqDotSumSql) / (sqrt($pqRn2Sql) * sqrt(pn.pn2))) * 1000000 + 0.5) / 1000000 AS cos " +
+      s"FROM encp $qJoins JOIN pn ON pn.probe_id = q0.probe_id " +
+      "WHERE encp.vec_id <> q0.probe_id) " +
+      "SELECT probe_id, vec_id, cos FROM (SELECT *, " +
+      "row_number() OVER (PARTITION BY probe_id ORDER BY cos DESC, vec_id) AS rn " +
+      "FROM adcb) WHERE rn <= 10 ORDER BY probe_id, cos DESC, vec_id"
   }
 
   /** IVFADC oracle: the coarse IVF prefix (cell assignment + nprobe cells,
@@ -2079,6 +2164,7 @@ object SimilarityOps {
     QueryDef("q_sim_pq", simPq, Some(PqSql)),
     QueryDef("q_sim_pq_served", simPqServed, Some(PqSql)),
     QueryDef("q_sim_pq_incr", simPqIncr, Some(PqSql)),
+    QueryDef("q_sim_pq_batch", simPqBatch, Some(PqBatchSql)),
     QueryDef("q_sim_ivfpq", simIvfPq, Some(IvfPqSql)),
     QueryDef("q_sim_pq_trained", simPqTrained, None,
       oracleGen = Some(pqTrainedOracle)),

@@ -67,6 +67,7 @@ class PlanHygieneSpec extends SparkSpec {
     // codebook inside q_sim_ivfpq's IVF leg). PqSpec separately pins
     // that these plans carry zero corpus-side hash exchanges.
     "q_sim_pq",
+    "q_sim_pq_batch",
     "q_sim_pq_served",
     "q_sim_pq_incr",
     "q_sim_pq_trained",

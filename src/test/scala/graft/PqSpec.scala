@@ -180,6 +180,26 @@ class PqSpec extends SparkSpec {
     assert(gen1 > 0 && gen1 <= n / 5, s"gen1 $gen1 of $n is not batch-sized")
   }
 
+  test("batch ADC: probe 0's block is the single-probe answer; the cut " +
+    "is a mergeable partial aggregate, not a window sort") {
+    import spark.implicits._
+    val batch = SparkEntry.queries("q_sim_pq_batch")(spark, sf)
+    val b0 = batch
+      .filter($"probe_id" === 0)
+      .select($"vec_id", $"cos")
+      .as[(Long, Double)]
+      .collect()
+      .toSeq
+    val single =
+      S.simPq(spark, sf).as[(Long, Double)].collect().toSeq
+    assert(b0 == single, s"probe-0 block diverged:\n$b0\nvs\n$single")
+    val p = batch.queryExecution.executedPlan.toString
+    // TopKAgg is an ObjectHashAggregate with a partial stage: B*N scored
+    // rows never shuffle into one window partition per probe
+    assert(p.contains("ObjectHashAggregate"), p)
+    assert(!p.contains("Window"), p)
+  }
+
   test("q_sim_pq plan: corpus side is shuffle-free — every hash exchange " +
     "is the PqM-row codebook build, the cut is a TakeOrdered") {
     val p = SparkEntry

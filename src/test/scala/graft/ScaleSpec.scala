@@ -170,6 +170,40 @@ class ScaleSpec extends SparkSpec {
     assertLinear("q_lm_score", maxRatio = 12.0)
   }
 
+  test("q_dedup_rank at 10x: replica mass uniform, hot cluster " +
+    "concentrates mass, isolated floor exact, linear") {
+    import spark.implicits._
+    val (_, d10) = dirs
+    val out = SparkEntry.queries("q_dedup_rank")(spark, d10)
+      .localCheckpoint()
+    val n = out.count()
+    val base = 15L * (1000000000000L / n) / 100L
+    // replicas carry the same dup structure up to banded-LSH recall
+    // noise (the q_dedup_cc corridor), so per-replica total mass must be
+    // uniform: any replica skew means the graph leaked across replicas
+    val masses = out
+      .filter($"doc_id" < HotBaseId)
+      .groupBy(floor($"doc_id" / lit(5000L)).as("rep"))
+      .agg(sum($"pr").as("mass"))
+      .select($"mass")
+      .as[Long]
+      .collect()
+    assert(masses.length == Replicas)
+    assert(
+      masses.max <= masses.min + masses.min / 50,
+      s"replica mass skew: ${masses.sorted.toSeq}")
+    // the planted 500-near-dup clique circulates its mass: members hold
+    // ~pr0 ≈ 6.7x the teleport floor, while a leaf/isolated doc decays
+    // to base — the centrality signal the operator exists to surface
+    val hotMean =
+      out.filter($"doc_id" >= HotBaseId).agg(avg($"pr")).head().getDouble(0)
+    assert(hotMean >= 3.0 * base, s"hot mean $hotMean vs base $base")
+    // isolated docs hold EXACTLY the teleport mass (integer arithmetic:
+    // no tolerance)
+    assert(out.agg(min($"pr")).head().getLong(0) == base)
+    assertLinear("q_dedup_rank", maxRatio = 12.0)
+  }
+
   test("banded pair join at 10x keeps its plan shape: equi-join, no cartesian") {
     import graft.ops.DedupOps
     val (_, d10) = dirs
