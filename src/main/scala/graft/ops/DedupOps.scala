@@ -1746,10 +1746,10 @@ object DedupOps {
   private val RankSql = {
     val iters = (1 to PrIters)
       .map { i =>
-        s"c$i AS (SELECT ed.dst, sum(p.pr // ed.deg) AS s " +
+        s"c$i AS (SELECT ed.dst, CAST(sum(p.pr // ed.deg) AS BIGINT) AS s " +
           s"FROM ed JOIN pr${i - 1} p ON p.doc_id = ed.src GROUP BY ed.dst), " +
-          s"pr$i AS (SELECT d.doc_id, (SELECT base FROM params) + " +
-          s"(85 * coalesce(c$i.s, 0)) // 100 AS pr " +
+          s"pr$i AS (SELECT d.doc_id, CAST((SELECT base FROM params) + " +
+          s"(85 * coalesce(c$i.s, 0)) // 100 AS BIGINT) AS pr " +
           s"FROM docs d LEFT JOIN c$i ON c$i.dst = d.doc_id)"
       }
       .mkString(", ")
@@ -1757,11 +1757,16 @@ object DedupOps {
     // read by all three iterations while `edges` feeds both deg and ed —
     // without the hint the expensive banded-Jaccard `pairs` pipeline
     // re-runs once per reference (minutes at the 10x gate instead of
-    // seconds)
+    // seconds).
+    // CAST(... AS BIGINT) on every aggregate/derived integer: DuckDB's
+    // sum(BIGINT) yields HUGEINT and would otherwise propagate through
+    // the whole pr ladder — a cross-version type surface in the
+    // hash-compared dump (the engine emits BIGINT). Exact here: total
+    // mass is bounded by SCALE = 10^12, and 85·s ≤ 8.5e13 << 2^63.
     s"WITH $NearCtes, " +
       "docs AS (SELECT doc_id FROM documents), " +
-      s"params AS (SELECT $PrScale // count(*) AS pr0, " +
-      s"(15 * ($PrScale // count(*))) // 100 AS base FROM docs), " +
+      s"params AS (SELECT CAST($PrScale // count(*) AS BIGINT) AS pr0, " +
+      s"CAST((15 * ($PrScale // count(*))) // 100 AS BIGINT) AS base FROM docs), " +
       "upairs AS MATERIALIZED (SELECT a_id, b_id FROM pairs), " +
       "edges AS MATERIALIZED (SELECT a_id AS src, b_id AS dst FROM upairs " +
       "UNION ALL SELECT b_id AS src, a_id AS dst FROM upairs), " +

@@ -282,9 +282,15 @@ object LmOps {
     val s = scored.sparkSession
     import s.implicits._
     val parts = s.sessionState.conf.numShufflePartitions
+    // localCheckpoint FREEZES pid into materialized rows: the counts pass
+    // and the local-rank pass below both read the same bytes, so offset /
+    // rank alignment is structural — not dependent on Catalyst reusing
+    // the one range exchange across the two consumers (exchange reuse is
+    // a config-gated optimization, not a semantic guarantee).
     val ranged = scored
       .repartitionByRange(parts, $"lang", $"rarity6", $"doc_id")
       .withColumn("pid", spark_partition_id().cast("long"))
+      .localCheckpoint()
     val counts = ranged.groupBy($"pid", $"lang").agg(count(lit(1)).as("cnt"))
     val wOff = Window
       .partitionBy($"lang")

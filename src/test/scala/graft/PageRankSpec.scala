@@ -87,6 +87,31 @@ class PageRankSpec extends SparkSpec {
     assert(total <= Scale && total >= base * 41, s"total $total")
   }
 
+  test("repeated dumps are byte-identical: two Verify-style parquet dumps " +
+    "of q_dedup_rank carry the same bytes") {
+    // The driver hash-compares a parquet dump; this pins the whole chain
+    // (values, row order after ORDER BY doc_id, encoding) as run-to-run
+    // deterministic, so any driver-side hash mismatch has to come from
+    // the oracle side, not the engine dump.
+    def dump(dir: String): Array[Byte] = {
+      SparkEntry
+        .queries("q_dedup_rank")(spark, sf)
+        .coalesce(1)
+        .write
+        .mode("overwrite")
+        .parquet(dir)
+      val part = new java.io.File(dir)
+        .listFiles()
+        .filter(f => f.getName.startsWith("part-") && f.getName.endsWith(".parquet"))
+      assert(part.length == 1, s"expected one part file, got ${part.length}")
+      java.nio.file.Files.readAllBytes(part.head.toPath)
+    }
+    val tmp = java.nio.file.Files.createTempDirectory("prdump").toString
+    val a = dump(s"$tmp/a")
+    val b = dump(s"$tmp/b")
+    assert(java.util.Arrays.equals(a, b), "two dumps differ byte-wise")
+  }
+
   test("q_dedup_rank plan: the edge lineage is checkpointed once and each " +
     "iteration joins the slim pr frame — no re-derivation of the minhash " +
     "pipeline per round") {
