@@ -329,61 +329,161 @@ object SimilarityOps {
     ivfSearch(e, cents, NProbe)
   }
 
-  /** Deterministic Lloyd k-means for the IVF coarse quantizer: init = the k
-    * lowest vec_ids (fixed seed rows, no RNG), a fixed iteration count,
-    * cosine assignment with the same (cos desc, c_id asc) tie-break as the
-    * probe path, and exact-decimal elementwise means so the trained
-    * centroids do not depend on partition order (a double `avg` would).
-    * The k×dim codebook is model state: it is collected to the driver
-    * between passes — the same shape MLlib's KMeans uses — while every
-    * pass over the data stays distributed, so this trains unchanged on a
-    * 1000-executor corpus.
+  /** Deterministic training-input cap — the FAISS posture at 100 TB:
+    * Lloyd fits k centroids, so it needs O(k) representative vectors, not
+    * the corpus (FAISS trains on ~39-256 points per centroid and encodes
+    * the rest). Keep every seed row (vec_id < k, the init contract) plus
+    * a salted-hash slice sized to ≈ perCell·k rows — membership is a pure
+    * function of vec_id (the q_sample_hash idiom: reproducible across
+    * engines, task retries, partitionings; no RNG state in tasks), so the
+    * trained centroids stay deterministic and the dump-time decimal-
+    * literal oracles render the same codebook the engine used. Below the
+    * cap the input passes through untouched — training ≡ full-corpus
+    * training at small scale, and the 12-scans-of-the-lake cost this
+    * replaces only ever existed above it.
+    */
+  private[graft] def trainSample(
+      e: DataFrame,
+      k: Int,
+      perCell: Int = 256): DataFrame = {
+    import e.sparkSession.implicits._
+    val cap = perCell.toLong * k
+    val n = e.count()
+    if (n <= cap) e
+    else {
+      val buckets = 1000000L
+      val keep = cap * buckets / n
+      // localCheckpoint: the capped sample (≈ perCell·k rows, driver-safe
+      // by construction) materializes ONCE, so the Lloyd iterations that
+      // follow re-read a bounded in-memory frame instead of re-scanning
+      // the corpus file once per pass — at the 100 TB north star training
+      // touches the embedding store exactly twice (count + sample build).
+      // Below the cap the input passes through untouched, so no plan a
+      // small-sf spec pins ever changes.
+      e.filter(
+        $"vec_id" < k ||
+          pmod(
+            Hashing.h32(concat(lit("lloyd|"), $"vec_id".cast("string"))),
+            lit(buckets)) < keep)
+        .localCheckpoint()
+    }
+  }
+
+  /** THE Lloyd kernel — every trained quantizer in the engine (IVF coarse,
+    * semantic √N-cell, PQ sub-codebooks) runs through this one loop:
+    * init = the k lowest vec_ids per group (fixed seed rows, no RNG), a
+    * fixed iteration count, and exact-decimal elementwise means so the
+    * trained centroids do not depend on partition order (a double `avg`
+    * would). Two assignment flavors, both the exact rule their encode
+    * path uses so training and encoding can never disagree on a boundary:
+    * cosine (the coarse/semantic probe metric, the fused
+    * [[graft.expr.CodebookScores]] argmax with (cos desc, c_id asc)
+    * tie-break) and L2 (the PQ paper's metric: argmin cn2 − 2·dot with
+    * c_id tie-break — the ‖x‖² term is constant within a row's argmin).
+    *
+    * GROUPED: the input carries a `grp` column (PQ subspace id; a single
+    * group for the flat quantizers) and ONE broadcast bundle ships every
+    * group's codebook, so each Lloyd iteration is ONE distributed pass —
+    * assign map-side against `element_at(mcb, grp+1)`, then one
+    * (grp, cell, pos)-keyed decimal-mean job. Training all PqM subspaces
+    * costs `iters` corpus scans, not PqM·iters (the round-14 plan ran 12).
+    * Model state (groups×k×dim floats per pass) collects to the driver —
+    * the same shape MLlib's KMeans uses — while every data pass stays
+    * distributed, so this trains unchanged on a 1000-executor corpus.
+    */
+  private[graft] def trainLloyd(
+      xs: DataFrame, // (grp INT, vec_id LONG, x ARRAY<FLOAT>)
+      k: Int,
+      iters: Int,
+      groups: Int,
+      cosine: Boolean): Map[Int, Seq[(Long, Seq[Float])]] = {
+    val s = xs.sparkSession
+    import s.implicits._
+    val seeds = xs
+      .filter($"vec_id" < k)
+      .select($"grp", $"vec_id", $"x")
+      .as[(Int, Long, Seq[Float])]
+      .collect()
+    // a short seed set would silently score against null-field structs
+    // downstream (element_at past the codebook end) instead of failing here
+    require(
+      seeds.length == groups * k,
+      s"trainLloyd: ${seeds.length} seed rows with vec_id < $k over $groups group(s) " +
+        s"(need exactly ${groups * k})")
+    var cb: Map[Int, Seq[(Long, Seq[Float])]] = seeds
+      .groupBy(_._1)
+      .view
+      .mapValues(_.sortBy(_._2).zipWithIndex.map { case ((_, _, v), i) =>
+        (i.toLong, v)
+      }.toSeq)
+      .toMap
+    for (_ <- 1 to iters) {
+      // per-GROUP codebook rows, attached by a broadcast HASH join on grp
+      // so the hot expression reads `cb` as a top-level column — the same
+      // attribute-bound shape the pre-unification loops used. (A one-row
+      // nested bundle with per-row element_at extraction measured 2×
+      // slower here: the extraction re-materializes the codebook array
+      // per row instead of binding a pointer once per join row.)
+      val grpCbs = cb.toSeq
+        .flatMap { case (g, es) => es.map { case (id, v) => (g, id, v) } }
+        .toDF("grp", "c_id", "c")
+        .select($"grp", $"c_id", $"c", Vec.norm2($"c").as("cn2"))
+        .groupBy($"grp")
+        .agg(sort_array(collect_list(struct($"c_id", $"c", $"cn2"))).as("cb"))
+      val cell =
+        if (cosine)
+          -array_max(graft.expr.CodebookScores($"x", Vec.norm2($"x"), $"cb"))
+            .getField("nid")
+        else
+          array_min(transform($"cb", c =>
+            struct(
+              (c.getField("cn2") - lit(2d) * Vec.dot($"x", c.getField("c"))).as("d2"),
+              c.getField("c_id").as("c_id")))).getField("c_id")
+      // TWO selects, deliberately: a select that mixes the generator with
+      // the assignment lands the assignment Project ABOVE the Generate,
+      // re-running the k-centroid argmin once per EXPLODED element (dim×
+      // per vector — measured 3-4× on the whole stage); materializing
+      // (grp, cell, x) first pins the argmin below the explode, once per
+      // vector (Catalyst does not collapse a Project through a Generate).
+      val means = xs
+        .join(broadcast(grpCbs), Seq("grp"))
+        .select($"grp", cell.as("cell"), $"x")
+        .select($"grp", $"cell", posexplode($"x").as(Seq("pos", "v")))
+        .groupBy($"grp", $"cell", $"pos")
+        .agg((sum($"v".cast("decimal(27,10)")) / count(lit(1)))
+          .cast("float")
+          .as("mv"))
+        .groupBy($"grp", $"cell")
+        .agg(
+          transform(sort_array(collect_list(struct($"pos", $"mv"))), p =>
+            p.getField("mv")).as("c"))
+        .as[(Int, Long, Seq[Float])]
+        .collect()
+        .map { case (g, c, v) => (g, c) -> v }
+        .toMap
+      // a cell that captured no vectors keeps its previous centroid
+      cb = cb.map { case (g, es) =>
+        g -> es.map { case (id, old) => (id, means.getOrElse((g, id), old)) }
+      }
+    }
+    cb
+  }
+
+  /** Deterministic Lloyd k-means for the IVF coarse quantizer — the
+    * cosine single-group instantiation of [[trainLloyd]]; assignment uses
+    * the same (cos desc, c_id asc) tie-break as the probe path.
     */
   private[graft] def trainCodebook(
       e: DataFrame,
       k: Int,
       iters: Int): Seq[(Long, Seq[Float])] = {
-    val s = e.sparkSession
-    import s.implicits._
-    var cb: Seq[(Long, Seq[Float])] = e
-      .filter($"vec_id" < k)
-      .orderBy($"vec_id")
-      .select($"vec_id", $"embedding")
-      .as[(Long, Seq[Float])]
-      .collect()
-      .toSeq
-      .zipWithIndex
-      .map { case ((_, v), i) => (i.toLong, v) }
-    // a short seed set would silently score against null-field structs
-    // downstream (element_at past the codebook end) instead of failing here
-    require(
-      cb.size == k,
-      s"trainCodebook: ${cb.size} seed vectors with vec_id < $k (need exactly $k)")
-    for (_ <- 1 to iters) {
-      val cents =
-        cb.toDF("c_id", "c").select($"c_id", $"c", Vec.norm2($"c").as("cn2"))
-      val assigned = e
-        .crossJoin(broadcast(codebookRow(cents)))
-        .select(
-          $"embedding",
-          (-array_max(scoredCol).getField("nid")).as("cell"))
-      val means = assigned
-        .select($"cell", posexplode($"embedding").as(Seq("pos", "x")))
-        .groupBy($"cell", $"pos")
-        .agg((sum($"x".cast("decimal(27,10)")) / count(lit(1)))
-          .cast("float")
-          .as("m"))
-        .groupBy($"cell")
-        .agg(
-          transform(sort_array(collect_list(struct($"pos", $"m"))), p =>
-            p.getField("m")).as("c"))
-        .as[(Long, Seq[Float])]
-        .collect()
-        .toMap
-      // a cell that captured no vectors keeps its previous centroid
-      cb = cb.map { case (id, old) => (id, means.getOrElse(id, old)) }
-    }
-    cb
+    import e.sparkSession.implicits._
+    trainLloyd(
+      e.select(lit(0).as("grp"), $"vec_id", $"embedding".as("x")),
+      k,
+      iters,
+      groups = 1,
+      cosine = true)(0)
   }
 
   /** q_sim_ivf_trained — the production IVF path end-to-end: train the
@@ -397,7 +497,7 @@ object SimilarityOps {
     import s.implicits._
     val e = emb(s, d)
       .select($"vec_id", $"embedding", Vec.norm2($"embedding").as("n2"))
-    val cb = trainCodebook(e, IvfCells, iters = 4)
+    val cb = trainCodebook(trainSample(e, IvfCells), IvfCells, iters = 4)
     val cents =
       cb.toDF("c_id", "c").select($"c_id", $"c", Vec.norm2($"c").as("cn2"))
     ivfSearch(e, cents, NProbe)
@@ -461,7 +561,8 @@ object SimilarityOps {
     import s.implicits._
     val e = emb(s, d)
       .select($"vec_id", $"embedding", Vec.norm2($"embedding").as("n2"))
-    ivfSqlWith(centsLitCte(trainCodebook(e, IvfCells, iters = 4)))
+    ivfSqlWith(
+      centsLitCte(trainCodebook(trainSample(e, IvfCells), IvfCells, iters = 4)))
   }
 
   /** q_sim_ivf_batch — batch-probe IVF: the q_sim_batch generalization
@@ -1715,73 +1816,48 @@ object SimilarityOps {
   /** Per-subspace Lloyd with the PQ paper's L2 assignment (the cosine
     * [[trainCodebook]] is the coarse quantizer's flavor; sub-codebooks
     * quantize RESIDUAL-scale geometry where direction alone is not
-    * enough): seeds = the k lowest vec_ids' subvectors, argmin
-    * (cn2 − 2·dot) with c_id tie-break — the exact encode rule, so
-    * training and encoding can never disagree on a boundary — and the
-    * same exact-decimal elementwise means, partition-order-free. Model
-    * state (k×PqSub floats per pass) collects to the driver exactly like
-    * [[trainCodebook]]; every data pass stays distributed.
+    * enough) — the L2 single-group instantiation of [[trainLloyd]]:
+    * argmin (cn2 − 2·dot) with c_id tie-break is the exact encode rule,
+    * so training and encoding can never disagree on a boundary.
     */
   private[graft] def trainSubCodebook(
       xs: DataFrame, // (vec_id, x ARRAY<FLOAT>)
       k: Int,
       iters: Int): Seq[(Long, Seq[Float])] = {
-    val s = xs.sparkSession
-    import s.implicits._
-    var cb: Seq[(Long, Seq[Float])] = xs
-      .filter($"vec_id" < k)
-      .orderBy($"vec_id")
-      .select($"vec_id", $"x")
-      .as[(Long, Seq[Float])]
-      .collect()
-      .toSeq
-      .zipWithIndex
-      .map { case ((_, v), i) => (i.toLong, v) }
-    require(
-      cb.size == k,
-      s"trainSubCodebook: ${cb.size} seed vectors with vec_id < $k (need exactly $k)")
-    for (_ <- 1 to iters) {
-      val cents =
-        cb.toDF("c_id", "c").select($"c_id", $"c", Vec.norm2($"c").as("cn2"))
-      val cbRow = cents
-        .groupBy()
-        .agg(sort_array(collect_list(struct($"c_id", $"c", $"cn2"))).as("cb"))
-      val assigned = xs
-        .crossJoin(broadcast(cbRow))
-        .select(
-          $"x",
-          array_min(transform($"cb", c =>
-            struct(
-              (c.getField("cn2") - lit(2d) * Vec.dot($"x", c.getField("c"))).as("d2"),
-              c.getField("c_id").as("c_id")))).getField("c_id").as("cell"))
-      val means = assigned
-        .select($"cell", posexplode($"x").as(Seq("pos", "v")))
-        .groupBy($"cell", $"pos")
-        .agg((sum($"v".cast("decimal(27,10)")) / count(lit(1)))
-          .cast("float")
-          .as("mv"))
-        .groupBy($"cell")
-        .agg(
-          transform(sort_array(collect_list(struct($"pos", $"mv"))), p =>
-            p.getField("mv")).as("c"))
-        .as[(Long, Seq[Float])]
-        .collect()
-        .toMap
-      cb = cb.map { case (id, old) => (id, means.getOrElse(id, old)) }
-    }
-    cb
+    import xs.sparkSession.implicits._
+    trainLloyd(
+      xs.select(lit(0).as("grp"), $"vec_id", $"x"),
+      k,
+      iters,
+      groups = 1,
+      cosine = false)(0)
   }
 
-  /** All PqM trained sub-codebooks as a cents frame (m, c_id, c, cn2). */
+  /** All PqM trained sub-codebooks as a cents frame (m, c_id, c, cn2) —
+    * ONE fused [[trainLloyd]] run over the subspace-exploded corpus
+    * (grp = m), so every Lloyd iteration trains all PqM sub-codebooks in
+    * a single distributed pass: 3 corpus scans total where the sequential
+    * per-subspace loop ran PqM·3 = 12. The training INPUT is capped by
+    * [[trainSample]] (encode still covers the full corpus); both halves
+    * are bit-identical in the below-cap regime and deterministic above
+    * it, so [[pqTrainedOracle]]'s dump-time decimal literals track
+    * whatever this trains.
+    */
   private[graft] def pqTrainedCents(s: SparkSession, d: String): Seq[(Int, Long, Seq[Float])] = {
     import s.implicits._
-    val e = emb(s, d).select($"vec_id", $"embedding")
-    (0 until PqM).flatMap { m =>
-      trainSubCodebook(
-        e.select($"vec_id", slice($"embedding", m * PqSub + 1, PqSub).as("x")),
-        PqK,
-        iters = 3).map { case (id, v) => (m, id, v) }
-    }
+    val e = trainSample(emb(s, d).select($"vec_id", $"embedding"), PqK)
+    val sliced = e.select(
+      explode(array((0 until PqM).map(m =>
+        struct(
+          lit(m).as("grp"),
+          slice($"embedding", m * PqSub + 1, PqSub).as("x"))): _*)).as("mx"),
+      $"vec_id")
+      .select($"mx.grp".as("grp"), $"vec_id", $"mx.x".as("x"))
+    val cb = trainLloyd(sliced, PqK, iters = 3, groups = PqM, cosine = false)
+    for {
+      m <- 0 until PqM
+      (id, v) <- cb(m)
+    } yield (m, id, v)
   }
 
   private[graft] def pqCentsFrame(s: SparkSession, cents: Seq[(Int, Long, Seq[Float])]): DataFrame = {

@@ -147,6 +147,96 @@ class PqSpec extends SparkSpec {
     assert(trained <= standin + 1e-9, s"trained $trained > stand-in $standin")
   }
 
+  test("fused multi-subspace training ≡ the sequential per-subspace loop, " +
+    "bit-for-bit") {
+    // pqTrainedCents trains all PqM sub-codebooks in ONE trainLloyd run
+    // (3 corpus scans); this pins that fusing changed NOTHING numerically:
+    // each subspace's codebook equals an independent single-group run on
+    // that subspace's sliced frame (same seeds, same L2 argmin, same
+    // exact-decimal means)
+    import spark.implicits._
+    val fused = S.pqTrainedCents(spark, sf).groupBy(_._1)
+    (0 until PqM).foreach { m =>
+      val seq = S.trainSubCodebook(
+        e.select($"vec_id", slice($"embedding", m * 16 + 1, 16).as("x")),
+        PqK,
+        iters = 3)
+      val f = fused(m).map { case (_, id, v) => (id, v) }.sortBy(_._1)
+      assert(f == seq.sortBy(_._1), s"subspace $m diverged")
+    }
+  }
+
+  test("training touches the corpus ≤5 file-scan stages: one sample count, " +
+    "one seed collect, one per Lloyd iteration — not PqM per iteration") {
+    // the round-14 sequential loop scanned the embedding store 16 times
+    // (4 subspaces × (1 seed + 3 iterations)); the fused kernel's budget
+    // is 1 (trainSample count) + 1 (seeds) + 3 (one pass per iteration)
+    // onStageSubmitted, not onJobStart: under AQE every shuffle-stage
+    // materialization job RE-LISTS its (skipped) upstream scan stage with
+    // a fresh stage id, so counting job-start stageInfos triples the
+    // count; a skipped stage is never SUBMITTED, so submission events
+    // count exactly the scans that execute
+    val group = s"pq-scan-budget-${System.nanoTime()}"
+    val scanStages = java.util.concurrent.ConcurrentHashMap.newKeySet[Int]()
+    val listener = new org.apache.spark.scheduler.SparkListener {
+      override def onStageSubmitted(e: org.apache.spark.scheduler.SparkListenerStageSubmitted): Unit =
+        if (e.properties != null &&
+          group == e.properties.getProperty("spark.jobGroup.id") &&
+          e.stageInfo.rddInfos.exists(_.name.contains("FileScan")))
+          scanStages.add(e.stageInfo.stageId)
+    }
+    spark.sparkContext.addSparkListener(listener)
+    try {
+      spark.sparkContext.setJobGroup(group, "pq scan budget")
+      try S.pqTrainedCents(spark, sf)
+      finally spark.sparkContext.clearJobGroup()
+      org.apache.spark.graftaccess.ListenerDrain.drain(spark.sparkContext, 60000)
+      val n = {
+        import scala.jdk.CollectionConverters._
+        scanStages.iterator().asScala.size
+      }
+      assert(n > 0, "listener captured nothing — scoping broke")
+      assert(n <= 5, s"file-scan stages across PQ training: $n (budget 5)")
+    } finally spark.sparkContext.removeSparkListener(listener)
+  }
+
+  test("trainSample: pure-function cap — identity below it, above it a " +
+    "deterministic seed-preserving slice that still trains a better " +
+    "codebook than the seeds") {
+    import spark.implicits._
+    // below the cap the input passes through untouched (all current SFs)
+    assert(S.trainSample(e, PqK).count() == e.count())
+    // force the cap with a tiny perCell: membership must be a pure
+    // function of vec_id (partitioning-invariant), keep every seed row,
+    // and land near the cap
+    val cap = 4L * PqK
+    val a = S.trainSample(e, PqK, perCell = 4).select($"vec_id")
+      .as[Long].collect().sorted.toSeq
+    val b = S.trainSample(e.repartition(7), PqK, perCell = 4).select($"vec_id")
+      .as[Long].collect().sorted.toSeq
+    assert(a == b, "sample membership depends on partitioning")
+    assert((0L until PqK.toLong).forall(a.contains), "a seed row was dropped")
+    assert(a.size < e.count() && a.size <= 3 * cap,
+      s"sample ${a.size} of ${e.count()} vs cap $cap")
+    // and Lloyd on the capped sample still beats the seed codebook on the
+    // FULL corpus (the recall-floor analog that isotropic noise can't
+    // fake): mean shifted quantization error must not increase
+    val sliced = S.trainSample(e, PqK, perCell = 4).select(
+      lit(0).as("grp"), $"vec_id", slice($"embedding", 1, 16).as("x"))
+    val trained = S.trainLloyd(sliced, PqK, 3, groups = 1, cosine = false)(0)
+    def err(cb: Seq[(Long, Seq[Float])]): Double = {
+      val cents = cb.toDF("c_id", "c")
+        .select(lit(0).as("m"), $"c_id", $"c", Vec.norm2($"c").as("cn2"))
+      e.select($"vec_id", slice($"embedding", 1, 16).as("embedding"))
+        .crossJoin(broadcast(S.pqCodebookRow(cents)))
+        .select(S.pqEncCol(0).getField("d2").as("d2"))
+        .agg(avg($"d2")).head().getDouble(0)
+    }
+    val seeds = S.trainLloyd(sliced, PqK, 0, groups = 1, cosine = false)(0)
+    assert(err(trained) <= err(seeds) + 1e-9,
+      s"sample-trained ${err(trained)} > seeds ${err(seeds)}")
+  }
+
   test("the persisted codes table is the compressed scan tier") {
     import spark.implicits._
     val dir = java.nio.file.Files.createTempDirectory("pq_idx").toString
