@@ -1487,14 +1487,19 @@ object TextOps {
     import s.implicits._
     // The lexical leg is ≤ topK·|queries| rows but its lineage is the full
     // pruned-postings scoring plan, and serve references it four times
-    // (two bounded-state collects, the seed join, the fusion): sever it
-    // once (localCheckpoint — bounded state, the codebook precedent) so
-    // the postings are read and scored exactly once per serve. The seed
+    // (two bounded-state collects, the seed join, the fusion): COLLECT it
+    // once to a LocalRelation (bounded model state, the probe-bucket
+    // precedent) so the postings are read and scored exactly once per
+    // serve and every downstream reference — the shard probe, the seed
+    // join's broadcast, the fusion — reads driver-local rows instead of
+    // re-running (or even re-fetching) a checkpointed partition. The seed
     // frame stays LAZY: its store scan must remain in the final plan,
     // where ServeIndexSpec asserts the literal ishard partition filter.
-    val lex = serveBm25(s, bm25Paths)
+    val lexDist = serveBm25(s, bm25Paths)
       .select($"query_id", $"doc_id", $"rank".as("lex_rank"))
-      .localCheckpoint()
+    val lex = s.createDataFrame(
+      java.util.Arrays.asList(lexDist.collect(): _*),
+      lexDist.schema)
     // the ≤ topK·|queries| candidate ids' shards — bounded model state
     val lexShards = lex
       .select(pmod(hash($"doc_id"), lit(64)))

@@ -166,8 +166,8 @@ class ScaleSpec extends SparkSpec {
     // the hot-doc vocabulary (30 shared chrome tokens + 1 unique per doc)
     def vocab(d: String): Long = SparkEntry.queries("q_lm_unigram")(spark, d).count()
     assert(vocab(d10) === Replicas * vocab(d1) + 30L + HotDocs)
-    assertLinear("q_dedup_passage_cc", maxRatio = 12.0)
-    assertLinear("q_lm_score", maxRatio = 12.0)
+    assertLinear("q_dedup_passage_cc", maxRatio = 8.0) // observed 4.1
+    assertLinear("q_lm_score", maxRatio = 10.0) // observed 5.2
   }
 
   test("q_dedup_rank at 10x: replica mass uniform, hot cluster " +
@@ -201,7 +201,7 @@ class ScaleSpec extends SparkSpec {
     // isolated docs hold EXACTLY the teleport mass (integer arithmetic:
     // no tolerance)
     assert(out.agg(min($"pr")).head().getLong(0) == base)
-    assertLinear("q_dedup_rank", maxRatio = 12.0)
+    assertLinear("q_dedup_rank", maxRatio = 8.0) // observed 4.1
   }
 
   test("banded pair join at 10x keeps its plan shape: equi-join, no cartesian") {
