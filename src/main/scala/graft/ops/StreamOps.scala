@@ -413,8 +413,19 @@ object StreamOps {
       batch0: DataFrame,
       batchId: Long,
       p: CorpusPipeline): Unit = {
-    if (!batch0.isEmpty) {
-      val batch = batch0.localCheckpoint(true) // six consumers below
+    if (!batch0.isEmpty)
+      corpusLegs(batch0.localCheckpoint(true), batchId, p)
+  }
+
+  /** The seven corpus legs over an already-materialized batch — shared
+    * verbatim between the standalone corpus program and the unified
+    * text+vector program, so both feed shapes commit through ONE
+    * implementation.
+    */
+  private[graft] def corpusLegs(
+      batch: DataFrame,
+      batchId: Long,
+      p: CorpusPipeline): Unit = {
       batch.select(CorpusLakeCols.map(col): _*)
         .write
         .mode(org.apache.spark.sql.SaveMode.Overwrite)
@@ -461,7 +472,6 @@ object StreamOps {
           Seq("split", "lang"),
           p.props)
       }
-    }
   }
 
   /** Seed the composed program from yesterday's batch-curated corpus:
@@ -1954,16 +1964,25 @@ object StreamOps {
       batch0: DataFrame,
       batchId: Long,
       p: VectorPipeline): Unit =
-    if (!batch0.isEmpty) {
-      val batch = batch0.localCheckpoint(true) // five consumers below
-      graft.index.GenLog.commitGeneration(AnnFamily, batch, p.annDir, batchId)
-      graft.index.GenLog.commitGeneration(QuantFamily, batch, p.quantDir, batchId)
-      graft.index.GenLog.commitGeneration(
-        ivfFamily(p.ivfDir), batch, p.ivfDir, batchId)
-      graft.index.GenLog.commitGeneration(
-        semFamily(p.semDir), batch, p.semDir, batchId)
-      graft.index.GenLog.commitGeneration(EmbStoreFamily, batch, p.storeDir, batchId)
-    }
+    if (!batch0.isEmpty)
+      vectorLegs(batch0.localCheckpoint(true), batchId, p)
+
+  /** The five vector legs over an already-materialized batch — shared
+    * verbatim between the standalone vector program and the unified
+    * text+vector program.
+    */
+  private[graft] def vectorLegs(
+      batch: DataFrame,
+      batchId: Long,
+      p: VectorPipeline): Unit = {
+    graft.index.GenLog.commitGeneration(AnnFamily, batch, p.annDir, batchId)
+    graft.index.GenLog.commitGeneration(QuantFamily, batch, p.quantDir, batchId)
+    graft.index.GenLog.commitGeneration(
+      ivfFamily(p.ivfDir), batch, p.ivfDir, batchId)
+    graft.index.GenLog.commitGeneration(
+      semFamily(p.semDir), batch, p.semDir, batchId)
+    graft.index.GenLog.commitGeneration(EmbStoreFamily, batch, p.storeDir, batchId)
+  }
 
   /** The composed vector program as a stream writer: feed it the vector
     * stream and start. The daily loop is stop →
@@ -1990,6 +2009,107 @@ object StreamOps {
     compactIvfIndex(s, p.ivfDir)
     compactSemanticIndex(s, p.semDir)
     compactEmbStoreIndex(s, p.storeDir)
+  }
+
+  // ───────────────── the unified text+vector program ─────────────────
+
+  /** ONE production ingest maintaining BOTH sides of the lake: the
+    * twelve maintained families — curated lake, near-dup index, postings,
+    * boilerplate/passage/bigram frequency state, report summary (the
+    * [[CorpusPipeline]] legs) and float ANN buckets, int8 quantized tier,
+    * IVF cells, semantic cells + survivors, id-sharded store (the
+    * [[VectorPipeline]] legs) — fed by one document stream, committed in
+    * one foreachBatch. This is the production shape: a real ingest is one
+    * feed of documents with at-ingest embeddings, not one stream per
+    * modality; the feed is read (and checkpointed) ONCE per micro-batch
+    * for all twelve consumers, and every leg keeps its O(batch)
+    * generation discipline, per-batchId idempotence, and day-2
+    * compaction contract unchanged — the legs are shared verbatim with
+    * the standalone programs ([[corpusLegs]] / [[vectorLegs]]).
+    */
+  case class UnifiedPipeline(corpus: CorpusPipeline, vectors: VectorPipeline)
+
+  /** The unified feed: curated survivor documents enriched with their
+    * vectors by a stream-static join against the embedding source (the
+    * at-ingest embedding-lookup seam — embeddings for this corpus are a
+    * precomputed table keyed vec_id ≡ doc_id; a live embedder would bind
+    * the same seam). LEFT join: a document without a vector still flows
+    * to every text leg; the vector legs take only embedded rows. The join
+    * is stream-static (no watermark interaction, no state) and the static
+    * side's scan prunes to the id and payload columns.
+    */
+  def liftUnifiedFeed(
+      s: SparkSession,
+      sourceDir: String,
+      embSource: DataFrame,
+      options: Map[String, String] = Map.empty): DataFrame = {
+    val emb = embSource.select(col("vec_id"), col("embedding"), col("label"))
+    liftCuratedDocs(s, sourceDir, options)
+      .join(emb, col("doc_id") === emb("vec_id"), "left")
+  }
+
+  /** ONE micro-batch through all twelve legs: one materialization, the
+    * seven corpus legs on the full batch, the five vector legs on the
+    * embedded rows re-keyed to the vector schema.
+    */
+  def unifiedPipelineBatch(
+      batch0: DataFrame,
+      batchId: Long,
+      p: UnifiedPipeline): Unit =
+    if (!batch0.isEmpty) {
+      val batch = batch0.localCheckpoint(true) // twelve consumers below
+      corpusLegs(batch, batchId, p.corpus)
+      val vecs = batch
+        .filter(col("embedding").isNotNull)
+        .select(col("vec_id"), col("embedding"), col("label"))
+      if (!vecs.isEmpty) vectorLegs(vecs, batchId, p.vectors)
+    }
+
+  /** Seed both sides from yesterday's batch-curated corpus: the corpus
+    * seed over the curated documents, the vector seed over exactly the
+    * curated documents' embeddings — the unified program's invariant is
+    * that the vector tier indexes the SURVIVOR set, not the raw feed.
+    */
+  def seedUnifiedPipeline(
+      s: SparkSession,
+      curatedBase: DataFrame,
+      embSource: DataFrame,
+      cents: DataFrame,
+      p: UnifiedPipeline): Unit = {
+    seedCorpusPipeline(s, curatedBase, p.corpus)
+    val emb = embSource.select(col("vec_id"), col("embedding"), col("label"))
+    seedVectorPipeline(
+      s,
+      emb.join(
+        curatedBase.select(col("doc_id")),
+        emb("vec_id") === col("doc_id"),
+        "left_semi"),
+      cents,
+      p.vectors)
+  }
+
+  /** The unified program as a stream writer: feed it [[liftUnifiedFeed]]
+    * and start. Day-2 is stop → [[compactUnifiedPipeline]] → restart from
+    * the same checkpoint.
+    */
+  def unifiedPipelineWriter(
+      feed: DataFrame,
+      p: UnifiedPipeline,
+      checkpoint: String): org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
+    feed.writeStream
+      .outputMode("append")
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        unifiedPipelineBatch(batch, batchId, p)
+        ()
+      }
+
+  /** Stopped-stream compaction for all twelve families. */
+  def compactUnifiedPipeline(s: SparkSession, p: UnifiedPipeline): Unit = {
+    compactDedupIndex(s, p.corpus.dedupIndexDir)
+    compactBm25Index(s, p.corpus.bm25IndexDir)
+    compactCorpusReport(s, p.corpus.reportSummaryDir)
+    compactVectorPipeline(s, p.vectors)
   }
 
   /** update-mode stream → keyed JDBC upsert: the streaming CDC-apply.

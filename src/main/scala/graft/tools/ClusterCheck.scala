@@ -55,14 +55,16 @@ object ClusterCheck {
     "q_sim_pq",
     "q_sim_pq_trained")
 
-  /** The composed CorpusPipeline feed as a deterministic check program —
-    * shared verbatim between the forked local-cluster run and the spec's
-    * in-process local[*] reference run, so a row diff can only come from
-    * the execution boundary. Drives the streaming side the batch slice
-    * above cannot: foreachBatch GenLog commits (heartbeated lease,
-    * claim/commit protocol), the in-stream maybeCompact folds, the
-    * localCheckpoint batch blocks on executor block managers, then a
-    * full day-2 compaction cycle — and returns every served surface.
+  /** The composed UNIFIED text+vector feed as a deterministic check
+    * program — shared verbatim between the forked local-cluster run and
+    * the spec's in-process local[*] reference run, so a row diff can only
+    * come from the execution boundary. Drives the streaming side the
+    * batch slice above cannot: foreachBatch GenLog commits (heartbeated
+    * lease, claim/commit protocol), the in-stream maybeCompact folds, the
+    * localCheckpoint batch blocks on executor block managers, the
+    * stream-static embedding join, all five vector-family commits from
+    * the same micro-batch, then a full day-2 compaction cycle over all
+    * twelve families — and returns every served surface, text AND vector.
     * The pipeline runs with NO external JDBC target (empty url):
     * embedded Derby is one-JVM-only, so the published report is read
     * from the maintained summary family instead.
@@ -110,43 +112,80 @@ object ClusterCheck {
     }
     stage(all.filter(col("doc_id") > cut && col("doc_id") <= c1), "feed1", 1000000L)
     stage(all.filter(col("doc_id") > c1), "feed2", 2000000L)
-    val pipe = StreamOps.CorpusPipeline(
-      lakeDir = s"$work/lake",
-      dedupIndexDir = s"$work/dedup",
-      bm25IndexDir = s"$work/bm25",
-      boilerStatsDir = s"$work/boiler",
-      passageGramsDir = s"$work/passage",
-      bigramStatsDir = s"$work/bigram",
-      reportSummaryDir = s"$work/summary",
-      jdbcUrl = "",
-      reportTable = "")
-    StreamOps.seedCorpusPipeline(s, base, pipe)
+    val pipe = StreamOps.UnifiedPipeline(
+      StreamOps.CorpusPipeline(
+        lakeDir = s"$work/lake",
+        dedupIndexDir = s"$work/dedup",
+        bm25IndexDir = s"$work/bm25",
+        boilerStatsDir = s"$work/boiler",
+        passageGramsDir = s"$work/passage",
+        bigramStatsDir = s"$work/bigram",
+        reportSummaryDir = s"$work/summary",
+        jdbcUrl = "",
+        reportTable = ""),
+      StreamOps.VectorPipeline(
+        annDir = s"$work/ann",
+        quantDir = s"$work/quant",
+        ivfDir = s"$work/ivf",
+        semDir = s"$work/sem",
+        storeDir = s"$work/store"))
+    import graft.ops.{SimilarityOps, Vec}
+    val emb = graft.T(s, sfDir, "embeddings")
+    val cents = emb
+      .filter(col("vec_id") < 16)
+      .select(
+        col("vec_id").as("c_id"), col("embedding").as("c"),
+        Vec.norm2(col("embedding")).as("cn2"))
+    StreamOps.seedUnifiedPipeline(s, base, emb, cents, pipe)
     val q = StreamOps
-      .corpusPipelineWriter(
-        StreamOps.liftCuratedDocs(s, src, Map("maxFilesPerTrigger" -> "1")),
+      .unifiedPipelineWriter(
+        StreamOps.liftUnifiedFeed(s, src, emb, Map("maxFilesPerTrigger" -> "1")),
         pipe,
         s"$work/ckpt")
       .start()
     try q.processAllAvailable()
     finally q.stop()
-    // the day-2 cycle, also across the boundary
-    StreamOps.compactDedupIndex(s, pipe.dedupIndexDir)
-    StreamOps.compactBm25Index(s, pipe.bm25IndexDir)
-    StreamOps.compactCorpusReport(s, pipe.reportSummaryDir)
+    // the day-2 cycle over all twelve families, also across the boundary
+    StreamOps.compactUnifiedPipeline(s, pipe)
+    // deterministic vector probes, derived from the static table the same
+    // way on both sides of the fork
+    val e = emb.select(
+      col("vec_id"), col("embedding"), Vec.norm2(col("embedding")).as("n2"))
+    val annProbes = e
+      .withColumn("bucket", SimilarityOps.bucketCol)
+      .filter(col("vec_id") < 5)
+      .select(
+        col("vec_id").as("probe_id"), col("embedding").as("p"),
+        col("n2").as("pn2"),
+        F.explode(F.array(
+          col("bucket") +: (0 until SimilarityOps.SignBits)
+            .map(j => col("bucket").bitwiseXOR(lit(1L << j))): _*)).as("pbucket"))
     Seq(
-      "lake" -> s.read.parquet(pipe.lakeDir)
+      "lake" -> s.read.parquet(pipe.corpus.lakeDir)
         .select("doc_id", "lang", "source", "n_chars", "split"),
-      "dedup" -> StreamOps.readDedupAssignments(s, pipe.dedupIndexDir),
-      "bm25" -> StreamOps.serveBm25Continuous(s, pipe.bm25IndexDir),
-      "boiler" -> StreamOps.serveBoilerplateContinuous(s, pipe.boilerStatsDir),
-      "passage50" -> StreamOps.servePassageDup50Continuous(s, pipe.passageGramsDir),
-      "bigram" -> StreamOps.serveLmBigramContinuous(s, pipe.bigramStatsDir),
-      "report" -> StreamOps.publishedCorpusReport(s, pipe.reportSummaryDir))
+      "dedup" -> StreamOps.readDedupAssignments(s, pipe.corpus.dedupIndexDir),
+      "bm25" -> StreamOps.serveBm25Continuous(s, pipe.corpus.bm25IndexDir),
+      "boiler" -> StreamOps.serveBoilerplateContinuous(s, pipe.corpus.boilerStatsDir),
+      "passage50" -> StreamOps.servePassageDup50Continuous(s, pipe.corpus.passageGramsDir),
+      "bigram" -> StreamOps.serveLmBigramContinuous(s, pipe.corpus.bigramStatsDir),
+      "report" -> StreamOps.publishedCorpusReport(s, pipe.corpus.reportSummaryDir),
+      "ann" -> StreamOps.serveAnnContinuous(s, pipe.vectors.annDir, annProbes),
+      "quant" -> StreamOps.serveQuantContinuous(
+        s, pipe.vectors.quantDir, SimilarityOps.quantProbeFrame(s, sfDir)),
+      "ivf" -> StreamOps.serveIvfContinuous(
+        s, pipe.vectors.ivfDir, e.filter(col("vec_id") < 5)),
+      "sem" -> StreamOps.serveSemanticContinuous(s, pipe.vectors.semDir),
+      "store" -> StreamOps
+        .embStoreGenerationRoots(s, pipe.vectors.storeDir)
+        .map(r => s.read.parquet(r))
+        .reduce(_ unionByName _)
+        .select(col("vec_id"), col("ishard").cast("long").as("ishard")))
   }
 
   /** Surface names [[runPipeline]] dumps — the spec iterates these. */
   private[graft] val StreamSurfaces =
-    Seq("lake", "dedup", "bm25", "boiler", "passage50", "bigram", "report")
+    Seq("lake", "dedup", "bm25", "boiler", "passage50", "bigram", "report",
+      "ann", "quant", "ivf", "sem", "store")
 
   def main(args: Array[String]): Unit = {
     val Array(sfDir, outDir) = args.take(2)
