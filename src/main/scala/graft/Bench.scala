@@ -324,9 +324,13 @@ object Bench {
     // regressing 5x while others improve — a violation here makes that
     // single-query regression machine-checkable in the bench record
     // itself, like the catalog counters. Budgets are scale-specific:
-    // only checked when this run's sf dir matches the file's.
+    // each file self-gates on its recorded sf basename, so checking both
+    // candidates never double-fires — BUDGETS.json gates the sf0.1 run,
+    // BUDGETS_sf1.json the 10x staged run (tools/rebudget.py writes
+    // either from the matching bench record).
     val budgetViolations =
-      Bench.budgetViolations(sfDir, gateResults, "BUDGETS.json", calibration)
+      Seq("BUDGETS.json", "BUDGETS_sf1.json").flatMap(f =>
+        Bench.budgetViolations(sfDir, gateResults, f, calibration))
     val budgetsJson = budgetViolations
       .map { case (q, t, b) => jstr(q) + s""":{"sec":$t,"budget":$b}""" }
       .mkString("{", ",", "}")

@@ -8,8 +8,9 @@ fossilize slack into the gate (lowering is never capped: the gate only
 gets sharper for free). Capped raises are listed so the round close can
 note them.
 
-Usage: python3 tools/rebudget.py [BENCH_LAST.json] [--force]
-Writes BUDGETS.json in the cwd.
+Usage: python3 tools/rebudget.py [BENCH_LAST.json] [OUT.json] [--force]
+Writes OUT.json (default BUDGETS.json) in the cwd — pass
+BUDGETS_sf1.json with a 10x bench record to (re)generate the 10x gate.
 """
 import json
 import os
@@ -24,6 +25,7 @@ def main():
     args = [a for a in sys.argv[1:] if a != "--force"]
     force = "--force" in sys.argv[1:]
     src = args[0] if args else "BENCH_LAST.json"
+    dst = args[1] if len(args) > 1 else "BUDGETS.json"
     with open(src) as f:
         rec = json.load(f)
     sf = os.path.basename(rec["sf"].rstrip("/"))
@@ -31,8 +33,8 @@ def main():
     fresh = {q: max(FLOOR, FACTOR * t) for q, t in rec["queries"].items()}
 
     old = {}
-    if os.path.exists("BUDGETS.json"):
-        with open("BUDGETS.json") as f:
+    if os.path.exists(dst):
+        with open(dst) as f:
             prev = json.load(f)
         if prev.get("sf") == sf:
             old = prev.get("budgets", {})
@@ -47,10 +49,10 @@ def main():
             budgets[q] = round(b, 4)
 
     out = {"sf": sf, "probe": round(probe, 4), "budgets": budgets}
-    with open("BUDGETS.json", "w") as f:
+    with open(dst, "w") as f:
         json.dump(out, f, indent=1, sort_keys=True)
         f.write("\n")
-    print(f"BUDGETS.json: {len(budgets)} budgets at sf={sf}, probe={probe:.3f}")
+    print(f"{dst}: {len(budgets)} budgets at sf={sf}, probe={probe:.3f}")
     for q, ob, want, got in capped:
         print(f"  CAPPED {q}: {ob:.3f} -> wanted {want:.3f}, wrote {got:.3f}"
               " (raise >25% needs --force + a verdict note)")
