@@ -1743,7 +1743,23 @@ object DedupOps {
         .select($"a_id", $"b_id"))
   }
 
-  private val RankSql = {
+  /** The shared oracle CTE chain of the rank family (docs → params →
+    * symmetrized degree-carrying edges → the unrolled pr ladder), WITHOUT
+    * the leading WITH or the final SELECT, so [[RankSql]] and
+    * [[RankRepSql]] compose it.
+    *
+    * MATERIALIZED: DuckDB inlines plain CTEs per reference, and `ed` is
+    * read by all three iterations while `edges` feeds both deg and ed —
+    * without the hint the expensive banded-Jaccard `pairs` pipeline
+    * re-runs once per reference (minutes at the 10x gate instead of
+    * seconds).
+    * CAST(... AS BIGINT) on every aggregate/derived integer: DuckDB's
+    * sum(BIGINT) yields HUGEINT and would otherwise propagate through
+    * the whole pr ladder — a cross-version type surface in the
+    * hash-compared dump (the engine emits BIGINT). Exact here: total
+    * mass is bounded by SCALE = 10^12, and 85·s ≤ 8.5e13 << 2^63.
+    */
+  private val RankChainCtes = {
     val iters = (1 to PrIters)
       .map { i =>
         s"c$i AS (SELECT ed.dst, CAST(sum(p.pr // ed.deg) AS BIGINT) AS s " +
@@ -1753,18 +1769,7 @@ object DedupOps {
           s"FROM docs d LEFT JOIN c$i ON c$i.dst = d.doc_id)"
       }
       .mkString(", ")
-    // MATERIALIZED: DuckDB inlines plain CTEs per reference, and `ed` is
-    // read by all three iterations while `edges` feeds both deg and ed —
-    // without the hint the expensive banded-Jaccard `pairs` pipeline
-    // re-runs once per reference (minutes at the 10x gate instead of
-    // seconds).
-    // CAST(... AS BIGINT) on every aggregate/derived integer: DuckDB's
-    // sum(BIGINT) yields HUGEINT and would otherwise propagate through
-    // the whole pr ladder — a cross-version type surface in the
-    // hash-compared dump (the engine emits BIGINT). Exact here: total
-    // mass is bounded by SCALE = 10^12, and 85·s ≤ 8.5e13 << 2^63.
-    s"WITH $NearCtes, " +
-      "docs AS (SELECT doc_id FROM documents), " +
+    "docs AS (SELECT doc_id FROM documents), " +
       s"params AS (SELECT CAST($PrScale // count(*) AS BIGINT) AS pr0, " +
       s"CAST((15 * ($PrScale // count(*))) // 100 AS BIGINT) AS base FROM docs), " +
       "upairs AS MATERIALIZED (SELECT a_id, b_id FROM pairs), " +
@@ -1773,12 +1778,65 @@ object DedupOps {
       "deg AS (SELECT src, count(*) AS deg FROM edges GROUP BY src), " +
       "ed AS MATERIALIZED (SELECT e.src, e.dst, d.deg FROM edges e JOIN deg d ON d.src = e.src), " +
       "pr0 AS (SELECT doc_id, (SELECT pr0 FROM params) AS pr FROM docs), " +
-      s"$iters " +
-      s"SELECT doc_id, pr FROM pr$PrIters ORDER BY doc_id"
+      s"$iters"
   }
+
+  private val RankSql =
+    s"WITH $NearCtes, $RankChainCtes " +
+      s"SELECT doc_id, pr FROM pr$PrIters ORDER BY doc_id"
+
+  /** q_dedup_rank_rep — cluster CANONICALIZATION, the step the rank
+    * exists for: close the same verified near-dup graph into components
+    * (q_dedup_cc's rule) and pick each cluster's representative by
+    * stationary mass — argmax (pr desc, doc_id asc) — so the "keep"
+    * decision is the best-connected member, not an arbitrary min-id.
+    * One row per cluster: (cluster_id, cluster_size, rep_id, rep_pr).
+    *
+    * Scale shape: the banded-Jaccard pair lineage runs ONCE behind an
+    * eager checkpoint and feeds BOTH consumers (the closure and the
+    * rank); the final cut is one groupBy(cluster_id) argmax via a
+    * max(struct) partial aggregate — no per-cluster window over the
+    * corpus.
+    */
+  private def dedupRankRep(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val docsF = T(s, d, "documents").select($"doc_id")
+    val pairs = bandedJaccardPairs(s, hashedToks(s, d), 9, 10, ordered = false)
+      .select($"a_id", $"b_id")
+      .localCheckpoint(eager = true)
+    val pr = pageRank(docsF, pairs)
+    val cc = ccAssign(s, pairs, docsF)
+    cc.join(pr, Seq("doc_id"))
+      .groupBy($"cluster_id")
+      .agg(
+        count(lit(1)).as("cluster_size"),
+        max(struct($"pr".as("pr"), (-$"doc_id").as("nid"))).as("m"))
+      .select(
+        $"cluster_id",
+        $"cluster_size",
+        (-$"m.nid").as("rep_id"),
+        $"m.pr".as("rep_pr"))
+      .orderBy($"cluster_id")
+  }
+
+  private val RankRepSql =
+    s"WITH RECURSIVE $NearCtes, $RankChainCtes, " +
+      "reach(id, r) AS (SELECT src, src FROM edges " +
+      "UNION SELECT e.src, r.r FROM edges e JOIN reach r ON r.id = e.dst), " +
+      "lbl AS (SELECT id, min(r) AS cluster_id FROM reach GROUP BY id), " +
+      "asgn AS (SELECT d.doc_id, coalesce(l.cluster_id, d.doc_id) AS cluster_id " +
+      "FROM docs d LEFT JOIN lbl l ON l.id = d.doc_id), " +
+      "ranked AS (SELECT a.cluster_id, p.doc_id, p.pr, " +
+      "row_number() OVER (PARTITION BY a.cluster_id ORDER BY p.pr DESC, p.doc_id) AS rn, " +
+      "count(*) OVER (PARTITION BY a.cluster_id) AS csize " +
+      s"FROM asgn a JOIN pr$PrIters p ON p.doc_id = a.doc_id) " +
+      "SELECT cluster_id, CAST(csize AS BIGINT) AS cluster_size, " +
+      "doc_id AS rep_id, pr AS rep_pr " +
+      "FROM ranked WHERE rn = 1 ORDER BY cluster_id"
 
   val defs: Seq[QueryDef] = Seq(
     QueryDef("q_dedup_rank", dedupRank, Some(RankSql)),
+    QueryDef("q_dedup_rank_rep", dedupRankRep, Some(RankRepSql)),
     QueryDef("q_pipeline_corpus", pipelineCorpus, Some(PipelineSql)),
     QueryDef("q_dedup_passage_cc", passageCc, Some(PassageCcSql)),
     QueryDef("q_pipeline_corpus2", pipelineCorpus2, Some(Pipeline2Sql)),

@@ -1090,6 +1090,82 @@ object TextOps {
       "array_to_string(list_sort(list(doc_id)), ',') AS postings " +
       s"FROM r WHERE rn <= $PostingsCap GROUP BY token ORDER BY token"
 
+  /** The fixed phrase benchmark set: common-common adjacencies (plenty of
+    * hits), a missing-term phrase (must yield no rows, not nulls), and a
+    * shared-term pair (exercises per-query isolation of the postings).
+    */
+  private[graft] val PhraseQueries: Seq[(Int, String, String)] = Seq(
+    (1, "hash", "join"),
+    (2, "table", "scan"),
+    (3, "fast", "merge"),
+    (4, "slow", "zzzmissing"),
+    (5, "table", "table"))
+
+  /** Phrase matching over POSITIONAL postings for an arbitrary doc frame:
+    * occurrences of "t1 t2" as ADJACENT tokens of the raw lowercase
+    * sequence (adjacency is a property of the unfiltered sequence — a
+    * token filter would create false adjacencies across dropped tokens).
+    * Per query, docs rank by (occurrence count desc, doc_id), top 10,
+    * zero-hit docs absent.
+    *
+    * Scale shape: the positional postings are restricted to the query
+    * TERMS up front (broadcast semi of a ≤2·|queries| term frame), so at
+    * 100 TB only matching postings ever shuffle; the phrase step is then
+    * one equi-join of two slim (query_id, doc_id, pos) frames on
+    * (query, doc, pos+1 = pos) — an all-equi key, AQE-skew-splittable —
+    * and the cut is a per-query rank window over ≤ |matched docs| rows.
+    */
+  private[graft] def phraseHits(
+      docsDf: DataFrame,
+      phrases: Seq[(Int, String, String)]): DataFrame = {
+    val s = docsDf.sparkSession
+    import s.implicits._
+    val toks = docsDf.select(
+      $"doc_id",
+      posexplode(split(lower($"text"), " ")).as(Seq("pos", "term")))
+    val qterms = phrases.flatMap(p => Seq(p._2, p._3)).distinct.toDF("term")
+    val hits = toks.join(broadcast(qterms), Seq("term"))
+    val q = phrases.toDF("query_id", "t1", "t2")
+    val first = hits
+      .join(broadcast(q), $"term" === $"t1")
+      .select($"query_id", $"doc_id", ($"pos" + 1).as("nxt"))
+    val second = hits
+      .join(broadcast(q.select($"query_id", $"t2")), $"term" === $"t2")
+      .select($"query_id", $"doc_id", $"pos".as("nxt"))
+    val w = Window.partitionBy($"query_id").orderBy($"n_hits".desc, $"doc_id")
+    first
+      .join(second, Seq("query_id", "doc_id", "nxt"))
+      .groupBy($"query_id", $"doc_id")
+      .agg(count(lit(1)).as("n_hits"))
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .filter($"rank" <= 10)
+      .select($"query_id", $"rank", $"doc_id", $"n_hits")
+      .orderBy($"query_id", $"rank")
+  }
+
+  private def indexPhrase(s: SparkSession, d: String): DataFrame =
+    phraseHits(docs(s, d), PhraseQueries)
+
+  private val PhraseSql = {
+    val vals = PhraseQueries
+      .map { case (id, t1, t2) => s"($id, '$t1', '$t2')" }
+      .mkString(", ")
+    "WITH tok AS (SELECT doc_id, " +
+      "unnest(string_split(lower(text), ' ')) AS term, " +
+      "generate_subscripts(string_split(lower(text), ' '), 1) AS pos " +
+      "FROM documents), " +
+      s"q(query_id, t1, t2) AS (SELECT * FROM (VALUES $vals)), " +
+      "a AS (SELECT q.query_id, t.doc_id, t.pos + 1 AS nxt FROM tok t JOIN q ON t.term = q.t1), " +
+      "b AS (SELECT q.query_id, t.doc_id, t.pos AS nxt FROM tok t JOIN q ON t.term = q.t2), " +
+      "m AS (SELECT a.query_id, a.doc_id, CAST(count(*) AS BIGINT) AS n_hits " +
+      "FROM a JOIN b ON b.query_id = a.query_id AND b.doc_id = a.doc_id AND b.nxt = a.nxt " +
+      "GROUP BY a.query_id, a.doc_id), " +
+      "r AS (SELECT query_id, doc_id, n_hits, " +
+      "row_number() OVER (PARTITION BY query_id ORDER BY n_hits DESC, doc_id) AS rn FROM m) " +
+      "SELECT query_id, CAST(rn AS BIGINT) AS rank, doc_id, n_hits " +
+      "FROM r WHERE rn <= 10 ORDER BY query_id, rank"
+  }
+
   // ---- lexical retrieval: BM25 over the inverted-index family ---------
 
   /** The fixed multi-term benchmark query set: common-term conjunctions,
@@ -1946,6 +2022,7 @@ object TextOps {
     QueryDef("q_text_repetition", textRepetition, Some(RepetitionSql)),
     QueryDef("q_text_chunk", textChunk, Some(ChunkSql)),
     QueryDef("q_index_inverted", indexInverted, Some(InvertedSql)),
+    QueryDef("q_index_phrase", indexPhrase, Some(PhraseSql)),
     QueryDef("q_index_bm25", indexBm25, Some(Bm25Sql)),
     QueryDef("q_index_bm25_served", indexBm25Served, Some(Bm25Sql)),
     QueryDef("q_index_bm25_incr", indexBm25Incr, Some(Bm25Sql)),

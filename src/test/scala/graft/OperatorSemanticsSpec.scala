@@ -291,6 +291,23 @@ class OperatorSemanticsSpec extends SparkSpec {
     assert(!spark.catalog.tableExists("graft_sql_lineitem"))
   }
 
+  test("q_index_phrase: planted adjacencies count exactly, including the " +
+    "self-phrase and overlapping occurrences; a missing term yields no rows") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "hash join hash join scan"), // "hash join" x2
+      (2L, "join hash"),                // reversed: 0
+      (3L, "b b b"),                    // self-phrase "b b": overlapping x2
+      (4L, "hash jOin")                 // lowercasing: 1
+    ).toDF("doc_id", "text")
+    val got = graft.ops.TextOps
+      .phraseHits(docs, Seq((1, "hash", "join"), (2, "b", "b"), (3, "hash", "zzz")))
+      .collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      .toSeq
+    assert(got === Seq((1, 1L, 1L, 2L), (1, 2L, 4L, 1L), (2, 1L, 3L, 2L)))
+  }
+
   test("q_profile_table distinct counts agree with the dedup family") {
     import spark.implicits._
     // profile the documents table through the same rendering scheme the

@@ -87,6 +87,32 @@ class PageRankSpec extends SparkSpec {
     assert(total <= Scale && total >= base * 41, s"total $total")
   }
 
+  test("q_dedup_rank_rep: the representative is the best-connected member " +
+    "— clusters agree with q_dedup_cc, rep = argmax pr with doc_id " +
+    "tie-break, singletons represent themselves") {
+    import spark.implicits._
+    val rep = SparkEntry.queries("q_dedup_rank_rep")(spark, sf)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    val cc = SparkEntry.queries("q_dedup_cc")(spark, sf)
+      .select($"doc_id", $"cluster_id")
+      .as[(Long, Long)].collect()
+    val pr = SparkEntry.queries("q_dedup_rank")(spark, sf)
+      .as[(Long, Long)].collect().toMap
+    val byCluster = cc.groupBy(_._2)
+    assert(rep.map(_._1).toSet == byCluster.keySet, "cluster sets differ")
+    rep.foreach { case (cid, size, repId, repPr) =>
+      val members = byCluster(cid).map(_._1)
+      assert(size == members.length, s"cluster $cid size")
+      val want = members.map(m => (pr(m), -m)).max
+      assert((repPr, -repId) == want, s"cluster $cid rep: got ($repId, $repPr)")
+    }
+    // singletons are their own representative
+    rep.filter(_._2 == 1L).foreach { case (cid, _, repId, _) =>
+      assert(cid == repId, s"singleton $cid rep $repId")
+    }
+  }
+
   test("repeated dumps are byte-identical: two Verify-style parquet dumps " +
     "of q_dedup_rank carry the same bytes") {
     // The driver hash-compares a parquet dump; this pins the whole chain
