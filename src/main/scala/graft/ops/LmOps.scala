@@ -630,6 +630,79 @@ object LmOps {
       "floor(a.sr / a.n_bigrams * 1e6 + 0.5) / 1e6 END AS surprise6 " +
       "FROM documents d LEFT JOIN agg a USING (doc_id) ORDER BY d.doc_id"
 
+  /** q_lm_interp — Jelinek-Mercer interpolated scoring, the first
+    * smoothing rung past the MLE tables (Chen & Goodman 1996; CCNet's
+    * KenLM interpolates n-gram orders the same way): per document pair,
+    * p = λ·p₂(w2|w1) + (1−λ)·p₁(w2) with λ = 7/10, reported as the
+    * per-doc mean. Unlike the raw bigram table (zero mass on unseen
+    * CONTEXTS), the unigram back-off keeps every observed pair finite —
+    * the practical LM-quality signal. Exact arithmetic: clearing
+    * denominators gives ONE integer ratio per pair,
+    *   p = (7·cf2·L + 3·cf1·cfl) / (10·cfl·L),
+    * computed in decimal(38,0) (overflow-safe at 100 TB term counts),
+    * one IEEE division, r6, then the standard decimal(18,6) per-doc mean
+    * ladder — bit-identical in both engines. Total over the corpus:
+    * docs with < 2 model tokens keep a NULL score.
+    * Scale shape: the pair stream joins the (w1,w2) counts, the w1
+    * context totals, and the w2 unigram counts — all vocabulary-sized
+    * equi-joins with map-side combine upstream — plus one broadcast
+    * one-row stats frame; no window over the corpus.
+    */
+  private def lmInterp(s: SparkSession, d: String): DataFrame =
+    lmInterpOf(docs(s, d))
+
+  private[graft] def lmInterpOf(docsDf: DataFrame): DataFrame = {
+    val s = docsDf.sparkSession
+    import s.implicits._
+    def d38(c: Column) = c.cast("decimal(38,0)")
+    val bg = bigramsOf(docsDf)
+    val cf2 = bigramCountsOf(docsDf)
+    val cfl = cf2.groupBy($"w1").agg(sum($"cf2").as("cfl"))
+    val ft = TextOps.bm25TokensOf(docsDf)
+    val uni = ft.groupBy($"term".as("w2")).agg(count(lit(1)).as("cf1"))
+    val stats = ft.agg(count(lit(1)).as("lt"))
+    val num = d38(lit(7) * $"cf2") * d38($"lt") +
+      d38(lit(3) * $"cf1") * d38($"cfl")
+    val den = d38(lit(10) * $"cfl") * d38($"lt")
+    val perDoc = bg
+      .join(pinned(cf2.join(cfl, Seq("w1"))), Seq("w1", "w2"))
+      .join(uni, Seq("w2"))
+      .crossJoin(broadcast(stats))
+      .select($"doc_id", X.r6(num.cast("double") / den.cast("double")).as("r"))
+      .groupBy($"doc_id")
+      .agg(
+        sum($"r".cast("decimal(38,6)")).as("sr"),
+        count(lit(1)).as("n_bigrams"))
+    docsDf
+      .select($"doc_id")
+      .join(perDoc, Seq("doc_id"), "left")
+      .select(
+        $"doc_id",
+        coalesce($"n_bigrams", lit(0L)).as("n_bigrams"),
+        when(
+          $"n_bigrams" > 0,
+          X.r6($"sr".cast("double") / $"n_bigrams".cast("double")))
+          .as("interp6"))
+      .orderBy($"doc_id")
+  }
+
+  private val LmInterpSql =
+    s"WITH $BigramCtes, " +
+      "uni AS (SELECT unnest(tk) AS term FROM toks), " +
+      "cf1 AS (SELECT term AS w2, CAST(count(*) AS BIGINT) AS cf1 FROM uni GROUP BY 1), " +
+      "stats AS (SELECT CAST(count(*) AS BIGINT) AS lt FROM uni), " +
+      "sc AS (SELECT doc_id, floor(" +
+      "CAST(7 * c.cf2 * s.lt + 3 * u.cf1 * l.cfl AS DOUBLE) / " +
+      "CAST(10 * l.cfl * s.lt AS DOUBLE) * 1e6 + 0.5) / 1e6 AS r " +
+      "FROM bg JOIN cf2 c USING (w1, w2) JOIN cfl l USING (w1) " +
+      "JOIN cf1 u USING (w2), stats s), " +
+      "agg AS (SELECT doc_id, CAST(sum(CAST(r AS DECIMAL(38,6))) AS DOUBLE) AS sr, " +
+      "CAST(count(*) AS BIGINT) AS n_bigrams FROM sc GROUP BY 1) " +
+      "SELECT d.doc_id, coalesce(a.n_bigrams, 0) AS n_bigrams, " +
+      "CASE WHEN a.n_bigrams > 0 THEN " +
+      "floor(a.sr / a.n_bigrams * 1e6 + 0.5) / 1e6 END AS interp6 " +
+      "FROM documents d LEFT JOIN agg a USING (doc_id) ORDER BY d.doc_id"
+
   // ---- cross-split application -----------------------------------------
 
   /** The q_split_assign hash ladder as a column over doc_id — the same
@@ -862,6 +935,7 @@ object LmOps {
     QueryDef("q_lm_score_lang", lmScoreLang, Some(LmScoreLangSql)),
     QueryDef("q_lm_bigram", lmBigram, Some(LmBigramSql)),
     QueryDef("q_lm_bigram_score", lmBigramScore, Some(LmBigramScoreSql)),
+    QueryDef("q_lm_interp", lmInterp, Some(LmInterpSql)),
     QueryDef("q_lm_apply", lmApply, Some(LmApplySql)),
     QueryDef("q_lm_bigram_apply", lmBigramApply, Some(LmBigramApplySql)))
 }

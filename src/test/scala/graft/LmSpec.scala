@@ -152,6 +152,26 @@ class LmSpec extends SparkSpec {
     assert(sc(1L) > sc(0L), "doc with the hapax scores rarer than the common-token doc")
   }
 
+  test("q_lm_interp: planted corpus matches the hand-computed mixture, and " +
+    "the back-off keeps every pair finite where the MLE table has no mass") {
+    import spark.implicits._
+    // corpus "aaa bbb" / "aaa ccc" / "aaa": cf2 = 1 each, cfl(aaa) = 2,
+    // cf1 = {aaa: 3, bbb: 1, ccc: 1}, L = 5 →
+    // p(bbb|aaa) = 0.7·(1/2) + 0.3·(1/5) = (7·1·5 + 3·1·2)/(10·2·5)
+    // = 41/100 = 0.41 (ccc symmetric); one bigram per doc, so
+    // interp6 = 0.410000 exactly
+    val planted = Seq(
+      (1L, "aaa bbb"),
+      (2L, "aaa ccc"),
+      (3L, "aaa")) // < 2 model tokens → NULL score, row kept
+      .toDF("doc_id", "text")
+    val got = ops.LmOps.lmInterpOf(planted).collect()
+    assert(got.length === 3)
+    assert(got(0).getLong(1) == 1L && got(0).getDouble(2) == 0.41)
+    assert(got(1).getLong(1) == 1L && got(1).getDouble(2) == 0.41)
+    assert(got(2).getLong(1) == 0L && got(2).isNullAt(2))
+  }
+
   test("langTerciles ≡ the window ntile formulation on generated skewed corpora") {
     // the two-pass distributed rank must be ROW-IDENTICAL to
     // ntile(3) over (partition by lang order by rarity6, doc_id) — the
