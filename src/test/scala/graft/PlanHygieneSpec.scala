@@ -61,6 +61,10 @@ class PlanHygieneSpec extends SparkSpec {
     // inside the checkpointed lineage; the _lang variants attach
     // per-language totals by a keyed broadcast join, never a cross
     "q_lm_unigram",
+    // r15 q_lm_interp: the one-row corpus-length attach (the BM25 (N, L)
+    // stats idiom) — the interpolation denominator 10·cfl·L needs the
+    // corpus token total on every pair row
+    "q_lm_interp",
     // the PQ family: every member attaches ONE-ROW broadcast state by
     // construction — the PqM-sub-codebook bundle for the map-side encode
     // and the probe's ADC lookup-table row (plus the one-row coarse
