@@ -703,6 +703,85 @@ object LmOps {
       "floor(a.sr / a.n_bigrams * 1e6 + 0.5) / 1e6 END AS interp6 " +
       "FROM documents d LEFT JOIN agg a USING (doc_id) ORDER BY d.doc_id"
 
+  /** q_lm_kn — interpolated Kneser-Ney bigram scoring (Kneser & Ney 1995;
+    * Chen & Goodman 1996's benchmark winner, the smoothing KenLM ships as
+    * its default — the rung past q_lm_interp's Jelinek-Mercer): absolute
+    * discount D = 3/4 off every observed pair, the freed mass backing off
+    * to the CONTINUATION distribution — p_cont(w2) = (distinct left
+    * contexts of w2) / (distinct pair types) — not the raw unigram, so a
+    * token frequent only inside one collocation ("francisco") stops
+    * inflating unseen contexts. Per observed pair:
+    *
+    *   p = (c12 − D)/cfl(w1) + D·n1(w1)/cfl(w1) · ncont(w2)/npairs
+    *
+    * with n1(w1) = distinct continuation types of w1 (so the per-w1 mass
+    * exactly re-normalizes: Σ_w2 p = 1 over observed + backed-off mass).
+    * Denominators cleared into ONE integer ratio per pair —
+    *
+    *   p = ((4·c12 − 3)·npairs + 3·n1·ncont) / (4·cfl·npairs)
+    *
+    * every factor a count (c12 ≥ 1 keeps the discounted term positive),
+    * products in decimal(38,0) so 100-TB-scale counts can't wrap, one
+    * IEEE division, r6, the standard decimal(18,6) per-doc mean.
+    * Scale shape: the per-pair model (cf2 ⋈ cfl/n1 ⋈ ncont) is
+    * vocabulary-bounded and checkpointed ([[pinned]] — skew-split armed
+    * on the corpus join), npairs is one broadcast row, no corpus window.
+    */
+  private def lmKn(s: SparkSession, d: String): DataFrame =
+    lmKnOf(docs(s, d))
+
+  private[graft] def lmKnOf(docsDf: DataFrame): DataFrame = {
+    val s = docsDf.sparkSession
+    import s.implicits._
+    def d38(c: Column) = c.cast("decimal(38,0)")
+    val bg = bigramsOf(docsDf)
+    val cf2 = bigramCountsOf(docsDf)
+    val left = cf2.groupBy($"w1")
+      .agg(sum($"cf2").as("cfl"), count(lit(1)).as("n1"))
+    val ncont = cf2.groupBy($"w2").agg(count(lit(1)).as("ncont"))
+    val stats = cf2.agg(count(lit(1)).as("npairs"))
+    val model = pinned(cf2.join(left, Seq("w1")).join(ncont, Seq("w2")))
+    val num = d38(lit(4) * $"cf2" - 3) * d38($"npairs") +
+      d38(lit(3) * $"n1") * d38($"ncont")
+    val den = d38(lit(4) * $"cfl") * d38($"npairs")
+    val perDoc = bg
+      .join(model, Seq("w1", "w2"))
+      .crossJoin(broadcast(stats))
+      .select($"doc_id", X.r6(num.cast("double") / den.cast("double")).as("r"))
+      .groupBy($"doc_id")
+      .agg(
+        sum($"r".cast("decimal(38,6)")).as("sr"),
+        count(lit(1)).as("n_bigrams"))
+    docsDf
+      .select($"doc_id")
+      .join(perDoc, Seq("doc_id"), "left")
+      .select(
+        $"doc_id",
+        coalesce($"n_bigrams", lit(0L)).as("n_bigrams"),
+        when(
+          $"n_bigrams" > 0,
+          X.r6($"sr".cast("double") / $"n_bigrams".cast("double")))
+          .as("kn6"))
+      .orderBy($"doc_id")
+  }
+
+  private val LmKnSql =
+    s"WITH $BigramCtes, " +
+      "n1 AS (SELECT w1, CAST(count(*) AS BIGINT) AS n1 FROM cf2 GROUP BY 1), " +
+      "nc AS (SELECT w2, CAST(count(*) AS BIGINT) AS ncont FROM cf2 GROUP BY 1), " +
+      "np AS (SELECT CAST(count(*) AS BIGINT) AS npairs FROM cf2), " +
+      "sc AS (SELECT doc_id, floor(" +
+      "CAST((4 * c.cf2 - 3) * p.npairs + 3 * o.n1 * n.ncont AS DOUBLE) / " +
+      "CAST(4 * l.cfl * p.npairs AS DOUBLE) * 1e6 + 0.5) / 1e6 AS r " +
+      "FROM bg JOIN cf2 c USING (w1, w2) JOIN cfl l USING (w1) " +
+      "JOIN n1 o USING (w1) JOIN nc n USING (w2), np p), " +
+      "agg AS (SELECT doc_id, CAST(sum(CAST(r AS DECIMAL(38,6))) AS DOUBLE) AS sr, " +
+      "CAST(count(*) AS BIGINT) AS n_bigrams FROM sc GROUP BY 1) " +
+      "SELECT d.doc_id, coalesce(a.n_bigrams, 0) AS n_bigrams, " +
+      "CASE WHEN a.n_bigrams > 0 THEN " +
+      "floor(a.sr / a.n_bigrams * 1e6 + 0.5) / 1e6 END AS kn6 " +
+      "FROM documents d LEFT JOIN agg a USING (doc_id) ORDER BY d.doc_id"
+
   // ---- cross-split application -----------------------------------------
 
   /** The q_split_assign hash ladder as a column over doc_id — the same
@@ -936,6 +1015,7 @@ object LmOps {
     QueryDef("q_lm_bigram", lmBigram, Some(LmBigramSql)),
     QueryDef("q_lm_bigram_score", lmBigramScore, Some(LmBigramScoreSql)),
     QueryDef("q_lm_interp", lmInterp, Some(LmInterpSql)),
+    QueryDef("q_lm_kn", lmKn, Some(LmKnSql)),
     QueryDef("q_lm_apply", lmApply, Some(LmApplySql)),
     QueryDef("q_lm_bigram_apply", lmBigramApply, Some(LmBigramApplySql)))
 }

@@ -172,6 +172,33 @@ class LmSpec extends SparkSpec {
     assert(got(2).getLong(1) == 0L && got(2).isNullAt(2))
   }
 
+  test("q_lm_kn: planted corpus matches the hand-computed Kneser-Ney mixture, " +
+    "and the discounted mass re-normalizes exactly on a closed context") {
+    import spark.implicits._
+    // corpus "aaa bbb" / "ccc bbb" / 2×"ccc ddd":
+    // cf2 = {(aaa,bbb):1, (ccc,bbb):1, (ccc,ddd):2}, cfl = {aaa:1, ccc:3},
+    // n1 = {aaa:1, ccc:2}, ncont = {bbb:2, ddd:1}, npairs = 3 →
+    //   p(bbb|aaa) = ((4−3)·3 + 3·1·2)/(4·1·3)  = 9/12  = 0.75
+    //   p(bbb|ccc) = ((4−3)·3 + 3·2·2)/(4·3·3)  = 15/36 → 0.416667
+    //   p(ddd|ccc) = ((8−3)·3 + 3·2·1)/(4·3·3)  = 21/36 → 0.583333
+    // (and Σ p(·|ccc) = 36/36: the D = 3/4 discount's freed mass returns
+    // exactly through the continuation back-off — the KN invariant)
+    val planted = Seq(
+      (1L, "aaa bbb"),
+      (2L, "ccc bbb"),
+      (3L, "ccc ddd"),
+      (4L, "ccc ddd"),
+      (5L, "aaa")) // < 2 model tokens → NULL score, row kept
+      .toDF("doc_id", "text")
+    val got = ops.LmOps.lmKnOf(planted).collect()
+    assert(got.length === 5)
+    assert(got(0).getLong(1) == 1L && got(0).getDouble(2) == 0.75)
+    assert(got(1).getLong(1) == 1L && got(1).getDouble(2) == 0.416667)
+    assert(got(2).getLong(1) == 1L && got(2).getDouble(2) == 0.583333)
+    assert(got(3).getLong(1) == 1L && got(3).getDouble(2) == 0.583333)
+    assert(got(4).getLong(1) == 0L && got(4).isNullAt(2))
+  }
+
   test("langTerciles ≡ the window ntile formulation on generated skewed corpora") {
     // the two-pass distributed rank must be ROW-IDENTICAL to
     // ntile(3) over (partition by lang order by rarity6, doc_id) — the

@@ -65,6 +65,10 @@ class PlanHygieneSpec extends SparkSpec {
     // stats idiom) — the interpolation denominator 10·cfl·L needs the
     // corpus token total on every pair row
     "q_lm_interp",
+    // r15 q_lm_kn: the one-row distinct-pair-total (npairs) attach —
+    // the continuation denominator needs it on every pair row; the
+    // per-pair model joins are keyed (checkpointed behind pinned)
+    "q_lm_kn",
     // the PQ family: every member attaches ONE-ROW broadcast state by
     // construction — the PqM-sub-codebook bundle for the map-side encode
     // and the probe's ADC lookup-table row (plus the one-row coarse

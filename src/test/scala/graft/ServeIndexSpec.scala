@@ -69,6 +69,29 @@ class ServeIndexSpec extends SparkSpec {
       s"probed ${probed.size} of $shardDirs shard dirs")
   }
 
+  test("q_index_phrase_served equals its in-session twin from a pruned scan") {
+    import graft.ops.TextOps
+    assert(
+      rows(SparkEntry.queries("q_index_phrase_served")(spark, sf)) ===
+        rows(SparkEntry.queries("q_index_phrase")(spark, sf)))
+    val p = SparkEntry.queries("q_index_phrase_served")(spark, sf)
+      .queryExecution.executedPlan.toString
+    assert(
+      "PartitionFilters: \\[[^\\]]*tshard[^\\]]*(INSET|IN \\()".r.findFirstIn(p).isDefined,
+      p)
+    // directory-level proof: the phrase terms probe a strict subset of
+    // the positional index's shard directories
+    val idxDir = s"${SimilarityOps.serveRoot(spark, sf)}/phrase/postings"
+    val fs = new org.apache.hadoop.fs.Path(idxDir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val shardDirs = fs
+      .listStatus(new org.apache.hadoop.fs.Path(idxDir))
+      .count(_.getPath.getName.startsWith("tshard="))
+    val probed = TextOps.phraseProbedShards(spark, TextOps.PhraseQueries)
+    assert(probed.nonEmpty && probed.size < shardDirs,
+      s"probed ${probed.size} of $shardDirs shard dirs")
+  }
+
   test("q_index_bm25_incr: merge-on-read equals the full computation; the increment is batch-sized") {
     assert(
       rows(SparkEntry.queries("q_index_bm25_incr")(spark, sf)) ===
