@@ -1,6 +1,6 @@
 package graft.ops
 
-import graft.{QueryDef, T}
+import graft.{QueryDef, T, X}
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
@@ -337,11 +337,98 @@ object CurationOps {
       "FROM ranked r JOIN quota q ON r.lang = q.lang " +
       "WHERE r.rn <= q.quota ORDER BY r.lang, r.rn"
 
+  /** q_sample_importance — importance-weighted data selection (the
+    * log-free exact-arithmetic surrogate of DSIR, Xie et al.
+    * arXiv:2302.03169: weight raw data by how target-like it looks under
+    * cheap bag-of-words models, keep the high scorers): target = the
+    * English sub-corpus, raw = the full corpus, per-token importance
+    * ratio p_tgt(t)/p_raw(t) = cf_tgt(t)·L_raw / (cf_raw(t)·L_tgt)
+    * (exactly 0 for tokens the target never produced), per-doc mean,
+    * keep = iw6 > 1 — "more target-like than the corpus average", a
+    * pure threshold so the selection needs no global sort. Docs with no
+    * model tokens report n_toks = 0, NULL weight, keep = false.
+    *
+    * Scale shape: the per-term model (cf_raw ⋈ cf_tgt with the one-row
+    * (L_raw, L_tgt) totals attached INSIDE the checkpointed lineage —
+    * LmOps.pinned rationale: vocabulary-bounded state, skew-split armed
+    * on the corpus join, no BNLJ in the final plan) joins the token
+    * frame once; the threshold keep is per-row. Deterministic: integer
+    * ratio cleared in decimal(38,0) — overflow-safe at 100 TB counts —
+    * one IEEE division, r6, the standard fixed-point mean.
+    */
+  private def sampleImportance(s: SparkSession, d: String): DataFrame =
+    sampleImportanceOf(docs(s, d))
+
+  private[graft] def sampleImportanceOf(docsDf: DataFrame): DataFrame = {
+    val s = docsDf.sparkSession
+    import s.implicits._
+    def d38(c: Column) = c.cast("decimal(38,0)")
+    val ftl = LmOps.langTokensOf(docsDf)
+    val cfAll = ftl.groupBy($"term").agg(count(lit(1)).as("cf_all"))
+    val cfTgt = ftl.filter($"lang" === "en")
+      .groupBy($"term").agg(count(lit(1)).as("cf_tgt"))
+    val totals = ftl.agg(
+      count(lit(1)).as("l_all"),
+      count(when($"lang" === "en", 1)).as("l_tgt"))
+    val model = cfAll
+      .join(cfTgt, Seq("term"), "left")
+      .crossJoin(broadcast(totals))
+      .select(
+        $"term",
+        X.r6(
+          (d38(coalesce($"cf_tgt", lit(0L))) * d38($"l_all")).cast("double") /
+            (d38($"cf_all") * d38($"l_tgt")).cast("double")).as("r"))
+      .localCheckpoint(true)
+    val perDoc = ftl
+      .select($"doc_id", $"term")
+      .join(model, Seq("term"))
+      .groupBy($"doc_id")
+      .agg(
+        sum($"r".cast("decimal(38,6)")).as("sr"),
+        count(lit(1)).as("n_toks"))
+    docsDf
+      .select($"doc_id")
+      .join(perDoc, Seq("doc_id"), "left")
+      .select(
+        $"doc_id",
+        coalesce($"n_toks", lit(0L)).as("n_toks"),
+        when(
+          $"n_toks" > 0,
+          X.r6($"sr".cast("double") / $"n_toks".cast("double"))).as("iw6"))
+      .withColumn("keep", coalesce($"iw6" > 1.0d, lit(false)))
+      .orderBy($"doc_id")
+  }
+
+  private val ImportanceSql =
+    "WITH tokl AS (SELECT doc_id, lang, " +
+      "unnest(string_split(lower(text), ' ')) AS term FROM documents), " +
+      "ft AS (SELECT doc_id, lang, term FROM tokl " +
+      "WHERE regexp_full_match(term, '[a-z0-9]{3,}')), " +
+      "ca AS (SELECT term, CAST(count(*) AS BIGINT) AS cf_all FROM ft GROUP BY 1), " +
+      "ct AS (SELECT term, CAST(count(*) AS BIGINT) AS cf_tgt " +
+      "FROM ft WHERE lang = 'en' GROUP BY 1), " +
+      "tot AS (SELECT CAST(count(*) AS BIGINT) AS l_all, " +
+      "CAST(count(*) FILTER (WHERE lang = 'en') AS BIGINT) AS l_tgt FROM ft), " +
+      "sc AS (SELECT doc_id, floor(" +
+      "CAST(coalesce(c2.cf_tgt, 0) * t.l_all AS DOUBLE) / " +
+      "CAST(c1.cf_all * t.l_tgt AS DOUBLE) * 1e6 + 0.5) / 1e6 AS r " +
+      "FROM ft JOIN ca c1 USING (term) LEFT JOIN ct c2 USING (term), tot t), " +
+      "agg AS (SELECT doc_id, CAST(sum(CAST(r AS DECIMAL(38,6))) AS DOUBLE) AS sr, " +
+      "CAST(count(*) AS BIGINT) AS n_toks FROM sc GROUP BY 1), " +
+      "res AS (SELECT d.doc_id, coalesce(a.n_toks, 0) AS n_toks, " +
+      "CASE WHEN a.n_toks > 0 THEN " +
+      "floor(a.sr / a.n_toks * 1e6 + 0.5) / 1e6 END AS iw6 " +
+      "FROM documents d LEFT JOIN agg a USING (doc_id)) " +
+      "SELECT doc_id, n_toks, iw6, coalesce(iw6 > 1.0, false) AS keep " +
+      "FROM res ORDER BY doc_id"
+
   val defs: Seq[QueryDef] = Seq(
     QueryDef("q_sample_mix", sampleMix, Some(MixSql)),
     QueryDef("q_sample_temperature", sampleTemperature, Some(TemperatureSql)),
     QueryDef("q_sample_weighted", sampleWeighted, Some(WeightedSql)),
     QueryDef("q_pack_sequences", packSequences, Some(PackSql)),
     QueryDef("q_source_filter", sourceFilter, Some(SourceFilterSql)),
-    QueryDef("q_sample_quota", sampleQuota, Some(QuotaSql)))
+    QueryDef("q_sample_quota", sampleQuota, Some(QuotaSql)),
+    QueryDef("q_sample_importance", sampleImportance, Some(ImportanceSql)))
+
 }

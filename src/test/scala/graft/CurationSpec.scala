@@ -44,6 +44,31 @@ class CurationSpec extends SparkSpec {
     cc.unpersist()
   }
 
+  test("q_sample_importance: planted corpus matches the hand-computed " +
+    "ratios; target-unseen tokens weigh exactly 0; the keep cut is > 1") {
+    import spark.implicits._
+    // en "aaa bbb" / fr "aaa ccc" / fr "zzz" / en "x" (no model tokens):
+    // cf_all = {aaa:2, bbb:1, ccc:1, zzz:1}, cf_tgt = {aaa:1, bbb:1},
+    // L_all = 5, L_tgt = 2 → r(aaa) = 5/4 = 1.25, r(bbb) = 5/2 = 2.5,
+    // r(ccc) = r(zzz) = 0 → doc1 mean 1.875 (keep), doc2 0.625, doc3 0
+    val planted = Seq(
+      (1L, "en", "aaa bbb"),
+      (2L, "fr", "aaa ccc"),
+      (3L, "fr", "zzz"),
+      (4L, "en", "x"))
+      .toDF("doc_id", "lang", "text")
+    val got = graft.ops.CurationOps.sampleImportanceOf(planted).collect()
+    assert(got.length === 4)
+    assert(got(0).getLong(1) == 2L && got(0).getDouble(2) == 1.875 &&
+      got(0).getBoolean(3))
+    assert(got(1).getLong(1) == 2L && got(1).getDouble(2) == 0.625 &&
+      !got(1).getBoolean(3))
+    assert(got(2).getLong(1) == 1L && got(2).getDouble(2) == 0.0 &&
+      !got(2).getBoolean(3))
+    assert(got(3).getLong(1) == 0L && got(3).isNullAt(2) &&
+      !got(3).getBoolean(3))
+  }
+
   test("q_pack_sequences conserves docs/tokens; bins are contiguous and bounded") {
     import spark.implicits._
     val docs = T(spark, sf, "documents")
