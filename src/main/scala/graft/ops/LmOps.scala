@@ -652,15 +652,34 @@ object LmOps {
     lmInterpOf(docs(s, d))
 
   private[graft] def lmInterpOf(docsDf: DataFrame): DataFrame = {
+    import docsDf.sparkSession.implicits._
+    val ft = TextOps.bm25TokensOf(docsDf)
+    lmInterpFromCounts(
+      bigramCountsOf(docsDf),
+      ft.groupBy($"term".as("w2")).agg(count(lit(1)).as("cf1")),
+      ft.agg(count(lit(1)).as("lt")),
+      docsDf)
+  }
+
+  /** The interpolated model over ANY pair-count + unigram-count frames —
+    * the seam the continuous serve shares with the registry query
+    * ([[graft.ops.StreamOps.serveLmInterpContinuous]]): pair counts may
+    * arrive split-keyed from the maintained bigram state (re-aggregated
+    * here), unigram counts and the token total from the maintained
+    * postings (cf1 = Σ tf, lt = Σ stats.l — both exact).
+    */
+  private[graft] def lmInterpFromCounts(
+      pairCounts: DataFrame,
+      uni: DataFrame,
+      ltStats: DataFrame,
+      docsDf: DataFrame): DataFrame = {
     val s = docsDf.sparkSession
     import s.implicits._
     def d38(c: Column) = c.cast("decimal(38,0)")
     val bg = bigramsOf(docsDf)
-    val cf2 = bigramCountsOf(docsDf)
+    val cf2 = pairCounts.groupBy($"w1", $"w2").agg(sum($"cf2").as("cf2"))
     val cfl = cf2.groupBy($"w1").agg(sum($"cf2").as("cfl"))
-    val ft = TextOps.bm25TokensOf(docsDf)
-    val uni = ft.groupBy($"term".as("w2")).agg(count(lit(1)).as("cf1"))
-    val stats = ft.agg(count(lit(1)).as("lt"))
+    val stats = ltStats
     val num = d38(lit(7) * $"cf2") * d38($"lt") +
       d38(lit(3) * $"cf1") * d38($"cfl")
     val den = d38(lit(10) * $"cfl") * d38($"lt")
@@ -730,12 +749,24 @@ object LmOps {
   private def lmKn(s: SparkSession, d: String): DataFrame =
     lmKnOf(docs(s, d))
 
-  private[graft] def lmKnOf(docsDf: DataFrame): DataFrame = {
+  private[graft] def lmKnOf(docsDf: DataFrame): DataFrame =
+    lmKnFromCounts(bigramCountsOf(docsDf), docsDf)
+
+  /** The Kneser-Ney model over ANY pair-count frame — the seam the
+    * continuous serve shares with the registry query
+    * ([[graft.ops.StreamOps.serveLmKnContinuous]]): every model quantity
+    * (cfl, n1, ncont, npairs) derives from the pair counts alone, so the
+    * maintained bigram state is the WHOLE model input (split-keyed rows
+    * re-aggregated here).
+    */
+  private[graft] def lmKnFromCounts(
+      pairCounts: DataFrame,
+      docsDf: DataFrame): DataFrame = {
     val s = docsDf.sparkSession
     import s.implicits._
     def d38(c: Column) = c.cast("decimal(38,0)")
     val bg = bigramsOf(docsDf)
-    val cf2 = bigramCountsOf(docsDf)
+    val cf2 = pairCounts.groupBy($"w1", $"w2").agg(sum($"cf2").as("cf2"))
     val left = cf2.groupBy($"w1")
       .agg(sum($"cf2").as("cfl"), count(lit(1)).as("n1"))
     val ncont = cf2.groupBy($"w2").agg(count(lit(1)).as("ncont"))

@@ -329,6 +329,9 @@ object StreamOps {
       reportSummaryDir: String,
       jdbcUrl: String,
       reportTable: String,
+      // the positional phrase index (r15, THIRTEENTH family) — "" keeps
+      // a pre-existing 12-family deployment's call sites valid
+      phraseIndexDir: String = "",
       props: java.util.Properties = new java.util.Properties)
 
   /** The lake's corpus schema: the batch pipeline's columns, without the
@@ -449,6 +452,12 @@ object StreamOps {
         BigramFamily, batch, p.bigramStatsDir, batchId)
       graft.index.GenLog.maybeCompact(
         batch.sparkSession, p.bigramStatsDir, BigramFamily)
+      if (p.phraseIndexDir.nonEmpty) {
+        graft.index.GenLog.commitGeneration(
+          PhraseFamily, batch, p.phraseIndexDir, batchId)
+        graft.index.GenLog.maybeCompact(
+          batch.sparkSession, p.phraseIndexDir, PhraseFamily)
+      }
       graft.index.GenLog.commitGeneration(
         ReportFamily, batch, p.reportSummaryDir, batchId)
       // Self-tuning fold for the kernel-protocol report leg: foreachBatch
@@ -489,6 +498,8 @@ object StreamOps {
     seedBoilerplateStats(s, curatedBase, p.boilerStatsDir)
     seedPassageGrams(s, curatedBase, p.passageGramsDir)
     seedBigramStats(s, curatedBase, p.bigramStatsDir)
+    if (p.phraseIndexDir.nonEmpty)
+      seedPhraseIndex(s, curatedBase, p.phraseIndexDir)
     graft.index.GenLog.seed(s, ReportFamily, curatedBase, p.reportSummaryDir)
     curatedBase.select(CorpusLakeCols.map(col): _*)
       .write
@@ -1183,6 +1194,53 @@ object StreamOps {
   def compactBm25Index(s: SparkSession, indexDir: String, keepFulls: Int = 2): Unit =
     graft.index.GenLog.compact(s, indexDir, Bm25Family, keepFulls)
 
+  /** Positional-postings family — the streaming form of
+    * q_index_phrase_served's index: each batch writes its OWN
+    * (term, doc_id, pos) occurrence rows (O(batch) work and bytes, no
+    * prior state read). Adjacency is within-document and generations'
+    * doc sets are disjoint, so merge-on-read union over roots answers
+    * exactly like a single rebuilt index; fold is a re-shard concat.
+    */
+  private val PhraseFamily = graft.index.GenLog.GenFamily(
+    write = (s, docs, path) => TextOps.writePhraseIndexFrom(s, docs, path),
+    fold = (s, roots, path) =>
+      roots
+        .map(p => s.read.parquet(s"$p/postings")
+          .select(col("term"), col("doc_id"), col("pos"), col("tshard")))
+        .reduce(_ unionByName _)
+        .repartition(col("tshard"))
+        .write
+        .mode(org.apache.spark.sql.SaveMode.Overwrite)
+        .partitionBy("tshard")
+        .parquet(s"$path/postings"))
+
+  /** Seed the continuous positional index: base corpus as v0. */
+  def seedPhraseIndex(s: SparkSession, base: DataFrame, indexDir: String): Unit =
+    graft.index.GenLog.seed(s, PhraseFamily, base, indexDir)
+
+  /** Continuous positional-index maintenance (kernel protocol). */
+  def phraseIndexStreamWriter(
+      docs: DataFrame,
+      indexDir: String,
+      checkpoint: String): org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
+    graft.index.GenLog.streamWriter(docs, PhraseFamily, indexDir, checkpoint)
+
+  /** Serve the phrase benchmark from the continuous positional index —
+    * merge-on-read over generation roots through the same
+    * [[TextOps.servePhrase]] the registry's served query uses (pruned to
+    * the probed shards on EVERY generation's scan), so the streamed
+    * index answers exactly like a single rebuilt one.
+    */
+  def servePhraseContinuous(s: SparkSession, indexDir: String): DataFrame =
+    TextOps.servePhrase(
+      s,
+      graft.index.GenLog.roots(s, indexDir, what = "phrase index"),
+      TextOps.PhraseQueries)
+
+  /** Compaction for the positional index (kernel protocol). */
+  def compactPhraseIndex(s: SparkSession, indexDir: String, keepFulls: Int = 2): Unit =
+    graft.index.GenLog.compact(s, indexDir, PhraseFamily, keepFulls)
+
   // merge-on-read postings + summed corpus stats — the two frames every
   // LM serve derives from (generation-local postings union like the
   // BM25 serve; stats rows sum because each generation's `l` is its own
@@ -1794,6 +1852,46 @@ object StreamOps {
         .select(col("w1"), col("w2"), col("cf2")),
       allDocs)
 
+  /** q_lm_kn served from the SAME maintained pair counts: every
+    * Kneser-Ney model quantity (cfl, n1, ncont, npairs) derives from the
+    * pair-count table alone, so the split-keyed bigram state
+    * (re-aggregated merge-on-read) is the WHOLE model input — the
+    * smoothed production LM is one more serve on the state, no new
+    * stream, no corpus re-read (StreamingLmSpec asserts ≡ the registry
+    * query at every stage).
+    */
+  def serveLmKnContinuous(
+      s: SparkSession,
+      dir: String,
+      allDocs: DataFrame): DataFrame =
+    LmOps.lmKnFromCounts(
+      s.read
+        .parquet(graft.index.GenLog.roots(s, dir, what = "bigram stats"): _*)
+        .select(col("w1"), col("w2"), col("cf2")),
+      allDocs)
+
+  /** q_lm_interp served from BOTH maintained states: pair counts from
+    * the bigram family (split-keyed rows re-aggregated), unigram counts
+    * and the token total from the lexical postings family (cf1 = Σ tf,
+    * lt = Σ stats.l — exact by the tf-grouping identity) — the
+    * Jelinek-Mercer mixture composes two states the pipeline already
+    * maintains, no new stream.
+    */
+  def serveLmInterpContinuous(
+      s: SparkSession,
+      bigramDir: String,
+      indexDir: String,
+      allDocs: DataFrame): DataFrame = {
+    val (postings, nTotal) = lmFrames(s, indexDir)
+    LmOps.lmInterpFromCounts(
+      s.read
+        .parquet(graft.index.GenLog.roots(s, bigramDir, what = "bigram stats"): _*)
+        .select(col("w1"), col("w2"), col("cf2")),
+      postings.groupBy(col("term").as("w2")).agg(sum(col("tf")).as("cf1")),
+      nTotal.select(col("n_total").as("lt")),
+      allDocs)
+  }
+
   /** Compaction (kernel protocol; fold = re-aggregation). */
   def compactBigramStats(s: SparkSession, dir: String, keepFulls: Int = 2): Unit =
     graft.index.GenLog.compact(s, dir, BigramFamily, keepFulls)
@@ -2014,7 +2112,7 @@ object StreamOps {
   // ───────────────── the unified text+vector program ─────────────────
 
   /** ONE production ingest maintaining BOTH sides of the lake: the
-    * twelve maintained families — curated lake, near-dup index, postings,
+    * thirteen maintained families — curated lake, near-dup index, postings (membership + positional),
     * boilerplate/passage/bigram frequency state, report summary (the
     * [[CorpusPipeline]] legs) and float ANN buckets, int8 quantized tier,
     * IVF cells, semantic cells + survivors, id-sharded store (the
@@ -2022,7 +2120,7 @@ object StreamOps {
     * one foreachBatch. This is the production shape: a real ingest is one
     * feed of documents with at-ingest embeddings, not one stream per
     * modality; the feed is read (and checkpointed) ONCE per micro-batch
-    * for all twelve consumers, and every leg keeps its O(batch)
+    * for all thirteen consumers, and every leg keeps its O(batch)
     * generation discipline, per-batchId idempotence, and day-2
     * compaction contract unchanged — the legs are shared verbatim with
     * the standalone programs ([[corpusLegs]] / [[vectorLegs]]).
@@ -2048,7 +2146,7 @@ object StreamOps {
       .join(emb, col("doc_id") === emb("vec_id"), "left")
   }
 
-  /** ONE micro-batch through all twelve legs: one materialization, the
+  /** ONE micro-batch through all thirteen legs: one materialization, the
     * seven corpus legs on the full batch, the five vector legs on the
     * embedded rows re-keyed to the vector schema.
     */
@@ -2057,7 +2155,7 @@ object StreamOps {
       batchId: Long,
       p: UnifiedPipeline): Unit =
     if (!batch0.isEmpty) {
-      val batch = batch0.localCheckpoint(true) // twelve consumers below
+      val batch = batch0.localCheckpoint(true) // thirteen consumers below
       corpusLegs(batch, batchId, p.corpus)
       val vecs = batch
         .filter(col("embedding").isNotNull)
@@ -2104,10 +2202,12 @@ object StreamOps {
         ()
       }
 
-  /** Stopped-stream compaction for all twelve families. */
+  /** Stopped-stream compaction for all thirteen families. */
   def compactUnifiedPipeline(s: SparkSession, p: UnifiedPipeline): Unit = {
     compactDedupIndex(s, p.corpus.dedupIndexDir)
     compactBm25Index(s, p.corpus.bm25IndexDir)
+    if (p.corpus.phraseIndexDir.nonEmpty)
+      compactPhraseIndex(s, p.corpus.phraseIndexDir)
     compactCorpusReport(s, p.corpus.reportSummaryDir)
     compactVectorPipeline(s, p.vectors)
   }

@@ -64,7 +64,7 @@ object ClusterCheck {
     * localCheckpoint batch blocks on executor block managers, the
     * stream-static embedding join, all five vector-family commits from
     * the same micro-batch, then a full day-2 compaction cycle over all
-    * twelve families — and returns every served surface, text AND vector.
+    * thirteen families — and returns every served surface, text AND vector.
     * The pipeline runs with NO external JDBC target (empty url):
     * embedded Derby is one-JVM-only, so the published report is read
     * from the maintained summary family instead.
@@ -122,7 +122,8 @@ object ClusterCheck {
         bigramStatsDir = s"$work/bigram",
         reportSummaryDir = s"$work/summary",
         jdbcUrl = "",
-        reportTable = ""),
+        reportTable = "",
+        phraseIndexDir = s"$work/phrase"),
       StreamOps.VectorPipeline(
         annDir = s"$work/ann",
         quantDir = s"$work/quant",
@@ -145,7 +146,7 @@ object ClusterCheck {
       .start()
     try q.processAllAvailable()
     finally q.stop()
-    // the day-2 cycle over all twelve families, also across the boundary
+    // the day-2 cycle over all thirteen families, also across the boundary
     StreamOps.compactUnifiedPipeline(s, pipe)
     // deterministic vector probes, derived from the static table the same
     // way on both sides of the fork
@@ -168,6 +169,7 @@ object ClusterCheck {
       "boiler" -> StreamOps.serveBoilerplateContinuous(s, pipe.corpus.boilerStatsDir),
       "passage50" -> StreamOps.servePassageDup50Continuous(s, pipe.corpus.passageGramsDir),
       "bigram" -> StreamOps.serveLmBigramContinuous(s, pipe.corpus.bigramStatsDir),
+      "phrase" -> StreamOps.servePhraseContinuous(s, pipe.corpus.phraseIndexDir),
       "report" -> StreamOps.publishedCorpusReport(s, pipe.corpus.reportSummaryDir),
       "ann" -> StreamOps.serveAnnContinuous(s, pipe.vectors.annDir, annProbes),
       "quant" -> StreamOps.serveQuantContinuous(
@@ -184,7 +186,8 @@ object ClusterCheck {
 
   /** Surface names [[runPipeline]] dumps — the spec iterates these. */
   private[graft] val StreamSurfaces =
-    Seq("lake", "dedup", "bm25", "boiler", "passage50", "bigram", "report",
+    Seq("lake", "dedup", "bm25", "boiler", "passage50", "bigram", "phrase",
+      "report",
       "ann", "quant", "ivf", "sem", "store")
 
   def main(args: Array[String]): Unit = {

@@ -114,20 +114,24 @@ class StreamingLmSpec extends SparkSpec {
     val src = Files.createTempDirectory("graft_bg_src").toString
     val dir = Files.createTempDirectory("graft_bg_idx").toString
     val ckpt = Files.createTempDirectory("graft_bg_ckpt").toString
+    // a postings index over the SAME feed: q_lm_interp's unigram leg
+    // serves from it (the smoothed models compose the two states)
+    val idx = Files.createTempDirectory("graft_bg_lex").toString
+    val ckpt2 = Files.createTempDirectory("graft_bg_ckpt2").toString
 
     StreamOps.seedBigramStats(spark, all.filter($"doc_id" <= c0), dir)
+    StreamOps.seedBm25Index(spark, all.filter($"doc_id" <= c0), idx)
     stageFile(src, all.filter($"doc_id" > c0 && $"doc_id" <= c1), "batch1")
 
     def run(): Unit = {
-      val q = StreamOps
-        .bigramStreamWriter(
-          StreamOps.docsStream(
-            spark, s"$src/documents.parquet", Map("maxFilesPerTrigger" -> "1")),
-          dir,
-          ckpt)
-        .start()
+      val feed = () => StreamOps.docsStream(
+        spark, s"$src/documents.parquet", Map("maxFilesPerTrigger" -> "1"))
+      val q = StreamOps.bigramStreamWriter(feed(), dir, ckpt).start()
       try q.processAllAvailable()
       finally q.stop()
+      val q2 = StreamOps.bm25IndexStreamWriter(feed(), idx, ckpt2).start()
+      try q2.processAllAvailable()
+      finally q2.stop()
     }
     run()
 
@@ -146,15 +150,25 @@ class StreamingLmSpec extends SparkSpec {
         dd))
     def gotApply(dd: DataFrame): Seq[String] =
       rows(StreamOps.serveLmBigramApplyContinuous(spark, dir, dd))
+    // the SMOOTHED models from the same state(s): Kneser-Ney's whole
+    // model derives from the pair counts; Jelinek-Mercer composes the
+    // pair counts with the postings' unigram leg
+    def gotKn(dd: DataFrame): Seq[String] =
+      rows(StreamOps.serveLmKnContinuous(spark, dir, dd))
+    def gotInterp(dd: DataFrame): Seq[String] =
+      rows(StreamOps.serveLmInterpContinuous(spark, dir, idx, dd))
     val prefix = all.filter($"doc_id" <= c1)
     assert(rows(StreamOps.serveLmBigramContinuous(spark, dir)) === want(prefix))
     assert(gotApply(prefix) === wantApply(prefix))
+    assert(gotKn(prefix) === rows(LmOps.lmKnOf(prefix)))
+    assert(gotInterp(prefix) === rows(LmOps.lmInterpOf(prefix)))
 
     // compaction folds by RE-AGGREGATION (not concatenation): the
     // snapshot stays O(bigram types) and no probability moves
     StreamOps.compactBigramStats(spark, dir)
     assert(rows(StreamOps.serveLmBigramContinuous(spark, dir)) === want(prefix))
     assert(gotApply(prefix) === wantApply(prefix))
+    assert(gotKn(prefix) === rows(LmOps.lmKnOf(prefix)))
 
     // end-of-feed: the serves land on the oracle-checked registry queries
     stageFile(src, all.filter($"doc_id" > c1), "batch2")
@@ -163,5 +177,8 @@ class StreamingLmSpec extends SparkSpec {
       rows(SparkEntry.queries("q_lm_bigram")(spark, sf)))
     assert(gotApply(all) ===
       rows(SparkEntry.queries("q_lm_bigram_apply")(spark, sf)))
+    assert(gotKn(all) === rows(SparkEntry.queries("q_lm_kn")(spark, sf)))
+    assert(gotInterp(all) ===
+      rows(SparkEntry.queries("q_lm_interp")(spark, sf)))
   }
 }

@@ -9,7 +9,7 @@ import org.apache.spark.sql.functions._
 
 /** The UNIFIED text+vector program ([[StreamOps.unifiedPipelineWriter]]):
   * one document feed, enriched with at-ingest embeddings by a
-  * stream-static join, maintains all twelve families — the seven
+  * stream-static join, maintains all thirteen families — the eight
   * CorpusPipeline legs AND the five VectorPipeline legs — in ONE
   * foreachBatch. EndToEndPipelineSpec proves the text side alone and
   * StreamingVectorPipelineSpec the vector side alone; this is the
@@ -17,7 +17,7 @@ import org.apache.spark.sql.functions._
   * read once per micro-batch, where the vector tier indexes exactly the
   * CURATED SURVIVOR set (rows the quality/mix/dedup gates dropped must
   * never reach an index), every serve equals a monolithic rebuild over
-  * those survivors, and the day-2 compaction cycle (all twelve families,
+  * those survivors, and the day-2 compaction cycle (all thirteen families,
   * mid-stream) changes no answer.
   */
 class StreamingUnifiedPipelineSpec extends SparkSpec {
@@ -61,7 +61,7 @@ class StreamingUnifiedPipelineSpec extends SparkSpec {
     new java.io.File(s"$dir/documents.parquet/$name.parquet").setLastModified(mtime)
   }
 
-  test("one feed maintains all twelve families; the vector tier indexes " +
+  test("one feed maintains all thirteen families; the vector tier indexes " +
     "exactly the curated survivors; every serve ≡ a rebuild; compaction " +
     "changes nothing") {
     val all = T(spark, sf, "documents")
@@ -87,7 +87,8 @@ class StreamingUnifiedPipelineSpec extends SparkSpec {
         bigramStatsDir = dir("bigram"),
         reportSummaryDir = dir("summary"),
         jdbcUrl = "",
-        reportTable = ""),
+        reportTable = "",
+        phraseIndexDir = dir("phrase")),
       StreamOps.VectorPipeline(
         annDir = dir("ann"),
         quantDir = dir("quant"),
@@ -118,7 +119,7 @@ class StreamingUnifiedPipelineSpec extends SparkSpec {
       finally q.stop()
     }
     run()
-    // the day-2 production loop mid-stream: stop, compact ALL TWELVE
+    // the day-2 production loop mid-stream: stop, compact ALL THIRTEEN
     // families, stage tomorrow's feed, restart from the same checkpoint
     StreamOps.compactUnifiedPipeline(spark, p)
     stageFile(srcDir, all.filter($"doc_id" > c2), "b3", 3000000L)
@@ -143,6 +144,14 @@ class StreamingUnifiedPipelineSpec extends SparkSpec {
         rows(curatedAll.groupBy($"split", $"lang")
           .agg(count(lit(1)).as("n_docs"), sum($"n_chars").as("sum_chars"))),
       "published report diverged")
+
+    // text: the continuous positional index answers the phrase benchmark
+    // exactly like an in-session explode of the curated corpus — the
+    // thirteenth family rides the same feed
+    def phraseGot() = rows(StreamOps.servePhraseContinuous(spark, p.corpus.phraseIndexDir))
+    val phraseWant =
+      rows(graft.ops.TextOps.phraseHits(curatedAll, graft.ops.TextOps.PhraseQueries))
+    assert(phraseGot() === phraseWant, "phrase leg diverged")
 
     // vector: the survivor-set invariant — the store carries EXACTLY the
     // curated documents' vectors (a gated-out row reaching an index is
@@ -205,6 +214,7 @@ class StreamingUnifiedPipelineSpec extends SparkSpec {
     assert(quantGot() === quantWant, "quant answer changed by compaction")
     assert(ivfGot() === ivfWant, "IVF answer changed by compaction")
     assert(semGot() === semWant, "semantic answer changed by compaction")
+    assert(phraseGot() === phraseWant, "phrase answer changed by compaction")
     assert(
       rows(StreamOps.publishedCorpusReport(spark, p.corpus.reportSummaryDir)) ===
         rows(curatedAll.groupBy($"split", $"lang")
