@@ -399,6 +399,55 @@ object CurationOps {
       .orderBy($"doc_id")
   }
 
+  /** q_sample_importance from persisted (term, doc_id, tf) postings — the
+    * tf-grouping identity ([[LmOps.lmScoreFromPostings]] rationale):
+    * occurrences of a term in a doc share one ratio, so Σ_occ r = tf·r
+    * and n_toks = Σ tf; the target totals come from the postings joined
+    * to the lake's (doc_id, lang) map (the index persists no lake
+    * metadata by design). docLang supplies every doc's row, including
+    * the zero-token docs an index never carries.
+    */
+  private[graft] def sampleImportanceFromPostings(
+      postings: DataFrame,
+      docLang: DataFrame): DataFrame = {
+    val s = postings.sparkSession
+    import s.implicits._
+    def d38(c: Column) = c.cast("decimal(38,0)")
+    val enIds = docLang.filter($"lang" === "en").select($"doc_id")
+    val enPost = postings.join(enIds, Seq("doc_id"), "left_semi")
+    val totals = postings.agg(sum($"tf").as("l_all"))
+      .crossJoin(broadcast(
+        enPost.agg(coalesce(sum($"tf"), lit(0L)).as("l_tgt"))))
+    val cfAll = postings.groupBy($"term").agg(sum($"tf").as("cf_all"))
+    val cfTgt = enPost.groupBy($"term").agg(sum($"tf").as("cf_tgt"))
+    val model = cfAll
+      .join(cfTgt, Seq("term"), "left")
+      .crossJoin(broadcast(totals))
+      .select(
+        $"term",
+        X.r6(
+          (d38(coalesce($"cf_tgt", lit(0L))) * d38($"l_all")).cast("double") /
+            (d38($"cf_all") * d38($"l_tgt")).cast("double")).as("r"))
+      .localCheckpoint(true)
+    val perDoc = postings
+      .join(model, Seq("term"))
+      .groupBy($"doc_id")
+      .agg(
+        sum($"r".cast("decimal(38,6)") * $"tf").as("sr"),
+        sum($"tf").as("n_toks"))
+    docLang
+      .select($"doc_id")
+      .join(perDoc, Seq("doc_id"), "left")
+      .select(
+        $"doc_id",
+        coalesce($"n_toks", lit(0L)).as("n_toks"),
+        when(
+          $"n_toks" > 0,
+          X.r6($"sr".cast("double") / $"n_toks".cast("double"))).as("iw6"))
+      .withColumn("keep", coalesce($"iw6" > 1.0d, lit(false)))
+      .orderBy($"doc_id")
+  }
+
   private val ImportanceSql =
     "WITH tokl AS (SELECT doc_id, lang, " +
       "unnest(string_split(lower(text), ' ')) AS term FROM documents), " +

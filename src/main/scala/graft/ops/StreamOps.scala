@@ -1284,6 +1284,22 @@ object StreamOps {
     LmOps.lmScoreFromPostings(postings, nTotal)
   }
 
+  /** Serve q_sample_importance from the SAME postings state — the DSIR
+    * selection weights are one more serve on the maintained lexical
+    * index: per-term corpus/target counts from merge-on-read postings
+    * (target totals via the lake's (doc_id, lang) map), per-doc means by
+    * the tf-grouping identity ([[CurationOps.sampleImportanceFromPostings]]).
+    * docLang must carry EVERY lake doc's (doc_id, lang) so zero-token
+    * docs keep their n_toks = 0 row.
+    */
+  def serveSampleImportanceContinuous(
+      s: SparkSession,
+      indexDir: String,
+      docLang: DataFrame): DataFrame = {
+    val (postings, _) = lmFrames(s, indexDir)
+    CurationOps.sampleImportanceFromPostings(postings, docLang)
+  }
+
   /** Serve q_lm_score_lang's scored rows from the SAME postings state —
     * the per-language production default (one LM per language, CCNet
     * arXiv:1911.00359) still rides the maintained lexical index: the

@@ -90,6 +90,13 @@ class StreamingLmSpec extends SparkSpec {
         spark, indexDir, prefix.select($"doc_id", $"lang"))) ===
         rows(LmOps.lmScoreLangOf(prefix).filter($"n_tokens" > 0)))
 
+    // the DSIR selection weights are one more serve on the same postings
+    // (tf-grouping identity; target totals via the lake's lang map)
+    assert(
+      rows(StreamOps.serveSampleImportanceContinuous(
+        spark, indexDir, prefix.select($"doc_id", $"lang"))) ===
+        rows(graft.ops.CurationOps.sampleImportanceOf(prefix)))
+
     // compaction folds generations without moving a probability
     StreamOps.compactBm25Index(spark, indexDir)
     assert(rows(StreamOps.serveLmUnigramContinuous(spark, indexDir)) ===
@@ -107,6 +114,10 @@ class StreamingLmSpec extends SparkSpec {
         spark, indexDir, all.select($"doc_id", $"lang"))) ===
         rows(SparkEntry.queries("q_lm_score_lang")(spark, sf)
           .filter($"n_tokens" > 0)))
+    assert(
+      rows(StreamOps.serveSampleImportanceContinuous(
+        spark, indexDir, all.select($"doc_id", $"lang"))) ===
+        rows(SparkEntry.queries("q_sample_importance")(spark, sf)))
   }
 
   test("bigram model from streamed counts ≡ monolithic train at every stage") {
