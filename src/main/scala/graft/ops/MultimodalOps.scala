@@ -138,6 +138,35 @@ object MediaCodec extends Serializable {
 
   def encodeAndResize(bytes: Array[Byte]): Resized =
     resize(encodePng(bytes))
+
+  /** Average-hash over the decoded raster (the classic aHash of
+    * perceptual image dedup): nearest-neighbor 8×8 resample, then bit i
+    * = pixel_i·64 ≥ Σ pixels — the mean comparison cleared of division,
+    * so the hash is pure integer arithmetic and both engines agree
+    * bit-for-bit. Rendered as 16 lowercase hex nibbles MSB-first (nibble
+    * j = bits 4j..4j+3), built nibble-by-nibble so no 64-bit signed
+    * overflow surface exists in either engine.
+    */
+  def encodeAndPhash(bytes: Array[Byte]): String = {
+    val px = resize(encodePng(bytes)).data
+    var sum = 0L
+    var i = 0
+    while (i < px.length) { sum += px(i) & 0xff; i += 1 }
+    val sb = new java.lang.StringBuilder(16)
+    var j = 0
+    while (j < 16) {
+      var nib = 0
+      var k = 0
+      while (k < 4) {
+        val p = (px(4 * j + k) & 0xff).toLong
+        nib = (nib << 1) | (if (p * 64 >= sum) 1 else 0)
+        k += 1
+      }
+      sb.append("0123456789abcdef".charAt(nib))
+      j += 1
+    }
+    sb.toString
+  }
 }
 
 /** Real audio codec kernels over JDK-only `javax.sound.sampled` (WAV/PCM).
@@ -382,6 +411,51 @@ object MultimodalOps {
       "ELSE 0 END), 2, '0')), (a, v) -> a || v)) AS preview_hex " +
       "FROM b ORDER BY doc_id"
 
+  private val phashUdf = udf(MediaCodec.encodeAndPhash _)
+
+  /** q_mm_phash — perceptual image dedup (average-hash, the classic
+    * aHash): the same real encode→decode→8×8-resample path as
+    * q_mm_resize, then bit i = pixel_i·64 ≥ Σ pixels (the mean
+    * comparison cleared of division — pure integer, both engines agree
+    * bit-for-bit), 16 hex nibbles MSB-first, and the dedup cut: how many
+    * documents share each perceptual hash. The oracle replays the
+    * floor-index resample and the nibble construction in text
+    * arithmetic, so a resampler stride bug, a threshold-direction bug,
+    * or a bit-order bug all break the hash gate.
+    *
+    * Scale shape: one fused codec UDF per row, then ONE hash-partitioned
+    * window (partitionBy the 64-bit hash — no ordering, no global sort);
+    * at 100 TB the hash groups are the dedup clusters, bounded small.
+    */
+  private def mmPhash(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val w = org.apache.spark.sql.expressions.Window.partitionBy($"phash_hex")
+    docs(s, d)
+      .select($"doc_id", phashUdf(payload).as("phash_hex"))
+      .withColumn("cluster_size", count(lit(1)).over(w))
+      .orderBy("doc_id")
+  }
+
+  private val PhashSql =
+    "WITH b AS (SELECT doc_id, " +
+      "list_transform(string_split(text, ''), c -> ascii(c)) AS px, " +
+      "octet_length(encode(text)) AS n, " +
+      "CAST(ceil(octet_length(encode(text))/16.0) AS BIGINT) AS h FROM documents), " +
+      "rp AS (SELECT doc_id, list_transform(generate_series(0, 63), i -> " +
+      "CASE WHEN (((i // 8) * h) // 8) * 16 + ((i % 8) * 2) + 1 <= n " +
+      "THEN px[CAST((((i // 8) * h) // 8) * 16 + ((i % 8) * 2) + 1 AS INTEGER)] " +
+      "ELSE 0 END) AS v FROM b), " +
+      "sm AS (SELECT doc_id, v, list_reduce(v, (a, x) -> a + x) AS s FROM rp), " +
+      "ph AS (SELECT doc_id, lower(list_reduce(list_transform(generate_series(0, 15), j -> " +
+      "to_hex((CASE WHEN v[j*4+1]*64 >= s THEN 8 ELSE 0 END) + " +
+      "(CASE WHEN v[j*4+2]*64 >= s THEN 4 ELSE 0 END) + " +
+      "(CASE WHEN v[j*4+3]*64 >= s THEN 2 ELSE 0 END) + " +
+      "(CASE WHEN v[j*4+4]*64 >= s THEN 1 ELSE 0 END))), " +
+      "(a, x) -> a || x)) AS phash_hex FROM sm) " +
+      "SELECT doc_id, phash_hex, " +
+      "CAST(count(*) OVER (PARTITION BY phash_hex) AS BIGINT) AS cluster_size " +
+      "FROM ph ORDER BY doc_id"
+
   /** q_mm_sample — frame-sampling analog: every 10th token of the payload
     * stream (for video this is the keyframe stride; the indexing pattern is
     * identical).
@@ -459,6 +533,7 @@ object MultimodalOps {
           "FROM documents ORDER BY doc_id")),
     QueryDef("q_mm_features", mmFeatures, Some(FeaturesSql)),
     QueryDef("q_mm_resize", mmResize, Some(ResizeSql)),
+    QueryDef("q_mm_phash", mmPhash, Some(PhashSql)),
     QueryDef("q_mm_audio", mmAudio, Some(AudioSql)),
     QueryDef("q_mm_sample", mmSample, Some(SampleSql))
   )

@@ -65,6 +65,32 @@ class MultimodalCodecSpec extends SparkSpec {
       assert((out(y * 8 + x) & 0xff) == ((y * 16 + 2 * x) % 256))
   }
 
+  test("phash matches an independent bit-math replay; planted rasters " +
+    "hit their hand-computed hashes") {
+    // constant raster: every pixel equals the mean (p·64 == sum) — the
+    // >= threshold sets ALL bits → 'ffffffffffffffff'
+    val const = Array.fill(128)(65.toByte)
+    assert(MediaCodec.encodeAndPhash(const) === "ffffffffffffffff")
+    // half-bright / half-dark: n = 128 → 8×16 raster, resample takes
+    // every other column; rows 0-3 bright (200), rows 4-7 dark (10) →
+    // mean between → top 32 bits set, bottom 32 clear
+    val half = Array.tabulate(128)(i => if (i < 64) 200.toByte else 10.toByte)
+    assert(MediaCodec.encodeAndPhash(half) === "ffffffff00000000")
+    // pseudo-random payload: replay the hash from the resample + integer
+    // threshold independently
+    val bytes = Array.tabulate(200)(i => ((i * 7 + 3) % 256).toByte)
+    val d = MediaCodec.decodePng(MediaCodec.encodePng(bytes))
+    val px = MediaCodec.resizeNearest(d, 8, 8).map(_ & 0xff)
+    val sum = px.map(_.toLong).sum
+    val want = (0 until 16).map { j =>
+      val nib = (0 until 4).foldLeft(0) { (a, k) =>
+        (a << 1) | (if (px(4 * j + k) * 64 >= sum) 1 else 0)
+      }
+      "0123456789abcdef".charAt(nib)
+    }.mkString
+    assert(MediaCodec.encodeAndPhash(bytes) === want)
+  }
+
   // --- audio (WAV/PCM via javax.sound.sampled) ---------------------------
 
   /** Independent replay of the PCM mapping: decode the WAV with
