@@ -653,11 +653,14 @@ object LmOps {
 
   private[graft] def lmInterpOf(docsDf: DataFrame): DataFrame = {
     import docsDf.sparkSession.implicits._
-    val ft = TextOps.bm25TokensOf(docsDf)
+    // the token total is the sum of the unigram counts — derived from
+    // uni instead of a second corpus token scan
+    val uni = TextOps.bm25TokensOf(docsDf)
+      .groupBy($"term".as("w2")).agg(count(lit(1)).as("cf1"))
     lmInterpFromCounts(
       bigramCountsOf(docsDf),
-      ft.groupBy($"term".as("w2")).agg(count(lit(1)).as("cf1")),
-      ft.agg(count(lit(1)).as("lt")),
+      uni,
+      uni.agg(sum($"cf1").as("lt")),
       docsDf)
   }
 
@@ -677,14 +680,19 @@ object LmOps {
     import s.implicits._
     def d38(c: Column) = c.cast("decimal(38,0)")
     val bg = bigramsOf(docsDf)
-    val cf2 = pairCounts.groupBy($"w1", $"w2").agg(sum($"cf2").as("cf2"))
+    // ONE pinned pair-count materialization feeds every model consumer
+    // (cfl + the per-pair join): pair types are data-bounded model
+    // state, and the checkpoint both pays the corpus tokenize/agg once
+    // and arms the skew split on the corpus join (pinned rationale) —
+    // never relying on exchange reuse across consumers
+    val cf2 = pinned(pairCounts.groupBy($"w1", $"w2").agg(sum($"cf2").as("cf2")))
     val cfl = cf2.groupBy($"w1").agg(sum($"cf2").as("cfl"))
     val stats = ltStats
     val num = d38(lit(7) * $"cf2") * d38($"lt") +
       d38(lit(3) * $"cf1") * d38($"cfl")
     val den = d38(lit(10) * $"cfl") * d38($"lt")
     val perDoc = bg
-      .join(pinned(cf2.join(cfl, Seq("w1"))), Seq("w1", "w2"))
+      .join(cf2.join(cfl, Seq("w1")), Seq("w1", "w2"))
       .join(uni, Seq("w2"))
       .crossJoin(broadcast(stats))
       .select($"doc_id", X.r6(num.cast("double") / den.cast("double")).as("r"))
@@ -771,7 +779,9 @@ object LmOps {
       .agg(sum($"cf2").as("cfl"), count(lit(1)).as("n1"))
     val ncont = cf2.groupBy($"w2").agg(count(lit(1)).as("ncont"))
     val stats = cf2.agg(count(lit(1)).as("npairs"))
-    val model = pinned(cf2.join(left, Seq("w1")).join(ncont, Seq("w2")))
+    // cf2 is already a checkpointed fresh relation, so the model join
+    // plants clean splittable exchanges without a second pin
+    val model = cf2.join(left, Seq("w1")).join(ncont, Seq("w2"))
     val num = d38(lit(4) * $"cf2" - 3) * d38($"npairs") +
       d38(lit(3) * $"n1") * d38($"ncont")
     val den = d38(lit(4) * $"cfl") * d38($"npairs")
