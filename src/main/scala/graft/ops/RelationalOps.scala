@@ -823,6 +823,91 @@ object RelationalOps {
       .orderBy($"l_returnflag")
   }
 
+  /** q_stat_ttest — Welch's two-sample t over document lengths: does the
+    * English sub-corpus's n_chars distribution differ from the rest? The
+    * distribution-shift check a curation pipeline runs between a target
+    * slice and the remainder (the inferential sibling of q_stat_corr's
+    * association test). Welch, not pooled: corpus slices have no
+    * equal-variance warrant.
+    *
+    * Determinism: both samples' moments come from ONE conditional
+    * aggregate pass (count/Σx/Σx² per side via FILTER — map-side
+    * combine, one row out, no join, no window); sums are exact
+    * decimal(38,0) (Σx² ≤ n·max² ~ 1e20 at 100 TB — past BIGINT, inside
+    * decimal/HUGEINT); each variance is cleared as
+    * (n·Σx² − (Σx)²) / (n·(n−1)) — exact integer products cast once to
+    * double; t = (m₁−m₂)/√(v₁/n₁+v₂/n₂) and the Welch–Satterthwaite dof
+    * are the same chained IEEE + sqrt ladder q_stat_corr's hash gate
+    * already proves cross-engine.
+    */
+  private def statTtest(s: SparkSession, d: String): DataFrame =
+    statTtestOf(T(s, d, "documents"))
+
+  private[graft] def statTtestOf(docsDf: DataFrame): DataFrame = {
+    val s = docsDf.sparkSession
+    import s.implicits._
+    val en = $"lang" === "en"
+    def m38(c: Column) = sum(c.cast("decimal(38,0)")).cast("double")
+    val x = $"n_chars"
+    // square in decimal, not LONG — x² wraps past x ~ 3e9 under bigint
+    // arithmetic (the oracle casts to HUGEINT before its multiply too)
+    val xx = x.cast("decimal(19,0)") * x
+    val m = docsDf.agg(
+      count(when(en, 1)).as("n1"),
+      m38(when(en, x)).as("sx1"),
+      m38(when(en, xx)).as("sxx1"),
+      count(when(!en, 1)).as("n2"),
+      m38(when(!en, x)).as("sx2"),
+      m38(when(!en, xx)).as("sxx2"))
+    val n1d = $"n1".cast("double")
+    val n2d = $"n2".cast("double")
+    val v1 = (n1d * $"sxx1" - $"sx1" * $"sx1") / (n1d * (n1d - 1))
+    val v2 = (n2d * $"sxx2" - $"sx2" * $"sx2") / (n2d * (n2d - 1))
+    val se1 = v1 / n1d
+    val se2 = v2 / n2d
+    val ok = $"n1" > 1 && $"n2" > 1
+    m.select(
+      $"n1".as("n_en"),
+      $"n2".as("n_other"),
+      when($"n1" > 0, $"sx1" / n1d).as("mean_en"),
+      when($"n2" > 0, $"sx2" / n2d).as("mean_other"),
+      when(ok, X.r6(($"sx1" / n1d - $"sx2" / n2d) / sqrt(se1 + se2)))
+        .as("t_welch6"),
+      // r6 both statistics: the dof ladder chains enough double ops that
+      // the engines disagreed by 1 ulp raw - fixed-point is the contract
+      when(ok,
+        X.r6((se1 + se2) * (se1 + se2) /
+          (se1 * se1 / (n1d - 1) + se2 * se2 / (n2d - 1)))).as("dof6"))
+  }
+
+  private val TtestSql = {
+    val v1 = "(CAST(n1 AS DOUBLE) * sxx1 - sx1 * sx1) / " +
+      "(CAST(n1 AS DOUBLE) * (CAST(n1 AS DOUBLE) - 1))"
+    val v2 = "(CAST(n2 AS DOUBLE) * sxx2 - sx2 * sx2) / " +
+      "(CAST(n2 AS DOUBLE) * (CAST(n2 AS DOUBLE) - 1))"
+    val se1 = s"$v1 / CAST(n1 AS DOUBLE)"
+    val se2 = s"$v2 / CAST(n2 AS DOUBLE)"
+    "WITH m AS (SELECT " +
+      "CAST(count(*) FILTER (WHERE lang = 'en') AS BIGINT) AS n1, " +
+      "CAST(sum(CAST(n_chars AS HUGEINT)) FILTER (WHERE lang = 'en') AS DOUBLE) AS sx1, " +
+      "CAST(sum(CAST(n_chars AS HUGEINT) * n_chars) FILTER (WHERE lang = 'en') AS DOUBLE) AS sxx1, " +
+      "CAST(count(*) FILTER (WHERE NOT lang = 'en') AS BIGINT) AS n2, " +
+      "CAST(sum(CAST(n_chars AS HUGEINT)) FILTER (WHERE NOT lang = 'en') AS DOUBLE) AS sx2, " +
+      "CAST(sum(CAST(n_chars AS HUGEINT) * n_chars) FILTER (WHERE NOT lang = 'en') AS DOUBLE) AS sxx2 " +
+      "FROM documents) " +
+      "SELECT n1 AS n_en, n2 AS n_other, " +
+      "CASE WHEN n1 > 0 THEN sx1 / CAST(n1 AS DOUBLE) END AS mean_en, " +
+      "CASE WHEN n2 > 0 THEN sx2 / CAST(n2 AS DOUBLE) END AS mean_other, " +
+      "CASE WHEN n1 > 1 AND n2 > 1 THEN floor(" +
+      s"(sx1 / CAST(n1 AS DOUBLE) - sx2 / CAST(n2 AS DOUBLE)) / sqrt($se1 + $se2) " +
+      "* 1e6 + 0.5) / 1e6 END AS t_welch6, " +
+      "CASE WHEN n1 > 1 AND n2 > 1 THEN floor(" +
+      s"($se1 + $se2) * ($se1 + $se2) / " +
+      s"($se1 * $se1 / (CAST(n1 AS DOUBLE) - 1) + $se2 * $se2 / (CAST(n2 AS DOUBLE) - 1)) " +
+      "* 1e6 + 0.5) / 1e6 END AS dof6 " +
+      "FROM m"
+  }
+
   private val CorrSql =
     "WITH c AS (SELECT l_returnflag, " +
       "CAST(CAST(l_quantity AS DECIMAL(18,2)) * 100 AS BIGINT) AS x, " +
@@ -1237,6 +1322,7 @@ object RelationalOps {
     QueryDef("q_stat_chisq", statChisq, Some(ChisqSql)),
     QueryDef("q_agg_listagg", aggListagg, Some(ListaggSql)),
     QueryDef("q_win_range", winRange, Some(WinRangeSql)),
-    QueryDef("q_stat_corr", statCorr, Some(CorrSql))
+    QueryDef("q_stat_corr", statCorr, Some(CorrSql)),
+    QueryDef("q_stat_ttest", statTtest, Some(TtestSql))
   )
 }

@@ -308,6 +308,22 @@ class OperatorSemanticsSpec extends SparkSpec {
     assert(got === Seq((1, 1L, 1L, 2L), (1, 2L, 4L, 1L), (2, 1L, 3L, 2L)))
   }
 
+  test("q_stat_ttest matches a hand-computed Welch t on a planted corpus") {
+    import spark.implicits._
+    // en [10, 14]: n=2, mean 12, var 8; other [4, 6, 8]: n=3, mean 6,
+    // var 4 → se = 8/2 + 4/3 = 16/3, t = 6/sqrt(16/3) = 2.598076...,
+    // dof = (16/3)² / (16/1 + (4/3)²/2) = 256/152 = 32/19 = 1.684210...
+    val planted = Seq(
+      (1L, "en", 10L), (2L, "en", 14L),
+      (3L, "fr", 4L), (4L, "de", 6L), (5L, "zh", 8L))
+      .toDF("doc_id", "lang", "n_chars")
+    val r = graft.ops.RelationalOps.statTtestOf(planted).collect()(0)
+    assert(r.getLong(0) === 2L && r.getLong(1) === 3L)
+    assert(r.getDouble(2) === 12.0 && r.getDouble(3) === 6.0)
+    assert(r.getDouble(4) === 2.598076)
+    assert(r.getDouble(5) === 1.684211)
+  }
+
   test("q_profile_table distinct counts agree with the dedup family") {
     import spark.implicits._
     // profile the documents table through the same rendering scheme the
