@@ -168,6 +168,12 @@ class ScaleSpec extends SparkSpec {
     assert(vocab(d10) === Replicas * vocab(d1) + 30L + HotDocs)
     assertLinear("q_dedup_passage_cc", maxRatio = 8.0) // observed 4.1
     assertLinear("q_lm_score", maxRatio = 10.0) // observed 5.2
+    // the smoothed models (r15): pair-type state is replica-namespaced
+    // like the vocabulary, so the model joins must stay linear too
+    assertLinear("q_lm_interp", maxRatio = 8.0) // observed 4.0
+    assertLinear("q_lm_kn", maxRatio = 11.0) // observed 5.6
+    // DSIR selection weights: one model join + a per-row threshold
+    assertLinear("q_sample_importance", maxRatio = 9.0) // observed 4.4
   }
 
   test("q_dedup_rank at 10x: replica mass uniform, hot cluster " +
@@ -202,6 +208,9 @@ class ScaleSpec extends SparkSpec {
     // no tolerance)
     assert(out.agg(min($"pr")).head().getLong(0) == base)
     assertLinear("q_dedup_rank", maxRatio = 8.0) // observed 4.1
+    // canonicalization shares the rank's checkpointed pair lineage; the
+    // closure + argmax cut on top must not change the growth class
+    assertLinear("q_dedup_rank_rep", maxRatio = 6.0) // observed 2.8
   }
 
   test("banded pair join at 10x keeps its plan shape: equi-join, no cartesian") {
