@@ -17,6 +17,7 @@ object BenchSplits {
       "q_sim_quantized_served" -> ops.SimilarityOps.simQuantizedServedSplit(s, d),
       "q_index_bm25_served" -> ops.TextOps.bm25Split(s, d),
       "q_index_phrase_served" -> ops.TextOps.phraseSplit(s, d),
+      "q_index_phrase_incr" -> ops.TextOps.phraseIncrSplit(s, d),
       "q_lm_score" -> ops.LmOps.lmScoreSplit(s, d),
       "q_index_bm25_incr" -> ops.TextOps.bm25IncrSplit(s, d),
       "q_retrieval_rrf_served" -> ops.TextOps.rrfServedSplit(s, d),

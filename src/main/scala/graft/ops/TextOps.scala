@@ -1247,6 +1247,41 @@ object TextOps {
       () => servePhrase(s, Seq(path), PhraseQueries))
   }
 
+  /** q_index_phrase_incr — INCREMENTAL positional maintenance, the
+    * phrase sibling of [[indexBm25Incr]]: the newest 10% of doc ids
+    * (monotone-ingest contract) write their OWN occurrence generation —
+    * O(batch) build work, the base generation's files never rewritten or
+    * re-read — and serving merges generations on read (occurrence rows
+    * over disjoint doc sets union cleanly; adjacency is within-document).
+    * The oracle is the FULL-corpus [[PhraseSql]], so the hash gate
+    * re-proves merge-on-read ≡ a single rebuilt positional index every
+    * round.
+    */
+  private def indexPhraseIncr(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val root = SimilarityOps.serveRoot(s, d) + "/phraseincr"
+    graft.index.GenLog.buildOnce(s, root) {
+      val all = docs(s, d)
+      val thrDf = all.agg(expr("(max(doc_id) * 9) div 10").as("thr"))
+      val withThr = all.crossJoin(broadcast(thrDf))
+      writePhraseIndexFrom(
+        s, withThr.filter($"doc_id" <= $"thr").drop("thr"), s"$root/base")
+      writePhraseIndexFrom(
+        s, withThr.filter($"doc_id" > $"thr").drop("thr"), s"$root/inc")
+    }
+    servePhrase(s, Seq(s"$root/base", s"$root/inc"), PhraseQueries)
+  }
+
+  /** [[phraseSplit]] for q_index_phrase_incr: build writes both
+    * generations; serve is the merge-on-read phrase cut.
+    */
+  private[graft] def phraseIncrSplit(
+      s: SparkSession, d: String): (() => Unit, () => DataFrame) = {
+    val root = SimilarityOps.serveRoot(s, d) + "/phraseincr"
+    (() => { indexPhraseIncr(s, d); () },
+      () => servePhrase(s, Seq(s"$root/base", s"$root/inc"), PhraseQueries))
+  }
+
   private val PhraseSql = {
     val vals = PhraseQueries
       .map { case (id, t1, t2) => s"($id, '$t1', '$t2')" }
@@ -2125,6 +2160,7 @@ object TextOps {
     QueryDef("q_index_inverted", indexInverted, Some(InvertedSql)),
     QueryDef("q_index_phrase", indexPhrase, Some(PhraseSql)),
     QueryDef("q_index_phrase_served", indexPhraseServed, Some(PhraseSql)),
+    QueryDef("q_index_phrase_incr", indexPhraseIncr, Some(PhraseSql)),
     QueryDef("q_index_bm25", indexBm25, Some(Bm25Sql)),
     QueryDef("q_index_bm25_served", indexBm25Served, Some(Bm25Sql)),
     QueryDef("q_index_bm25_incr", indexBm25Incr, Some(Bm25Sql)),

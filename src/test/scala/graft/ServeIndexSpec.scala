@@ -92,6 +92,19 @@ class ServeIndexSpec extends SparkSpec {
       s"probed ${probed.size} of $shardDirs shard dirs")
   }
 
+  test("q_index_phrase_incr: merge-on-read equals the full computation; the increment is batch-sized") {
+    assert(
+      rows(SparkEntry.queries("q_index_phrase_incr")(spark, sf)) ===
+        rows(SparkEntry.queries("q_index_phrase")(spark, sf)))
+    // O(batch) maintenance: the increment's occurrence rows are a small
+    // fraction of the base generation's (same claim as the bm25 sibling)
+    val root = s"${SimilarityOps.serveRoot(spark, sf)}/phraseincr"
+    val postingsRows =
+      (sub: String) => spark.read.parquet(s"$root/$sub/postings").count()
+    val (base, inc) = (postingsRows("base"), postingsRows("inc"))
+    assert(inc > 0 && inc < base / 3, s"inc=$inc base=$base")
+  }
+
   test("q_index_bm25_incr: merge-on-read equals the full computation; the increment is batch-sized") {
     assert(
       rows(SparkEntry.queries("q_index_bm25_incr")(spark, sf)) ===
