@@ -774,13 +774,17 @@ object LmOps {
     import s.implicits._
     def d38(c: Column) = c.cast("decimal(38,0)")
     val bg = bigramsOf(docsDf)
-    val cf2 = pairCounts.groupBy($"w1", $"w2").agg(sum($"cf2").as("cf2"))
+    // ONE pinned pair-count materialization feeds every model consumer
+    // (left + ncont + stats + the per-pair join): pair types are
+    // vocabulary-bounded model state, and the checkpoint both pays the
+    // pair aggregation once and arms the skew split on the corpus join
+    // (pinned rationale) — the registry path passes a plain aggregation
+    // here, so without this pin the bg⋈model join would lose the split
+    val cf2 = pinned(pairCounts.groupBy($"w1", $"w2").agg(sum($"cf2").as("cf2")))
     val left = cf2.groupBy($"w1")
       .agg(sum($"cf2").as("cfl"), count(lit(1)).as("n1"))
     val ncont = cf2.groupBy($"w2").agg(count(lit(1)).as("ncont"))
     val stats = cf2.agg(count(lit(1)).as("npairs"))
-    // cf2 is already a checkpointed fresh relation, so the model join
-    // plants clean splittable exchanges without a second pin
     val model = cf2.join(left, Seq("w1")).join(ncont, Seq("w2"))
     val num = d38(lit(4) * $"cf2" - 3) * d38($"npairs") +
       d38(lit(3) * $"n1") * d38($"ncont")

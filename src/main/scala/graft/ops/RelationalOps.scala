@@ -172,11 +172,55 @@ object RelationalOps {
     * per event type. Both are mergeable sketches, so the aggregation stays
     * two-phase (map-side partials + one shuffle of constant-size state) no
     * matter the row count — the property exact distinct/percentile lack.
-    * Sketch internals are engine-specific, so there is no DuckDB hash
-    * oracle (the driver's rows-only check applies); SketchSpec bounds the
-    * error against the exact answers instead.
+    *
+    * Sketch internals are engine-specific, so raw estimates can't hash
+    * against DuckDB; the emitted contract follows q_agg_sketch_merge's
+    * pattern instead — exact oracle-checkable columns plus bound booleans
+    * the oracle asserts literal-true, so the hash gate re-proves the
+    * sketch error bounds every round: `hll_ok` (HLL++ estimate within
+    * max(2, 5%) of exact distinct, ~2.5σ at rsd 0.02 — sparse mode is
+    * exact at the test cardinalities), `p50_ok`/`p95_ok` (the
+    * accuracy-1000 KLL-style quantile, rank error ≤ 0.001, lands inside
+    * the exact ±0.02-rank bracket — a 20× margin). The exact companions
+    * (countDistinct, exact percentile bracket) exist only to ARM the
+    * contract; the production query at 100 TB is the sketch side alone.
+    * SketchSpec still bounds the raw estimates against exact directly.
     */
   private def aggSketch(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    T(s, d, "events")
+      .groupBy($"event_type")
+      .agg(
+        count(lit(1)).as("n"),
+        countDistinct($"user_id").as("exact_users"),
+        approx_count_distinct($"user_id", 0.02).as("au"),
+        percentile_approx($"value", lit(0.5), lit(1000)).as("p50"),
+        percentile_approx($"value", lit(0.95), lit(1000)).as("p95"),
+        expr("percentile(value, array(0.48, 0.52, 0.93, 0.97))").as("exq"))
+      .select(
+        $"event_type",
+        $"n",
+        $"exact_users",
+        (abs($"au" - $"exact_users") <=
+          greatest(lit(2L), ($"exact_users".cast("double") * 0.05).cast("long")))
+          .as("hll_ok"),
+        ($"p50" >= $"exq"(0) && $"p50" <= $"exq"(1)).as("p50_ok"),
+        ($"p95" >= $"exq"(2) && $"p95" <= $"exq"(3)).as("p95_ok"))
+      .orderBy("event_type")
+  }
+
+  private val SketchSql =
+    "SELECT event_type, CAST(count(*) AS BIGINT) AS n, " +
+      "count(DISTINCT user_id) AS exact_users, " +
+      "true AS hll_ok, true AS p50_ok, true AS p95_ok " +
+      "FROM events GROUP BY event_type ORDER BY event_type"
+
+  /** The raw-estimate form of q_agg_sketch — what the production report
+    * emits at 100 TB (sketches only, no exact companions); SketchSpec
+    * bounds these estimates against exact directly, beside the registry
+    * query's hash-checked contract columns.
+    */
+  private[graft] def aggSketchRaw(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
     T(s, d, "events")
       .groupBy($"event_type")
@@ -835,10 +879,14 @@ object RelationalOps {
     * combine, one row out, no join, no window); sums are exact
     * decimal(38,0) (Σx² ≤ n·max² ~ 1e20 at 100 TB — past BIGINT, inside
     * decimal/HUGEINT); each variance is cleared as
-    * (n·Σx² − (Σx)²) / (n·(n−1)) — exact integer products cast once to
-    * double; t = (m₁−m₂)/√(v₁/n₁+v₂/n₂) and the Welch–Satterthwaite dof
-    * are the same chained IEEE + sqrt ladder q_stat_corr's hash gate
-    * already proves cross-engine.
+    * (n·Σx² − (Σx)²) / (n·(n−1)) with the numerator computed IN
+    * decimal(38,0) — the products are ~equal 1e32-scale integers at
+    * 100 TB, past double's 2^53 exact range, so an IEEE subtract would
+    * cancel into noise; the exact difference is cast ONCE to double
+    * (the oracle mirrors with HUGEINT, same 128-bit headroom);
+    * t = (m₁−m₂)/√(v₁/n₁+v₂/n₂) and the Welch–Satterthwaite dof are the
+    * same chained IEEE + sqrt ladder q_stat_corr's hash gate already
+    * proves cross-engine.
     */
   private def statTtest(s: SparkSession, d: String): DataFrame =
     statTtestOf(T(s, d, "documents"))
@@ -847,7 +895,7 @@ object RelationalOps {
     val s = docsDf.sparkSession
     import s.implicits._
     val en = $"lang" === "en"
-    def m38(c: Column) = sum(c.cast("decimal(38,0)")).cast("double")
+    def m38(c: Column) = sum(c.cast("decimal(38,0)"))
     val x = $"n_chars"
     // square in decimal, not LONG — x² wraps past x ~ 3e9 under bigint
     // arithmetic (the oracle casts to HUGEINT before its multiply too)
@@ -861,18 +909,24 @@ object RelationalOps {
       m38(when(!en, xx)).as("sxx2"))
     val n1d = $"n1".cast("double")
     val n2d = $"n2".cast("double")
-    val v1 = (n1d * $"sxx1" - $"sx1" * $"sx1") / (n1d * (n1d - 1))
-    val v2 = (n2d * $"sxx2" - $"sx2" * $"sx2") / (n2d * (n2d - 1))
+    def d38(c: Column) = c.cast("decimal(38,0)")
+    // the cancellation-prone numerator stays in exact decimal; ONE cast
+    // to double after the subtract (see docstring)
+    val v1 = (d38($"n1") * $"sxx1" - $"sx1" * $"sx1").cast("double") /
+      (n1d * (n1d - 1))
+    val v2 = (d38($"n2") * $"sxx2" - $"sx2" * $"sx2").cast("double") /
+      (n2d * (n2d - 1))
     val se1 = v1 / n1d
     val se2 = v2 / n2d
     val ok = $"n1" > 1 && $"n2" > 1
     m.select(
       $"n1".as("n_en"),
       $"n2".as("n_other"),
-      when($"n1" > 0, $"sx1" / n1d).as("mean_en"),
-      when($"n2" > 0, $"sx2" / n2d).as("mean_other"),
-      when(ok, X.r6(($"sx1" / n1d - $"sx2" / n2d) / sqrt(se1 + se2)))
-        .as("t_welch6"),
+      when($"n1" > 0, $"sx1".cast("double") / n1d).as("mean_en"),
+      when($"n2" > 0, $"sx2".cast("double") / n2d).as("mean_other"),
+      when(ok,
+        X.r6(($"sx1".cast("double") / n1d - $"sx2".cast("double") / n2d) /
+          sqrt(se1 + se2))).as("t_welch6"),
       // r6 both statistics: the dof ladder chains enough double ops that
       // the engines disagreed by 1 ulp raw - fixed-point is the contract
       when(ok,
@@ -881,25 +935,27 @@ object RelationalOps {
   }
 
   private val TtestSql = {
-    val v1 = "(CAST(n1 AS DOUBLE) * sxx1 - sx1 * sx1) / " +
+    // variance numerators cleared in HUGEINT (exact 128-bit, mirroring
+    // the engine's decimal(38,0)), ONE cast to double after the subtract
+    val v1 = "(CAST(CAST(n1 AS HUGEINT) * sxx1 - sx1 * sx1 AS DOUBLE)) / " +
       "(CAST(n1 AS DOUBLE) * (CAST(n1 AS DOUBLE) - 1))"
-    val v2 = "(CAST(n2 AS DOUBLE) * sxx2 - sx2 * sx2) / " +
+    val v2 = "(CAST(CAST(n2 AS HUGEINT) * sxx2 - sx2 * sx2 AS DOUBLE)) / " +
       "(CAST(n2 AS DOUBLE) * (CAST(n2 AS DOUBLE) - 1))"
     val se1 = s"$v1 / CAST(n1 AS DOUBLE)"
     val se2 = s"$v2 / CAST(n2 AS DOUBLE)"
     "WITH m AS (SELECT " +
       "CAST(count(*) FILTER (WHERE lang = 'en') AS BIGINT) AS n1, " +
-      "CAST(sum(CAST(n_chars AS HUGEINT)) FILTER (WHERE lang = 'en') AS DOUBLE) AS sx1, " +
-      "CAST(sum(CAST(n_chars AS HUGEINT) * n_chars) FILTER (WHERE lang = 'en') AS DOUBLE) AS sxx1, " +
+      "sum(CAST(n_chars AS HUGEINT)) FILTER (WHERE lang = 'en') AS sx1, " +
+      "sum(CAST(n_chars AS HUGEINT) * n_chars) FILTER (WHERE lang = 'en') AS sxx1, " +
       "CAST(count(*) FILTER (WHERE NOT lang = 'en') AS BIGINT) AS n2, " +
-      "CAST(sum(CAST(n_chars AS HUGEINT)) FILTER (WHERE NOT lang = 'en') AS DOUBLE) AS sx2, " +
-      "CAST(sum(CAST(n_chars AS HUGEINT) * n_chars) FILTER (WHERE NOT lang = 'en') AS DOUBLE) AS sxx2 " +
+      "sum(CAST(n_chars AS HUGEINT)) FILTER (WHERE NOT lang = 'en') AS sx2, " +
+      "sum(CAST(n_chars AS HUGEINT) * n_chars) FILTER (WHERE NOT lang = 'en') AS sxx2 " +
       "FROM documents) " +
       "SELECT n1 AS n_en, n2 AS n_other, " +
-      "CASE WHEN n1 > 0 THEN sx1 / CAST(n1 AS DOUBLE) END AS mean_en, " +
-      "CASE WHEN n2 > 0 THEN sx2 / CAST(n2 AS DOUBLE) END AS mean_other, " +
+      "CASE WHEN n1 > 0 THEN CAST(sx1 AS DOUBLE) / CAST(n1 AS DOUBLE) END AS mean_en, " +
+      "CASE WHEN n2 > 0 THEN CAST(sx2 AS DOUBLE) / CAST(n2 AS DOUBLE) END AS mean_other, " +
       "CASE WHEN n1 > 1 AND n2 > 1 THEN floor(" +
-      s"(sx1 / CAST(n1 AS DOUBLE) - sx2 / CAST(n2 AS DOUBLE)) / sqrt($se1 + $se2) " +
+      s"(CAST(sx1 AS DOUBLE) / CAST(n1 AS DOUBLE) - CAST(sx2 AS DOUBLE) / CAST(n2 AS DOUBLE)) / sqrt($se1 + $se2) " +
       "* 1e6 + 0.5) / 1e6 END AS t_welch6, " +
       "CASE WHEN n1 > 1 AND n2 > 1 THEN floor(" +
       s"($se1 + $se2) * ($se1 + $se2) / " +
@@ -1203,7 +1259,7 @@ object RelationalOps {
           "JOIN region ON n_regionkey = r_regionkey " +
           "WHERE p_name LIKE '%red%' AND r_name IN ('ASIA', 'EUROPE') " +
           "GROUP BY 1, 2 ORDER BY n_name, o_year")),
-    QueryDef("q_agg_sketch", aggSketch, None),
+    QueryDef("q_agg_sketch", aggSketch, Some(SketchSql)),
     QueryDef("q_agg_sketch_merge", aggSketchMerge, Some(SketchMergeSql)),
     QueryDef(
       "q_agg_topk",

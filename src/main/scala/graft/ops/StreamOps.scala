@@ -420,7 +420,8 @@ object StreamOps {
       corpusLegs(batch0.localCheckpoint(true), batchId, p)
   }
 
-  /** The seven corpus legs over an already-materialized batch — shared
+  /** The eight corpus legs (the phrase positional leg optional via
+    * `phraseIndexDir`) over an already-materialized batch — shared
     * verbatim between the standalone corpus program and the unified
     * text+vector program, so both feed shapes commit through ONE
     * implementation.
@@ -2163,8 +2164,9 @@ object StreamOps {
   }
 
   /** ONE micro-batch through all thirteen legs: one materialization, the
-    * seven corpus legs on the full batch, the five vector legs on the
-    * embedded rows re-keyed to the vector schema.
+    * eight corpus legs (phrase leg optional via `phraseIndexDir`) on the
+    * full batch, the five vector legs on the embedded rows re-keyed to
+    * the vector schema.
     */
   def unifiedPipelineBatch(
       batch0: DataFrame,

@@ -14,10 +14,13 @@ import org.apache.spark.sql.functions._
   *  - fact tables shift their keys per replica with consistent foreign
   *    keys (orders ↔ customer, lineitem ↔ orders/part/supplier), so
   *    joins stay referentially intact at N× volume;
-  *  - documents get per-replica token tags (replicas mutually invisible
-  *    to every similarity key: exact md5, MinHash bands, n-grams) and
-  *    customers a two-char name suffix (cross-replica edit distance ≥ 2
-  *    for the fuzzy join);
+  *  - documents: replica 0 is the base corpus VERBATIM (so the
+  *    benchmark retrieval vocabulary survives staging and the 10×
+  *    bm25/phrase/rrf records measure real pruned hits, not 0-row
+  *    ties); replicas ≥ 1 get per-replica token tags — all replicas
+  *    mutually invisible to every similarity key (exact md5, MinHash
+  *    bands, n-grams). Customers get a two-char name suffix
+  *    (cross-replica edit distance ≥ 2 for the fuzzy join);
   *  - embeddings get cyclic dimension shifts (norms exact, within-replica
   *    similarity structure preserved, cross-replica cosines scatter);
   *  - timestamps are untouched, so date-windowed queries see N× rows
@@ -98,15 +101,25 @@ object MakeScaled {
 
     write(reptd { k =>
       val tag = ('a' + k).toChar.toString
+      // Replica 0 is the base corpus VERBATIM: the benchmark retrieval
+      // vocabulary (Bm25Queries/PhraseQueries terms like "hash join")
+      // must exist in the staged corpus, or the bm25/phrase/rrf
+      // served-index records at 10x prove only empty-result plumbing
+      // (the round-15 verdict's 0-row-tie finding). Replicas stay
+      // mutually invisible to every similarity key either way: raw vs
+      // token-tagged text differ in md5, MinHash bands, and n-grams
+      // exactly as two differently-tagged replicas do.
       // NULL-preserving tag transform: a NULL-text source row stays NULL
       // in every replica (coalesce would turn it into the non-null "za"
       // and silently lose the base corpus's null profile at scale)
       t("documents").select(
         ($"doc_id" + lit(k * dk)).as("doc_id"),
-        when($"text".isNotNull,
-          concat_ws(" ",
-            expr(s"transform(split(text, ' '), t -> concat(t, 'z$tag'))")))
-          .otherwise(lit(null).cast("string"))
+        (if (k == 0) $"text"
+         else
+           when($"text".isNotNull,
+             concat_ws(" ",
+               expr(s"transform(split(text, ' '), t -> concat(t, 'z$tag'))")))
+             .otherwise(lit(null).cast("string")))
           .as("text"),
         $"lang", $"source")
         .withColumn("n_chars", length($"text").cast("long"))

@@ -64,9 +64,11 @@ class BenchSplitSpec extends SparkSpec {
       === Nil)
     // calibration-normalized gate: with a recorded derivation probe,
     // budgets scale by thisRun/baseline — a slow host (ratio 2) stops
-    // flagging uniform inflation, a fast host (ratio 0.5) catches a
-    // regression absolute budgets would hide; no probe on either side
-    // or a wild ratio degrades safely
+    // flagging uniform inflation; a FAST probe never tightens below the
+    // raw budgets (round 15: a 0.38 probe ratio on a run whose true
+    // medians ran 1.28x SLOW manufactured 114 phantom violations at the
+    // old 0.5 floor — the pure-CPU probe does not predict this mixed
+    // scan/shuffle workload in the fast direction)
     java.nio.file.Files.write(f,
       """{"sf":"sf0.1","probe":1.0,"budgets":{"q_a":1.0,"q_b":2.0}}"""
         .getBytes("UTF-8"))
@@ -74,18 +76,16 @@ class BenchSplitSpec extends SparkSpec {
     // slow host: q_a at 1.5 is inside its 2.0 effective budget
     assert(Bench.budgetViolations(d, results, f.toString, calibration = 2.0)
       === Nil)
-    // fast host: q_b at 1.9 now exceeds its 1.0 effective budget
+    // fast host: budgets stay RAW — q_a still flags, q_b still doesn't
     assert(Bench.budgetViolations(d, results, f.toString, calibration = 0.5)
-      === Seq(("q_a", 1.5, 0.5), ("q_b", 1.9, 1.0)))
+      === Seq(("q_a", 1.5, 1.0)))
     // ratio clamps at 4x: an absurd probe cannot disable the gate
     assert(Bench.budgetViolations(d, Seq("q_a" -> 4.1), f.toString,
       calibration = 100.0) === Seq(("q_a", 4.1, 4.0)))
-    // ...and tightens at most 2x downward: the pure-CPU probe overstates
-    // load sensitivity vs the mixed query workload (round-13 measured a
-    // 0.41 probe ratio across windows whose query medians moved <1.05x),
-    // so an ultra-fast probe must not manufacture false violations
+    // ...and never tightens below 1x: an ultra-fast probe cannot
+    // manufacture violations a raw-budget gate wouldn't fire
     assert(Bench.budgetViolations(d, Seq("q_b" -> 1.1), f.toString,
-      calibration = 0.01) === Seq(("q_b", 1.1, 1.0)))
+      calibration = 0.01) === Nil)
     // no calibration measured -> raw budgets (back-compat)
     assert(Bench.budgetViolations(d, results, f.toString) ===
       Seq(("q_a", 1.5, 1.0)))

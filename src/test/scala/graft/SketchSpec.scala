@@ -2,15 +2,18 @@ package graft
 
 import org.apache.spark.sql.functions._
 
-/** q_agg_sketch has no cross-engine oracle (sketch internals are
-  * engine-specific), so its contract is bounded error against the exact
-  * aggregates on the same data.
+/** q_agg_sketch's raw estimates can't hash cross-engine (sketch internals
+  * are engine-specific), so two layers carry the contract: the registry
+  * query emits exact columns + bound booleans the DuckDB oracle asserts
+  * literal-true (hash-checked every round), and this spec bounds the RAW
+  * estimates — the production 100 TB output shape — against the exact
+  * aggregates directly.
   */
 class SketchSpec extends SparkSpec {
 
   test("approx distinct within rsd bound and quantiles within rank tolerance") {
     import spark.implicits._
-    val sketch = SparkEntry.queries("q_agg_sketch")(spark, sf).collect()
+    val sketch = ops.RelationalOps.aggSketchRaw(spark, sf).collect()
     assert(sketch.nonEmpty)
     val exact = T(spark, sf, "events")
       .groupBy($"event_type")
@@ -32,6 +35,16 @@ class SketchSpec extends SparkSpec {
       assert(r.getAs[Double]("p95_value") >= r.getAs[Double]("p50_value"))
       assert(math.abs(r.getAs[Double]("p50_value") - e.getAs[Double]("e50")) <=
         math.max(1d, e.getAs[Double]("e50") * 0.25))
+    }
+  }
+
+  test("registry contract columns are all true (the hash gate's precondition)") {
+    val rows = SparkEntry.queries("q_agg_sketch")(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(r.getAs[Boolean]("hll_ok"), s"hll_ok false: $r")
+      assert(r.getAs[Boolean]("p50_ok"), s"p50_ok false: $r")
+      assert(r.getAs[Boolean]("p95_ok"), s"p95_ok false: $r")
     }
   }
 }
