@@ -48,7 +48,27 @@ def main():
         else:
             budgets[q] = round(b, 4)
 
-    out = {"sf": sf, "probe": round(probe, 4), "budgets": budgets}
+    out = {
+        "sf": sf,
+        "probe": round(probe, 4),
+        "probe_semantics": (
+            "probe = the source record's calibration (median across "
+            "iteration rounds of min-of-3 xxhash64-chain walls, sampled "
+            "inside the measured loop). The bench gate scales each budget "
+            "by clamp(run_calibration / probe, 1.0, 4.0): a slower host "
+            "relaxes budgets up to 4x (the masking direction the "
+            "normalization exists for); a faster probe NEVER tightens "
+            "below these raw values (a pure-CPU probe does not predict "
+            "this mixed scan/shuffle workload in the fast direction — "
+            "r13 measured probe ratio 0.41 on <1.05x medians, r15's 0.38 "
+            "manufactured 114 phantom violations at the old 0.5 floor). "
+            "Budgets = 2x the source record's per-query median, floored "
+            "at 0.6 s; the gate statistic compared against them is each "
+            "query's MIN across interleaved, per-pass-shuffled "
+            "iterations."),
+        "basis": os.path.basename(src),
+        "budgets": budgets,
+    }
     with open(dst, "w") as f:
         json.dump(out, f, indent=1, sort_keys=True)
         f.write("\n")
