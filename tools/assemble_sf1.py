@@ -14,7 +14,10 @@ import sys
 CLOSURE = ("q_dedup_cc", "q_dedup_incr", "q_pipeline_corpus2")
 
 SCALE = ("sf1-equivalent (10x sf0.1 via tools.MakeScaled, "
-         "NULL-profile-preserving; 6M lineitem / 50k docs / 20k vectors)")
+         "NULL-profile-preserving; 6M lineitem / 50k docs / 20k vectors; "
+         "document replica 0 is the sf0.1 corpus VERBATIM so the "
+         "benchmark retrieval vocabulary is contained — the bm25/phrase/"
+         "rrf rows here are real pruned hits, not 0-row ties)")
 METHOD = (
     "graft.Verify dump at /tmp/graft_sf1_out -> tools/check.py per query "
     "(DuckDB oracle). The transitive-closure oracles (q_dedup_cc/"
