@@ -1,0 +1,201 @@
+package graft.expr
+
+import scala.collection.mutable
+
+import org.apache.spark.sql.{Encoder, Encoders}
+import org.apache.spark.sql.expressions.Aggregator
+
+/** A DETERMINISTIC q-digest (Shrivastava et al., SenSys'04 — public
+  * algorithm): the mergeable quantile sketch Spark lacks as persistable
+  * state. `hll_sketch_agg` gives HLL state a binary-column life
+  * (build per day → persist → `hll_union_agg` across days), but
+  * `percentile_approx`'s KLL-style state is not exposed — so quantile
+  * rollups either recompute from raw rows or lose mergeability. This
+  * module is the quantile twin: per-day sketches persist as a parquet
+  * BINARY column and re-aggregate associatively, with a PROVABLE rank
+  * error bound and — unlike KLL — no randomness anywhere, so every
+  * estimate is a pure function of the input multiset (the repo's
+  * oracle-checkability contract).
+  *
+  * Structure: counts over the complete binary tree on the integer
+  * universe [0, U), U = 2^LogU (node id 1 = root; leaf for value v has
+  * id U + v). Build buffers EXACT leaf counts (bounded by the universe,
+  * not the row count — the documented trade: at 100 TB with a wider
+  * domain you quantize coarser or re-compress in reduce at the cost of
+  * determinism) and compresses ONCE in finish; compression with
+  * threshold ceil(n/k) keeps ≤ 3k nodes and introduces ≤ LogU·n/k rank
+  * error (each leaf's mass can be absorbed upward at most LogU times,
+  * each absorption bounded by the threshold — QDigestSpec asserts the
+  * bound on adversarial spiky data). Merging sums count maps —
+  * commutative and associative, so merge order cannot change the final
+  * recompressed bytes (QDigestSpec pins bit-equality across orders).
+  *
+  * Total mass rides IN the sketch under reserved key 0 (node ids start
+  * at 1), so merge needs no side channel for n.
+  */
+object QDigest {
+
+  /** Universe: value cents in [0, 2^17) — covers the events table's
+    * value domain (≤ $1310.71) with headroom; out-of-range values clamp
+    * into the extreme buckets (production parameterizes LogU per column
+    * domain; the error bound scales as LogU/k).
+    */
+  val LogU = 17
+  val U: Long = 1L << LogU
+
+  /** Reserved buffer key carrying total count n. */
+  private val NKey = 0L
+
+  def clamp(v: Long): Long = math.max(0L, math.min(U - 1L, v))
+
+  /** Leaf increment into a build buffer. */
+  def add(b: Map[Long, Long], v: Long): Map[Long, Long] = {
+    val leaf = U + clamp(v)
+    b.updated(leaf, b.getOrElse(leaf, 0L) + 1L)
+      .updated(NKey, b.getOrElse(NKey, 0L) + 1L)
+  }
+
+  /** Key-wise sum — the merge of two buffers (and of two digests). */
+  def sum(a: Map[Long, Long], b: Map[Long, Long]): Map[Long, Long] = {
+    val (big, small) = if (a.size >= b.size) (a, b) else (b, a)
+    small.foldLeft(big) { case (acc, (k, c)) =>
+      acc + (k -> (acc.getOrElse(k, 0L) + c))
+    }
+  }
+
+  /** Deterministic bottom-up q-digest compression: for each sibling pair
+    * (level LogU up to 1, ids ascending — a fixed order, so the result
+    * is a pure function of the counts), if the pair plus its parent hold
+    * less than the threshold ceil(n/k), their mass moves to the parent.
+    * Root mass never moves. Returns the kept (id, count) pairs sorted by
+    * id, WITHOUT the n entry.
+    */
+  def compress(counts: Map[Long, Long], k: Int): Array[(Long, Long)] = {
+    val n = counts.getOrElse(NKey, 0L)
+    val t = if (k <= 0) 1L else (n + k - 1) / k // ceil(n/k), ≥ 1 when n ≥ 1
+    val m = mutable.LongMap.empty[Long]
+    counts.foreach { case (id, c) => if (id != NKey && c != 0L) m(id) = c }
+    var level = LogU
+    while (level >= 1) {
+      val ids = m.keysIterator.filter(levelOf(_) == level).toArray.sorted
+      var i = 0
+      while (i < ids.length) {
+        val id = ids(i)
+        // visit each sibling pair once, at its even member (or the odd
+        // member when the even one is absent)
+        val sib = id ^ 1L
+        if ((id & 1L) == 0L || !m.contains(sib)) {
+          val parent = id >> 1
+          val pairSum = m.getOrElse(id, 0L) + (if ((id & 1L) == 0L)
+            m.getOrElse(sib, 0L)
+          else 0L)
+          if (pairSum + m.getOrElse(parent, 0L) < t && parent >= 1L) {
+            if (pairSum > 0L) m(parent) = m.getOrElse(parent, 0L) + pairSum
+            m.remove(id)
+            if ((id & 1L) == 0L) m.remove(sib)
+          }
+        }
+        i += 1
+      }
+      level -= 1
+    }
+    m.toArray.sortBy(_._1)
+  }
+
+  private def levelOf(id: Long): Int = 63 - java.lang.Long.numberOfLeadingZeros(id)
+
+  /** Wire format: n, count of nodes, then sorted (id, count) longs — a
+    * canonical rendering, so equal digests are equal BYTES (what lets
+    * specs pin merge-order invariance at the binary level).
+    */
+  def serialize(counts: Map[Long, Long], k: Int): Array[Byte] = {
+    val nodes = compress(counts, k)
+    val bb = java.nio.ByteBuffer.allocate(16 + 16 * nodes.length)
+    bb.putLong(counts.getOrElse(NKey, 0L))
+    bb.putLong(nodes.length.toLong)
+    nodes.foreach { case (id, c) => bb.putLong(id); bb.putLong(c) }
+    bb.array()
+  }
+
+  def deserialize(bytes: Array[Byte]): Map[Long, Long] = {
+    if (bytes == null || bytes.length < 16) return Map.empty
+    val bb = java.nio.ByteBuffer.wrap(bytes)
+    val n = bb.getLong()
+    val cnt = bb.getLong().toInt
+    val b = Map.newBuilder[Long, Long]
+    b += (NKey -> n)
+    var i = 0
+    while (i < cnt) { b += (bb.getLong() -> bb.getLong()); i += 1 }
+    b.result()
+  }
+
+  /** Rank-q estimate: nodes in postorder of value range (hi ascending,
+    * descendants before ancestors), cumulative count to the first node
+    * reaching ceil(q·n) — its hi endpoint is the estimate, off by at
+    * most the compression's rank error. Returns the clamped-universe
+    * value (cents), -1 on an empty digest.
+    */
+  def quantile(bytes: Array[Byte], q: Double): Long = {
+    val m = deserialize(bytes)
+    val n = m.getOrElse(NKey, 0L)
+    if (n <= 0L) return -1L
+    val target = math.max(1L, math.ceil(q * n).toLong)
+    val nodes = m.iterator
+      .filter(_._1 != NKey)
+      .map { case (id, c) =>
+        val lvl = levelOf(id)
+        val span = LogU - lvl
+        val lo = (id << span) - U
+        val hi = lo + (1L << span) - 1L
+        (hi, lo, c)
+      }
+      .toArray
+      .sortBy { case (hi, lo, _) => (hi, -lo) }
+    var cum = 0L
+    var i = 0
+    while (i < nodes.length) {
+      cum += nodes(i)._3
+      if (cum >= target) return nodes(i)._1
+      i += 1
+    }
+    nodes.last._1
+  }
+}
+
+/** Build aggregator: value cents in, canonical digest bytes out. The
+  * buffer holds EXACT leaf counts (universe-bounded), so the finished
+  * digest is independent of row order and partitioning.
+  */
+class QDigestBuildAgg(k: Int)
+    extends Aggregator[Long, Map[Long, Long], Array[Byte]] {
+  override def zero: Map[Long, Long] = Map.empty
+  override def reduce(b: Map[Long, Long], v: Long): Map[Long, Long] =
+    QDigest.add(b, v)
+  override def merge(a: Map[Long, Long], b: Map[Long, Long]): Map[Long, Long] =
+    QDigest.sum(a, b)
+  override def finish(b: Map[Long, Long]): Array[Byte] =
+    QDigest.serialize(b, k)
+  override def bufferEncoder: Encoder[Map[Long, Long]] =
+    org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Map[Long, Long]]()
+  override def outputEncoder: Encoder[Array[Byte]] = Encoders.BINARY
+}
+
+/** Union aggregator over persisted digests: deserialize-sum (commutative,
+  * associative — merge order cannot matter), one deterministic recompress
+  * in finish. The input digests' kept nodes sum key-wise, so the merged
+  * rank error is at most the sum of the parts' plus one final
+  * compression's — ≤ 2·LogU·n/k total for day-built parts.
+  */
+class QDigestMergeAgg(k: Int)
+    extends Aggregator[Array[Byte], Map[Long, Long], Array[Byte]] {
+  override def zero: Map[Long, Long] = Map.empty
+  override def reduce(b: Map[Long, Long], sk: Array[Byte]): Map[Long, Long] =
+    QDigest.sum(b, QDigest.deserialize(sk))
+  override def merge(a: Map[Long, Long], b: Map[Long, Long]): Map[Long, Long] =
+    QDigest.sum(a, b)
+  override def finish(b: Map[Long, Long]): Array[Byte] =
+    QDigest.serialize(b, k)
+  override def bufferEncoder: Encoder[Map[Long, Long]] =
+    org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Map[Long, Long]]()
+  override def outputEncoder: Encoder[Array[Byte]] = Encoders.BINARY
+}

@@ -1,7 +1,7 @@
 package graft.ops
 
 import graft.{QueryDef, T, X}
-import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, Encoders, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -183,7 +183,10 @@ object RelationalOps {
     * accuracy-1000 KLL-style quantile, rank error ≤ 0.001, lands inside
     * the exact ±0.02-rank bracket — a 20× margin). The exact companions
     * (countDistinct, exact percentile bracket) exist only to ARM the
-    * contract; the production query at 100 TB is the sketch side alone.
+    * contract at gate scale — the exact bracket is the sort-based
+    * per-group aggregate q_agg_quantile documents, fine at the gate's
+    * cardinalities and deliberately NOT the 100 TB path; the production
+    * query at that scale is the sketch side alone ([[aggSketchRaw]]).
     * SketchSpec still bounds the raw estimates against exact directly.
     */
   private def aggSketch(s: SparkSession, d: String): DataFrame = {
@@ -291,6 +294,90 @@ object RelationalOps {
     "SELECT event_type, CAST(count(DISTINCT CAST(ts AS DATE)) AS BIGINT) AS n_days, " +
       "count(DISTINCT user_id) AS exact_users, " +
       "true AS merge_ok, true AS err_ok " +
+      "FROM events GROUP BY event_type ORDER BY event_type"
+
+  /** q-digest compression factor: rank error ≤ LogU/k ≈ 0.4% per
+    * compression (two compressions on the merge path ≈ 0.8%), inside the
+    * contract's ±2%-rank brackets with margin; kept nodes ≤ 3k.
+    */
+  private val QdK = 4096
+
+  /** q_agg_quantile_merge — QUANTILE sketch state as DATA, completing
+    * the warehouse-rollup story q_agg_sketch_merge tells for distinct
+    * counts: Spark persists HLL state as a binary column
+    * (`hll_sketch_agg`/`hll_union_agg`) but exposes no mergeable
+    * quantile state — `percentile_approx` recomputes from raw rows every
+    * time. [[graft.expr.QDigest]] fills the gap with a DETERMINISTIC
+    * q-digest (public algorithm, Shrivastava et al. SenSys'04): per-day
+    * sketches build as a binary column (persistable to parquet —
+    * QDigestSpec proves the round trip), re-aggregate associatively
+    * across days via key-wise count sums (merge order provably cannot
+    * change the bytes), and estimate with a PROVABLE ≤ LogU·n/k rank
+    * error — and, unlike Spark's KLL or Datasketches' KLL/REQ, no
+    * randomness anywhere, so every estimate is a pure function of the
+    * input multiset (the oracle-checkability contract).
+    *
+    * Emitted shape is the sketch-family contract pattern: exact
+    * oracle-checkable columns (event_type, n_days, n) + bound booleans
+    * the DuckDB oracle asserts literal-true — p50_ok/p95_ok pin the
+    * DAY-MERGED estimate inside the exact ±2%-rank percentile_disc
+    * bracket (cents domain, no float arithmetic), whole_ok pins the
+    * single whole-data sketch the same way, so the hash gate re-proves
+    * build, merge, and estimate error every round at both scales.
+    *
+    * Scale shape: both aggregations are mergeable two-phase (map-side
+    * partials, constant-size shuffled state ≤ 3k nodes per group); the
+    * exact brackets are gate-scale companions exactly as in
+    * q_agg_sketch (the production rollup at 100 TB reads yesterday's
+    * persisted day sketches and unions new days in — O(days·k) work,
+    * never a raw re-scan).
+    */
+  private def aggQuantileMerge(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val build = udaf(new graft.expr.QDigestBuildAgg(QdK), Encoders.scalaLong)
+    val union = udaf(new graft.expr.QDigestMergeAgg(QdK), Encoders.BINARY)
+    val est = udf((sk: Array[Byte], q: Double) => graft.expr.QDigest.quantile(sk, q))
+    // cents via decimal cast (half-up, the q_stat_corr idiom) — the
+    // sketch universe is integer cents, no double arithmetic anywhere
+    val ev = T(s, d, "events")
+      .select(
+        $"ts",
+        $"event_type",
+        ($"value".cast("decimal(18,2)") * 100).cast("long").as("v100"))
+    val daily = ev
+      .groupBy(to_date($"ts").as("day"), $"event_type")
+      .agg(build($"v100").as("sk"))
+    val merged = daily
+      .groupBy($"event_type")
+      .agg(count(lit(1)).as("n_days"), union($"sk").as("msk"))
+    val whole = ev
+      .groupBy($"event_type")
+      .agg(
+        count(lit(1)).as("n"),
+        build($"v100").as("wsk"),
+        expr("percentile_disc(0.48) WITHIN GROUP (ORDER BY v100)").as("b48"),
+        expr("percentile_disc(0.52) WITHIN GROUP (ORDER BY v100)").as("b52"),
+        expr("percentile_disc(0.93) WITHIN GROUP (ORDER BY v100)").as("b93"),
+        expr("percentile_disc(0.97) WITHIN GROUP (ORDER BY v100)").as("b97"))
+    merged
+      .join(whole, "event_type")
+      .select(
+        $"event_type",
+        $"n_days",
+        $"n",
+        (est($"msk", lit(0.5)) >= $"b48" && est($"msk", lit(0.5)) <= $"b52")
+          .as("p50_ok"),
+        (est($"msk", lit(0.95)) >= $"b93" && est($"msk", lit(0.95)) <= $"b97")
+          .as("p95_ok"),
+        (est($"wsk", lit(0.5)) >= $"b48" && est($"wsk", lit(0.5)) <= $"b52")
+          .as("whole_ok"))
+      .orderBy("event_type")
+  }
+
+  private val QuantileMergeSql =
+    "SELECT event_type, CAST(count(DISTINCT CAST(ts AS DATE)) AS BIGINT) AS n_days, " +
+      "CAST(count(*) AS BIGINT) AS n, " +
+      "true AS p50_ok, true AS p95_ok, true AS whole_ok " +
       "FROM events GROUP BY event_type ORDER BY event_type"
 
   /** q_agg_topk — per-group top-k via the custom mergeable
@@ -1261,6 +1348,7 @@ object RelationalOps {
           "GROUP BY 1, 2 ORDER BY n_name, o_year")),
     QueryDef("q_agg_sketch", aggSketch, Some(SketchSql)),
     QueryDef("q_agg_sketch_merge", aggSketchMerge, Some(SketchMergeSql)),
+    QueryDef("q_agg_quantile_merge", aggQuantileMerge, Some(QuantileMergeSql)),
     QueryDef(
       "q_agg_topk",
       aggTopk,
