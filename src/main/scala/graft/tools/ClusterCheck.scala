@@ -53,7 +53,12 @@ object ClusterCheck {
     // tables (nested-lambda eval on executors) and the Lloyd trainer's
     // driver-collect/broadcast alternation across real processes
     "q_sim_pq",
-    "q_sim_pq_trained")
+    "q_sim_pq_trained",
+    // round-16: the q-digest Aggregator pair — its Map[Long,Long] buffer
+    // encoder and binary digests cross the executor serialization
+    // boundary, and merge-order invariance is exactly what a real
+    // multi-process shuffle exercises that local[*] cannot
+    "q_agg_quantile_merge")
 
   /** The composed UNIFIED text+vector feed as a deterministic check
     * program — shared verbatim between the forked local-cluster run and
