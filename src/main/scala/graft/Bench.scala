@@ -21,6 +21,11 @@ object BenchSplits {
       "q_lm_score" -> ops.LmOps.lmScoreSplit(s, d),
       "q_index_bm25_incr" -> ops.TextOps.bm25IncrSplit(s, d),
       "q_retrieval_rrf_served" -> ops.TextOps.rrfServedSplit(s, d),
+      // q_agg_quantile_served has NO split entry: its composed output is
+      // the gate CONTRACT (exact companions + booleans), not the served
+      // report, so the split-identity rule (serve ≡ composed) cannot
+      // hold while keeping the serve figure state-only. QDigestSpec pins
+      // serve ≡ the in-session merge path instead.
       "q_dedup_incr" -> ops.DedupOps.dedupIncrSplit(s, d),
       "q_dedup_embed_incr" -> ops.DedupOps.embedIncrSplit(s, d),
       "q_dedup_semantic_incr" -> ops.SimilarityOps.semanticIncrSplit(s, d))

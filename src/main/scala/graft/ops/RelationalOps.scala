@@ -332,22 +332,38 @@ object RelationalOps {
     * persisted day sketches and unions new days in — O(days·k) work,
     * never a raw re-scan).
     */
+  /** The events table in the sketch's integer-cents domain — cents via
+    * decimal cast (half-up, the q_stat_corr idiom), no double arithmetic
+    * anywhere.
+    */
+  private def quantileCents(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    T(s, d, "events")
+      .select(
+        $"ts",
+        $"event_type",
+        ($"value".cast("decimal(18,2)") * 100).cast("long").as("v100"))
+  }
+
+  /** Per-(day, event_type) q-digest state — the frame that persists as
+    * the rollup's parquet generation (binary `sk` column). Shared by the
+    * in-session merge query and the served form's build.
+    */
+  private[graft] def quantileDaily(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val build = udaf(new graft.expr.QDigestBuildAgg(QdK), Encoders.scalaLong)
+    quantileCents(s, d)
+      .groupBy(to_date($"ts").as("day"), $"event_type")
+      .agg(build($"v100").as("sk"))
+  }
+
   private def aggQuantileMerge(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
     val build = udaf(new graft.expr.QDigestBuildAgg(QdK), Encoders.scalaLong)
     val union = udaf(new graft.expr.QDigestMergeAgg(QdK), Encoders.BINARY)
     val est = udf((sk: Array[Byte], q: Double) => graft.expr.QDigest.quantile(sk, q))
-    // cents via decimal cast (half-up, the q_stat_corr idiom) — the
-    // sketch universe is integer cents, no double arithmetic anywhere
-    val ev = T(s, d, "events")
-      .select(
-        $"ts",
-        $"event_type",
-        ($"value".cast("decimal(18,2)") * 100).cast("long").as("v100"))
-    val daily = ev
-      .groupBy(to_date($"ts").as("day"), $"event_type")
-      .agg(build($"v100").as("sk"))
-    val merged = daily
+    val ev = quantileCents(s, d)
+    val merged = quantileDaily(s, d)
       .groupBy($"event_type")
       .agg(count(lit(1)).as("n_days"), union($"sk").as("msk"))
     val whole = ev
@@ -378,6 +394,80 @@ object RelationalOps {
     "SELECT event_type, CAST(count(DISTINCT CAST(ts AS DATE)) AS BIGINT) AS n_days, " +
       "CAST(count(*) AS BIGINT) AS n, " +
       "true AS p50_ok, true AS p95_ok, true AS whole_ok " +
+      "FROM events GROUP BY event_type ORDER BY event_type"
+
+  /** Dataset-keyed canonical day-sketch state — build-once-serve-many
+    * ([[graft.index.GenLog.buildOnce]], the retrieval families' rule):
+    * the per-(day, event_type) q-digest generation persists under the
+    * shared index catalog, so every serve in the session reads the same
+    * committed bytes and a concurrent second builder skips.
+    */
+  private[graft] def writeQuantileState(s: SparkSession, d: String): String = {
+    val path = SimilarityOps.serveRoot(s, d) + "/qdigest"
+    graft.index.GenLog.buildOnce(s, path) {
+      quantileDaily(s, d)
+        .write
+        .mode(org.apache.spark.sql.SaveMode.Overwrite)
+        .parquet(s"$path/days")
+    }
+    path
+  }
+
+  /** The serve kernel: merged per-type quantile report from the
+    * PERSISTED day-sketch state alone — raw events are never touched
+    * (the rollup posture at 100 TB: O(days·k) state in, report out).
+    */
+  private[graft] def serveQuantile(s: SparkSession, path: String): DataFrame = {
+    import s.implicits._
+    val union = udaf(new graft.expr.QDigestMergeAgg(QdK), Encoders.BINARY)
+    val est = udf((sk: Array[Byte], q: Double) => graft.expr.QDigest.quantile(sk, q))
+    s.read
+      .parquet(s"$path/days")
+      .groupBy($"event_type")
+      .agg(count(lit(1)).as("n_days"), union($"sk").as("msk"))
+      .select(
+        $"event_type",
+        $"n_days",
+        est($"msk", lit(0.5)).as("p50_cents"),
+        est($"msk", lit(0.95)).as("p95_cents"))
+  }
+
+  /** q_agg_quantile_served — the quantile rollup SERVED from persisted
+    * state, completing the build/served symmetry the retrieval families
+    * have: [[writeQuantileState]] commits the day sketches once through
+    * the GenLog catalog (claims, markers, builds_run/skipped
+    * accounting), [[serveQuantile]] answers from that state without
+    * touching raw events. The exact companions joined here exist only to
+    * ARM the hash contract at gate scale (the q_agg_sketch rule); the
+    * production serve is [[serveQuantile]] alone, and QDigestSpec pins
+    * serve ≡ the in-session merge path row-for-row.
+    */
+  private def aggQuantileServed(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val served = serveQuantile(s, writeQuantileState(s, d))
+    val whole = quantileCents(s, d)
+      .groupBy($"event_type")
+      .agg(
+        count(lit(1)).as("n"),
+        expr("percentile_disc(0.48) WITHIN GROUP (ORDER BY v100)").as("b48"),
+        expr("percentile_disc(0.52) WITHIN GROUP (ORDER BY v100)").as("b52"),
+        expr("percentile_disc(0.93) WITHIN GROUP (ORDER BY v100)").as("b93"),
+        expr("percentile_disc(0.97) WITHIN GROUP (ORDER BY v100)").as("b97"))
+    served
+      .join(whole, "event_type")
+      .select(
+        $"event_type",
+        $"n_days",
+        $"n",
+        ($"p50_cents" >= $"b48" && $"p50_cents" <= $"b52").as("p50_ok"),
+        ($"p95_cents" >= $"b93" && $"p95_cents" <= $"b97").as("p95_ok"))
+      .orderBy("event_type")
+  }
+
+  private val QuantileServedSql =
+    "SELECT event_type, CAST(count(DISTINCT CAST(ts AS DATE)) AS BIGINT) AS n_days, " +
+      "CAST(count(*) AS BIGINT) AS n, " +
+      "true AS p50_ok, true AS p95_ok " +
       "FROM events GROUP BY event_type ORDER BY event_type"
 
   /** q_agg_topk — per-group top-k via the custom mergeable
@@ -1349,6 +1439,7 @@ object RelationalOps {
     QueryDef("q_agg_sketch", aggSketch, Some(SketchSql)),
     QueryDef("q_agg_sketch_merge", aggSketchMerge, Some(SketchMergeSql)),
     QueryDef("q_agg_quantile_merge", aggQuantileMerge, Some(QuantileMergeSql)),
+    QueryDef("q_agg_quantile_served", aggQuantileServed, Some(QuantileServedSql)),
     QueryDef(
       "q_agg_topk",
       aggTopk,

@@ -119,4 +119,39 @@ class QDigestSpec extends SparkSpec {
       assert(r.getAs[Boolean]("whole_ok"), r.toString)
     }
   }
+
+  test("served rollup == in-session merge path; build commits once") {
+    import spark.implicits._
+    import graft.ops.RelationalOps
+    val runs0 = graft.index.GenLog.buildsRun.get()
+    val path = RelationalOps.writeQuantileState(spark, sf)
+    val built = graft.index.GenLog.buildsRun.get() - runs0
+    RelationalOps.writeQuantileState(spark, sf) // second call must skip
+    assert(graft.index.GenLog.buildsRun.get() - runs0 === built,
+      "second writeQuantileState re-built instead of skipping")
+
+    // serve-from-state ≡ the same union+estimate over the in-memory
+    // daily frame — the rollup's maintained state IS the whole input
+    val union = udaf(new graft.expr.QDigestMergeAgg(4096),
+      org.apache.spark.sql.Encoders.BINARY)
+    val est = udf((sk: Array[Byte], q: Double) => graft.expr.QDigest.quantile(sk, q))
+    def report(df: org.apache.spark.sql.DataFrame): Seq[String] = df
+      .groupBy($"event_type")
+      .agg(count(lit(1)).as("n_days"), union($"sk").as("m"))
+      .select($"event_type", $"n_days",
+        est($"m", lit(0.5)).as("p50"), est($"m", lit(0.95)).as("p95"))
+      .collect().map(_.toString).sorted.toSeq
+    val fromState = RelationalOps.serveQuantile(spark, path)
+      .select($"event_type", $"n_days",
+        $"p50_cents".as("p50"), $"p95_cents".as("p95"))
+      .collect().map(_.toString).sorted.toSeq
+    assert(fromState === report(RelationalOps.quantileDaily(spark, sf)))
+
+    val out = SparkEntry.queries("q_agg_quantile_served")(spark, sf).collect()
+    assert(out.nonEmpty)
+    out.foreach { r =>
+      assert(r.getAs[Boolean]("p50_ok"), r.toString)
+      assert(r.getAs[Boolean]("p95_ok"), r.toString)
+    }
+  }
 }
