@@ -156,13 +156,46 @@ object Bench {
         System.err.println(s"[bench] budget check skipped: $e"); Nil
     }
 
+  /** The RAW (pre-clamp) probe ratio a budget file's gate would scale
+    * by, for each file whose recorded sf matches this run — emitted in
+    * the record so a consumer can tell a gate that ran in force (ratio
+    * ≥ 1) from one running de-sensitized on a fast host (ratio < 1,
+    * clamped up to 1 — a genuine regression up to 1/ratio× can pass raw
+    * budgets there; ADVICE r16). Parsing failures yield no entry — the
+    * diagnostics must never cost the record.
+    */
+  private[graft] def probeRatios(
+      sfDir: String,
+      files: Seq[String],
+      calibration: Double): Seq[(String, Double)] =
+    files.flatMap { bf =>
+      try {
+        val f = java.nio.file.Paths.get(bf)
+        if (!java.nio.file.Files.exists(f)) None
+        else {
+          val txt = new String(java.nio.file.Files.readAllBytes(f), "UTF-8")
+          val json = org.json4s.jackson.JsonMethods.parse(txt)
+          import org.json4s._
+          implicit val fmts: Formats = DefaultFormats
+          if (new java.io.File(sfDir).getName != (json \ "sf").extract[String]) None
+          else
+            (json \ "probe").extractOpt[Double].collect {
+              case p if p > 0.0 && calibration > 0.0 => bf -> calibration / p
+            }
+        }
+      } catch { case _: Throwable => None }
+    }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
-    // Median of N measured iterations per query: a single-iteration bench
-    // inherits host noise (one CPU-contended run can show a trivial
-    // projection at 14s), and the median of 3 rejects any one outlier.
-    val iters = sys.env.getOrElse("SPARK_GRAFT_BENCH_ITERS", "3").toInt.max(1)
+    // Median of N measured iterations per query; the budget gate reads
+    // the MIN. Default 5 (round-16 verdict): at 3 passes, one co-load
+    // window can inflate 2 of 3 samples (observed: q_text_repetition
+    // [0.30, 2.56, 2.23]) leaving the min one bad pass from
+    // contamination with no margin; 5 passes keep ≥ 3 clean samples
+    // under the same event.
+    val iters = sys.env.getOrElse("SPARK_GRAFT_BENCH_ITERS", "5").toInt.max(1)
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
@@ -366,8 +399,16 @@ object Bench {
     val budgetsJson = budgetViolations
       .map { case (q, t, b) => jstr(q) + s""":{"sec":$t,"budget":$b}""" }
       .mkString("{", ",", "}")
+    // Raw pre-clamp probe ratios per applicable budget file: ratio < 1
+    // means the [1,4] clamp held budgets at raw on a faster-than-
+    // derivation host — the gate ran de-sensitized by that factor and
+    // the record says so instead of presenting a silently weaker gate.
+    val ratiosJson = probeRatios(
+      sfDir, Seq("BUDGETS.json", "BUDGETS_sf1.json"), calibration)
+      .map { case (f, r) => jstr(f) + ":" + r }
+      .mkString("{", ",", "}")
     val total = results.map(_._2).sum
-    val full = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errs,"partial_samples":$counts,"samples":$samplesJson,"cal_samples":$calSamplesJson,"splits":$splitsJson,"catalog":$catalogJson,"budget_violations":$budgetsJson,"budget_basis":"min","order":"per-pass seeded shuffle","calibration":$calibration,"sf":"$sfDir","iterations":$iters}"""
+    val full = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errs,"partial_samples":$counts,"samples":$samplesJson,"cal_samples":$calSamplesJson,"splits":$splitsJson,"catalog":$catalogJson,"budget_violations":$budgetsJson,"probe_ratio_raw":$ratiosJson,"budget_basis":"min","order":"per-pass seeded shuffle","calibration":$calibration,"sf":"$sfDir","iterations":$iters}"""
     println(full)
     // The harness snapshots only the TAIL of stdout; the full line above is
     // one long JSON record whose head (including "value") can fall outside

@@ -297,8 +297,9 @@ object RelationalOps {
       "FROM events GROUP BY event_type ORDER BY event_type"
 
   /** q-digest compression factor: rank error ≤ LogU/k ≈ 0.4% per
-    * compression (two compressions on the merge path ≈ 0.8%), inside the
-    * contract's ±2%-rank brackets with margin; kept nodes ≤ 3k.
+    * compression (two compressions on the merge path ≈ 0.8%); the
+    * contract booleans assert exactly this bound in rank space; kept
+    * nodes ≤ 3k.
     */
   private val QdK = 4096
 
@@ -320,14 +321,16 @@ object RelationalOps {
     * Emitted shape is the sketch-family contract pattern: exact
     * oracle-checkable columns (event_type, n_days, n) + bound booleans
     * the DuckDB oracle asserts literal-true — p50_ok/p95_ok pin the
-    * DAY-MERGED estimate inside the exact ±2%-rank percentile_disc
-    * bracket (cents domain, no float arithmetic), whole_ok pins the
-    * single whole-data sketch the same way, so the hash gate re-proves
-    * build, merge, and estimate error every round at both scales.
+    * DAY-MERGED estimate's TRUE RANK inside the theoretical q-digest
+    * bound ([[quantileRankChecks]] — rank space, because that is what
+    * the sketch guarantees; value-space percentile brackets assume a
+    * dense distribution), whole_ok pins the single whole-data sketch
+    * the same way, so the hash gate re-proves build, merge, and
+    * estimate error every round at both scales.
     *
     * Scale shape: both aggregations are mergeable two-phase (map-side
     * partials, constant-size shuffled state ≤ 3k nodes per group); the
-    * exact brackets are gate-scale companions exactly as in
+    * exact rank counts are gate-scale companions exactly as in
     * q_agg_sketch (the production rollup at 100 TB reads yesterday's
     * persisted day sketches and unions new days in — O(days·k) work,
     * never a raw re-scan).
@@ -339,6 +342,12 @@ object RelationalOps {
   private def quantileCents(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
     T(s, d, "events")
+      // NULL values must be absent, not counted-as-zero: the build
+      // aggregator's scalaLong encoder would silently decode NULL to 0
+      // cents and count it into n, while the exact rank companions (and
+      // DuckDB's aggregates) skip nulls — a null-bearing corpus would
+      // skew the digest without failing loudly (ADVICE r16).
+      .where($"value".isNotNull)
       .select(
         $"ts",
         $"event_type",
@@ -357,6 +366,53 @@ object RelationalOps {
       .agg(build($"v100").as("sk"))
   }
 
+  /** The contract brackets live in RANK space, not value space (ADVICE
+    * r16): the q-digest guarantees the estimate's TRUE RANK is within
+    * logU·n/k of the target, but the returned node endpoint need not be
+    * a data value — on a distribution with a sparse gap at the probed
+    * quantile, a rank-correct estimate can sit between data points and
+    * fail any value-space percentile_disc bracket. So the booleans
+    * replay QDigestSpec's rank assertion on the data itself: count the
+    * values ≤ estimate (and ≤ estimate−1, the bucket's lower edge) and
+    * require both within target ± bound — all integer arithmetic, no
+    * distribution-shape assumption. Bounds follow the spec: one
+    * compression logU·(n/k + 1) for the whole-data sketch, the
+    * day-merge path logU·(2n/k + n_days + 1).
+    */
+  /** One pass over the events with the (broadcast, ≤ |event types| rows)
+    * estimate frame: per type, n and the conditional rank counts for
+    * each estimate column present (e50/e95, optionally w50), plus the
+    * integer targets and bounds. ONE scan arms every boolean.
+    */
+  private def quantileRankChecks(
+      s: SparkSession,
+      ev: DataFrame,
+      ests: DataFrame): DataFrame = {
+    import s.implicits._
+    val wholeCols =
+      if (ests.columns.contains("w50"))
+        Seq(
+          sum(when($"v100" <= $"w50", 1L).otherwise(0L)).as("rw50"),
+          sum(when($"v100" < $"w50", 1L).otherwise(0L)).as("rw50b"))
+      else Nil
+    ev.join(broadcast(ests), "event_type")
+      .groupBy($"event_type")
+      .agg(
+        count(lit(1)).as("n"),
+        (Seq(
+          max($"n_days").as("n_days"),
+          sum(when($"v100" <= $"e50", 1L).otherwise(0L)).as("r50"),
+          sum(when($"v100" < $"e50", 1L).otherwise(0L)).as("r50b"),
+          sum(when($"v100" <= $"e95", 1L).otherwise(0L)).as("r95"),
+          sum(when($"v100" < $"e95", 1L).otherwise(0L)).as("r95b")) ++
+          wholeCols): _*)
+      .withColumn("t50", expr("(n + 1) DIV 2"))
+      .withColumn("t95", expr("(19 * n + 19) DIV 20"))
+      .withColumn(
+        "bnd",
+        expr(s"${graft.expr.QDigest.LogU} * ((2 * n) DIV $QdK + n_days + 1)"))
+  }
+
   private def aggQuantileMerge(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
     val build = udaf(new graft.expr.QDigestBuildAgg(QdK), Encoders.scalaLong)
@@ -368,24 +424,26 @@ object RelationalOps {
       .agg(count(lit(1)).as("n_days"), union($"sk").as("msk"))
     val whole = ev
       .groupBy($"event_type")
-      .agg(
-        count(lit(1)).as("n"),
-        build($"v100").as("wsk"),
-        expr("percentile_disc(0.48) WITHIN GROUP (ORDER BY v100)").as("b48"),
-        expr("percentile_disc(0.52) WITHIN GROUP (ORDER BY v100)").as("b52"),
-        expr("percentile_disc(0.93) WITHIN GROUP (ORDER BY v100)").as("b93"),
-        expr("percentile_disc(0.97) WITHIN GROUP (ORDER BY v100)").as("b97"))
-    merged
+      .agg(build($"v100").as("wsk"))
+    val ests = merged
       .join(whole, "event_type")
       .select(
         $"event_type",
         $"n_days",
+        est($"msk", lit(0.5)).as("e50"),
+        est($"msk", lit(0.95)).as("e95"),
+        est($"wsk", lit(0.5)).as("w50"))
+    quantileRankChecks(s, ev, ests)
+      .withColumn(
+        "wbnd",
+        expr(s"${graft.expr.QDigest.LogU} * (n DIV $QdK + 1)"))
+      .select(
+        $"event_type",
+        $"n_days",
         $"n",
-        (est($"msk", lit(0.5)) >= $"b48" && est($"msk", lit(0.5)) <= $"b52")
-          .as("p50_ok"),
-        (est($"msk", lit(0.95)) >= $"b93" && est($"msk", lit(0.95)) <= $"b97")
-          .as("p95_ok"),
-        (est($"wsk", lit(0.5)) >= $"b48" && est($"wsk", lit(0.5)) <= $"b52")
+        ($"r50" >= $"t50" - $"bnd" && $"r50b" <= $"t50" + $"bnd").as("p50_ok"),
+        ($"r95" >= $"t95" - $"bnd" && $"r95b" <= $"t95" + $"bnd").as("p95_ok"),
+        ($"rw50" >= $"t50" - $"wbnd" && $"rw50b" <= $"t50" + $"wbnd")
           .as("whole_ok"))
       .orderBy("event_type")
   }
@@ -394,7 +452,7 @@ object RelationalOps {
     "SELECT event_type, CAST(count(DISTINCT CAST(ts AS DATE)) AS BIGINT) AS n_days, " +
       "CAST(count(*) AS BIGINT) AS n, " +
       "true AS p50_ok, true AS p95_ok, true AS whole_ok " +
-      "FROM events GROUP BY event_type ORDER BY event_type"
+      "FROM events WHERE value IS NOT NULL GROUP BY event_type ORDER BY event_type"
 
   /** Dataset-keyed canonical day-sketch state — build-once-serve-many
     * ([[graft.index.GenLog.buildOnce]], the retrieval families' rule):
@@ -444,23 +502,19 @@ object RelationalOps {
     */
   private def aggQuantileServed(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
-    val served = serveQuantile(s, writeQuantileState(s, d))
-    val whole = quantileCents(s, d)
-      .groupBy($"event_type")
-      .agg(
-        count(lit(1)).as("n"),
-        expr("percentile_disc(0.48) WITHIN GROUP (ORDER BY v100)").as("b48"),
-        expr("percentile_disc(0.52) WITHIN GROUP (ORDER BY v100)").as("b52"),
-        expr("percentile_disc(0.93) WITHIN GROUP (ORDER BY v100)").as("b93"),
-        expr("percentile_disc(0.97) WITHIN GROUP (ORDER BY v100)").as("b97"))
-    served
-      .join(whole, "event_type")
+    val ests = serveQuantile(s, writeQuantileState(s, d))
+      .select(
+        $"event_type",
+        $"n_days",
+        $"p50_cents".as("e50"),
+        $"p95_cents".as("e95"))
+    quantileRankChecks(s, quantileCents(s, d), ests)
       .select(
         $"event_type",
         $"n_days",
         $"n",
-        ($"p50_cents" >= $"b48" && $"p50_cents" <= $"b52").as("p50_ok"),
-        ($"p95_cents" >= $"b93" && $"p95_cents" <= $"b97").as("p95_ok"))
+        ($"r50" >= $"t50" - $"bnd" && $"r50b" <= $"t50" + $"bnd").as("p50_ok"),
+        ($"r95" >= $"t95" - $"bnd" && $"r95b" <= $"t95" + $"bnd").as("p95_ok"))
       .orderBy("event_type")
   }
 
@@ -468,7 +522,7 @@ object RelationalOps {
     "SELECT event_type, CAST(count(DISTINCT CAST(ts AS DATE)) AS BIGINT) AS n_days, " +
       "CAST(count(*) AS BIGINT) AS n, " +
       "true AS p50_ok, true AS p95_ok " +
-      "FROM events GROUP BY event_type ORDER BY event_type"
+      "FROM events WHERE value IS NOT NULL GROUP BY event_type ORDER BY event_type"
 
   /** q_agg_topk — per-group top-k via the custom mergeable
     * [[graft.expr.TopKAgg]] aggregator (TypedColumn path): bounded k-pair

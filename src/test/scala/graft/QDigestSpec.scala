@@ -65,7 +65,7 @@ class QDigestSpec extends SparkSpec {
       assert(r >= target - bound, s"q=$q est=$est rank=$r target=$target")
       assert(rBelow <= target + bound, s"q=$q est=$est rankBelow=$rBelow target=$target")
     }
-    val nodes = QDigest.deserialize(sk).size - 1 // minus the n entry
+    val nodes = QDigest.counts(sk).size - 1 // minus the n entry
     assert(nodes <= 3 * k, s"kept $nodes nodes > 3k=${3 * k}")
   }
 
@@ -77,7 +77,7 @@ class QDigestSpec extends SparkSpec {
     val parts = chunks.map(buildBytes(_, k))
     def mergeAll(ps: Seq[Array[Byte]]): Array[Byte] =
       QDigest.serialize(
-        ps.map(QDigest.deserialize).foldLeft(Map.empty[Long, Long])(QDigest.sum),
+        ps.map(QDigest.counts).foldLeft(Map.empty[Long, Long])(QDigest.sum),
         k)
     val a = mergeAll(parts)
     val b = mergeAll(parts.reverse)
@@ -118,6 +118,26 @@ class QDigestSpec extends SparkSpec {
       assert(r.getAs[Boolean]("p95_ok"), r.toString)
       assert(r.getAs[Boolean]("whole_ok"), r.toString)
     }
+  }
+
+  test("corrupt persisted state fails as a NAMED error, not a buffer underflow") {
+    val good = buildBytes((1L to 100L).toSeq, 64)
+    // truncated payload: header intact, nodes cut short
+    val truncated = good.take(good.length - 8)
+    val e1 = intercept[IllegalArgumentException](QDigest.quantile(truncated, 0.5))
+    assert(e1.getMessage.contains("corrupt q-digest"), e1.getMessage)
+    // garbage node count in the header
+    val garbage = good.clone()
+    garbage(12) = 0x7f.toByte // blow up the cnt field
+    val e2 = intercept[IllegalArgumentException](QDigest.quantile(garbage, 0.5))
+    assert(e2.getMessage.contains("corrupt q-digest"), e2.getMessage)
+    // short-but-nonempty garbage must NOT silently read as empty
+    val e3 = intercept[IllegalArgumentException](
+      QDigest.quantile(Array[Byte](1, 2, 3), 0.5))
+    assert(e3.getMessage.contains("corrupt q-digest"), e3.getMessage)
+    // null and empty stay graceful (an absent sketch is a real state)
+    assert(QDigest.quantile(null, 0.5) === -1L)
+    assert(QDigest.quantile(Array.emptyByteArray, 0.5) === -1L)
   }
 
   test("served rollup == in-session merge path; build commits once") {
