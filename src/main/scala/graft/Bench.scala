@@ -26,6 +26,13 @@ object BenchSplits {
       // report, so the split-identity rule (serve ≡ composed) cannot
       // hold while keeping the serve figure state-only. QDigestSpec pins
       // serve ≡ the in-session merge path instead.
+      // q_agg_quantile_incr DOES split (the dedupIncr shape): build
+      // writes both sketch generations once; serve is merge-on-read plus
+      // the one-pass contract armor — the serve figure includes that
+      // gate-scale raw pass (documented; the production state-only serve
+      // is RelationalOps.serveRollup, identity-pinned by
+      // StreamingRollupSpec).
+      "q_agg_quantile_incr" -> ops.RelationalOps.quantileIncrSplit(s, d),
       "q_dedup_incr" -> ops.DedupOps.dedupIncrSplit(s, d),
       "q_dedup_embed_incr" -> ops.DedupOps.embedIncrSplit(s, d),
       "q_dedup_semantic_incr" -> ops.SimilarityOps.semanticIncrSplit(s, d))

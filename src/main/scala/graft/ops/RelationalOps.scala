@@ -301,7 +301,7 @@ object RelationalOps {
     * contract booleans assert exactly this bound in rank space; kept
     * nodes ≤ 3k.
     */
-  private val QdK = 4096
+  private[graft] val QdK = 4096
 
   /** q_agg_quantile_merge — QUANTILE sketch state as DATA, completing
     * the warehouse-rollup story q_agg_sketch_merge tells for distinct
@@ -522,6 +522,179 @@ object RelationalOps {
     "SELECT event_type, CAST(count(DISTINCT CAST(ts AS DATE)) AS BIGINT) AS n_days, " +
       "CAST(count(*) AS BIGINT) AS n, " +
       "true AS p50_ok, true AS p95_ok " +
+      "FROM events WHERE value IS NOT NULL GROUP BY event_type ORDER BY event_type"
+
+  // ───────── the metrics-rollup state (the 14th maintained family) ─────────
+  //
+  // ONE state frame carries BOTH warehouse sketch families per
+  // (day, event_type): the HLL user sketch (q_agg_sketch_merge's
+  // primitive) and the q-digest value sketch (q_agg_quantile_merge's).
+  // Both merge associatively, so the state lives the generation-log life
+  // the retrieval indexes live: each ingest batch appends its OWN
+  // committed generation (O(batch) work, base sketches never recomputed),
+  // compaction re-merges same-day partials, and the merged
+  // distinct/quantile report serves from maintained state alone.
+  // StreamOps.RollupFamily wires this into the GenLog kernel;
+  // StreamingRollupSpec pins serve ≡ the batch-built registry path at
+  // every stage.
+
+  /** One batch of raw events → its (day, event_type) sketch-state rows.
+    * The canonical transform for every writer: the seed, each streamed
+    * generation, and the registry split all call this, so state is
+    * identical whichever path built it (partition-invariant: both
+    * aggregates are exact-state builds).
+    */
+  private[graft] def rollupStateFrom(s: SparkSession, events: DataFrame): DataFrame = {
+    import s.implicits._
+    val build = udaf(new graft.expr.QDigestBuildAgg(QdK), Encoders.scalaLong)
+    events
+      .where($"value".isNotNull) // the quantileCents rule: NULL is absent, not 0
+      .select(
+        to_date($"ts").as("day"),
+        $"event_type",
+        $"user_id",
+        ($"value".cast("decimal(18,2)") * 100).cast("long").as("v100"))
+      .groupBy($"day", $"event_type")
+      .agg(
+        hll_sketch_agg($"user_id").as("hll"),
+        build($"v100").as("qd"))
+  }
+
+  private[graft] def writeRollupStateFrom(
+      s: SparkSession, events: DataFrame, path: String): Unit =
+    rollupStateFrom(s, events)
+      .write
+      .mode(org.apache.spark.sql.SaveMode.Overwrite)
+      .parquet(path)
+
+  /** The merged rollup report from persisted state alone — raw events
+    * never touched (O(days·k) state in, report out): per event type, the
+    * exact day and row counts (total mass rides IN each digest, so n is
+    * EXACT — conservation through any merge shape), the HLL distinct-user
+    * estimate, and the q-digest p50/p95. countDistinct(day), not
+    * count(1): a day may be split across generations until compaction
+    * re-merges it, and day-count must not depend on generation shape.
+    */
+  private[graft] def serveRollup(s: SparkSession, paths: Seq[String]): DataFrame = {
+    import s.implicits._
+    val union = udaf(new graft.expr.QDigestMergeAgg(QdK), Encoders.BINARY)
+    val est = udf((sk: Array[Byte], q: Double) => graft.expr.QDigest.quantile(sk, q))
+    val mass = udf((sk: Array[Byte]) => graft.expr.QDigest.counts(sk).getOrElse(0L, 0L))
+    paths
+      .map(p => s.read.parquet(p))
+      .reduce(_ unionByName _)
+      .groupBy($"event_type")
+      .agg(
+        countDistinct($"day").as("n_days"),
+        hll_sketch_estimate(hll_union_agg($"hll")).as("users"),
+        union($"qd").as("msk"))
+      .select(
+        $"event_type",
+        $"n_days",
+        mass($"msk").as("n"),
+        $"users",
+        est($"msk", lit(0.5)).as("p50_cents"),
+        est($"msk", lit(0.95)).as("p95_cents"))
+  }
+
+  /** q_agg_quantile_incr — INCREMENTAL rollup maintenance, the
+    * warehouse-side sibling of q_index_bm25_incr / q_dedup_incr: the
+    * newest ~10% of DAYS are today's ingest; the base generation stands
+    * in for yesterday's persisted day sketches. The batch writes its OWN
+    * generation (O(batch) build; base sketch files never rewritten or
+    * re-read) and the report serves merge-on-read over both generations
+    * through [[serveRollup]]. The oracle is the FULL-corpus rollup, so
+    * the hash gate re-proves merge-on-read ≡ single rebuilt state every
+    * round. Contract columns (gate-scale companions, the q_agg_sketch
+    * rule — the production serve is [[serveRollup]] alone): n_days / n /
+    * exact_users exact; mass_ok pins the STATE-side n (digest mass sums)
+    * to the raw count — exact conservation through the generation split;
+    * hll_ok bounds the merged HLL within 5% of exact distinct; p50_ok /
+    * p95_ok are the rank-space q-digest bounds ([[quantileRankChecks]]
+    * rationale).
+    */
+  private def aggQuantileIncr(s: SparkSession, d: String): DataFrame = {
+    val (build, serve) = quantileIncrSplit(s, d)
+    build()
+    serve()
+  }
+
+  private[graft] def quantileIncrSplit(
+      s: SparkSession, d: String): (() => Unit, () => DataFrame) = {
+    import s.implicits._
+    val root = SimilarityOps.serveRoot(s, d) + "/rollupincr"
+    val build = () => {
+      graft.index.GenLog.buildOnce(s, root) {
+        val ev = T(s, d, "events")
+        val thrDf = ev.agg(
+          date_add(
+            min(to_date($"ts")),
+            expr("(datediff(max(to_date(ts)), min(to_date(ts))) * 9) div 10")
+              .cast("int")).as("thr"))
+        val withThr = ev.crossJoin(broadcast(thrDf))
+        writeRollupStateFrom(
+          s, withThr.filter(to_date($"ts") <= $"thr").drop("thr"), s"$root/base")
+        writeRollupStateFrom(
+          s, withThr.filter(to_date($"ts") > $"thr").drop("thr"), s"$root/inc")
+      }
+      ()
+    }
+    val serve = () => {
+      val served = serveRollup(s, Seq(s"$root/base", s"$root/inc"))
+        .select(
+          $"event_type",
+          $"n_days",
+          $"n".as("n_state"),
+          $"users",
+          $"p50_cents".as("e50"),
+          $"p95_cents".as("e95"))
+      // one pass over the raw events arms every contract column (the
+      // quantileRankChecks shape plus the distinct-user and mass
+      // companions this family adds)
+      val evu = T(s, d, "events")
+        .where($"value".isNotNull)
+        .select(
+          $"event_type",
+          $"user_id",
+          ($"value".cast("decimal(18,2)") * 100).cast("long").as("v100"))
+      evu
+        .join(broadcast(served), "event_type")
+        .groupBy($"event_type")
+        .agg(
+          count(lit(1)).as("n"),
+          countDistinct($"user_id").as("exact_users"),
+          max($"n_days").as("n_days"),
+          max($"n_state").as("n_state"),
+          max($"users").as("hll_users"),
+          sum(when($"v100" <= $"e50", 1L).otherwise(0L)).as("r50"),
+          sum(when($"v100" < $"e50", 1L).otherwise(0L)).as("r50b"),
+          sum(when($"v100" <= $"e95", 1L).otherwise(0L)).as("r95"),
+          sum(when($"v100" < $"e95", 1L).otherwise(0L)).as("r95b"))
+        .withColumn("t50", expr("(n + 1) DIV 2"))
+        .withColumn("t95", expr("(19 * n + 19) DIV 20"))
+        .withColumn(
+          "bnd",
+          expr(s"${graft.expr.QDigest.LogU} * ((2 * n) DIV $QdK + n_days + 1)"))
+        .select(
+          $"event_type",
+          $"n_days",
+          $"n",
+          $"exact_users",
+          ($"n_state" === $"n").as("mass_ok"),
+          (abs($"hll_users" - $"exact_users") <=
+            greatest(lit(1L), ($"exact_users".cast("double") * 0.05).cast("long")))
+            .as("hll_ok"),
+          ($"r50" >= $"t50" - $"bnd" && $"r50b" <= $"t50" + $"bnd").as("p50_ok"),
+          ($"r95" >= $"t95" - $"bnd" && $"r95b" <= $"t95" + $"bnd").as("p95_ok"))
+        .orderBy("event_type")
+    }
+    (build, serve)
+  }
+
+  private val QuantileIncrSql =
+    "SELECT event_type, CAST(count(DISTINCT CAST(ts AS DATE)) AS BIGINT) AS n_days, " +
+      "CAST(count(*) AS BIGINT) AS n, count(DISTINCT user_id) AS exact_users, " +
+      "true AS mass_ok, true AS hll_ok, true AS p50_ok, true AS p95_ok " +
       "FROM events WHERE value IS NOT NULL GROUP BY event_type ORDER BY event_type"
 
   /** q_agg_topk — per-group top-k via the custom mergeable
@@ -1494,6 +1667,7 @@ object RelationalOps {
     QueryDef("q_agg_sketch_merge", aggSketchMerge, Some(SketchMergeSql)),
     QueryDef("q_agg_quantile_merge", aggQuantileMerge, Some(QuantileMergeSql)),
     QueryDef("q_agg_quantile_served", aggQuantileServed, Some(QuantileServedSql)),
+    QueryDef("q_agg_quantile_incr", aggQuantileIncr, Some(QuantileIncrSql)),
     QueryDef(
       "q_agg_topk",
       aggTopk,

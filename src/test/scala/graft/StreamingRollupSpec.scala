@@ -1,0 +1,178 @@
+package graft
+
+import java.nio.file.Files
+
+import graft.ops.{RelationalOps, StreamOps}
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** The metrics-rollup family ([[StreamOps.RollupFamily]] — the 14th
+  * maintained family): per-(day, event_type) HLL + q-digest state kept
+  * as GenLog generations by the events feed, the merged
+  * distinct/quantile report served from that state alone. What must
+  * hold:
+  *
+  *  1. serve ≡ registry at every stage: on DAY-ALIGNED feeds (a
+  *     generation never splits a day) the streamed state is
+  *     bit-identical to the batch-built state, so the served report
+  *     equals the batch path row-for-row — mid-stream against the
+  *     prefix corpus, after compaction, and at end-of-feed;
+  *  2. day-straddling generations (the production case: one day's
+  *     events arrive across micro-batches) conserve every EXACT column
+  *     (n via in-digest mass, n_days via countDistinct) and keep the
+  *     quantile estimates inside the q-digest rank bound — bit-identity
+  *     is not promised there (extra early compressions) and not
+  *     asserted;
+  *  3. the O(batch) discipline: streamed generations never rewrite the
+  *     seed, and compaction folds without moving an exact column.
+  */
+class StreamingRollupSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def rows(df: DataFrame): Seq[String] =
+    df.collect().map(_.toString).toSeq
+
+  private lazy val all = T(spark, sf, "events")
+  private lazy val days: Seq[java.sql.Date] = all
+    .select(to_date($"ts").as("d"))
+    .distinct()
+    .orderBy($"d")
+    .as[java.sql.Date]
+    .collect()
+    .toSeq
+
+  /** Batch-built state over `ev`, served through the same kernel — the
+    * registry path the streamed state must reproduce.
+    */
+  private def want(ev: DataFrame): Seq[String] = {
+    val tmp = Files.createTempDirectory("graft_rollup_want").toString
+    RelationalOps.writeRollupStateFrom(spark, ev, tmp)
+    rows(RelationalOps.serveRollup(spark, Seq(tmp)).orderBy("event_type"))
+  }
+
+  private def stageFile(dir: String, df: DataFrame, name: String): Unit = {
+    val fs = new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val tmp = s"$dir/_stage_$name"
+    df.coalesce(1).write.parquet(tmp)
+    val part = fs
+      .listStatus(new org.apache.hadoop.fs.Path(tmp))
+      .filter(_.getPath.getName.endsWith(".parquet"))
+      .head
+      .getPath
+    fs.rename(part, new org.apache.hadoop.fs.Path(s"$dir/$name.parquet"))
+    fs.delete(new org.apache.hadoop.fs.Path(tmp), true)
+  }
+
+  test("day-aligned feed: serve ≡ batch-built registry path at every stage") {
+    val c0 = days((days.size * 6) / 10)
+    val c1 = days((days.size * 8) / 10)
+    val src = Files.createTempDirectory("graft_rollup_src").toString
+    val dir = Files.createTempDirectory("graft_rollup_state").toString
+    val ckpt = Files.createTempDirectory("graft_rollup_ckpt").toString
+
+    StreamOps.seedRollupState(spark, all.filter(to_date($"ts") <= lit(c0)), dir)
+    stageFile(
+      src,
+      all.filter(to_date($"ts") > lit(c0) && to_date($"ts") <= lit(c1)),
+      "batch1")
+
+    def run(): Unit = {
+      val q = StreamOps
+        .rollupStreamWriter(
+          StreamOps.eventsStream(spark, src, Map("maxFilesPerTrigger" -> "1")),
+          dir,
+          ckpt)
+        .start()
+      try q.processAllAvailable()
+      finally q.stop()
+    }
+    run()
+
+    // mid-stream: seed + one streamed generation ≡ the prefix corpus
+    val prefix = all.filter(to_date($"ts") <= lit(c1))
+    val wantPrefix = want(prefix)
+    assert(rows(StreamOps.serveRollupContinuous(spark, dir).orderBy("event_type"))
+      === wantPrefix)
+
+    // compaction folds generations without moving the report
+    StreamOps.compactRollupState(spark, dir)
+    assert(rows(StreamOps.serveRollupContinuous(spark, dir).orderBy("event_type"))
+      === wantPrefix)
+
+    // end-of-feed: the serve lands on the full-corpus batch path
+    stageFile(src, all.filter(to_date($"ts") > lit(c1)), "batch2")
+    run()
+    assert(rows(StreamOps.serveRollupContinuous(spark, dir).orderBy("event_type"))
+      === want(all))
+
+    // and the oracle-checked registry contract is green on the same data
+    val out = SparkEntry.queries("q_agg_quantile_incr")(spark, sf).collect()
+    assert(out.nonEmpty)
+    out.foreach { r =>
+      assert(r.getAs[Boolean]("mass_ok"), r.toString)
+      assert(r.getAs[Boolean]("hll_ok"), r.toString)
+      assert(r.getAs[Boolean]("p50_ok"), r.toString)
+      assert(r.getAs[Boolean]("p95_ok"), r.toString)
+    }
+  }
+
+  test("day-straddling generations: exact columns conserved, estimates stay in bound") {
+    val c0 = days((days.size * 8) / 10)
+    val dir = Files.createTempDirectory("graft_rollup_straddle").toString
+    StreamOps.seedRollupState(spark, all.filter(to_date($"ts") <= lit(c0)), dir)
+    // the remaining days arrive split mid-day: every day's rows land in
+    // BOTH generations (event_id parity), the worst straddle shape
+    val tail = all.filter(to_date($"ts") > lit(c0))
+    StreamOps.rollupCommit(tail.filter($"event_id" % 2 === 0), dir, 0L)
+    StreamOps.rollupCommit(tail.filter($"event_id" % 2 =!= 0), dir, 1L)
+
+    val served = StreamOps.serveRollupContinuous(spark, dir)
+    val exact = all
+      .where($"value".isNotNull)
+      .select(
+        $"event_type",
+        to_date($"ts").as("day"),
+        $"user_id",
+        ($"value".cast("decimal(18,2)") * 100).cast("long").as("v100"))
+    val want = exact
+      .groupBy($"event_type")
+      .agg(
+        countDistinct($"day").as("n_days"),
+        count(lit(1)).as("n"),
+        countDistinct($"user_id").as("exact_users"))
+    val j = served.join(want.withColumnRenamed("n", "n_exact"), "event_type").collect()
+    assert(j.nonEmpty)
+    j.foreach { r =>
+      // exact conservation through the straddle: day count and mass
+      assert(r.getAs[Long]("n_days") === r.getAs[Long]("n_days"), r.toString)
+      assert(r.getAs[Long]("n") === r.getAs[Long]("n_exact"),
+        s"digest mass must be exact through a straddled merge: $r")
+      // HLL registers are the same value set whatever the split: within
+      // the q_agg_sketch_merge 5% rsd envelope of exact
+      val users = r.getAs[Long]("users")
+      val exactU = r.getAs[Long]("exact_users")
+      assert(math.abs(users - exactU) <= math.max(1L, exactU / 20),
+        s"merged HLL off exact by more than 5%: $r")
+    }
+    // quantile estimates: rank bound vs the exact data (straddled parts
+    // ≈ 2 per day, so the merged-path envelope uses 2·n_days parts)
+    val ests = served.select($"event_type", $"p50_cents", $"p95_cents").collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+    val byType = exact.select($"event_type", $"v100").collect()
+      .groupBy(_.getString(0)).view.mapValues(_.map(_.getLong(1)).sorted).toMap
+    val nDaysTail = days.size - (days.size * 8) / 10
+    byType.foreach { case (et, vals) =>
+      val n = vals.length.toLong
+      val bound = graft.expr.QDigest.LogU.toLong *
+        (2L * n / RelationalOps.QdK + days.size + nDaysTail + 1)
+      for ((q, est) <- Seq(0.5 -> ests(et)._1, 0.95 -> ests(et)._2)) {
+        val target = math.ceil(q * n).toLong
+        val rank = vals.count(_ <= est).toLong
+        val rankBelow = vals.count(_ < est).toLong
+        assert(rank >= target - bound, s"$et q=$q est=$est rank=$rank target=$target")
+        assert(rankBelow <= target + bound, s"$et q=$q est=$est")
+      }
+    }
+  }
+}
