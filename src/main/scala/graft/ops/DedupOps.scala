@@ -353,23 +353,81 @@ object DedupOps {
       .localCheckpoint(eager = false)
     var iter = 0
     var converged = false
-    // contract (hook-and-contract CC): after each round, re-express every
-    // edge over the endpoints' CURRENT labels and drop self-loops. A label
-    // is always a node of the same component, so the contracted graph
-    // connects exactly the same components — and once two endpoints share
-    // a label they share it forever (both follow the same label chain), so
-    // a dropped edge never needs to come back. Clique-like near-dup
-    // components collapse after ONE hook (every member points at the
-    // clique min), so rounds 2+ run over a vanishing edge set instead of
-    // re-shuffling the full pair graph each round — the per-round cost
-    // the r6 audit flagged.
-    var curEdges = edges
-    var edgesLeft = -1L // unknown until the first contraction counts them
+    // contract (hook-and-contract CC): re-express every edge over the
+    // endpoints' CURRENT labels and drop self-loops. A label is always a
+    // node of the same component, so the contracted graph connects
+    // exactly the same components — and once two endpoints share a label
+    // they share it forever (both follow the same label chain), so a
+    // dropped edge never needs to come back.
+    def contract(es: DataFrame, lbl: DataFrame): DataFrame = {
+      val slut = lbl.select($"id".as("sid"), $"label".as("slabel"))
+      val dlut = lbl.select($"id".as("did"), $"label".as("dlabel"))
+      es.join(slut.hint("shuffle_hash"), $"src" === $"sid")
+        .join(dlut.hint("shuffle_hash"), $"dst" === $"did")
+        .filter($"slabel" =!= $"dlabel")
+        .select($"slabel".as("src"), $"dlabel".as("dst"))
+        .distinct()
+        .repartition($"src") // keep the next hook join co-partitioned
+        .localCheckpoint(eager = false)
+    }
+    // Contract IMMEDIATELY after init (round-17): the init aggregate is
+    // itself the first hook (label = min over the closed neighborhood),
+    // and clique-like near-dup components collapse after exactly that
+    // hop — so counting the surviving cross-label edges FIRST lets a
+    // collapsed graph take the bounded driver finish without ever paying
+    // a full-edge hook round (per round: an edge join + a frame-wide
+    // aggregate + a jump). A graph that does NOT collapse pays one
+    // contraction early and runs the unchanged loop on the (never
+    // larger) contracted set.
+    var curEdges = contract(edges, labels)
+    var edgesLeft = curEdges.count()
     if (sys.props.contains("graft.cc.debug"))
-      println(f"[cc] pre-loop ${(System.nanoTime() - tEnter) / 1e9}%.2f")
+      println(f"[cc] pre-loop edges=$edgesLeft ${(System.nanoTime() - tEnter) / 1e9}%.2f")
     while (!converged && iter < CcMaxIters) {
       val tRound = System.nanoTime()
-      if (edgesLeft != 0L) {
+      if (edgesLeft > 0L && edgesLeft <= CcDriverFinishEdges) {
+        // The contracted edge set — the remaining INTER-cluster links
+        // between label roots — fits in driver model state (≤ 1.6 MB at
+        // the bound, the k-means-collect scale). Finish the merges with
+        // one local union-find and broadcast the root remap back,
+        // instead of paying further full-label-frame hook rounds for a
+        // vanishing edge set. Transitivity is exactly what the
+        // union-find closes, so this is the same fixpoint the loop
+        // would reach; min-root union keeps the component-min label
+        // semantics. Chains not touched by these merges still resolve
+        // in the jump-only phase below.
+        val local = curEdges.collect().map(r => (r.getLong(0), r.getLong(1)))
+        val parent = scala.collection.mutable.Map.empty[Long, Long]
+        def find(x: Long): Long = {
+          var r = x
+          while (parent.getOrElse(r, r) != r) r = parent(r)
+          var c = x
+          while (parent.getOrElse(c, c) != c) {
+            val n = parent(c); parent(c) = r; c = n
+          }
+          r
+        }
+        local.foreach { case (a, b) =>
+          val (ra, rb) = (find(a), find(b))
+          if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+        }
+        val remap = local
+          .flatMap { case (a, b) => Seq(a, b) }
+          .distinct
+          .map(x => (x, find(x)))
+          .filter { case (x, r) => x != r }
+          .toSeq
+        if (remap.nonEmpty) {
+          val m = remap.toDF("mfrom", "mto")
+          labels = labels
+            .join(broadcast(m), labels("label") === m("mfrom"), "left")
+            .select($"id", coalesce($"mto", $"label").as("label"))
+            .localCheckpoint(eager = false)
+        }
+        if (sys.props.contains("graft.cc.debug"))
+          println(f"[cc] iter ${iter + 1} driver-finish edges=$edgesLeft merged=${remap.size} t=${(System.nanoTime() - tRound) / 1e9}%.2f")
+        edgesLeft = 0L
+      } else if (edgesLeft != 0L) {
         // HOOK phase: every node takes the min label in its neighborhood
         // — hash join (labels is the per-round frame; no point sorting
         // the edges every round for a merge join) — then one pointer jump
@@ -389,61 +447,8 @@ object DedupOps {
           .agg(min($"label").as("label"))
         val next = pointerJump(hooked).localCheckpoint(eager = false)
         labels = next
-        val slut = next.select($"id".as("sid"), $"label".as("slabel"))
-        val dlut = next.select($"id".as("did"), $"label".as("dlabel"))
-        curEdges = curEdges
-          .join(slut.hint("shuffle_hash"), $"src" === $"sid")
-          .join(dlut.hint("shuffle_hash"), $"dst" === $"did")
-          .filter($"slabel" =!= $"dlabel")
-          .select($"slabel".as("src"), $"dlabel".as("dst"))
-          .distinct()
-          .repartition($"src") // keep next round's hook join co-partitioned
-          .localCheckpoint(eager = false)
+        curEdges = contract(curEdges, next)
         edgesLeft = curEdges.count() // materializes next + curEdges: one job
-        if (edgesLeft > 0 && edgesLeft <= CcDriverFinishEdges) {
-          // The contracted edge set — the remaining INTER-cluster links
-          // between label roots — now fits in driver model state (≤ 1.6 MB
-          // at the bound, the k-means-collect scale). Finish the merges
-          // with one local union-find and broadcast the root remap back,
-          // instead of paying further full-label-frame hook rounds for a
-          // vanishing edge set: each such round costs a frame-wide
-          // aggregate + self-join regardless of how few edges remain.
-          // Transitivity is exactly what the union-find closes, so this is
-          // the same fixpoint the loop would reach; min-root union keeps
-          // the component-min label semantics. Chains not touched by these
-          // merges still resolve in the jump-only phase below.
-          val local = curEdges.collect().map(r => (r.getLong(0), r.getLong(1)))
-          val parent = scala.collection.mutable.Map.empty[Long, Long]
-          def find(x: Long): Long = {
-            var r = x
-            while (parent.getOrElse(r, r) != r) r = parent(r)
-            var c = x
-            while (parent.getOrElse(c, c) != c) {
-              val n = parent(c); parent(c) = r; c = n
-            }
-            r
-          }
-          local.foreach { case (a, b) =>
-            val (ra, rb) = (find(a), find(b))
-            if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
-          }
-          val remap = local
-            .flatMap { case (a, b) => Seq(a, b) }
-            .distinct
-            .map(x => (x, find(x)))
-            .filter { case (x, r) => x != r }
-            .toSeq
-          if (remap.nonEmpty) {
-            val m = remap.toDF("mfrom", "mto")
-            labels = labels
-              .join(broadcast(m), labels("label") === m("mfrom"), "left")
-              .select($"id", coalesce($"mto", $"label").as("label"))
-              .localCheckpoint(eager = false)
-          }
-          if (sys.props.contains("graft.cc.debug"))
-            println(f"[cc] iter ${iter + 1} driver-finish edges=$edgesLeft merged=${remap.size}")
-          edgesLeft = 0L
-        }
         if (sys.props.contains("graft.cc.debug"))
           println(f"[cc] iter ${iter + 1} hook edges=$edgesLeft t=${(System.nanoTime() - tRound) / 1e9}%.2f")
       } else {
@@ -1735,6 +1740,54 @@ object DedupOps {
     pr.orderBy("doc_id")
   }
 
+  /** The FUSED rank+label kernel (round-17): q_dedup_rank_rep needs both
+    * the stationary mass and the component closure over the SAME verified
+    * pair graph, and both propagate by the same per-iteration shape — a
+    * src-keyed join of a slim node frame against the checkpointed edge
+    * frame plus a dst-keyed aggregate. So the min-label hook RIDES the
+    * PageRank iteration's shuffle (one extra long column in the same
+    * exchange) instead of paying its own full-edge hook rounds. After
+    * `iters` fused rounds the pr column is VALUE-IDENTICAL to
+    * [[pageRank]]'s (same joins, same integer ladder — PageRankSpec pins
+    * equality) and the label column has had `iters` closed-neighborhood
+    * min-hops — NOT yet the closure fixpoint; the caller finishes with
+    * one edge contraction + [[ccAssign]] over the contracted graph
+    * (bounded driver union-find at collapsed scale, the distributed loop
+    * above the bound), which is exactly the hook-and-contract fixpoint,
+    * reached with zero standalone full-edge hook rounds.
+    */
+  private[graft] def pageRankWithLabels(
+      docs: DataFrame,
+      pairs: DataFrame,
+      iters: Int = PrIters): DataFrame = {
+    val s = docs.sparkSession
+    import s.implicits._
+    val n = docs.count()
+    val pr0 = PrScale / n
+    val base = 15L * pr0 / 100L
+    val edges = pairs
+      .select($"a_id".as("src"), $"b_id".as("dst"))
+      .unionAll(pairs.select($"b_id".as("src"), $"a_id".as("dst")))
+    val edgesDeg = edges
+      .join(edges.groupBy($"src").agg(count(lit(1)).as("deg")), "src")
+      .localCheckpoint()
+    var state = docs.select($"doc_id", lit(pr0).as("pr"), $"doc_id".as("label"))
+    for (_ <- 1 to iters) {
+      val m = edgesDeg
+        .join(state.withColumnRenamed("doc_id", "src"), "src")
+        .groupBy($"dst")
+        .agg(sum(expr("pr div deg")).as("s"), min($"label").as("mlab"))
+      state = state
+        .join(m, $"doc_id" === $"dst", "left")
+        .select(
+          $"doc_id",
+          (lit(base) + expr(s"85 * coalesce(s, 0L) div 100")).as("pr"),
+          least($"label", coalesce($"mlab", $"label")).as("label"))
+        .localCheckpoint()
+    }
+    state
+  }
+
   private def dedupRank(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
     pageRank(
@@ -1792,11 +1845,16 @@ object DedupOps {
     * decision is the best-connected member, not an arbitrary min-id.
     * One row per cluster: (cluster_id, cluster_size, rep_id, rep_pr).
     *
-    * Scale shape: the banded-Jaccard pair lineage runs ONCE behind an
-    * eager checkpoint and feeds BOTH consumers (the closure and the
-    * rank); the final cut is one groupBy(cluster_id) argmax via a
-    * max(struct) partial aggregate — no per-cluster window over the
-    * corpus.
+    * Scale shape (round-17 fused form): the banded-Jaccard pair lineage
+    * runs ONCE behind an eager checkpoint; [[pageRankWithLabels]]
+    * propagates mass AND min-labels through the SAME three per-iteration
+    * exchanges (the closure's standalone hook rounds are gone); the
+    * closure then finishes on the label-contracted graph — one
+    * two-join contraction of the one-directional pair frame, then
+    * [[ccAssign]] whose bounded driver union-find handles the collapsed
+    * graph (the distributed loop unchanged above the bound). The final
+    * cut is one groupBy(cluster_id) argmax via a max(struct) partial
+    * aggregate — no per-cluster window over the corpus.
     */
   private def dedupRankRep(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
@@ -1804,9 +1862,21 @@ object DedupOps {
     val pairs = bandedJaccardPairs(s, hashedToks(s, d), 9, 10, ordered = false)
       .select($"a_id", $"b_id")
       .localCheckpoint(eager = true)
-    val pr = pageRank(docsF, pairs)
-    val cc = ccAssign(s, pairs, docsF)
-    cc.join(pr, Seq("doc_id"))
+    val st = pageRankWithLabels(docsF, pairs) // checkpointed; read 4x below
+    val lutA = st.select($"doc_id".as("aid"), $"label".as("la"))
+    val lutB = st.select($"doc_id".as("bid"), $"label".as("lb"))
+    // contract the ONE-DIRECTIONAL pair frame over the fused labels:
+    // ccAssign symmetrizes internally, so both directions never shuffle
+    // here; a label is always a node of the same component, so the
+    // contracted graph connects exactly the same components
+    val contracted = pairs
+      .join(lutA.hint("shuffle_hash"), $"a_id" === $"aid")
+      .join(lutB.hint("shuffle_hash"), $"b_id" === $"bid")
+      .filter($"la" =!= $"lb")
+      .select($"la".as("a_id"), $"lb".as("b_id"))
+      .distinct()
+    val cc = ccAssign(s, contracted, st.select($"doc_id", $"label".as("rep")))
+    cc.join(st.select($"doc_id", $"pr"), Seq("doc_id"))
       .groupBy($"cluster_id")
       .agg(
         count(lit(1)).as("cluster_size"),

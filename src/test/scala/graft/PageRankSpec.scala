@@ -113,6 +113,39 @@ class PageRankSpec extends SparkSpec {
     }
   }
 
+  test("fused rank+label kernel: pr identical to pageRank; labels + the " +
+    "contraction finish reach the closure fixpoint even on long chains") {
+    import spark.implicits._
+    // a 30-node chain (ids descending so min-propagation needs the full
+    // depth — 3 fused hops CANNOT converge it), plus a clique and
+    // isolated nodes
+    val chain = (0 until 29).map(i => (29L - i, 29L - i - 1L))
+    val clique = Seq((30L, 31L), (30L, 32L), (31L, 32L))
+    val pairs = chain ++ clique
+    val docs = (0L until 35L).toDF("doc_id")
+    val pairsDf = pairs.toDF("a_id", "b_id")
+    val fused = D.pageRankWithLabels(docs, pairsDf).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    // pr leg: value-identical to the standalone kernel
+    val pr = D.pageRank(docs, pairsDf).as[(Long, Long)].collect().toMap
+    assert(fused.view.mapValues(_._1).toMap == pr, "fused pr differs from pageRank")
+    // labels after 3 hops are NOT the fixpoint on the chain (that's the
+    // point of the finish) — the contraction + ccAssign must close it
+    assert(fused(29L)._2 > 0L, "3 min-hops should not have converged the chain")
+    val st = fused.toSeq.map { case (id, (_, lab)) => (id, lab) }.toDF("doc_id", "label")
+    val contracted = pairsDf
+      .join(st.select($"doc_id".as("aid"), $"label".as("la")), $"a_id" === $"aid")
+      .join(st.select($"doc_id".as("bid"), $"label".as("lb")), $"b_id" === $"bid")
+      .filter($"la" =!= $"lb")
+      .select($"la".as("a_id"), $"lb".as("b_id"))
+      .distinct()
+    val cc = D.ccAssign(spark, contracted, st.select($"doc_id", $"label".as("rep")))
+      .as[(Long, Long)].collect().toMap
+    (0L to 29L).foreach(v => assert(cc(v) == 0L, s"chain node $v: ${cc(v)}"))
+    (30L to 32L).foreach(v => assert(cc(v) == 30L, s"clique node $v: ${cc(v)}"))
+    (33L to 34L).foreach(v => assert(cc(v) == v, s"isolated $v: ${cc(v)}"))
+  }
+
   test("repeated dumps are byte-identical: two Verify-style parquet dumps " +
     "of q_dedup_rank carry the same bytes") {
     // The driver hash-compares a parquet dump; this pins the whole chain
