@@ -19,6 +19,10 @@ object BenchSplits {
       "q_index_phrase_served" -> ops.TextOps.phraseSplit(s, d),
       "q_index_phrase_incr" -> ops.TextOps.phraseIncrSplit(s, d),
       "q_lm_score" -> ops.LmOps.lmScoreSplit(s, d),
+      "q_lm_kn" -> ops.LmOps.lmKnSplit(s, d),
+      "q_lm_interp" -> ops.LmOps.lmInterpSplit(s, d),
+      "q_lm_bucket" -> ops.LmOps.lmBucketSplit(s, d),
+      "q_lm_score_lang" -> ops.LmOps.lmScoreLangSplit(s, d),
       "q_index_bm25_incr" -> ops.TextOps.bm25IncrSplit(s, d),
       "q_retrieval_rrf_served" -> ops.TextOps.rrfServedSplit(s, d),
       // q_agg_quantile_served has NO split entry: its composed output is

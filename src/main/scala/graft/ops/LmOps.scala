@@ -172,6 +172,114 @@ object LmOps {
     (build, serve)
   }
 
+  /** Canonical persisted bigram pair counts (the continuous
+    * BigramFamily's payload, batch-built) — build-once under the shared
+    * index catalog, the model state the smoothed-LM bench splits serve
+    * from.
+    */
+  private[graft] def writeBigramCounts(s: SparkSession, d: String): String = {
+    val path = SimilarityOps.serveRoot(s, d) + "/bigram"
+    graft.index.GenLog.buildOnce(s, path) {
+      bigramCountsOf(docs(s, d))
+        .write
+        .mode(org.apache.spark.sql.SaveMode.Overwrite)
+        .parquet(s"$path/counts")
+    }
+    path
+  }
+
+  // ---- bench splits for the model-state LM queries (round-17 #6) -----
+  //
+  // The composed q_lm_kn / q_lm_interp / q_lm_bucket / q_lm_score_lang
+  // charge MODEL construction (pair counts, unigram postings) to every
+  // bench iteration, burying how much of their wall is one-time state
+  // build vs serve — the figure the continuous forms
+  // (StreamOps.serveLmKnContinuous etc., StreamingLmSpec) already
+  // amortize. Each split's build commits the canonical state the
+  // lexical/bigram families already maintain (buildOnce: when a sibling
+  // split built it first, the build leg is a marker check — the
+  // production story); serve derives the model from that state and
+  // scores through the registry's own seams, so serve ≡ composed
+  // (BenchSplitSpec) by the tf-grouping / additive-count identities
+  // StreamingLmSpec pins.
+
+  private def bm25Frames(s: SparkSession, d: String): (DataFrame, DataFrame) = {
+    val path = SimilarityOps.serveRoot(s, d) + "/bm25"
+    (
+      s.read.parquet(s"$path/postings"),
+      s.read.parquet(s"$path/stats").agg(sum(col("l")).as("n_total")))
+  }
+
+  private[graft] def lmKnSplit(
+      s: SparkSession, d: String): (() => Unit, () => DataFrame) = {
+    val build = () => { writeBigramCounts(s, d); () }
+    val serve = () =>
+      lmKnFromCounts(
+        s.read.parquet(SimilarityOps.serveRoot(s, d) + "/bigram/counts"),
+        docs(s, d))
+    (build, serve)
+  }
+
+  private[graft] def lmInterpSplit(
+      s: SparkSession, d: String): (() => Unit, () => DataFrame) = {
+    import s.implicits._
+    val build = () => {
+      writeBigramCounts(s, d)
+      TextOps.writeBm25Index(s, d)
+      ()
+    }
+    val serve = () => {
+      val (postings, nTotal) = bm25Frames(s, d)
+      lmInterpFromCounts(
+        s.read.parquet(SimilarityOps.serveRoot(s, d) + "/bigram/counts"),
+        postings.groupBy($"term".as("w2")).agg(sum($"tf").as("cf1")),
+        nTotal.select($"n_total".as("lt")),
+        docs(s, d))
+    }
+    (build, serve)
+  }
+
+  private[graft] def lmBucketSplit(
+      s: SparkSession, d: String): (() => Unit, () => DataFrame) = {
+    import s.implicits._
+    val build = () => { TextOps.writeBm25Index(s, d); () }
+    val serve = () => {
+      val (postings, nTotal) = bm25Frames(s, d)
+      val scored = lmScoreOf(docs(s, d), lmScoreAggFromPostings(postings, nTotal))
+        .filter($"n_tokens" > 0)
+      langTerciles(
+        scored
+          .join(docs(s, d).select($"doc_id", $"lang"), Seq("doc_id"))
+          .select($"doc_id", $"lang", $"rarity6"))
+        .orderBy($"doc_id")
+    }
+    (build, serve)
+  }
+
+  private[graft] def lmScoreLangSplit(
+      s: SparkSession, d: String): (() => Unit, () => DataFrame) = {
+    import s.implicits._
+    val build = () => { TextOps.writeBm25Index(s, d); () }
+    val serve = () => {
+      val (postings, _) = bm25Frames(s, d)
+      val dl = docs(s, d).select($"doc_id", $"lang")
+      // totality: the composed query emits n_tokens = 0 rows (null
+      // rarity6) for docs with no model token — postings carry no row
+      // for them, so re-add via the doc universe exactly like lmScoreOf
+      dl.join(lmScoreLangAggFromPostings(postings, dl), Seq("doc_id"), "left")
+        .select(
+          $"doc_id",
+          $"lang",
+          coalesce($"n_tokens", lit(0L)).as("n_tokens"),
+          when(
+            $"n_tokens" > 0,
+            X.r6($"sr".cast("double") / $"n_tokens".cast("double")))
+            .as("rarity6"))
+        .orderBy($"doc_id")
+    }
+    (build, serve)
+  }
+
   private def lmUnigram(s: SparkSession, d: String): DataFrame =
     lmUnigramOf(docs(s, d))
 
