@@ -69,7 +69,9 @@ object ClusterCheck {
     * localCheckpoint batch blocks on executor block managers, the
     * stream-static embedding join, all five vector-family commits from
     * the same micro-batch, then a full day-2 compaction cycle over all
-    * thirteen families — and returns every served surface, text AND vector.
+    * thirteen document-fed families plus the events-fed rollup family
+    * (the fourteenth) — and returns every served surface, text AND
+    * vector AND metric.
     * The pipeline runs with NO external JDBC target (empty url):
     * embedded Derby is one-JVM-only, so the published report is read
     * from the maintained summary family instead.
@@ -103,18 +105,19 @@ object ClusterCheck {
     // stage today's feed as two ordered files (mtime drives file order
     // under maxFilesPerTrigger=1 — the StreamingLmSpec idiom)
     val src = s"$work/src/documents.parquet"
-    def stage(df: DataFrame, name: String, mtime: Long): Unit = {
-      val fs = new org.apache.hadoop.fs.Path(src)
+    def stageTo(dir: String)(df: DataFrame, name: String, mtime: Long): Unit = {
+      val fs = new org.apache.hadoop.fs.Path(dir)
         .getFileSystem(s.sparkContext.hadoopConfiguration)
       val tmp = s"$work/_stage_$name"
       df.coalesce(1).write.parquet(tmp)
       val part = fs.listStatus(new org.apache.hadoop.fs.Path(tmp))
         .filter(_.getPath.getName.endsWith(".parquet")).head.getPath
-      fs.mkdirs(new org.apache.hadoop.fs.Path(src))
-      fs.rename(part, new org.apache.hadoop.fs.Path(s"$src/$name.parquet"))
+      fs.mkdirs(new org.apache.hadoop.fs.Path(dir))
+      fs.rename(part, new org.apache.hadoop.fs.Path(s"$dir/$name.parquet"))
       fs.delete(new org.apache.hadoop.fs.Path(tmp), true)
-      new java.io.File(s"$src/$name.parquet").setLastModified(mtime)
+      new java.io.File(s"$dir/$name.parquet").setLastModified(mtime)
     }
+    val stage = stageTo(src) _
     stage(all.filter(col("doc_id") > cut && col("doc_id") <= c1), "feed1", 1000000L)
     stage(all.filter(col("doc_id") > c1), "feed2", 2000000L)
     val pipe = StreamOps.UnifiedPipeline(
@@ -153,6 +156,33 @@ object ClusterCheck {
     finally q.stop()
     // the day-2 cycle over all thirteen families, also across the boundary
     StreamOps.compactUnifiedPipeline(s, pipe)
+    // the FOURTEENTH family rides its own events feed (rollups are
+    // event-metric state, not document state): seed + streamed
+    // generations + compaction + serve, all across the same executor
+    // boundary. The event_id split deliberately straddles days — the
+    // family's exact columns (in-digest mass, countDistinct days) must
+    // not depend on generation shape, and both sides of the fork run
+    // the identical batch schedule so the serve is row-identical.
+    val ev = graft.T(s, sfDir, "events")
+    val evMx = ev.agg(max(col("event_id"))).head().getLong(0)
+    val evCut = evMx * 8 / 10
+    val evC1 = evMx * 9 / 10
+    val evSrc = s"$work/evsrc"
+    stageTo(evSrc)(
+      ev.filter(col("event_id") > evCut && col("event_id") <= evC1),
+      "evfeed1", 1000000L)
+    stageTo(evSrc)(ev.filter(col("event_id") > evC1), "evfeed2", 2000000L)
+    val rollupDir = s"$work/rollup"
+    StreamOps.seedRollupState(s, ev.filter(col("event_id") <= evCut), rollupDir)
+    val qr = StreamOps
+      .rollupStreamWriter(
+        StreamOps.eventsStream(s, evSrc, Map("maxFilesPerTrigger" -> "1")),
+        rollupDir,
+        s"$work/ckpt_rollup")
+      .start()
+    try qr.processAllAvailable()
+    finally qr.stop()
+    StreamOps.compactRollupState(s, rollupDir)
     // deterministic vector probes, derived from the static table the same
     // way on both sides of the fork
     val e = emb.select(
@@ -186,14 +216,16 @@ object ClusterCheck {
         .embStoreGenerationRoots(s, pipe.vectors.storeDir)
         .map(r => s.read.parquet(r))
         .reduce(_ unionByName _)
-        .select(col("vec_id"), col("ishard").cast("long").as("ishard")))
+        .select(col("vec_id"), col("ishard").cast("long").as("ishard")),
+      "rollup" -> StreamOps.serveRollupContinuous(s, rollupDir)
+        .orderBy(col("event_type")))
   }
 
   /** Surface names [[runPipeline]] dumps — the spec iterates these. */
   private[graft] val StreamSurfaces =
     Seq("lake", "dedup", "bm25", "boiler", "passage50", "bigram", "phrase",
       "report",
-      "ann", "quant", "ivf", "sem", "store")
+      "ann", "quant", "ivf", "sem", "store", "rollup")
 
   def main(args: Array[String]): Unit = {
     val Array(sfDir, outDir) = args.take(2)
