@@ -397,4 +397,20 @@ class PlanShapeSpec extends SparkSpec {
     assert(p.contains("ReadSchema: struct<doc_id:bigint,lang:string>"), p)
     assert(!p.contains("text:string"), p)
   }
+
+  test("q_agg_quantile_incr serve: |types|-row report broadcast onto ONE " +
+    "events pass; no sort-merge join anywhere") {
+    import graft.ops.RelationalOps
+    val (build, serve) = RelationalOps.quantileIncrSplit(spark, sf)
+    build()
+    val p = serve().queryExecution.executedPlan.toString
+    // the served report (≤ |event types| rows) attaches broadcast; the
+    // contract's rank counts, exact_users, and n all come out of that
+    // single joined aggregation — one raw pass arms every boolean
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("SortMergeJoin") && !p.contains("CartesianProduct"), p)
+    // exactly one scan of the raw events feeds the armor (the state side
+    // reads the sketch parquet, not events)
+    assert("events\\.parquet".r.findAllIn(p).size == 1, p)
+  }
 }
