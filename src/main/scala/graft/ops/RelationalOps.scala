@@ -597,6 +597,34 @@ object RelationalOps {
         est($"msk", lit(0.95)).as("p95_cents"))
   }
 
+  /** The TIME-SLICED rollup report from the same maintained state: one
+    * row per (day, event_type) — same-day partials from different
+    * generations merge here (associative unions), so the daily view is
+    * exact whatever the arrival shape. The per-type report
+    * ([[serveRollup]]) and this daily view are two reads of ONE state;
+    * neither touches raw events.
+    */
+  private[graft] def serveRollupDaily(s: SparkSession, paths: Seq[String]): DataFrame = {
+    import s.implicits._
+    val union = udaf(new graft.expr.QDigestMergeAgg(QdK), Encoders.BINARY)
+    val est = udf((sk: Array[Byte], q: Double) => graft.expr.QDigest.quantile(sk, q))
+    val mass = udf((sk: Array[Byte]) => graft.expr.QDigest.counts(sk).getOrElse(0L, 0L))
+    paths
+      .map(p => s.read.parquet(p))
+      .reduce(_ unionByName _)
+      .groupBy($"day", $"event_type")
+      .agg(
+        hll_sketch_estimate(hll_union_agg($"hll")).as("users"),
+        union($"qd").as("msk"))
+      .select(
+        $"day",
+        $"event_type",
+        mass($"msk").as("n"),
+        $"users",
+        est($"msk", lit(0.5)).as("p50_cents"),
+        est($"msk", lit(0.95)).as("p95_cents"))
+  }
+
   /** q_agg_quantile_incr — INCREMENTAL rollup maintenance, the
     * warehouse-side sibling of q_index_bm25_incr / q_dedup_incr: the
     * newest ~10% of DAYS are today's ingest; the base generation stands

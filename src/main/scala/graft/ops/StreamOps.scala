@@ -1257,6 +1257,13 @@ object StreamOps {
     RelationalOps.serveRollup(
       s, graft.index.GenLog.roots(s, dir, what = "rollup state"))
 
+  /** The time-sliced (day, event_type) report from the same maintained
+    * state — see [[RelationalOps.serveRollupDaily]].
+    */
+  def serveRollupDailyContinuous(s: SparkSession, dir: String): DataFrame =
+    RelationalOps.serveRollupDaily(
+      s, graft.index.GenLog.roots(s, dir, what = "rollup state"))
+
   /** Compaction for the rollup state (kernel protocol). */
   def compactRollupState(s: SparkSession, dir: String, keepFulls: Int = 2): Unit =
     graft.index.GenLog.compact(s, dir, RollupFamily, keepFulls)

@@ -106,6 +106,16 @@ class StreamingRollupSpec extends SparkSpec {
     assert(rows(StreamOps.serveRollupContinuous(spark, dir).orderBy("event_type"))
       === want(all))
 
+    // the TIME-SLICED view reads the same state: one row per (day,
+    // type), identical to the batch-built day state served daily
+    val wantDailyDir = Files.createTempDirectory("graft_rollup_wantd").toString
+    RelationalOps.writeRollupStateFrom(spark, all, wantDailyDir)
+    assert(
+      rows(StreamOps.serveRollupDailyContinuous(spark, dir)
+        .orderBy("day", "event_type")) ===
+        rows(RelationalOps.serveRollupDaily(spark, Seq(wantDailyDir))
+          .orderBy("day", "event_type")))
+
     // and the oracle-checked registry contract is green on the same data
     val out = SparkEntry.queries("q_agg_quantile_incr")(spark, sf).collect()
     assert(out.nonEmpty)
@@ -128,6 +138,18 @@ class StreamingRollupSpec extends SparkSpec {
     StreamOps.rollupCommit(tail.filter($"event_id" % 2 =!= 0), dir, 1L)
 
     val served = StreamOps.serveRollupContinuous(spark, dir)
+    // the daily view under the SAME straddle: per-(day, type) mass must
+    // be exact — same-day partials from two generations merge by count
+    // sum, so the split cannot move a row count
+    val dailyGot = StreamOps.serveRollupDailyContinuous(spark, dir)
+      .select($"day", $"event_type", $"n")
+      .collect().map(r => (r.getDate(0).toString, r.getString(1)) -> r.getLong(2)).toMap
+    val dailyWant = all
+      .where($"value".isNotNull)
+      .groupBy(to_date($"ts").as("day"), $"event_type")
+      .agg(count(lit(1)).as("n"))
+      .collect().map(r => (r.getDate(0).toString, r.getString(1)) -> r.getLong(2)).toMap
+    assert(dailyGot === dailyWant, "straddled daily mass must be exact")
     val exact = all
       .where($"value".isNotNull)
       .select(
