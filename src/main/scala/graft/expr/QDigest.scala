@@ -156,6 +156,21 @@ object QDigest {
     val n = bb.getLong()
     val logU = bb.getInt()
     val cnt = bb.getInt()
+    // Format-skew diagnosis, not a version byte (ADVICE r17): the v1
+    // wire format (pre-logU) was n(8B), count(8B LONG), pairs — its
+    // count's high word lands where v2 keeps logU, so v1 state reads as
+    // logU=0. Recognize that exact shape (length arithmetic checks out
+    // against the count's LOW word) and fail as a VERSION mismatch with
+    // the recovery step, instead of misreporting durable-but-stale
+    // state as corruption. A real version byte would break r17-written
+    // v2 state the same way v2 broke v1; the diagnosis is back- and
+    // forward-compatible with everything actually persisted.
+    if (logU == 0 && bytes.length == 16 + 16L * cnt)
+      throw new IllegalArgumentException(
+        s"q-digest v1 wire format (no logU header, $cnt nodes): version " +
+          "mismatch, not corruption — wipe the containing index root " +
+          "(delete its dataset dir under spark.graft.index.root) so the " +
+          "state rebuilds under the current format")
     require(
       n >= 0 && cnt >= 0 && logU >= 1 && logU <= 62,
       s"corrupt q-digest header: n=$n logU=$logU nodes=$cnt")
@@ -219,6 +234,13 @@ object QDigest {
   */
 class QDigestBuildAgg(k: Int, logU: Int = QDigest.LogU, maxBuffer: Int = 0)
     extends Aggregator[Long, Map[Long, Long], Array[Byte]] {
+  // A cap at or below the 3k compression floor can never shrink the
+  // buffer under it, so every subsequent reduce would re-run an
+  // O(buffer) compression per input row — quadratic build cost instead
+  // of the documented O(maxBuffer + 3k) posture (ADVICE r17).
+  require(
+    maxBuffer == 0 || maxBuffer > 3 * k,
+    s"maxBuffer=$maxBuffer must exceed the 3k=${3 * k} compression floor (or be 0)")
   private def capped(b: Map[Long, Long]): Map[Long, Long] =
     if (maxBuffer > 0 && b.size > maxBuffer)
       QDigest.compress(b, k, logU).toMap

@@ -163,11 +163,15 @@ class StreamingRollupSpec extends SparkSpec {
         countDistinct($"day").as("n_days"),
         count(lit(1)).as("n"),
         countDistinct($"user_id").as("exact_users"))
-    val j = served.join(want.withColumnRenamed("n", "n_exact"), "event_type").collect()
+    val j = served.join(
+      want.withColumnRenamed("n", "n_exact").withColumnRenamed("n_days", "n_days_exact"),
+      "event_type").collect()
     assert(j.nonEmpty)
     j.foreach { r =>
       // exact conservation through the straddle: day count and mass
-      assert(r.getAs[Long]("n_days") === r.getAs[Long]("n_days"), r.toString)
+      // (exact side renamed — ADVICE r17: with both sides named n_days
+      // the lookup resolved to one column and the check was vacuous)
+      assert(r.getAs[Long]("n_days") === r.getAs[Long]("n_days_exact"), r.toString)
       assert(r.getAs[Long]("n") === r.getAs[Long]("n_exact"),
         s"digest mass must be exact through a straddled merge: $r")
       // HLL registers are the same value set whatever the split: within
