@@ -37,6 +37,10 @@ object BenchSplits {
       // is RelationalOps.serveRollup, identity-pinned by
       // StreamingRollupSpec).
       "q_agg_quantile_incr" -> ops.RelationalOps.quantileIncrSplit(s, d),
+      // q_agg_rollup_daily: same deviation as q_agg_quantile_incr — the
+      // serve leg is the straddled merge-on-read PLUS the one-pass
+      // contract armor (production serve = serveRollupDaily alone).
+      "q_agg_rollup_daily" -> ops.RelationalOps.rollupDailySplit(s, d),
       "q_dedup_incr" -> ops.DedupOps.dedupIncrSplit(s, d),
       "q_dedup_embed_incr" -> ops.DedupOps.embedIncrSplit(s, d),
       "q_dedup_semantic_incr" -> ops.SimilarityOps.semanticIncrSplit(s, d))

@@ -725,6 +725,96 @@ object RelationalOps {
       "true AS mass_ok, true AS hll_ok, true AS p50_ok, true AS p95_ok " +
       "FROM events WHERE value IS NOT NULL GROUP BY event_type ORDER BY event_type"
 
+  /** q_agg_rollup_daily — the TIME-SLICED rollup report as an
+    * oracle-checked registry face (verdict-r17 #2: [[serveRollupDaily]]
+    * was spec-pinned but had no hash-gate row). The build deliberately
+    * splits the events by event_id PARITY — every day lands in BOTH
+    * generations — so the serve's same-day partial MERGE (the associative
+    * unions [[StreamOps.RollupFamily]]'s fold relies on) is exactly what
+    * the hash gate re-proves at both scales every round, not just what
+    * StreamingRollupSpec pins once. Contract columns per
+    * (day, event_type), the q_agg_sketch rule: n / exact_users exact;
+    * mass_ok pins the state-side digest-mass n to the raw count (exact
+    * conservation through the straddled merge); hll_ok bounds the merged
+    * HLL within 5% of exact; p50_ok / p95_ok are rank-space q-digest
+    * bounds with the merged-path envelope at 2 partials per day
+    * (logU·(2n/k + 2 + 1), the [[quantileRankChecks]] rationale). The
+    * production serve is [[serveRollupDaily]] alone; the raw pass exists
+    * to ARM the gate.
+    */
+  private def aggRollupDaily(s: SparkSession, d: String): DataFrame = {
+    val (build, serve) = rollupDailySplit(s, d)
+    build()
+    serve()
+  }
+
+  private[graft] def rollupDailySplit(
+      s: SparkSession, d: String): (() => Unit, () => DataFrame) = {
+    import s.implicits._
+    val root = SimilarityOps.serveRoot(s, d) + "/rollupdaily"
+    val build = () => {
+      graft.index.GenLog.buildOnce(s, root) {
+        val ev = T(s, d, "events")
+        writeRollupStateFrom(s, ev.filter($"event_id" % 2 === 0), s"$root/g0")
+        writeRollupStateFrom(s, ev.filter($"event_id" % 2 === 1), s"$root/g1")
+      }
+      ()
+    }
+    val serve = () => {
+      val served = serveRollupDaily(s, Seq(s"$root/g0", s"$root/g1"))
+        .select(
+          $"day",
+          $"event_type",
+          $"n".as("n_state"),
+          $"users",
+          $"p50_cents".as("e50"),
+          $"p95_cents".as("e95"))
+      val evu = T(s, d, "events")
+        .where($"value".isNotNull)
+        .select(
+          to_date($"ts").as("day"),
+          $"event_type",
+          $"user_id",
+          ($"value".cast("decimal(18,2)") * 100).cast("long").as("v100"))
+      evu
+        .join(broadcast(served), Seq("day", "event_type"))
+        .groupBy($"day", $"event_type")
+        .agg(
+          count(lit(1)).as("n"),
+          countDistinct($"user_id").as("exact_users"),
+          max($"n_state").as("n_state"),
+          max($"users").as("hll_users"),
+          sum(when($"v100" <= $"e50", 1L).otherwise(0L)).as("r50"),
+          sum(when($"v100" < $"e50", 1L).otherwise(0L)).as("r50b"),
+          sum(when($"v100" <= $"e95", 1L).otherwise(0L)).as("r95"),
+          sum(when($"v100" < $"e95", 1L).otherwise(0L)).as("r95b"))
+        .withColumn("t50", expr("(n + 1) DIV 2"))
+        .withColumn("t95", expr("(19 * n + 19) DIV 20"))
+        .withColumn(
+          "bnd",
+          expr(s"${graft.expr.QDigest.LogU} * ((2 * n) DIV $QdK + 3)"))
+        .select(
+          $"day",
+          $"event_type",
+          $"n",
+          $"exact_users",
+          ($"n_state" === $"n").as("mass_ok"),
+          (abs($"hll_users" - $"exact_users") <=
+            greatest(lit(1L), ($"exact_users".cast("double") * 0.05).cast("long")))
+            .as("hll_ok"),
+          ($"r50" >= $"t50" - $"bnd" && $"r50b" <= $"t50" + $"bnd").as("p50_ok"),
+          ($"r95" >= $"t95" - $"bnd" && $"r95b" <= $"t95" + $"bnd").as("p95_ok"))
+        .orderBy($"day", $"event_type")
+    }
+    (build, serve)
+  }
+
+  private val RollupDailySql =
+    "SELECT CAST(ts AS DATE) AS day, event_type, CAST(count(*) AS BIGINT) AS n, " +
+      "count(DISTINCT user_id) AS exact_users, " +
+      "true AS mass_ok, true AS hll_ok, true AS p50_ok, true AS p95_ok " +
+      "FROM events WHERE value IS NOT NULL GROUP BY 1, 2 ORDER BY 1, 2"
+
   /** q_agg_topk — per-group top-k via the custom mergeable
     * [[graft.expr.TopKAgg]] aggregator (TypedColumn path): bounded k-pair
     * state with map-side partial aggregation, instead of the window form
@@ -1696,6 +1786,7 @@ object RelationalOps {
     QueryDef("q_agg_quantile_merge", aggQuantileMerge, Some(QuantileMergeSql)),
     QueryDef("q_agg_quantile_served", aggQuantileServed, Some(QuantileServedSql)),
     QueryDef("q_agg_quantile_incr", aggQuantileIncr, Some(QuantileIncrSql)),
+    QueryDef("q_agg_rollup_daily", aggRollupDaily, Some(RollupDailySql)),
     QueryDef(
       "q_agg_topk",
       aggTopk,
