@@ -42,6 +42,10 @@ object BenchSplits {
       // contract armor (production serve = serveRollupDaily alone).
       "q_agg_rollup_daily" -> ops.RelationalOps.rollupDailySplit(s, d),
       "q_dedup_incr" -> ops.DedupOps.dedupIncrSplit(s, d),
+      // q_dedup_cc_incr: serve INCLUDES the per-batch apply commit (the
+      // daily-ingest figure the apply<<rebuild claim is about) plus the
+      // slim merge-on-read view; build is the one-time base seed.
+      "q_dedup_cc_incr" -> ops.DedupOps.dedupCcIncrSplit(s, d),
       "q_dedup_embed_incr" -> ops.DedupOps.embedIncrSplit(s, d),
       "q_dedup_semantic_incr" -> ops.SimilarityOps.semanticIncrSplit(s, d))
 }

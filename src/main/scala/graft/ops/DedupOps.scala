@@ -583,6 +583,23 @@ object DedupOps {
   private[graft] def buildDedupIndex(
       s: SparkSession,
       base: DataFrame): (DataFrame, DataFrame) = {
+    val (_, _, md5Index, bandIndex) = buildDedupState(s, base)
+    (md5Index, bandIndex)
+  }
+
+  /** [[buildDedupIndex]] plus the two state frames the PAIR-GRAPH family
+    * (verdict-r17 #1) seeds from the same one pass: the base corpus's
+    * full assignment (doc_id, cluster_id) — the as-of-seed labels a
+    * merge-on-read serve unions with later batch assignments — and the
+    * VERIFIED rep-level pair set itself, persisted so closure/rank
+    * consumers can ride maintained state instead of re-running the
+    * banded-Jaccard lineage. The pair frame is eagerly checkpointed: the
+    * closure and the caller's persist both consume it, and the band
+    * self-join is the expensive lineage to pay exactly once.
+    */
+  private[graft] def buildDedupState(
+      s: SparkSession,
+      base: DataFrame): (DataFrame, DataFrame, DataFrame, DataFrame) = {
     import s.implicits._
     val grouped = base
       .select($"doc_id", $"lang", $"text", md5(coalesce($"text", lit(""))).as("h"))
@@ -595,12 +612,12 @@ object DedupOps {
         graft.expr.TokenHashes(coalesce($"text", lit("")), sortedDistinct = true)
           .as("th"))
       .select($"doc_id", $"lang", $"th", size($"th").as("n"))
+    val pairs = bandedJaccardPairs(s, repToks, 9, 10, ordered = false)
+      .select($"a_id", $"b_id")
+      .localCheckpoint(eager = true)
     // the base closure — the same quotient-graph shape as q_dedup_cc
-    val labels = ccAssign(
-      s,
-      bandedJaccardPairs(s, repToks, 9, 10, ordered = false)
-        .select($"a_id", $"b_id"),
-      grouped.select($"doc_id", $"rep"))
+    val labels = ccAssign(s, pairs, grouped.select($"doc_id", $"rep"))
+      .localCheckpoint(eager = true) // assign output AND both index joins
     val repLabels = labels.select($"doc_id".as("rid"), $"cluster_id")
     val md5Index = grouped
       .filter($"doc_id" === $"rep")
@@ -611,7 +628,7 @@ object DedupOps {
       .withColumnRenamed("doc_id", "rid")
       .join(repLabels, "rid")
       .select($"band_idx", $"band_val", $"lang", $"n", $"th", $"cluster_id")
-    (md5Index, bandIndex)
+    (labels.select($"doc_id", $"cluster_id"), pairs, md5Index, bandIndex)
   }
 
   /** Incremental near-dedup apply: assign every document of a NEW batch a
@@ -751,7 +768,7 @@ object DedupOps {
       md5Index: DataFrame,
       bandIndex: DataFrame): (DataFrame, DataFrame, DataFrame) = {
     import s.implicits._
-    val (assign, remap, md5New, bandNew) =
+    val (assign, remap, md5New, bandNew, _) =
       applyDedupDeltaIncr(s, delta, md5Index, bandIndex)
     def remapped(idx: DataFrame, cols: Seq[String]): DataFrame =
       idx
@@ -776,11 +793,21 @@ object DedupOps {
     * rows leave the live index, so the accumulated log is a functional
     * acyclic pointer forest that composes transitively on read.
     */
+  /** Since r18 the tuple also carries the batch's VERIFIED PAIR set
+    * (md5-index attachments ∪ band-index attachments ∪ batch-internal
+    * banded pairs) — O(batch) slim id pairs, the per-batch generation of
+    * the maintained pair graph (verdict-r17 #1): endpoints are batch
+    * reps and as-of-commit cluster labels, so the union of all committed
+    * pair generations closes to exactly the full-rebuild components
+    * (a label is always a node of its own component, and later bridges
+    * add edges that reconnect whatever a remap re-labels —
+    * StreamingPairSpec proves the closure identity over the chain).
+    */
   private[graft] def applyDedupDeltaIncr(
       s: SparkSession,
       delta: DataFrame,
       md5Index: DataFrame,
-      bandIndex: DataFrame): (DataFrame, DataFrame, DataFrame, DataFrame) = {
+      bandIndex: DataFrame): (DataFrame, DataFrame, DataFrame, DataFrame, DataFrame) = {
     import s.implicits._
     val g = deltaGraph(s, delta, md5Index, bandIndex, checkpointToks = true)
     // checkpoint the index-edge set: consumed by the closure AND (as the
@@ -811,7 +838,7 @@ object DedupOps {
       .withColumnRenamed("doc_id", "rid")
       .join(assignLut, "rid")
       .select($"band_idx", $"band_val", $"lang", $"n", $"th", $"cluster_id")
-    (assign, remap, md5New, bandNew)
+    (assign, remap, md5New, bandNew, baseEdges.union(g.deltaPairs))
   }
 
   /** q_dedup_incr — incremental near-dedup of a new batch against the
@@ -870,6 +897,72 @@ object DedupOps {
           $"cluster_id",
           ($"cluster_id" > $"thr").as("is_new_cluster"))
         .orderBy($"doc_id")
+    (build, serve)
+  }
+
+  /** q_dedup_cc_incr — the FULL-corpus closure served from maintained
+    * state (verdict-r17 #1): where q_dedup_incr answers only the batch,
+    * this is q_dedup_cc's complete (doc_id, cluster_id, cluster_size)
+    * contract WITHOUT re-running the banded-Jaccard pair lineage that
+    * six closure/rank queries otherwise recompute. State is the
+    * FIFTEENTH maintained family — the versioned dedup log grown with
+    * per-generation verified pairs and a v0 full assignment
+    * ([[StreamOps.seedDedupState]] / [[StreamOps.incrDedupCommit]]):
+    * each ingest batch commits O(batch) frames (assign, remap, pairs,
+    * md5/band increments), and the serve is a SLIM-STATE read — union
+    * the committed assignments, compose the remap pointer forest, one
+    * window for sizes. No tokenization, no band self-join, no closure
+    * loop at read time; the closure ran once per batch at commit. The
+    * oracle is q_dedup_cc's own full-rebuild recursive CTE, so the hash
+    * gate re-proves chain-apply ≡ one-shot rebuild at both scales every
+    * round (the q_dedup_incr identity, extended to the full corpus).
+    */
+  private def dedupCcIncr(s: SparkSession, d: String): DataFrame = {
+    val (build, serve) = dedupCcIncrSplit(s, d)
+    build()
+    serve()
+  }
+
+  /** Build/serve decomposition: build seeds the base state ONCE (the
+    * full-rebuild-shaped cost a warehouse pays at bootstrap); serve is
+    * the daily-ingest figure — apply the newest-10% batch against the
+    * persisted index (one O(batch) commit, idempotent overwrite of v1)
+    * plus the slim merge-on-read view. Serve deliberately includes the
+    * apply: that IS the metric (apply ≪ rebuild), and the commit is
+    * deterministic per (batch, state) so repeated serves rewrite
+    * identical bytes.
+    */
+  private[graft] def dedupCcIncrSplit(
+      s: SparkSession, d: String): (() => Unit, () => DataFrame) = {
+    import s.implicits._
+    val all = docs(s, d).select($"doc_id", $"lang", $"text")
+    val thrDf = all.agg(expr("(max(doc_id) * 9) div 10").as("thr"))
+    val withThr = all.crossJoin(broadcast(thrDf))
+    val root = SimilarityOps.serveRoot(s, d) + "/cc_incr"
+    val build = () => {
+      graft.index.GenLog.buildOnce(s, root) {
+        StreamOps.seedDedupState(
+          s, withThr.filter($"doc_id" <= $"thr").select($"doc_id", $"lang", $"text"), root)
+      }
+      ()
+    }
+    val serve = () => {
+      StreamOps.incrDedupCommit(
+        withThr.filter($"doc_id" > $"thr").select($"doc_id", $"lang", $"text"),
+        root,
+        batchId = 0L)
+      StreamOps.readDedupAssignments(s, root)
+        .withColumn(
+          "cluster_size",
+          count(lit(1)).over(Window.partitionBy($"cluster_id")))
+        .orderBy($"doc_id")
+        // eager: the view must detach from the v1 part files — the next
+        // serve's idempotent re-commit overwrites them (unique part
+        // names), and a still-lazy earlier frame would read deleted
+        // paths. Also puts the whole apply+read cost inside the timed
+        // serve leg, where the daily-ingest figure belongs.
+        .localCheckpoint(eager = true)
+    }
     (build, serve)
   }
 
@@ -1919,6 +2012,7 @@ object DedupOps {
           "ORDER BY doc_id")),
     QueryDef("q_dedup_near", dedupNear, Some(NearSql)),
     QueryDef("q_dedup_cc", dedupCc, Some(CcSql)),
+    QueryDef("q_dedup_cc_incr", dedupCcIncr, Some(CcSql)),
     QueryDef("q_dedup_incr", dedupIncr, Some(IncrSql)),
     QueryDef("q_split_contamination", splitContamination, Some(ContaminationSql)),
     QueryDef("q_dedup_ngram", dedupNgram, Some(NgramSql)),

@@ -739,6 +739,48 @@ object StreamOps {
       bandIndex, s"$indexDir/v0/band_index", partitionBy = Seq("band_idx"))
   }
 
+  /** [[seedDedupIndex]] plus the FULL-VIEW state the pair-graph family
+    * (verdict-r17 #1) starts from: the base corpus's assignment
+    * (v0/assign — so [[readDedupAssignments]] serves ALL docs, not just
+    * streamed batches) and its verified rep-level pair set (v0/pairs —
+    * the seed generation of the maintained pair graph). One build pass
+    * produces all four frames ([[DedupOps.buildDedupState]]); band_index
+    * stays last as the seed's recognition marker.
+    */
+  def seedDedupState(s: SparkSession, base: DataFrame, indexDir: String): Unit = {
+    val (assign, pairs, md5Index, bandIndex) = DedupOps.buildDedupState(s, base)
+    graft.index.GenLog.commitParquet(assign, s"$indexDir/v0/assign")
+    graft.index.GenLog.commitParquet(pairs, s"$indexDir/v0/pairs")
+    graft.index.GenLog.commitParquet(md5Index, s"$indexDir/v0/md5_index")
+    graft.index.GenLog.commitParquet(
+      bandIndex, s"$indexDir/v0/band_index", partitionBy = Seq("band_idx"))
+  }
+
+  /** Closure SERVED from the maintained pair state alone — the
+    * merge-on-read proof that the persisted pair generations carry the
+    * whole component structure: union every committed pair generation,
+    * attach each doc to its AS-OF-COMMIT label (the raw assign dirs,
+    * remap log deliberately unused), and run one [[DedupOps.ccAssign]]
+    * over the slim id-pair graph. A label is always a node of its own
+    * component and later bridges add edges reconnecting whatever a
+    * remap re-labels, so the min-label closure equals
+    * [[readDedupAssignments]]'s remap-forest view — the identity
+    * StreamingPairSpec pins. The production serve stays the remap
+    * forest (no closure at read); this path is what a rank/centrality
+    * consumer rides to get the VERIFIED pair graph without re-running
+    * the banded-Jaccard lineage.
+    */
+  def ccFromPairState(s: SparkSession, indexDir: String): DataFrame = {
+    def read(sub: String): DataFrame = s.read.parquet(
+      indexVersions(s, indexDir, requiring = sub)
+        .sorted
+        .map(v => s"$indexDir/v$v/$sub"): _*)
+    DedupOps.ccAssign(
+      s,
+      read("pairs"),
+      read("assign").withColumnRenamed("cluster_id", "rep"))
+  }
+
   /** Transitive composition of the accumulated (old_cid → new_cid) merge
     * log. Labels only ever move DOWN and a remapped old label's rows
     * leave the live index (so an old key never reappears) — the log is a
@@ -867,7 +909,7 @@ object StreamOps {
     val sess = batch.sparkSession
     val (md5Index, bandIndex) =
       readDedupIndexState(sess, indexDir, upTo = batchId)
-    val (assign, remap, md5New, bandNew) = DedupOps.applyDedupDeltaIncr(
+    val (assign, remap, md5New, bandNew, pairs) = DedupOps.applyDedupDeltaIncr(
       sess,
       batch.select("doc_id", "lang", "text"),
       md5Index,
@@ -875,6 +917,10 @@ object StreamOps {
     val next = s"$indexDir/v${batchId + 1}"
     graft.index.GenLog.commitParquet(assign, s"$next/assign")
     graft.index.GenLog.commitParquet(remap, s"$next/remap")
+    // the batch's verified-pair generation (r18): slim id pairs, part of
+    // the permanent per-batch log like assign/remap — never folded or
+    // pruned; band_inc stays LAST as the batch's commit gate
+    graft.index.GenLog.commitParquet(pairs, s"$next/pairs")
     graft.index.GenLog.commitParquet(md5New, s"$next/md5_inc")
     graft.index.GenLog.commitParquet(
       bandNew, s"$next/band_inc", partitionBy = Seq("band_idx"))
