@@ -23,6 +23,10 @@ object BenchSplits {
       "q_lm_interp" -> ops.LmOps.lmInterpSplit(s, d),
       "q_lm_bucket" -> ops.LmOps.lmBucketSplit(s, d),
       "q_lm_score_lang" -> ops.LmOps.lmScoreLangSplit(s, d),
+      // q_lm_score_incr: serve = O(batch) delta scoring under the
+      // pinned base-epoch model + slim score-state read — the per-doc
+      // score family's daily-ingest figure.
+      "q_lm_score_incr" -> ops.LmOps.lmScoreIncrSplit(s, d),
       "q_index_bm25_incr" -> ops.TextOps.bm25IncrSplit(s, d),
       "q_retrieval_rrf_served" -> ops.TextOps.rrfServedSplit(s, d),
       // q_agg_quantile_served has NO split entry: its composed output is

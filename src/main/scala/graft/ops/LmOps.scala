@@ -355,6 +355,86 @@ object LmOps {
   private val LmScoreSql =
     ScoreCtes + " SELECT doc_id, n_tokens, rarity6 FROM score ORDER BY doc_id"
 
+  /** q_lm_score_incr — the maintained per-doc LM score family
+    * (verdict-r17 #3): q_lm_score's serve is inherently O(corpus)
+    * because every doc rescans under the CURRENT model; the incremental
+    * form pins the model at the base EPOCH (the IVF-codebook rule — a
+    * model refresh is an explicit new epoch, not a silent drift) so
+    * per-doc scores become immutable state: the base generation persists
+    * (doc_id, n_tokens, rarity6) once, and a new batch scores ONLY its
+    * own docs against the persisted (term, cf, n_total) model —
+    * O(batch) tokenization + one broadcast model join — then
+    * merge-on-read unions the slim score generations. The newest ~10%
+    * of docs by id are today's ingest (the dedupIncr shape). The oracle
+    * scores the FULL corpus under the base-epoch model in SQL, so the
+    * hash gate re-proves delta-apply ≡ rebuild-under-pinned-model at
+    * both scales every round.
+    */
+  private def lmScoreIncr(s: SparkSession, d: String): DataFrame = {
+    val (build, serve) = lmScoreIncrSplit(s, d)
+    build()
+    serve()
+  }
+
+  private[graft] def lmScoreIncrSplit(
+      s: SparkSession, d: String): (() => Unit, () => DataFrame) = {
+    import s.implicits._
+    val all = docs(s, d).select($"doc_id", $"lang", $"text")
+    val thrDf = all.agg(expr("(max(doc_id) * 9) div 10").as("thr"))
+    val withThr = all.crossJoin(broadcast(thrDf))
+    val base = withThr.filter($"doc_id" <= $"thr").select($"doc_id", $"lang", $"text")
+    val delta = withThr.filter($"doc_id" > $"thr").select($"doc_id", $"lang", $"text")
+    val root = SimilarityOps.serveRoot(s, d) + "/lm_score_incr"
+    val build = () => {
+      graft.index.GenLog.buildOnce(s, root) {
+        val ftBase = TextOps.bm25TokensOf(base)
+        val counts = unigramCountsOf(ftBase).localCheckpoint(eager = true)
+        counts.write
+          .mode(org.apache.spark.sql.SaveMode.Overwrite)
+          .parquet(s"$root/model")
+        lmScoreOf(base, rarityAggOf(ftBase, counts))
+          .write
+          .mode(org.apache.spark.sql.SaveMode.Overwrite)
+          .parquet(s"$root/scores_v0")
+      }
+      ()
+    }
+    val serve = () => {
+      val model = s.read.parquet(s"$root/model")
+      val deltaScores = lmScoreOf(
+        delta, rarityAggOf(TextOps.bm25TokensOf(delta), model))
+      s.read
+        .parquet(s"$root/scores_v0")
+        .unionByName(deltaScores)
+        .orderBy($"doc_id")
+    }
+    (build, serve)
+  }
+
+  /** [[LmScoreSql]] with the model CTEs pinned to the base epoch
+    * (doc_id ≤ (9·max) div 10) while scoring the full corpus — the
+    * rebuild the incremental family's chain must equal.
+    */
+  private val LmScoreIncrSql =
+    "WITH thr AS (SELECT (max(doc_id) * 9) // 10 AS t FROM documents), " +
+      "tok AS (SELECT doc_id, unnest(string_split(lower(text),' ')) AS term " +
+      "FROM documents), " +
+      "ft AS (SELECT doc_id, term FROM tok " +
+      "WHERE regexp_full_match(term,'[a-z0-9]{3,}')), " +
+      "cf AS (SELECT term, CAST(count(*) AS BIGINT) AS cf FROM ft " +
+      "WHERE doc_id <= (SELECT t FROM thr) GROUP BY 1), " +
+      "tot AS (SELECT CAST(count(*) AS BIGINT) AS n_total FROM ft " +
+      "WHERE doc_id <= (SELECT t FROM thr)), " +
+      "sc AS (SELECT doc_id, floor(CAST(n_total AS DOUBLE) / CAST(cf AS DOUBLE) " +
+      "* 1e6 + 0.5) / 1e6 AS r FROM ft JOIN cf USING (term) CROSS JOIN tot), " +
+      "agg AS (SELECT doc_id, CAST(sum(CAST(r AS DECIMAL(38,6))) AS DOUBLE) AS sr, " +
+      "CAST(count(*) AS BIGINT) AS n_tokens FROM sc GROUP BY 1), " +
+      "score AS (SELECT d.doc_id, coalesce(a.n_tokens, 0) AS n_tokens, " +
+      "CASE WHEN a.n_tokens > 0 THEN " +
+      "floor(a.sr / a.n_tokens * 1e6 + 0.5) / 1e6 END AS rarity6 " +
+      "FROM documents d LEFT JOIN agg a USING (doc_id)) " +
+      "SELECT doc_id, n_tokens, rarity6 FROM score ORDER BY doc_id"
+
   /** Exact distributed per-language ntile(3) — the scale-safe two-pass
     * rank that replaces a `ntile(3) over Window.partitionBy(lang)`
     * formulation. A per-language window puts an ENTIRE language's rows
@@ -1162,6 +1242,7 @@ object LmOps {
   val defs: Seq[QueryDef] = Seq(
     QueryDef("q_lm_unigram", lmUnigram, Some(LmUnigramSql)),
     QueryDef("q_lm_score", lmScore, Some(LmScoreSql)),
+    QueryDef("q_lm_score_incr", lmScoreIncr, Some(LmScoreIncrSql)),
     QueryDef("q_lm_bucket", lmBucket, Some(LmBucketSql)),
     QueryDef("q_lm_unigram_lang", lmUnigramLang, Some(LmUnigramLangSql)),
     QueryDef("q_lm_score_lang", lmScoreLang, Some(LmScoreLangSql)),
