@@ -725,6 +725,76 @@ object RelationalOps {
       "true AS mass_ok, true AS hll_ok, true AS p50_ok, true AS p95_ok " +
       "FROM events WHERE value IS NOT NULL GROUP BY event_type ORDER BY event_type"
 
+  /** q_agg_quantile_wide — the WIDE-domain q-digest posture in the
+    * registry (verdict-r17 #4: it lived only in QDigestPropertySpec).
+    * The sketched value is the event's µs-within-day
+    * (unix_micros(ts) mod 86.4e9 — a latency-like integer domain under
+    * 2^37, far past what an exact leaf buffer can ride), so the build
+    * aggregator runs at logU = 37 with the in-reduce re-compression cap
+    * engaged: memory O(maxBuffer + 3k) per partial, and the DOCUMENTED
+    * determinism trade — early compression points depend on partition
+    * boundaries, so the kept node set (hence the estimate) is not
+    * hashable. The contract therefore asserts in RANK space, which
+    * survives the trade: count values ≤ estimate against the target
+    * rank ± the compression-count corridor (C + 2)·logU·(n/k + 1) —
+    * QDigestPropertySpec's corridor with C bounded by KEY CONSERVATION,
+    * so no partition count appears anywhere (the bound must hold for
+    * whatever partitioning a 1000-executor scan produces): a compression
+    * fires only above maxBuffer and leaves ≤ 3k nodes, so it removes
+    * ≥ (maxBuffer − 3k) keys while creating ≤ 3k parent keys; keys
+    * otherwise enter only by leaf insertion (n total), hence
+    * (maxBuffer − 3k)·C ≤ n + 3k·C ⟹ C ≤ n div (maxBuffer − 6k),
+    * and +2 covers the final serialize compression with the +1 ceil
+    * slack. Exact n plus literal-true booleans is the q_agg_sketch
+    * oracle pattern; the corridor stays below the target rank at every
+    * gate scale, so the booleans remain falsifiable.
+    */
+  private[graft] val WideLogU = 37
+  private[graft] val WideMaxBuffer = 32768
+
+  private def aggQuantileWide(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val build = udaf(
+      new graft.expr.QDigestBuildAgg(QdK, WideLogU, WideMaxBuffer),
+      Encoders.scalaLong)
+    val est = udf((sk: Array[Byte], q: Double) => graft.expr.QDigest.quantile(sk, q))
+    val ev = T(s, d, "events")
+      .where($"ts".isNotNull) // the quantileCents NULL rule
+      .select($"event_type", (unix_micros($"ts") % 86400000000L).as("vus"))
+    val ests = ev
+      .groupBy($"event_type")
+      .agg(build($"vus").as("sk"))
+      .select(
+        $"event_type",
+        est($"sk", lit(0.5)).as("e50"),
+        est($"sk", lit(0.95)).as("e95"))
+    ev.join(broadcast(ests), "event_type")
+      .groupBy($"event_type")
+      .agg(
+        count(lit(1)).as("n"),
+        sum(when($"vus" <= $"e50", 1L).otherwise(0L)).as("r50"),
+        sum(when($"vus" < $"e50", 1L).otherwise(0L)).as("r50b"),
+        sum(when($"vus" <= $"e95", 1L).otherwise(0L)).as("r95"),
+        sum(when($"vus" < $"e95", 1L).otherwise(0L)).as("r95b"))
+      .withColumn("t50", expr("(n + 1) DIV 2"))
+      .withColumn("t95", expr("(19 * n + 19) DIV 20"))
+      .withColumn("cb", expr(s"n DIV ${WideMaxBuffer - 6 * QdK}"))
+      .withColumn(
+        "bnd",
+        ($"cb" + 2) * lit(WideLogU.toLong) * (expr(s"n DIV $QdK") + 1))
+      .select(
+        $"event_type",
+        $"n",
+        ($"r50" >= $"t50" - $"bnd" && $"r50b" <= $"t50" + $"bnd").as("p50_ok"),
+        ($"r95" >= $"t95" - $"bnd" && $"r95b" <= $"t95" + $"bnd").as("p95_ok"))
+      .orderBy("event_type")
+  }
+
+  private val QuantileWideSql =
+    "SELECT event_type, CAST(count(*) AS BIGINT) AS n, " +
+      "true AS p50_ok, true AS p95_ok " +
+      "FROM events WHERE ts IS NOT NULL GROUP BY event_type ORDER BY event_type"
+
   /** q_agg_rollup_daily — the TIME-SLICED rollup report as an
     * oracle-checked registry face (verdict-r17 #2: [[serveRollupDaily]]
     * was spec-pinned but had no hash-gate row). The build deliberately
@@ -1787,6 +1857,7 @@ object RelationalOps {
     QueryDef("q_agg_quantile_served", aggQuantileServed, Some(QuantileServedSql)),
     QueryDef("q_agg_quantile_incr", aggQuantileIncr, Some(QuantileIncrSql)),
     QueryDef("q_agg_rollup_daily", aggRollupDaily, Some(RollupDailySql)),
+    QueryDef("q_agg_quantile_wide", aggQuantileWide, Some(QuantileWideSql)),
     QueryDef(
       "q_agg_topk",
       aggTopk,
