@@ -492,7 +492,12 @@ object StreamOps {
       s: SparkSession,
       curatedBase: DataFrame,
       p: CorpusPipeline): Unit = {
-    seedDedupIndex(
+    // seedDedupState, not seedDedupIndex (r18): the composed pipeline's
+    // dedup leg serves the FULL-corpus assignment (base + streamed) and
+    // starts the verified pair log at v0 — the q_dedup_cc_incr family's
+    // state, at no extra pass (the seed build computes the base closure
+    // anyway)
+    seedDedupState(
       s, curatedBase.select(col("doc_id"), col("lang"), col("text")),
       p.dedupIndexDir)
     seedBm25Index(s, curatedBase, p.bm25IndexDir)

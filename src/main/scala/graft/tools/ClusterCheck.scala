@@ -200,6 +200,11 @@ object ClusterCheck {
       "lake" -> s.read.parquet(pipe.corpus.lakeDir)
         .select("doc_id", "lang", "source", "n_chars", "split"),
       "dedup" -> StreamOps.readDedupAssignments(s, pipe.corpus.dedupIndexDir),
+      // the pair-graph family's two serves (r18): the remap-forest view
+      // above, and the closure over the persisted verified pair
+      // generations with as-of-commit attachments — both across the
+      // executor boundary
+      "cc_pairs" -> StreamOps.ccFromPairState(s, pipe.corpus.dedupIndexDir),
       "bm25" -> StreamOps.serveBm25Continuous(s, pipe.corpus.bm25IndexDir),
       "boiler" -> StreamOps.serveBoilerplateContinuous(s, pipe.corpus.boilerStatsDir),
       "passage50" -> StreamOps.servePassageDup50Continuous(s, pipe.corpus.passageGramsDir),
@@ -218,14 +223,16 @@ object ClusterCheck {
         .reduce(_ unionByName _)
         .select(col("vec_id"), col("ishard").cast("long").as("ishard")),
       "rollup" -> StreamOps.serveRollupContinuous(s, rollupDir)
-        .orderBy(col("event_type")))
+        .orderBy(col("event_type")),
+      "rollup_daily" -> StreamOps.serveRollupDailyContinuous(s, rollupDir)
+        .orderBy(col("day"), col("event_type")))
   }
 
   /** Surface names [[runPipeline]] dumps — the spec iterates these. */
   private[graft] val StreamSurfaces =
-    Seq("lake", "dedup", "bm25", "boiler", "passage50", "bigram", "phrase",
-      "report",
-      "ann", "quant", "ivf", "sem", "store", "rollup")
+    Seq("lake", "dedup", "cc_pairs", "bm25", "boiler", "passage50", "bigram",
+      "phrase", "report",
+      "ann", "quant", "ivf", "sem", "store", "rollup", "rollup_daily")
 
   def main(args: Array[String]): Unit = {
     val Array(sfDir, outDir) = args.take(2)

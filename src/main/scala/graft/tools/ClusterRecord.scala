@@ -105,7 +105,7 @@ object ClusterRecord {
         s""""sf":"$sfDir","all_match":$allOk,""" +
         s""""batch_wall_sec":$wallB,"stream_wall_sec":$wallS,""" +
         s""""queries":${block(queryRows)},"surfaces":${block(surfaceRows)},""" +
-        s""""method":"fork graft.tools.ClusterCheck (2 real executor JVMs) for the custom-kernel query slice and the composed 14-family streaming program (13 document-fed + the events-fed rollup); compare every dumped result row-identical to an in-process local[*] reference (LocalClusterSpec's construction, recorded)"}"""
+        s""""method":"fork graft.tools.ClusterCheck (2 real executor JVMs) for the custom-kernel query slice and the composed 15-family streaming program (14 document-fed incl. the verified pair log + the events-fed rollup, served through both rollup faces and both dedup serves); compare every dumped result row-identical to an in-process local[*] reference (LocalClusterSpec's construction, recorded)"}"""
     Files.write(Paths.get(outJson), (json + "\n").getBytes("UTF-8"))
     println(s"[cluster-record] executors=${math.min(execsB, execsS)} " +
       s"queries=${queryRows.size} surfaces=${surfaceRows.size} all_match=$allOk -> $outJson")

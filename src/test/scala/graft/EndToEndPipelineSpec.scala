@@ -194,8 +194,10 @@ class EndToEndPipelineSpec extends SparkSpec {
         rows(report(curateBatch(all.filter($"doc_id" <= c1)))),
       "mid-stream report diverged from the prefix batch pipeline")
 
-    // dedup assignments ≡ the full near-dup rebuild restricted to the
-    // streamed rows, including the planted doc attaching to a BASE cluster
+    // dedup assignments ≡ the full near-dup rebuild over the WHOLE
+    // corpus (r18: seedCorpusPipeline seeds the v0 assignment, so the
+    // continuous view covers base + streamed rows), including the
+    // planted doc attaching to a BASE cluster
     val got = StreamOps
       .readDedupAssignments(spark, dedupIdx)
       .collect()
@@ -205,7 +207,6 @@ class EndToEndPipelineSpec extends SparkSpec {
       .fullAssign(spark, curatedAll.select($"doc_id", $"lang", $"text"))
       .collect()
       .map(r => r.getLong(0) -> r.getLong(1))
-      .filter(_._1 > cut)
       .toMap
     assert(got === want, "continuous dedup diverged from the batch rebuild")
     assert(got(plantedId) <= cut,
@@ -384,7 +385,6 @@ class EndToEndPipelineSpec extends SparkSpec {
       .fullAssign(spark, curatedAll2.select($"doc_id", $"lang", $"text"))
       .collect()
       .map(r => r.getLong(0) -> r.getLong(1))
-      .filter(_._1 > cut)
       .toMap
     assert(got3 === want3, "day-2 dedup diverged from the batch rebuild")
     assert(got3(near2Id) === got(plantedId),

@@ -413,4 +413,18 @@ class PlanShapeSpec extends SparkSpec {
     // reads the sketch parquet, not events)
     assert("events\\.parquet".r.findAllIn(p).size == 1, p)
   }
+
+  test("q_agg_rollup_daily serve: |days x types|-row report broadcast onto " +
+    "ONE events pass; no sort-merge join anywhere") {
+    import graft.ops.RelationalOps
+    val (build, serve) = RelationalOps.rollupDailySplit(spark, sf)
+    build()
+    val p = serve().queryExecution.executedPlan.toString
+    // same one-pass contract armor as the quantile-incr serve: the
+    // straddle-merged daily report attaches broadcast and every boolean
+    // comes out of the single joined aggregation over raw events
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("SortMergeJoin") && !p.contains("CartesianProduct"), p)
+    assert("events\\.parquet".r.findAllIn(p).size == 1, p)
+  }
 }
