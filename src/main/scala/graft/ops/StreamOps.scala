@@ -793,10 +793,32 @@ object StreamOps {
     * compose every chain in O(log depth) rounds over a frame that is
     * O(cluster merges), not O(corpus).
     */
+  /** Bound under which the remap log resolves driver-side: the log is
+    * O(cluster merges) — bounded model state like the CC driver finish —
+    * and below this row count one collect + a transitive Scala resolve +
+    * one broadcast frame replaces a pointer-doubling loop whose per-hop
+    * fixed cost (self-join + eager checkpoint + emptiness job) dwarfs
+    * logs this small. Above the bound the distributed loop runs as
+    * before.
+    */
+  private val RemapDriverResolveRows = 100000L
+
   private def composeRemap(remap: DataFrame): DataFrame = {
     var r = remap
       .select(col("old_cid"), col("new_cid"))
       .localCheckpoint(eager = true)
+    if (r.count() <= RemapDriverResolveRows) {
+      val local = r.collect().map(x => x.getLong(0) -> x.getLong(1)).toMap
+      def resolve(x: Long): Long = {
+        var v = x
+        var hops = 0
+        while (local.contains(v) && hops < local.size + 1) { v = local(v); hops += 1 }
+        v
+      }
+      val s = r.sparkSession
+      import s.implicits._
+      return local.keys.toSeq.map(k => (k, resolve(k))).toDF("old_cid", "new_cid")
+    }
     var done = false
     var hops = 0
     while (!done && hops < 64) {
