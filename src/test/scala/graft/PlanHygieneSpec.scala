@@ -36,6 +36,12 @@ class PlanHygieneSpec extends SparkSpec {
     "q_cluster_stats",
     "q_cluster_terms",
     "q_dedup_incr",
+    // r18: q_lm_score_incr's base-epoch threshold frame (the dedupIncr
+    // max-id split shape) rides in the delta-scoring leg's plan.
+    // q_dedup_cc_incr plans NO BNLJ: its returned view is the slim
+    // state read — the threshold attach runs in the eagerly-executed
+    // commit jobs, not the served frame's lineage.
+    "q_lm_score_incr",
     "q_dedup_embed_incr", // same one-row threshold frame as q_dedup_incr
     "q_stat_chisq",
     // r9: BM25's one-row (N, L) corpus-stats attach (TextOps.bm25Frames)
