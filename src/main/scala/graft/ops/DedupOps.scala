@@ -238,12 +238,21 @@ object DedupOps {
 
   /** Contracted-edge count below which the closure finishes on the driver
     * (local union-find + broadcast remap) instead of running further
-    * full-label-frame hook rounds: 100k (label, label) pairs ≈ 1.6 MB —
-    * bounded model state, the k-means-collect scale the design already
-    * accepts. The loop is unchanged above the bound, so adversarial
-    * graphs that never contract below it still run the distributed path.
+    * full-label-frame hook rounds. 1M (label, label) pairs ≈ 16 MB of
+    * long pairs — still bounded model state in the k-means-collect class
+    * (the Lloyd codebooks and probe frames the design already collects
+    * are sized by policy, not by the input), and two orders of magnitude
+    * under the driver heap / maxResultSize. Raised 100k → 1M in the r18
+    * optimization round: the union-find is O(α·E) single-threaded — sub-
+    * second at the bound — while every distributed hook round below ~1M
+    * edges is pure fixed cost (a frame-wide aggregate + two joins + a
+    * checkpoint, regardless of edge count), so the crossover genuinely
+    * sits above 1M on any hardware this runs on. The loop is unchanged
+    * above the bound: 100 TB pair graphs (billions of edges) enter it
+    * exactly as before, and adversarial graphs that never contract below
+    * the bound still run the distributed path (SkewSpec/ScaleSpec).
     */
-  private val CcDriverFinishEdges = 100000L
+  private val CcDriverFinishEdges = 1000000L
 
   /** One pointer-jumping step: label(v) ← label(label(v)) via a hash
     * self-join of the label frame against itself as a lut — over the node
@@ -296,6 +305,8 @@ object DedupOps {
     // nothing changes — the distributed loop below runs as before (and
     // stays exercised by ScaleSpec's 10× graphs and the sf0.1 family).
     val pairCount = pairs.count()
+    if (sys.props.contains("graft.cc.debug"))
+      println(s"[cc] pairCount=$pairCount bound=$CcDriverFinishEdges")
     if (pairCount <= CcDriverFinishEdges) {
       val local = pairs.collect().map(r => (r.getLong(0), r.getLong(1)))
       val parent = scala.collection.mutable.Map.empty[Long, Long]
@@ -1814,6 +1825,20 @@ object DedupOps {
     val edges = pairs
       .select($"a_id".as("src"), $"b_id".as("dst"))
       .unionAll(pairs.select($"b_id".as("src"), $"a_id".as("dst")))
+    // NO per-iteration checkpoints (r18 opt): the iteration count is
+    // FIXED and exactly one action consumes the ladder, so materializing
+    // each round behind its own checkpoint split the query into
+    // `iters`+1 standalone AQE executions, each paying its own
+    // stage-submission round-trips. The pr chain is strictly sequential
+    // (round i appears exactly once in round i+1's tree), so unrolling it
+    // into ONE plan duplicates no work and lineage depth is bounded by
+    // the fixed 3 rounds (the per-round-checkpoint discipline matters for
+    // open-ended loops — ccAssign keeps it — not here). edgesDeg is the
+    // exception and KEEPS an eager checkpoint: it is REDUCE-side join
+    // work consumed by all three iterations, and exchange/stage reuse
+    // dedupes only map-side output — unmaterialized, the deg-join would
+    // re-execute once per round (measured +1.1 taskSec). Values unchanged
+    // (PageRankSpec pins the pr ladder; the oracle hash-checks it).
     val edgesDeg = edges
       .join(edges.groupBy($"src").agg(count(lit(1)).as("deg")), "src")
       .localCheckpoint()
@@ -1828,7 +1853,6 @@ object DedupOps {
         .select(
           $"doc_id",
           (lit(base) + expr(s"85 * coalesce(s, 0L) div 100")).as("pr"))
-        .localCheckpoint()
     }
     pr.orderBy("doc_id")
   }
@@ -1861,6 +1885,12 @@ object DedupOps {
     val edges = pairs
       .select($"a_id".as("src"), $"b_id".as("dst"))
       .unionAll(pairs.select($"b_id".as("src"), $"a_id".as("dst")))
+    // Unlike [[pageRank]], the fused round reads `state` TWICE (the
+    // message join AND the rebuild join), so an unrolled one-plan ladder
+    // duplicates round i's work 2^(iters−i) times — measured, not
+    // theoretical (r18 opt attempt: taskSec doubled). The per-round
+    // EAGER checkpoint therefore stays: each round references only the
+    // previous round's persisted RDD, every round executes exactly once.
     val edgesDeg = edges
       .join(edges.groupBy($"src").agg(count(lit(1)).as("deg")), "src")
       .localCheckpoint()
@@ -1883,10 +1913,20 @@ object DedupOps {
 
   private def dedupRank(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
+    // lazy checkpoint of the pair frame (r18 opt): [[pageRank]] inlines
+    // its pairs input FOUR times (the symmetrizing union feeding both the
+    // degree aggregate and the edge side of the deg join), and Catalyst
+    // re-analyzes the expensive band-join lineage once per copy — ~1.7 s
+    // of pure planning at sf0.1, measured. The lazy checkpoint plans the
+    // lineage ONCE and hands pageRank a flat LogicalRDD; the pair job
+    // itself still runs inside the one consuming action (no extra job,
+    // unlike the eager q_dedup_rank_rep form whose pair frame is read by
+    // multiple separate actions).
     pageRank(
       T(s, d, "documents").select($"doc_id"),
       bandedJaccardPairs(s, hashedToks(s, d), 9, 10, ordered = false)
-        .select($"a_id", $"b_id"))
+        .select($"a_id", $"b_id")
+        .localCheckpoint(eager = false))
   }
 
   /** The shared oracle CTE chain of the rank family (docs → params →

@@ -191,15 +191,29 @@ object RelationalOps {
     */
   private def aggSketch(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
-    T(s, d, "events")
+    // The exact-distinct companion runs as its OWN aggregation (r18 opt):
+    // mixed with the sketch aggregates in one agg, Spark's distinct
+    // rewrite regroups level 1 by (event_type, user_id) and carries every
+    // other aggregate's partial buffer — the ~400-word HLL state and
+    // three percentile maps — PER USER through the exchange (416-column
+    // shuffle rows, read in the plan), which is quadratic-ish waste at
+    // any scale and the 100 TB anti-shape. Split, each side is clean
+    // two-phase: sketches shuffle |types| constant-size buffers, the
+    // exact count shuffles slim (type, user) keys, and the |types|-row
+    // join is broadcast-sized. Same output, same oracle.
+    val ev = T(s, d, "events")
+    val exact = ev
+      .groupBy($"event_type")
+      .agg(countDistinct($"user_id").as("exact_users"))
+    ev
       .groupBy($"event_type")
       .agg(
         count(lit(1)).as("n"),
-        countDistinct($"user_id").as("exact_users"),
         approx_count_distinct($"user_id", 0.02).as("au"),
         percentile_approx($"value", lit(0.5), lit(1000)).as("p50"),
         percentile_approx($"value", lit(0.95), lit(1000)).as("p95"),
         expr("percentile(value, array(0.48, 0.52, 0.93, 0.97))").as("exq"))
+      .join(broadcast(exact), Seq("event_type"))
       .select(
         $"event_type",
         $"n",
@@ -270,11 +284,15 @@ object RelationalOps {
       .agg(
         count(lit(1)).as("n_days"),
         hll_sketch_estimate(hll_union_agg($"sk")).as("merged_users"))
-    val whole = ev
+    // exact-distinct split out of the sketch aggregation for the same
+    // reason as q_agg_sketch (r18 opt): mixed, the distinct rewrite
+    // carries the HLL partial buffer per (event_type, user_id) group
+    val wholeSk = ev
       .groupBy($"event_type")
-      .agg(
-        hll_sketch_estimate(hll_sketch_agg($"user_id")).as("whole_users"),
-        countDistinct($"user_id").as("exact_users"))
+      .agg(hll_sketch_estimate(hll_sketch_agg($"user_id")).as("whole_users"))
+    val whole = wholeSk.join(
+      ev.groupBy($"event_type").agg(countDistinct($"user_id").as("exact_users")),
+      Seq("event_type"))
     merged
       .join(whole, "event_type")
       .select(
@@ -1746,11 +1764,20 @@ object RelationalOps {
                 name.substr(i + lit(2), length(name)))))
             .otherwise(array(name)),
           array(name)))
+    // candidates meet on xxhash64(variant), not the variant string (r18
+    // opt, guide §2.3 "narrower types"): the join key drops from a ~25-B
+    // UTF8 string to 8 B and the join compare from bytewise to a long.
+    // LOSSLESS by the same theorem as the deletion neighborhood itself —
+    // equal variants always hash equal (no false negative), and a hash
+    // collision only adds a candidate pair that the exact
+    // `levenshtein ≤ 1` verify below already removes (FuzzyJoinSpec /
+    // FuzzyPropertySpec re-prove pair-set equality vs brute force).
     val v = cust
       .select($"c_custkey", explode(variants($"c_name")).as("variant"))
+      .select($"c_custkey", xxhash64($"variant").as("vh"))
     val pairs = v
-      .select($"c_custkey".as("k_a"), $"variant")
-      .join(v.select($"c_custkey".as("k_b"), $"variant"), Seq("variant"))
+      .select($"c_custkey".as("k_a"), $"vh")
+      .join(v.select($"c_custkey".as("k_b"), $"vh"), Seq("vh"))
       .filter($"k_a" < $"k_b")
       .select($"k_a", $"k_b")
       .distinct()
