@@ -170,6 +170,79 @@ object TokenKernels {
     new GenericArrayData(Array(total.toLong, counts.size.toLong, top.toLong))
   }
 
+  /** All K-gram strings in one pass over the token array —
+    * `transform(sequence(1, n-k+1), i -> concat_ws(' ', slice(tk, i, k)))`
+    * without the per-position interpreted lambda, slice allocation and
+    * sequence materialization the composed HOF chain pays (HOFs are
+    * CodegenFallback). Byte-identical join semantics to concat_ws: null
+    * tokens are skipped without a separator (split output never contains
+    * them, but the contract is preserved). n < k yields an empty array
+    * (callers filter size ≥ k first, as the composed form's callers do).
+    */
+  def grams(tk: ArrayData, k: Int): ArrayData = {
+    val n = tk.numElements()
+    if (n < k) return new GenericArrayData(new Array[AnyRef](0))
+    val toks = new Array[UTF8String](n)
+    var i = 0
+    while (i < n) { toks(i) = if (tk.isNullAt(i)) null else tk.getUTF8String(i); i += 1 }
+    val out = new Array[AnyRef](n - k + 1)
+    i = 0
+    while (i <= n - k) {
+      out(i) = UTF8String.concatWs(
+        Space, java.util.Arrays.copyOfRange(toks, i, i + k): _*)
+      i += 1
+    }
+    new GenericArrayData(out)
+  }
+
+  private val HexDigits = "0123456789abcdef".toCharArray
+
+  /** All K-window md5 fingerprints in one pass —
+    * `transform(sequence(1, n-k+1), i -> md5(array_join(slice(tk, i, k),
+    * ' ')))` fused: per position the digest is fed the window's token
+    * bytes joined by ' ' (array_join skips nulls exactly like concat_ws)
+    * and rendered as the same lowercase hex string the md5() SQL
+    * function emits. n < k yields an empty array.
+    */
+  def gramMd5Hex(tk: ArrayData, k: Int): ArrayData = {
+    val n = tk.numElements()
+    if (n < k) return new GenericArrayData(new Array[AnyRef](0))
+    val toks = new Array[Array[Byte]](n)
+    var i = 0
+    while (i < n) {
+      toks(i) = if (tk.isNullAt(i)) null else tk.getUTF8String(i).getBytes
+      i += 1
+    }
+    val sep = " ".getBytes
+    val md = md5Tl.get()
+    val out = new Array[AnyRef](n - k + 1)
+    i = 0
+    while (i <= n - k) {
+      md.reset()
+      var j = i
+      var first = true
+      while (j < i + k) {
+        if (toks(j) != null) {
+          if (!first) md.update(sep)
+          md.update(toks(j))
+          first = false
+        }
+        j += 1
+      }
+      val d = md.digest()
+      val hex = new Array[Byte](32)
+      var b = 0
+      while (b < 16) {
+        hex(2 * b) = HexDigits((d(b) >> 4) & 0xf).toByte
+        hex(2 * b + 1) = HexDigits(d(b) & 0xf).toByte
+        b += 1
+      }
+      out(i) = UTF8String.fromBytes(hex)
+      i += 1
+    }
+    new GenericArrayData(out)
+  }
+
   /** Order-sensitive rolling polynomial hash over the token stream —
     * `aggregate(split(text, ' '), 0L, (acc, t) => (acc·131 +
     * ascii(t)·131 + length(t)) mod P)`. ascii is Spark's: the code point
@@ -356,6 +429,58 @@ case class ShingleHashes(child: Expression) extends UnaryExpression {
 object ShingleHashes {
   def apply(c: Column): Column =
     GraftBridge.column(ShingleHashes(GraftBridge.expression(c)))
+}
+
+/** `grams` as an expression over a token array (see
+  * [[TokenKernels.grams]]) — the fused K-gram emitter of the passage /
+  * boilerplate families.
+  */
+case class Grams(child: Expression, k: Int) extends UnaryExpression {
+
+  override def dataType: DataType =
+    ArrayType(org.apache.spark.sql.types.StringType, containsNull = false)
+
+  override def prettyName: String = "grams"
+
+  override def nullSafeEval(tk: Any): Any =
+    TokenKernels.grams(tk.asInstanceOf[ArrayData], k)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.expr.TokenKernels.grams($c, $k)")
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+object Grams {
+  def apply(c: Column, k: Int): Column =
+    GraftBridge.column(Grams(GraftBridge.expression(c), k))
+}
+
+/** `gramMd5Hex` as an expression over a token array (see
+  * [[TokenKernels.gramMd5Hex]]) — the fused 50-token window fingerprint
+  * of the passage-cc family.
+  */
+case class GramMd5Hex(child: Expression, k: Int) extends UnaryExpression {
+
+  override def dataType: DataType =
+    ArrayType(org.apache.spark.sql.types.StringType, containsNull = false)
+
+  override def prettyName: String = "gram_md5_hex"
+
+  override def nullSafeEval(tk: Any): Any =
+    TokenKernels.gramMd5Hex(tk.asInstanceOf[ArrayData], k)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.expr.TokenKernels.gramMd5Hex($c, $k)")
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+object GramMd5Hex {
+  def apply(c: Column, k: Int): Column =
+    GraftBridge.column(GramMd5Hex(GraftBridge.expression(c), k))
 }
 
 /** `bigrams` as an expression over a token array (see

@@ -1715,14 +1715,17 @@ object DedupOps {
   private[graft] def passageWindowsOf(docsDf: DataFrame): DataFrame = {
     import docsDf.sparkSession.implicits._
     val m = TextOps.PassageMinMatch
+    // fused window fingerprinter (r18 opt): the composed
+    // transform(sequence, i -> md5(array_join(slice(tk, i, 50)))) chain
+    // paid an interpreted lambda + 50-token slice + string build per
+    // position (HOFs are CodegenFallback); GramMd5Hex feeds the digest
+    // the same joined bytes in one codegen'd loop and emits the
+    // identical lowercase-hex strings (GramsKernelSpec pins equality),
+    // so the oracle SQL is unchanged.
     docsDf
       .select($"doc_id", split($"text", " ").as("tk"))
       .filter(size($"tk") >= m)
-      .select(
-        $"doc_id",
-        explode(expr(
-          s"transform(sequence(1, size(tk) - ${m - 1}), " +
-            s"i -> md5(array_join(slice(tk, i, $m), ' ')))")).as("g50"))
+      .select($"doc_id", explode(graft.expr.GramMd5Hex($"tk", m)).as("g50"))
       .distinct()
   }
 

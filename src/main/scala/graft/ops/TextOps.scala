@@ -253,15 +253,12 @@ object TextOps {
     */
   private[graft] def shingleCountsOf(docsDf: DataFrame): DataFrame = {
     import docsDf.sparkSession.implicits._
+    // fused 3-gram emitter — same CodegenFallback-HOF removal as
+    // passageGramsOf (r18 opt); identical shingle strings, same oracle
     docsDf
       .select($"doc_id", split($"text", " ").as("tk"))
       .filter(size($"tk") >= 3)
-      .select(
-        $"doc_id",
-        explode(expr(
-          "transform(sequence(1, size(tk) - 2), " +
-            "i -> concat_ws(' ', element_at(tk, i), element_at(tk, i + 1), element_at(tk, i + 2)))"))
-          .as("s3"))
+      .select($"doc_id", explode(graft.expr.Grams($"tk", 3)).as("s3"))
       .groupBy($"doc_id", $"s3")
       .agg(count(lit(1)).as("n"))
   }
@@ -408,15 +405,19 @@ object TextOps {
     */
   private[graft] def passageGramsOf(docsDf: DataFrame): DataFrame = {
     import docsDf.sparkSession.implicits._
+    // fused gram emitter (r18 opt): the composed
+    // transform(sequence, i -> concat_ws(' ', slice(tk, i, K))) chain is
+    // a CodegenFallback HOF — every position paid an interpreted lambda,
+    // a slice allocation and a sequence walk (~2 task-sec per passage
+    // query at sf0.1). graft.expr.Grams emits the IDENTICAL string array
+    // in one codegen'd loop (GramsKernelSpec pins bit-equality with the
+    // composed chain); the oracle SQL is unchanged.
     docsDf
       .select($"doc_id", split($"text", " ").as("tk"))
       .filter(size($"tk") >= PassageK)
       .select(
         $"doc_id",
-        posexplode(expr(
-          s"transform(sequence(1, size(tk) - ${PassageK - 1}), " +
-            s"i -> concat_ws(' ', slice(tk, i, $PassageK)))"))
-          .as(Seq("p0", "g5")))
+        posexplode(graft.expr.Grams($"tk", PassageK)).as(Seq("p0", "g5")))
       .select($"doc_id", ($"p0" + 1).as("pos"), $"g5")
   }
 
