@@ -195,6 +195,40 @@ object TokenKernels {
     new GenericArrayData(out)
   }
 
+  /** The BM25/LM tokenizer fused —
+    * `explode(split(lower(text), ' ')) ... rlike("^[a-z0-9]{3,}$")` as one
+    * pass: split on ' ', lowercase each token (UTF8String.toLowerCase,
+    * the same collation-free lowering SQL lower() applies; lowering the
+    * whole text first is equivalent because no Unicode lowercase mapping
+    * produces or consumes U+0020), keep tokens of ≥ 3 bytes that are
+    * entirely [a-z0-9] (the anchored class admits only ASCII, so a byte
+    * test is exact — any multi-byte char fails the class either way).
+    * Removes the per-token regex machine and the dropped-token explode
+    * rows the composed chain pays.
+    */
+  def bm25Tokens(s: UTF8String): ArrayData = {
+    val parts = s.split(Space, -1)
+    val out = new Array[AnyRef](parts.length)
+    var n = 0
+    var i = 0
+    while (i < parts.length) {
+      val lt = parts(i).toLowerCase
+      val b = lt.getBytes
+      if (b.length >= 3) {
+        var j = 0
+        var ok = true
+        while (ok && j < b.length) {
+          val c = b(j)
+          ok = (c >= 'a' && c <= 'z') || (c >= '0' && c <= '9')
+          j += 1
+        }
+        if (ok) { out(n) = lt; n += 1 }
+      }
+      i += 1
+    }
+    new GenericArrayData(java.util.Arrays.copyOf(out, n))
+  }
+
   private val HexDigits = "0123456789abcdef".toCharArray
 
   /** All K-window md5 fingerprints in one pass —
@@ -455,6 +489,31 @@ case class Grams(child: Expression, k: Int) extends UnaryExpression {
 object Grams {
   def apply(c: Column, k: Int): Column =
     GraftBridge.column(Grams(GraftBridge.expression(c), k))
+}
+
+/** `bm25Tokens` as an expression over the raw text (see
+  * [[TokenKernels.bm25Tokens]]) — the fused BM25/LM tokenizer.
+  */
+case class Bm25Tokens(child: Expression) extends UnaryExpression {
+
+  override def dataType: DataType =
+    ArrayType(org.apache.spark.sql.types.StringType, containsNull = false)
+
+  override def prettyName: String = "bm25_tokens"
+
+  override def nullSafeEval(s: Any): Any =
+    TokenKernels.bm25Tokens(s.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.expr.TokenKernels.bm25Tokens($c)")
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+object Bm25Tokens {
+  def apply(c: Column): Column =
+    GraftBridge.column(Bm25Tokens(GraftBridge.expression(c)))
 }
 
 /** `gramMd5Hex` as an expression over a token array (see

@@ -76,9 +76,15 @@ object LmOps {
     */
   private[graft] def unigramCountsOf(ft: DataFrame): DataFrame = {
     import ft.sparkSession.implicits._
-    ft.groupBy($"term")
+    // n_total = Σ cf over the counts frame (r18 opt): the old
+    // `ft.agg(count(*))` branch re-ran the whole tokenize lineage a
+    // second time just to count it; the term-count frame already carries
+    // the total, so pin it once and aggregate the |terms|-row RDD.
+    val cf = ft
+      .groupBy($"term")
       .agg(count(lit(1)).as("cf"))
-      .crossJoin(broadcast(ft.agg(count(lit(1)).as("n_total"))))
+      .localCheckpoint(true)
+    cf.crossJoin(broadcast(cf.agg(sum($"cf").as("n_total"))))
   }
 
   /** The model projection over any (term, cf, n_total) counts frame —
@@ -549,12 +555,15 @@ object LmOps {
     */
   private[graft] def unigramCountsLangOf(ftl: DataFrame): DataFrame = {
     import ftl.sparkSession.implicits._
-    ftl
+    // per-language totals from the counts frame itself — same
+    // second-tokenize removal as [[unigramCountsOf]] (r18 opt)
+    val cf = ftl
       .groupBy($"lang", $"term")
       .agg(count(lit(1)).as("cf"))
-      .join(
-        broadcast(ftl.groupBy($"lang").agg(count(lit(1)).as("n_total"))),
-        Seq("lang"))
+      .localCheckpoint(true)
+    cf.join(
+      broadcast(cf.groupBy($"lang").agg(sum($"cf").as("n_total"))),
+      Seq("lang"))
   }
 
   /** The (doc_id, lang, term) token frame every per-language query
@@ -568,8 +577,7 @@ object LmOps {
       .select(
         $"doc_id",
         $"lang",
-        explode(split(lower($"text"), " ")).as("term"))
-      .filter($"term".rlike("^[a-z0-9]{3,}$"))
+        explode(graft.expr.Bm25Tokens($"text")).as("term"))
   }
 
   /** q_lm_unigram_lang — the PER-LANGUAGE model table: CCNet (Wenzek et

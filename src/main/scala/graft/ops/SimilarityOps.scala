@@ -392,13 +392,22 @@ object SimilarityOps {
     * distributed, so this trains unchanged on a 1000-executor corpus.
     */
   private[graft] def trainLloyd(
-      xs: DataFrame, // (grp INT, vec_id LONG, x ARRAY<FLOAT>)
+      xs0: DataFrame, // (grp INT, vec_id LONG, x ARRAY<FLOAT>)
       k: Int,
       iters: Int,
       groups: Int,
       cosine: Boolean): Map[Int, Seq[(Long, Seq[Float])]] = {
-    val s = xs.sparkSession
+    val s = xs0.sparkSession
     import s.implicits._
+    // r18 opt note (tried and REVERTED): repartitioning the bounded
+    // sample across all cores before the loop cut each iteration's
+    // single-task 0.23 s map stage to ~30 ms of wall but cost ~0.45 s of
+    // CPU PER TASK in per-task fixed overhead (measured 6-15 taskSec per
+    // iteration stage at 32 partitions vs 0.23 single-task) — a 40×
+    // CPU-for-wall trade that is wrong at every scale. The sample is
+    // O(256·k) rows by the FAISS posture; one task per Lloyd pass IS the
+    // intended cost envelope.
+    val xs = xs0
     val seeds = xs
       .filter($"vec_id" < k)
       .select($"grp", $"vec_id", $"x")

@@ -1364,10 +1364,12 @@ object TextOps {
     * 11-term frame), so at 100 TB only matching postings ever shuffle;
     * dl/stats are full-corpus single-pass aggregates.
     */
+  // fused tokenizer (r18 opt): one codegen'd pass instead of
+  // lower-whole-text + split + explode-all + per-token regex —
+  // GramsKernelSpec pins token-stream equality with the composed chain
   private[graft] def bm25TokensOf(docsDf: DataFrame): DataFrame =
     docsDf
-      .select(col("doc_id"), explode(split(lower(col("text")), " ")).as("term"))
-      .filter(col("term").rlike("^[a-z0-9]{3,}$"))
+      .select(col("doc_id"), explode(graft.expr.Bm25Tokens(col("text"))).as("term"))
 
   private def bm25Tokens(s: SparkSession, d: String): DataFrame =
     bm25TokensOf(docs(s, d))
@@ -1377,15 +1379,21 @@ object TextOps {
       d: String): (DataFrame, DataFrame, DataFrame, DataFrame) = {
     import s.implicits._
     val qterms = Bm25Queries.map(_._2).distinct.toDF("term")
-    val ft = bm25Tokens(s, d)
-    val tf = ft
-      .join(broadcast(qterms), Seq("term"))
+    // ONE tokenize pass (r18 opt): tf/dl/stats each consumed the raw
+    // token stream, re-running the tokenizer per branch; the full-vocab
+    // (doc, term, tf) frame carries everything — dl = Σtf per doc,
+    // corpus length = Σtf — so it is materialized once (the same frame
+    // writeBm25IndexFrom persists as the postings index) and the three
+    // branches read the RDD.
+    val tfAll = bm25Tokens(s, d)
       .groupBy($"doc_id", $"term")
       .agg(count(lit(1)).as("tf"))
+      .localCheckpoint(true)
+    val tf = tfAll.join(broadcast(qterms), Seq("term"))
     val dfreq = tf.groupBy($"term").agg(count(lit(1)).as("df"))
-    val dl = ft.groupBy($"doc_id").agg(count(lit(1)).as("dl"))
-    val stats = ft
-      .agg(count(lit(1)).as("l"))
+    val dl = tfAll.groupBy($"doc_id").agg(sum($"tf").as("dl"))
+    val stats = tfAll
+      .agg(sum($"tf").as("l"))
       .crossJoin(broadcast(docs(s, d).agg(count(lit(1)).as("n"))))
     (tf, dfreq, dl, stats)
   }
@@ -1434,11 +1442,16 @@ object TextOps {
   private[graft] def writeBm25IndexFrom(
       s: SparkSession, docsDf: DataFrame, path: String): String = {
     import s.implicits._
-    val ft = bm25TokensOf(docsDf)
-    val tf = ft.groupBy($"doc_id", $"term").agg(count(lit(1)).as("tf"))
-    val dl = ft.groupBy($"doc_id").agg(count(lit(1)).as("dl"))
-    val stats = ft
-      .agg(count(lit(1)).as("l"))
+    // one tokenize pass (r18 opt, the bm25Frames rule): dl = Σtf per
+    // doc and corpus length = Σtf both derive from the materialized
+    // full-vocab tf frame instead of re-running the tokenizer per branch
+    val tf = bm25TokensOf(docsDf)
+      .groupBy($"doc_id", $"term")
+      .agg(count(lit(1)).as("tf"))
+      .localCheckpoint(true)
+    val dl = tf.groupBy($"doc_id").agg(sum($"tf").as("dl"))
+    val stats = tf
+      .agg(sum($"tf").as("l"))
       .crossJoin(broadcast(docsDf.agg(count(lit(1)).as("n"))))
     tf.join(dl, Seq("doc_id"))
       .select(

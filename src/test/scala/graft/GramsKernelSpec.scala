@@ -73,6 +73,23 @@ class GramsKernelSpec extends SparkSpec {
     assertAgree(toks(adversarial), graft.expr.GramMd5Hex($"tk", 2), composedMd5(2), 2)
   }
 
+  test("Bm25Tokens == composed lower/split/rlike chain, corpus + adversarial") {
+    import spark.implicits._
+    val cases = graft.T(spark, sf, "documents").select($"doc_id", $"text")
+      .unionByName(Seq(
+        (1001L, "MiXeD CaSe TOKENS ab abc a1b2c3"),
+        (1002L, "punct, and; short a bb ccc  double  spaces"),
+        (1003L, ""),
+        (1004L, "ümlaut Straße KKelvin 123 4567 ok_ok")).toDF("doc_id", "text"))
+    val fusedT = cases.select($"doc_id",
+      explode(graft.expr.Bm25Tokens($"text")).as("term"))
+    val composedT = cases
+      .select($"doc_id", explode(split(lower($"text"), " ")).as("term"))
+      .filter($"term".rlike("^[a-z0-9]{3,}$"))
+    assert(fusedT.exceptAll(composedT).count() == 0L)
+    assert(composedT.exceptAll(fusedT).count() == 0L)
+  }
+
   test("below-k input yields an empty array (composed form's filtered domain)") {
     import spark.implicits._
     val rows = toks(adversarial.filter($"doc_id".isin(5L, 6L)))
