@@ -297,7 +297,9 @@ object DedupOps {
     // Pre-loop driver fast-path, same bounded-model-state rule as the
     // in-loop finish: the pair set is already materialized, so its count
     // is free — and when the WHOLE verified pair set fits the driver
-    // bound (≤ 1.6 MB at 100k pairs, the k-means-collect scale), the
+    // bound (1M pairs; the collect materializes GenericRows with boxed
+    // longs, so transiently ~100-200 MB on an 8 GB driver heap — well
+    // bounded, and freed before the loop), the
     // closure is one local union-find + one broadcast remap instead of
     // hook rounds whose per-round fixed cost (frame-wide aggregate +
     // self-join + checkpoint) dwarfs graphs this small. Identical

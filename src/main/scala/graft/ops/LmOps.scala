@@ -251,12 +251,16 @@ object LmOps {
     val build = () => { TextOps.writeBm25Index(s, d); () }
     val serve = () => {
       val (postings, nTotal) = bm25Frames(s, d)
-      val scored = lmScoreOf(docs(s, d), lmScoreAggFromPostings(postings, nTotal))
-        .filter($"n_tokens" > 0)
+      // same one-join scorable frame as the composed query (scoredLangOf)
       langTerciles(
-        scored
-          .join(docs(s, d).select($"doc_id", $"lang"), Seq("doc_id"))
-          .select($"doc_id", $"lang", $"rarity6"))
+        docs(s, d)
+          .select($"doc_id", $"lang")
+          .join(lmScoreAggFromPostings(postings, nTotal), Seq("doc_id"))
+          .select(
+            $"doc_id",
+            $"lang",
+            X.r6($"sr".cast("double") / $"n_tokens".cast("double"))
+              .as("rarity6")))
         .orderBy($"doc_id")
     }
     (build, serve)
@@ -308,10 +312,21 @@ object LmOps {
     * of per-token rounded rarities — the seam q_lm_score and q_lm_bucket
     * share, parameterized by the token and count frames so the
     * continuous serve can feed index-derived counts.
+    *
+    * CALLER CONTRACT (r19 opt): `counts` must already be
+    * materialization-derived — every caller passes either
+    * [[unigramCountsOf]]'s checkpoint-backed frame or a parquet read —
+    * so the [[pinned]] wrapper this seam used to apply re-materialized
+    * an already-flat |vocab|-row frame: one pure-overhead job per query
+    * (q_lm_score / q_lm_bucket / q_lm_apply / q_lm_score_incr).
+    * The skew-split stays armed without it: the counts side of the term
+    * join is a fresh scan (ExistingRDD / parquet) + broadcast total, so
+    * EnsureRequirements still plants a plain exchange there
+    * (TermSkewSpec re-proves the split fires and scores are invariant).
     */
   private[graft] def rarityAggOf(ft: DataFrame, counts: DataFrame): DataFrame = {
     import ft.sparkSession.implicits._
-    ft.join(pinned(counts), Seq("term"))
+    ft.join(counts, Seq("term"))
       .select(
         $"doc_id",
         X.r6($"n_total".cast("double") / $"cf".cast("double")).as("r"))
@@ -526,15 +541,30 @@ object LmOps {
     * language, so the plan survives Zipf-skewed language sizes at
     * 100 TB where a per-language window would put English in one task.
     */
+  /** (doc_id, lang, rarity6) for every SCORABLE doc — the q_lm_bucket
+    * input, computed as ONE inner join of the per-doc score aggregate
+    * against the lake's (doc_id, lang) map. Row-identical to the old
+    * lmScoreOf(universe left-join) → filter(n_tokens > 0) → second docs
+    * join for lang (r19 opt): an agg row always has n_tokens ≥ 1, and
+    * the filter discarded exactly the left-join's null rows, so the
+    * composed form scanned the docs table twice to reach the same inner
+    * row set.
+    */
+  private def scoredLangOf(docsDf: DataFrame, agg: DataFrame): DataFrame = {
+    import docsDf.sparkSession.implicits._
+    docsDf
+      .select($"doc_id", $"lang")
+      .join(agg, Seq("doc_id"))
+      .select(
+        $"doc_id",
+        $"lang",
+        X.r6($"sr".cast("double") / $"n_tokens".cast("double")).as("rarity6"))
+  }
+
   private def lmBucket(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
     val ft = TextOps.bm25TokensOf(docs(s, d))
-    val scored = lmScoreOf(docs(s, d), rarityAggOf(ft, unigramCountsOf(ft)))
-      .filter($"n_tokens" > 0)
-    langTerciles(
-      scored
-        .join(docs(s, d).select($"doc_id", $"lang"), Seq("doc_id"))
-        .select($"doc_id", $"lang", $"rarity6"))
+    langTerciles(scoredLangOf(docs(s, d), rarityAggOf(ft, unigramCountsOf(ft))))
       .orderBy($"doc_id")
   }
 
@@ -637,9 +667,13 @@ object LmOps {
     */
   private[graft] def lmScoreLangOf(docsDf: DataFrame): DataFrame = {
     import docsDf.sparkSession.implicits._
+    // no re-pin (r19 opt, the rarityAggOf rule): unigramCountsLangOf is
+    // already checkpoint-backed — cf scans an ExistingRDD and the lang
+    // totals arrive broadcast — so pinning it again only re-materialized
+    // a flat |lang × vocab|-row frame.
     val ftl = langTokensOf(docsDf)
     val agg = ftl
-      .join(pinned(unigramCountsLangOf(ftl)), Seq("lang", "term"))
+      .join(unigramCountsLangOf(ftl), Seq("lang", "term"))
       .select(
         $"doc_id",
         X.r6($"n_total".cast("double") / $"cf".cast("double")).as("r"))
@@ -790,11 +824,18 @@ object LmOps {
     */
   private def lmBigramScore(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
+    // pin the PAIR COUNTS and derive cfl from the checkpoint (r19 opt,
+    // the lmKnFromCounts shape): the old form pinned agg ⋈ cfl, whose
+    // materialization job ran the corpus pair-aggregate lineage on BOTH
+    // join sides; here the corpus aggregates once and cfl is a
+    // |pair-types|-row rollup of the flat checkpoint. The model join side
+    // stays materialization-derived, so the skew split stays armed
+    // (pinned/TermSkewSpec rationale).
     val bg = bigramsOf(docs(s, d))
-    val agg = bigramCountsOf(docs(s, d))
-    val cfl = agg.groupBy($"w1").agg(sum($"cf2").as("cfl"))
+    val cf2 = pinned(bigramCountsOf(docs(s, d)))
+    val cfl = cf2.groupBy($"w1").agg(sum($"cf2").as("cfl"))
     val perDoc = bg
-      .join(pinned(agg.join(cfl, Seq("w1"))), Seq("w1", "w2"))
+      .join(cf2.join(cfl, Seq("w1")), Seq("w1", "w2"))
       .select(
         $"doc_id",
         X.r6($"cfl".cast("double") / $"cf2".cast("double")).as("r"))
@@ -850,7 +891,12 @@ object LmOps {
   private[graft] def lmInterpOf(docsDf: DataFrame): DataFrame = {
     import docsDf.sparkSession.implicits._
     // the token total is the sum of the unigram counts — derived from
-    // uni instead of a second corpus token scan
+    // uni instead of a second corpus token scan. NOTE (r19 opt, tried
+    // and REVERTED): pinning `uni` behind a checkpoint to dedupe the two
+    // uni subtrees (join side + lt) measured WORSE (16 → 17 jobs, full
+    // 1.71 → 1.94 s) — the two subtrees are canonically identical, so
+    // AQE stage reuse already runs the tokenize+aggregate exchange once
+    // at runtime; the pin only added an eager materialization job.
     val uni = TextOps.bm25TokensOf(docsDf)
       .groupBy($"term".as("w2")).agg(count(lit(1)).as("cf1"))
     lmInterpFromCounts(
@@ -1057,9 +1103,11 @@ object LmOps {
       .withColumn("split", splitCol($"doc_id"))
     val counts = unigramCountsOf(
       fts.filter($"split" === "train").select($"doc_id", $"term"))
+    // no re-pin (r19 opt, the rarityAggOf rule): unigramCountsOf is
+    // already checkpoint-backed
     val agg = fts
       .filter($"split" =!= "train")
-      .join(pinned(counts), Seq("term"), "left")
+      .join(counts, Seq("term"), "left")
       .select(
         $"doc_id",
         when(
@@ -1146,10 +1194,15 @@ object LmOps {
       trainCounts: DataFrame,
       allDocs: DataFrame): DataFrame = {
     import allDocs.sparkSession.implicits._
-    val agg =
-      trainCounts.groupBy($"w1", $"w2").agg(sum($"cf2").as("cf2"))
-    val model = pinned(agg.join(
-      agg.groupBy($"w1").agg(sum($"cf2").as("cfl")), Seq("w1")))
+    // pin the re-aggregated pair counts, derive cfl from the checkpoint
+    // (r19 opt, the lmBigramScore/lmKnFromCounts shape): pinning agg ⋈
+    // cfl ran the train-corpus pair aggregate on both sides of the pin
+    // job; the model join of two checkpoint-derived frames stays
+    // materialization-backed for the skew split.
+    val agg = pinned(
+      trainCounts.groupBy($"w1", $"w2").agg(sum($"cf2").as("cf2")))
+    val model = agg.join(
+      agg.groupBy($"w1").agg(sum($"cf2").as("cfl")), Seq("w1"))
     val perDoc = bigramsOf(allDocs.filter(splitCol($"doc_id") =!= "train"))
       .join(model, Seq("w1", "w2"), "left")
       .select(

@@ -201,6 +201,10 @@ object RelationalOps {
     // two-phase: sketches shuffle |types| constant-size buffers, the
     // exact count shuffles slim (type, user) keys, and the |types|-row
     // join is broadcast-sized. Same output, same oracle.
+    // INVARIANT (ADVICE r18): event_type is non-null by the fixture
+    // contract (events.event_type is a required enum column), so the
+    // equi-join below loses no group vs the single-aggregation form — a
+    // NULL event_type group would need a null-safe (<=>) join instead.
     val ev = T(s, d, "events")
     val exact = ev
       .groupBy($"event_type")
@@ -286,7 +290,9 @@ object RelationalOps {
         hll_sketch_estimate(hll_union_agg($"sk")).as("merged_users"))
     // exact-distinct split out of the sketch aggregation for the same
     // reason as q_agg_sketch (r18 opt): mixed, the distinct rewrite
-    // carries the HLL partial buffer per (event_type, user_id) group
+    // carries the HLL partial buffer per (event_type, user_id) group.
+    // Equi-join safe under the same non-null event_type fixture
+    // invariant as q_agg_sketch (ADVICE r18).
     val wholeSk = ev
       .groupBy($"event_type")
       .agg(hll_sketch_estimate(hll_sketch_agg($"user_id")).as("whole_users"))

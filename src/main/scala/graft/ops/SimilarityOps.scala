@@ -448,24 +448,30 @@ object SimilarityOps {
             struct(
               (c.getField("cn2") - lit(2d) * Vec.dot($"x", c.getField("c"))).as("d2"),
               c.getField("c_id").as("c_id")))).getField("c_id")
-      // TWO selects, deliberately: a select that mixes the generator with
-      // the assignment lands the assignment Project ABOVE the Generate,
-      // re-running the k-centroid argmin once per EXPLODED element (dim×
-      // per vector — measured 3-4× on the whole stage); materializing
-      // (grp, cell, x) first pins the argmin below the explode, once per
-      // vector (Catalyst does not collapse a Project through a Generate).
+      // FUSED decimal means (r19 opt, guide §4.1/§2.4 — the r18 "not
+      // yet" item): the posexplode form blew every vector into dim×
+      // (grp, cell, pos, v) rows and paid TWO keyed aggregations per
+      // pass (per-pos mean, then re-collect the arrays);
+      // [[graft.expr.VecDecimalSum]] sums the decimal-cast vectors
+      // elementwise in ONE (grp, cell) object-hash aggregation with
+      // map-side combine. Bit-identical by construction: the cast is
+      // Spark's own float→decimal(27,10), exact addition at fixed scale
+      // matches sum(), the output type decimal(37,10) matches sum()'s,
+      // and the per-element (s / cnt).cast(float) division is the same
+      // expression over the same types as before (the value-pinning
+      // specs and the dump-time decimal-literal oracles re-prove it).
       val means = xs
         .join(broadcast(grpCbs), Seq("grp"))
         .select($"grp", cell.as("cell"), $"x")
-        .select($"grp", $"cell", posexplode($"x").as(Seq("pos", "v")))
-        .groupBy($"grp", $"cell", $"pos")
-        .agg((sum($"v".cast("decimal(27,10)")) / count(lit(1)))
-          .cast("float")
-          .as("mv"))
         .groupBy($"grp", $"cell")
         .agg(
-          transform(sort_array(collect_list(struct($"pos", $"mv"))), p =>
-            p.getField("mv")).as("c"))
+          graft.expr.VecDecimalSum(
+            transform($"x", v => v.cast("decimal(27,10)"))).as("sums"),
+          count(lit(1)).as("cnt"))
+        .select(
+          $"grp",
+          $"cell",
+          transform($"sums", sv => (sv / $"cnt").cast("float")).as("c"))
         .as[(Int, Long, Seq[Float])]
         .collect()
         .map { case (g, c, v) => (g, c) -> v }

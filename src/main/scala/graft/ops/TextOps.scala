@@ -1602,8 +1602,16 @@ object TextOps {
     */
   private def retrievalRrf(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
-    val lex = indexBm25(s, d)
+    // the lexical leg collects ONCE to a LocalRelation (r19 opt, the
+    // serveRrfMulti precedent): it is ≤ topK·|queries| bounded rows, and
+    // lazy it executed its scoring plan twice — once broadcast under the
+    // seed join, once as the fusion's union input (a broadcast exchange
+    // and a plain subtree never share execution)
+    val lexDist = indexBm25(s, d)
       .select($"query_id", $"doc_id", $"rank".as("lex_rank"))
+    val lex = s.createDataFrame(
+      java.util.Arrays.asList(lexDist.collect(): _*),
+      lexDist.schema)
     val e = T(s, d, "embeddings").select(
       $"vec_id",
       $"embedding",
@@ -1705,6 +1713,47 @@ object TextOps {
     * tier uses ([[StreamOps.serveRrfContinuous]]): answering from base +
     * streamed increments must equal answering from monolithic rebuilds.
     */
+  /** The feedback-seed frame of the served RRF tier: each query's
+    * best-ranked lexical hit that HAS a stored embedding, exploded to its
+    * Hamming-1 probe buckets. `lex` must be driver-local (a collected
+    * LocalRelation) so the only distributed work here is the embedding
+    * store fetch — pruned to the candidate ids' shards by a LITERAL
+    * ishard partition filter (ServeIndexSpec pins that filter on THIS
+    * frame's plan: it is the plan the serve executes for its one store
+    * read).
+    */
+  private[graft] def rrfSeedFrame(
+      s: SparkSession,
+      storePaths: Seq[String],
+      lex: DataFrame): DataFrame = {
+    import s.implicits._
+    // the ≤ topK·|queries| candidate ids' shards — bounded model state
+    val lexShards = lex
+      .select(pmod(hash($"doc_id"), lit(64)))
+      .distinct()
+      .collect()
+      .map(_.get(0))
+      .toSeq
+    val store = storePaths
+      .map(p => s.read.parquet(p))
+      .reduce(_ unionByName _)
+      .filter($"ishard".isin(lexShards: _*))
+    val sw = Window.partitionBy($"query_id").orderBy($"lex_rank")
+    store
+      .join(broadcast(lex), store("vec_id") === lex("doc_id"))
+      .withColumn("sr", row_number().over(sw))
+      .filter($"sr" === 1)
+      .select(
+        $"query_id",
+        $"embedding".as("p"),
+        $"n2".as("pn2"),
+        explode(
+          array(
+            $"bucket" +:
+              (0 until SimilarityOps.SignBits)
+                .map(j => $"bucket".bitwiseXOR(lit(1L << j))): _*)).as("pbucket"))
+  }
+
   private[graft] def serveRrfMulti(
       s: SparkSession,
       bm25Paths: Seq[String],
@@ -1718,39 +1767,25 @@ object TextOps {
     // precedent) so the postings are read and scored exactly once per
     // serve and every downstream reference — the shard probe, the seed
     // join's broadcast, the fusion — reads driver-local rows instead of
-    // re-running (or even re-fetching) a checkpointed partition. The seed
-    // frame stays LAZY: its store scan must remain in the final plan,
-    // where ServeIndexSpec asserts the literal ishard partition filter.
+    // re-running (or even re-fetching) a checkpointed partition.
     val lexDist = serveBm25(s, bm25Paths)
       .select($"query_id", $"doc_id", $"rank".as("lex_rank"))
     val lex = s.createDataFrame(
       java.util.Arrays.asList(lexDist.collect(): _*),
       lexDist.schema)
-    // the ≤ topK·|queries| candidate ids' shards — bounded model state
-    val lexShards = lex
-      .select(pmod(hash($"doc_id"), lit(64)))
-      .distinct()
-      .collect()
-      .map(_.get(0))
-      .toSeq
-    val store = storePaths
-      .map(p => s.read.parquet(p))
-      .reduce(_ unionByName _)
-      .filter($"ishard".isin(lexShards: _*))
-    val sw = Window.partitionBy($"query_id").orderBy($"lex_rank")
-    val seed = store
-      .join(broadcast(lex), store("vec_id") === lex("doc_id"))
-      .withColumn("sr", row_number().over(sw))
-      .filter($"sr" === 1)
-      .select(
-        $"query_id",
-        $"embedding".as("p"),
-        $"n2".as("pn2"),
-        explode(
-          array(
-            $"bucket" +:
-              (0 until SimilarityOps.SignBits)
-                .map(j => $"bucket".bitwiseXOR(lit(1L << j))): _*)).as("pbucket"))
+    // The SEED is equally bounded — ≤ (1 + SignBits)·|queries| rows of
+    // (query_id, feedback vector, probe bucket) — so it too collects ONCE
+    // to a LocalRelation (r19 opt): the lazy form executed the ishard-
+    // pruned store scan + seed window TWICE per serve (once for the
+    // probe-bucket collect, once inside the final plan's broadcast). The
+    // pruned store scan now runs exactly once, inside [[rrfSeedFrame]],
+    // where ServeIndexSpec asserts the literal ishard partition filter
+    // on the plan that actually executes.
+    val seedDist = rrfSeedFrame(s, storePaths, lex)
+    val seed = s.createDataFrame(
+      java.util.Arrays.asList(seedDist.collect(): _*),
+      seedDist.schema)
+    // LocalRelation plan: distinct folds driver-side, no Spark job
     val probeBuckets =
       seed.select($"pbucket").distinct().collect().map(_.get(0)).toSeq
     val cw = Window.partitionBy($"query_id").orderBy($"cos".desc, $"vec_id")

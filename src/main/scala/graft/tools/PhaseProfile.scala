@@ -64,7 +64,18 @@ object PhaseProfile {
           fn(spark, sfDir).write.mode("overwrite").format("noop").save()
           (System.nanoTime() - t0) / 1e9
         }.min
-        Thread.sleep(150) // let listener events drain (bus is async)
+        // let listener events drain (bus is async): poll until the
+        // counters are stable for two consecutive 50 ms checks (ADVICE
+        // r18: a fixed sleep can under-wait under load; the listener bus
+        // itself is private[spark], so stability polling is the seam)
+        var stable = 0
+        var last = (jobs.get, stages.get, taskMs.get)
+        var waited = 0
+        while (stable < 2 && waited < 2000) {
+          Thread.sleep(50); waited += 50
+          val now = (jobs.get, stages.get, taskMs.get)
+          if (now == last) stable += 1 else { stable = 0; last = now }
+        }
         val gcd = (gcMillis() - gc0) / 1e3 / iters
         val (jd, std, tmd) =
           ((jobs.get - j0) / iters, (stages.get - st0) / iters,

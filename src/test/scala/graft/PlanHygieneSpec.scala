@@ -48,25 +48,27 @@ class PlanHygieneSpec extends SparkSpec {
     "q_index_bm25",
     "q_index_bm25_served",
     "q_index_bm25_incr",
-    // r9: inherits the BM25 leg's one-row (N, L) attach
-    // q_retrieval_rrf_served left this set in r9: its lexical leg (the
-    // only BNLJ carrier, the one-row (N, L) attach) is now scored once
-    // behind a lineage sever, so the served plan plans no BNLJ at all
-    "q_retrieval_rrf",
+    // q_retrieval_rrf_served left this set in r9 and q_retrieval_rrf in
+    // r19: each one's lexical leg (the only BNLJ carrier, the one-row
+    // (N, L) attach) is now scored once into a bounded LocalRelation, so
+    // the fused plan plans no BNLJ at all
     // r9: one-row temperature-weight total attach (CurationOps)
     "q_sample_temperature",
     // r12: one-row corpus-scaled boilerplate threshold attach
     // (TextOps.boilerplateFracReportOf — the df-fraction cut is a
     // broadcast scalar, same idiom as the BM25 (N, L) stats row)
     "q_text_boilerplate_frac",
-    // q_lm_unigram: the one-row corpus-total attach
-    // (crossJoin(broadcast(N)) — the boilerplate_frac idiom). The REST
-    // of the LM family no longer carries a BNLJ in its final plan: the
-    // token ⋈ counts joins materialize their counts behind the
-    // skew-arming checkpoint (LmOps.pinned), so the one-row attach lives
-    // inside the checkpointed lineage; the _lang variants attach
-    // per-language totals by a keyed broadcast join, never a cross
+    // q_lm_unigram / q_lm_score / q_lm_apply: the one-row corpus-total
+    // attach (crossJoin(broadcast(N)) — the boilerplate_frac idiom).
+    // q_lm_score and q_lm_apply joined this set in r19: the redundant
+    // re-pin of the already-checkpoint-backed counts frame was removed
+    // (rarityAggOf), so the one-row attach now shows in the final plan
+    // instead of inside a pure-overhead checkpoint job; the _lang
+    // variants attach per-language totals by a keyed broadcast join,
+    // never a cross
     "q_lm_unigram",
+    "q_lm_score",
+    "q_lm_apply",
     // r15 q_lm_interp: the one-row corpus-length attach (the BM25 (N, L)
     // stats idiom) — the interpolation denominator 10·cfl·L needs the
     // corpus token total on every pair row

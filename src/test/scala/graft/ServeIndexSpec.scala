@@ -2,7 +2,7 @@ package graft
 
 import java.nio.file.Files
 
-import graft.ops.{SimilarityOps, Vec}
+import graft.ops.{SimilarityOps, TextOps, Vec}
 import org.apache.spark.sql.functions._
 
 /** Build/serve split for retrieval: the persisted bucket/cell indexes must
@@ -194,12 +194,27 @@ class ServeIndexSpec extends SparkSpec {
       rows(SparkEntry.queries("q_retrieval_rrf_served")(spark, sf)) ===
         rows(SparkEntry.queries("q_retrieval_rrf")(spark, sf)))
     // the feedback-seed fetch reads the embedding store through a literal
-    // ishard partition filter — by-id lookups never scan the full store
-    val p = SparkEntry.queries("q_retrieval_rrf_served")(spark, sf)
+    // ishard partition filter — by-id lookups never scan the full store.
+    // r19: the serve collects the bounded seed ONCE, so the store scan
+    // lives (and executes, exactly once) in the SEED frame's plan, not
+    // the final fused plan — assert the filter where the scan runs.
+    val root = SimilarityOps.serveRoot(spark, sf)
+    val lexDist = TextOps
+      .serveBm25(spark, Seq(s"$root/bm25"))
+      .selectExpr("query_id", "doc_id", "rank AS lex_rank")
+    val lex = spark.createDataFrame(
+      java.util.Arrays.asList(lexDist.collect(): _*),
+      lexDist.schema)
+    val seedPlan = TextOps
+      .rrfSeedFrame(spark, Seq(s"$root/embstore"), lex)
       .queryExecution.executedPlan.toString
     assert(
-      "PartitionFilters: \\[[^\\]]*ishard[^\\]]*(INSET|IN \\()".r.findFirstIn(p).isDefined,
-      p)
+      "PartitionFilters: \\[[^\\]]*ishard[^\\]]*(INSET|IN \\()".r
+        .findFirstIn(seedPlan).isDefined,
+      seedPlan)
+    // the cosine leg's bucket pruning stays in the final executed plan
+    val p = SparkEntry.queries("q_retrieval_rrf_served")(spark, sf)
+      .queryExecution.executedPlan.toString
     assert(
       "PartitionFilters: \\[[^\\]]*bucket[^\\]]*(INSET|IN \\()".r.findFirstIn(p).isDefined,
       p)
