@@ -1385,6 +1385,15 @@ object TextOps {
     // corpus length = Σtf — so it is materialized once (the same frame
     // writeBm25IndexFrom persists as the postings index) and the three
     // branches read the RDD.
+    // r19 (verdict item 7) tried and REVERTED: dropping this checkpoint
+    // in favor of AQE stage reuse across the three canonically-identical
+    // aggregate subtrees measured WORSE (q_index_bm25 full 0.84→0.98 s,
+    // taskSec 0.67→1.13, jobs 19→20 against a FASTER control window) —
+    // unlike the lm_interp case, the reuse does not fire here (the
+    // query-term semi-join branch diverges below the exchange), so the
+    // tokenize ran per branch again. At cluster scale the equivalent
+    // reliable seam is a spark.checkpoint.dir-backed checkpoint (config
+    // swap at deploy), not removing the materialization.
     val tfAll = bm25Tokens(s, d)
       .groupBy($"doc_id", $"term")
       .agg(count(lit(1)).as("tf"))
@@ -1442,17 +1451,20 @@ object TextOps {
   private[graft] def writeBm25IndexFrom(
       s: SparkSession, docsDf: DataFrame, path: String): String = {
     import s.implicits._
-    // one tokenize pass (r18 opt, the bm25Frames rule): dl = Σtf per
-    // doc and corpus length = Σtf both derive from the materialized
-    // full-vocab tf frame instead of re-running the tokenizer per branch
+    // one tokenize pass (r18 opt, the bm25Frames rule), reliably
+    // materialized (r19, verdict item 7): the postings write is the ONE
+    // action consuming the tf aggregate — its two branches (tf rows +
+    // the dl rollup) share the canonically-identical (doc_id, term)
+    // exchange, so the tokenize runs once via AQE stage reuse — and the
+    // generation's stats derive from READING BACK the just-written
+    // postings parquet (l = Σtf over durable files) instead of a
+    // localCheckpoint that pinned the postings-scale frame in executor
+    // memory with truncated lineage (unrecoverable on executor loss —
+    // the r18 entry log's own WARNs).
     val tf = bm25TokensOf(docsDf)
       .groupBy($"doc_id", $"term")
       .agg(count(lit(1)).as("tf"))
-      .localCheckpoint(true)
     val dl = tf.groupBy($"doc_id").agg(sum($"tf").as("dl"))
-    val stats = tf
-      .agg(sum($"tf").as("l"))
-      .crossJoin(broadcast(docsDf.agg(count(lit(1)).as("n"))))
     tf.join(dl, Seq("doc_id"))
       .select(
         $"term", $"doc_id", $"tf", $"dl",
@@ -1463,7 +1475,10 @@ object TextOps {
       .mode(org.apache.spark.sql.SaveMode.Overwrite)
       .partitionBy("tshard")
       .parquet(s"$path/postings")
-    stats.write
+    s.read.parquet(s"$path/postings")
+      .agg(sum($"tf").as("l"))
+      .crossJoin(broadcast(docsDf.agg(count(lit(1)).as("n"))))
+      .write
       .mode(org.apache.spark.sql.SaveMode.Overwrite)
       .parquet(s"$path/stats")
     path
