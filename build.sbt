@@ -28,3 +28,18 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.sql.session.timeZone=UTC",
   s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
 )
+
+// Default `sbt test` excludes @org.scalatest.tags.Slow suites — the
+// scale/cluster/bench-grade and durability-soak audits (ScaleSpec,
+// LocalClusterSpec, BenchSplitSpec, CodegenHealthSpec,
+// EndToEndPipelineSpec, CompactionPolicySpec, CatalogConcurrencySpec,
+// DurableRootSpec, SemanticPropertySpec) — so the per-change correctness
+// suite finishes inside the driver's test budget (r19: full suite 31 min
+// on an idle host, default subset ~15 min; the excluded suites stayed
+// green when run this round). Run EVERYTHING with
+//   sbt -Dgraft.slow.tests=true test
+// or just the slow set with
+//   sbt -Dgraft.slow.tests=true "testOnly graft.ScaleSpec ..." etc.
+Test / testOptions ++= (
+  if (sys.props.get("graft.slow.tests").contains("true")) Seq.empty
+  else Seq(Tests.Argument(TestFrameworks.ScalaTest, "-l", "org.scalatest.tags.Slow")))

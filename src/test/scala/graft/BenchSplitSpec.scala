@@ -4,6 +4,10 @@ package graft
   * composed registry queries answer — otherwise the serve-latency metric
   * tracks a different computation than the correctness gate checks.
   */
+// Tagged slow (r19, verdict item 1): executes real bench splits at sf0.1; excluded from the
+// default `sbt test` so the suite fits the driver budget — run via
+// `sbt -Dgraft.slow.tests=true test` (see build.sbt).
+@org.scalatest.tags.Slow
 class BenchSplitSpec extends SparkSpec {
 
   private def rows(df: org.apache.spark.sql.DataFrame): Seq[String] =

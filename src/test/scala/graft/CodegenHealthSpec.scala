@@ -19,6 +19,10 @@ import org.apache.logging.log4j.core.appender.AbstractAppender
   * full registry at sf0.001 with a capturing appender on the log4j root and
   * fails on any compile failure or interpreter-fallback warning.
   */
+// Tagged slow (r19, verdict item 1): whole-registry codegen-fallback audit; excluded from the
+// default `sbt test` so the suite fits the driver budget — run via
+// `sbt -Dgraft.slow.tests=true test` (see build.sbt).
+@org.scalatest.tags.Slow
 class CodegenHealthSpec extends SparkSpec {
 
   private class Capture

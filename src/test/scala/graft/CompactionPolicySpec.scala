@@ -15,6 +15,10 @@ import org.apache.spark.sql.functions._
   * decision must be read-invariant: the served answer before and after
   * any policy-driven fold is identical.
   */
+// Tagged slow (r19, verdict item 1): multi-generation compaction soak; excluded from the
+// default `sbt test` so the suite fits the driver budget — run via
+// `sbt -Dgraft.slow.tests=true test` (see build.sbt).
+@org.scalatest.tags.Slow
 class CompactionPolicySpec extends SparkSpec {
   import spark.implicits._
 

@@ -15,6 +15,10 @@ import scala.sys.process._
   * [[graft.tools.CrossSession]] in its own forked JVM with this test
   * JVM's classpath.
   */
+// Tagged slow (r19, verdict item 1): crash/durability soak; excluded from the
+// default `sbt test` so the suite fits the driver budget — run via
+// `sbt -Dgraft.slow.tests=true test` (see build.sbt).
+@org.scalatest.tags.Slow
 class DurableRootSpec extends SparkSpec {
   import spark.implicits._
 

@@ -29,6 +29,10 @@ import org.apache.spark.sql.functions._
   * single rebuilt index), and the published JDBC report — and compaction
   * of both indexes must change no answer.
   */
+// Tagged slow (r19, verdict item 1): full continuous-vs-batch pipeline marathon; excluded from the
+// default `sbt test` so the suite fits the driver budget — run via
+// `sbt -Dgraft.slow.tests=true test` (see build.sbt).
+@org.scalatest.tags.Slow
 class EndToEndPipelineSpec extends SparkSpec {
   import spark.implicits._
 

@@ -18,6 +18,10 @@ import scala.sys.process._
   * slice, then asserts every result is row-identical to this suite's
   * single-JVM local[*] session.
   */
+// Tagged slow (r19, verdict item 1): real multi-JVM executor processes (the CLUSTER record surface); excluded from the
+// default `sbt test` so the suite fits the driver budget — run via
+// `sbt -Dgraft.slow.tests=true test` (see build.sbt).
+@org.scalatest.tags.Slow
 class LocalClusterSpec extends SparkSpec {
 
   private val addOpens = Seq(

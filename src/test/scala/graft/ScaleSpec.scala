@@ -29,6 +29,10 @@ import org.apache.spark.sql.functions._
   * single key, the adversarial shape AQE skew-splitting plus the slim
   * pair representation must absorb.
   */
+// Tagged slow (r19, verdict item 1): 10x scale-linearity audit (the driver runs its own 10x gate); excluded from the
+// default `sbt test` so the suite fits the driver budget — run via
+// `sbt -Dgraft.slow.tests=true test` (see build.sbt).
+@org.scalatest.tags.Slow
 class ScaleSpec extends SparkSpec {
 
   private val Sf01 = "/root/testdata/sf0.1"

@@ -18,6 +18,10 @@ import org.scalacheck.rng.Seed
   * (DotProductSpec pins the engine kernel to it), the same
   * sqrt-product cosine, and IEEE-exact comparisons — no tolerance.
   */
+// Tagged slow (r19, verdict item 1): generative property soak (SemanticDedup/SkewSpec stay default); excluded from the
+// default `sbt test` so the suite fits the driver budget — run via
+// `sbt -Dgraft.slow.tests=true test` (see build.sbt).
+@org.scalatest.tags.Slow
 class SemanticPropertySpec extends SparkSpec {
   import spark.implicits._
 
